@@ -1,0 +1,62 @@
+"""Parquet table loaders for the driver test corpus.
+
+The batch twin of the reference's Kafka sources (SURVEY.md §2.1 S1):
+`spark.read.parquet` gives columnar scans with predicate pushdown and
+column pruning for free, which is the point of declaring plans instead
+of hand-writing record loops (reference: DataClean.java:66,
+DataReport.java:88 read raw JSON strings record-at-a-time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table. Plain parquet scan — Catalyst prunes
+    columns and pushes filters into it from whatever plan sits on top.
+
+    The corpus stores some timestamps as parquet TIMESTAMP(NANOS), which
+    Spark has no native type for; nanosAsLong surfaces them as int64 and
+    the loader normalizes back to TimestampType (microsecond truncation,
+    matching what duckdb/pandas readers do)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver runs queries under its own SparkSession; pin UTC so
+    # date formatting / epoch math matches the naive-UTC DuckDB oracle
+    # no matter the host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries can
+    reference them by the same names the DuckDB oracle uses."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
