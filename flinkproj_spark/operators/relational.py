@@ -1,0 +1,393 @@
+"""Relational/analytic query family.
+
+The reference has no SQL layer (SURVEY.md §2.9) — Spark provides all of
+this natively, and these queries declare that surface so the oracle
+exercises it: TPC-H-style multi-join aggregations, window (analytic)
+functions, sessionization, set ops, rollup, pivot, and an as-of join
+(which Spark lacks natively; implemented as the union+window trick).
+
+Scale notes baked into each plan:
+  * monetary aggregates are summed as DECIMAL — exact, order-independent,
+    so parallel partial aggregation at any partition count is
+    bit-reproducible (double sums are not);
+  * joins keep dimension sides broadcast-able and put the filter BEFORE
+    the join so Catalyst pushes it into the parquet scan;
+  * top-k uses rank-within-partition, never a global sort of the fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkproj_spark.sources.tables import load_table
+
+
+def _cents(col):
+    """Exact money math: the corpus monetary columns carry exactly two
+    decimals, so floor(x*100+0.5) recovers the integer cents losslessly.
+    All revenue formulas then run in int64 — order-independent, identical
+    across engines, no double->decimal rounding ties (which differ between
+    Spark's HALF_UP BigDecimal cast and DuckDB's scaled-double rounding)."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: filter → groupBy(2) → 8 aggregates.
+    Sums run over DECIMAL(18,4) (exact at any parallelism); averages are
+    derived as double ratios of the exact sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c, disc_p, tax_p = _cents("l_extendedprice"), _cents("l_discount"), _cents("l_tax")
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents("l_quantity")).alias("_sum_qty_c"),
+            F.sum(price_c).alias("_sum_base_c"),
+            F.sum(price_c * (F.lit(100) - disc_p)).alias("_sum_disc_e4"),
+            F.sum(price_c * (F.lit(100) - disc_p) * (F.lit(100) + tax_p)).alias("_sum_charge_e6"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("_sum_qty_c").cast("double") / F.lit(100.0)).alias("sum_qty"),
+        (F.col("_sum_base_c").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("_sum_disc_e4").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.col("_sum_charge_e6").cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+        F.round(F.col("_sum_qty_c").cast("double") / F.lit(100.0) / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("_sum_base_c").cast("double") / F.lit(100.0) / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: 3-way join, grouped revenue, top-10.
+    customer is broadcast (small dim); revenue decimal-exact; the top-10
+    order is made deterministic with the unique o_orderkey tiebreak."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "FURNITURE")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(revenue_e4).alias("_rev_e4")
+    )
+    top = agg.orderBy(F.col("_rev_e4").desc(), F.col("o_orderkey")).limit(10)
+    return top.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        (F.col("_rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier revenue per nation: 5-way join with
+    all dimension sides broadcast; only lineitem⋈orders shuffles."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_e4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    dim = (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("n_name").agg(F.sum(revenue_e4).alias("_rev_e4"))
+    return agg.select(
+        "n_name", (F.col("_rev_e4").cast("double") / F.lit(10000.0)).alias("revenue")
+    )
+
+
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast-revenue: pure scan-filter-aggregate; every
+    predicate is parquet-pushable, result is a single exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_e4 = _cents("l_extendedprice") * _cents("l_discount")
+    agg = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.sum(rev_e4).alias("_rev_e4"), F.count("*").alias("n_items"))
+    return agg.select(
+        (F.col("_rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"), "n_items"
+    )
+
+
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 events per type by value: rank within partition — the scan
+    shuffles once on the group key; no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "value", "rn")
+    )
+
+
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function surface: rank / lag / lead / running sum over a
+    per-user event timeline (absent from the reference, SURVEY.md §2.9)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).over(w).cast("double")
+         / F.lit(100.0)).alias("running_value"),
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user 30-minute-gap sessions via lag + cumulative
+    sum of session starts — one shuffle on user_id, linear per partition."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = events.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800
+        ).cast("int"),
+    ).withColumn("new_session", F.coalesce("new_session", F.lit(1)))
+    sess = gapped.withColumn("session_id", F.sum("new_session").over(w))
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation surface: (user, day) pairs with a click but no
+    purchase (EXCEPT == left anti join in the physical plan)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    return clickers.exceptAll(buyers).distinct()
+
+
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation (absent from the reference)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.rollup("event_type").agg(F.count("*").alias("cnt"))
+
+
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix with a fixed column set
+    (explicit pivot values keep the schema static at any data scale)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark operator): for each order, the latest
+    event of its user bucket at-or-before the order date.
+
+    Implemented as the union+window trick — tag both sides, union, one
+    window pass per key ordered by time carrying the last event forward.
+    This is shuffle-minimal (single exchange on the key) and needs no
+    range-duplication; `pd.merge_asof` inside applyInPandas would be the
+    fallback for semantics this trick can't express."""
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.select(
+        (F.col("o_custkey") % 20).alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("long").alias("ev_id"),
+        F.lit(1).alias("is_order"),
+    )
+    right = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.col("event_id").alias("ev_id"),
+        F.lit(0).alias("is_order"),
+    )
+    # Events sort before orders at identical t (is_order ASC) so an event
+    # exactly at the order time is visible to it ("at-or-before").
+    u = left.unionByName(right)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_order", "ev_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("last_ev", F.last("ev_id", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("is_order") == 1)
+        .select("o_orderkey", F.col("last_ev").alias("event_id"))
+    )
+
+
+QUERIES = {
+    "tpch_q1": tpch_q1,
+    "tpch_q3": tpch_q3,
+    "tpch_q5": tpch_q5,
+    "tpch_q6": tpch_q6,
+    "top_k_per_group": top_k_per_group,
+    "window_functions": window_functions,
+    "sessionize": sessionize,
+    "set_except": set_except,
+    "rollup_counts": rollup_counts,
+    "pivot_counts": pivot_counts,
+    "asof_join": asof_join,
+}
+
+ORACLE = {
+    "tpch_q1": """
+        WITH c AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+                 CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+                 CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dp,
+                 CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tp
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-01'),
+        a AS (
+          SELECT l_returnflag, l_linestatus,
+                 SUM(qc) AS sqc, SUM(pc) AS sbc,
+                 SUM(pc * (100 - dp)) AS sde4,
+                 SUM(pc * (100 - dp) * (100 + tp)) AS sce6,
+                 COUNT(*) AS count_order
+          FROM c GROUP BY 1, 2)
+        SELECT l_returnflag, l_linestatus,
+               CAST(sqc AS DOUBLE) / 100.0 AS sum_qty,
+               CAST(sbc AS DOUBLE) / 100.0 AS sum_base_price,
+               CAST(sde4 AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(sce6 AS DOUBLE) / 1000000.0 AS sum_charge,
+               ROUND(CAST(sqc AS DOUBLE) / 100.0 / count_order, 6) AS avg_qty,
+               ROUND(CAST(sbc AS DOUBLE) / 100.0 / count_order, 6) AS avg_price,
+               count_order
+        FROM a
+    """,
+    "tpch_q3": """
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_orderpriority,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+                        (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'FURNITURE'
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+        ORDER BY SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+                     (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))) DESC,
+                 o.o_orderkey
+        LIMIT 10
+    """,
+    "tpch_q5": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+                        (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        WHERE c.c_nationkey = s.s_nationkey
+        GROUP BY 1
+    """,
+    "tpch_q6": """
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) *
+                        CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 10000.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "top_k_per_group": """
+        SELECT event_type, event_id, "value", rn FROM (
+          SELECT event_type, event_id, "value",
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY "value" DESC, event_id) AS rn
+          FROM events)
+        WHERE rn <= 5
+    """,
+    "window_functions": """
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER w AS seq,
+               LAG(event_type) OVER w AS prev_type,
+               LEAD(event_type) OVER w AS next_type,
+               CAST(SUM(CAST(FLOOR("value" * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+                 / 100.0 AS running_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "sessionize": """
+        WITH g AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+                           LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                      THEN 1
+                      WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        s AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM g)
+        SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        FROM s GROUP BY 1
+    """,
+    "set_except": """
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "rollup_counts": """
+        SELECT event_type, COUNT(*) AS cnt
+        FROM events GROUP BY ROLLUP(event_type)
+    """,
+    "pivot_counts": """
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY user_id
+    """,
+    "asof_join": """
+        SELECT o.o_orderkey, e.event_id
+        FROM (SELECT o_orderkey, o_custkey % 20 AS k, o_orderdate FROM orders) o
+        ASOF LEFT JOIN events e
+          ON o.k = e.user_id AND e.ts <= o.o_orderdate
+    """,
+}
