@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extensions mandated by the build plan (SURVEY.md §7 Phase 3): exact
+dedup, keyed-latest dedup, MinHash+LSH banding, SimHash fingerprints,
+and blocked n-gram Jaccard — over the `documents` table.
+
+Scale design: every per-document signature (shingles → minhash bands,
+token hashes → simhash) is computed in ONE codegen'd projection with
+nested higher-order array functions — no explode, no Python, no state.
+The only shuffles are the semantic ones: the LSH bucket join (which is
+the whole point of LSH — candidate pairs meet in a hash bucket instead
+of an O(n²) cross join) and the blocking-key self-join. At 100 TB both
+joins key on short strings with near-uniform fan-out; a hot bucket
+(boilerplate duplicated millions of times) would be salted or capped
+by bucket-size pre-aggregation.
+
+Cross-engine determinism: md5 is the only hash (identical in Spark and
+DuckDB); all arithmetic on hashes is integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkproj_spark.sources.tables import load_table
+
+N_HASHES = 9
+BAND_ROWS = 3  # 3 bands × 3 rows
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
+
+
+def _words() -> Column:
+    return F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+
+
+def _shingles(words: Column) -> Column:
+    """Distinct word 3-shingles (same construction as the reference-free
+    doc_fingerprint operator)."""
+    n = F.size(words)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, 3), " "),
+        )
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; the kept representative is
+    the minimum doc_id (deterministic, unlike dropDuplicates). At scale
+    group on the md5 instead of the full text to shrink shuffle rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "content_fp", "n_copies")
+    )
+
+
+def dedup_keyed_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-latest dedup: one row per user_id — the most recent event
+    (row_number over a per-key timestamp-desc window, tiebroken on
+    event_id so replays are idempotent)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", F.unix_timestamp(F.date_trunc("second", "ts")).alias("ts_sec"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs.
+
+    shingle → N_HASHES minhash signature → band keys → bucket self-join:
+    sig[h] = min over shingles of md5(h':'shingle); documents agreeing on
+    all rows of any band become a candidate pair. The signature is one
+    nested-transform projection per doc (no explode); the bucket join is
+    the only shuffle and touches |docs|×bands short rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    sh = _shingles(words)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda h: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s)))
+        ),
+    )
+    n_bands = N_HASHES // BAND_ROWS
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit("|"),
+            # element_at is 1-indexed: band b holds sig rows b*R+1 .. b*R+R
+            *[F.element_at(sig, b * BAND_ROWS + F.lit(r + 1)) for r in range(BAND_ROWS)],
+        ),
+    )
+    keyed = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(bands).alias("band_key"))
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (32-bit): token md5 → per-bit ±1 weights
+    summed over the doc; bit j of the fingerprint is sign(weight_j).
+    Term frequency weights naturally (duplicate tokens count twice).
+    One projection per doc; near-dup = small Hamming distance, banded
+    the same way as minhash when pairing at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    # bit_j(h) = floor(h / 2^j) % 2 — column-valued shift via exact
+    # double division (h < 2^32 << 2^53, so floor is lossless).
+    def bit(h, j):
+        return (F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2)
+
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda j: F.aggregate(
+            hashes, F.lit(0).cast("long"), lambda acc, h: acc + (bit(h, j) * 2 - 1)
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            weights,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda wgt, j: F.when(wgt >= 0, F.pow(F.lit(2.0), j.cast("double")).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.filter(F.size(words) >= 1).select("doc_id", simhash.alias("simhash"))
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact n-gram Jaccard: candidate pairs share a blocking key
+    (lang + first two words — near-dups share their prefix), then exact
+    word-set Jaccard ≥ 0.5. Blocking bounds the self-join the same way
+    LSH bucketing does, with the exact measure as the verifier stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    keyed = docs.filter(F.size(words) >= 2).select(
+        "doc_id",
+        F.concat("lang", F.lit("|"), F.element_at(words, 1), F.lit(" "), F.element_at(words, 2)).alias("bkey"),
+        F.array_distinct(words).alias("wset"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("a.wset", "b.wset")).cast("double")
+            / F.size(F.array_union("a.wset", "b.wset")),
+            4,
+        ).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_keyed_latest": dedup_keyed_latest,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+_SHINGLES_SQL = f"""
+    list_distinct(list_transform(
+      range(1, GREATEST(len({_WORDS_SQL}) - 2, 1) + 1),
+      i -> array_to_string(({_WORDS_SQL})[i:i+2], ' ')))
+"""
+
+_N_BANDS = N_HASHES // BAND_ROWS
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS content_fp, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_keyed_latest": """
+        SELECT user_id, event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        FROM (SELECT user_id, event_id, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sh AS (
+          SELECT doc_id, {_SHINGLES_SQL} AS shingles
+          FROM documents WHERE len({_WORDS_SQL}) >= 3),
+        sig AS (
+          SELECT doc_id,
+                 list_transform(range(0, {N_HASHES}),
+                   h -> list_min(list_transform(shingles,
+                        s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sig
+          FROM sh),
+        bands AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, {_N_BANDS}),
+                   b -> CAST(b AS VARCHAR) || '|' ||
+                        sig[b * {BAND_ROWS} + 1] || sig[b * {BAND_ROWS} + 2] ||
+                        sig[b * {BAND_ROWS} + 3])) AS band_key
+          FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    "dedup_simhash": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform({_WORDS_SQL},
+                   w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hashes
+          FROM documents WHERE len({_WORDS_SQL}) >= 1),
+        wgt AS (
+          SELECT doc_id,
+                 list_transform(range(0, 32),
+                   j -> list_sum(list_transform(hashes,
+                        h -> (CAST(FLOOR(h / pow(2.0, j)) AS BIGINT) % 2) * 2 - 1))) AS weights
+          FROM h)
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range(0, 32),
+                 j -> CASE WHEN weights[j + 1] >= 0
+                           THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+        FROM wgt
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH k AS (
+          SELECT doc_id,
+                 lang || '|' || ({_WORDS_SQL})[1] || ' ' || ({_WORDS_SQL})[2] AS bkey,
+                 list_distinct({_WORDS_SQL}) AS wset
+          FROM documents WHERE len({_WORDS_SQL}) >= 2)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 ROUND(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                       len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
+          FROM k a JOIN k b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5
+    """,
+}

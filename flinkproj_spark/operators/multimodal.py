@@ -1,0 +1,113 @@
+"""Multimodal (binary) column operators.
+
+Extensions from the build plan (SURVEY.md §7 Phase 3): image/audio/video
+payloads are opaque `binary` columns with typed metadata; decode /
+feature-extract run as Arrow-batched Pandas UDFs via mapInPandas so the
+bytes never round-trip through Python row-at-a-time.
+
+The container has no image/audio codecs, so `decode` is a
+clearly-marked deterministic fake (byte statistics standing in for
+pixel decode); the Spark-side plumbing — binary schema, mapInPandas
+batch iteration, output schema, partition preservation — is real and
+tested. Swap `_fake_decode` for PIL/ffmpeg calls on a real cluster.
+
+Scale notes: binary payloads dominate row width, so the operators
+project the payload away as soon as features are extracted, and
+mapInPandas processes whole Arrow record batches (no per-row serde).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkproj_spark.sources.tables import load_table
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, "
+    "mean_byte double, max_byte int, n_frames int"
+)
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus has no binary table; fabricate one deterministically
+    from documents: payload = utf-8 bytes of the text (an opaque blob as
+    far as the operators care), metadata derived from doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.lit(32) + F.col("doc_id") % 64).cast("int").alias("width"),
+        (F.lit(32) + F.col("doc_id") % 48).cast("int").alias("height"),
+        F.lit("fake/blob").alias("mime"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads — byte length and
+    content hash computed JVM-side (no decode, no Python)."""
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        "width",
+        "height",
+        "mime",
+    )
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decode: byte statistics stand in for a real codec (the
+    container has no PIL/ffmpeg). Deterministic so tests can pin it.
+    Real deployment: decode bytes -> pixels here, batch-at-a-time."""
+    for pdf in batches:
+        payload = pdf["payload"]
+        n_bytes = payload.map(len)
+        mean_byte = payload.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+        max_byte = payload.map(lambda b: max(b) if len(b) else 0)
+        # "frame sample": pretend every 64-byte slice is one frame
+        n_frames = n_bytes.map(lambda n: (n + 63) // 64)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n_bytes.astype("int32"),
+                "width": pdf["width"].astype("int32"),
+                "height": pdf["height"].astype("int32"),
+                "mean_byte": mean_byte.round(6),
+                "max_byte": max_byte.astype("int32"),
+                "n_frames": n_frames.astype("int32"),
+            }
+        )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads via
+    mapInPandas. Declared rows-only for the oracle (the decode itself is
+    not SQL-expressible); schema and determinism are pinned by tests."""
+    p = _payloads(spark, sf_dir)
+    return p.mapInPandas(_fake_decode, schema=DECODE_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_decode": multimodal_decode,
+}
+
+ORACLE = {
+    # md5 over the utf-8 payload == md5 over the source text.
+    "multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               md5(text) AS content_md5,
+               CAST(32 + doc_id % 64 AS INTEGER) AS width,
+               CAST(32 + doc_id % 48 AS INTEGER) AS height,
+               'fake/blob' AS mime
+        FROM documents
+    """,
+    # multimodal_decode: intentionally absent — rows-only check.
+}

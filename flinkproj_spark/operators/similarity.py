@@ -1,0 +1,257 @@
+"""Similarity search over embedding vectors.
+
+Extensions from the build plan (SURVEY.md §7 Phase 3): brute-force
+cosine top-k as the correctness baseline, a sign-LSH bucketed ANN as
+the scale path, and LSH-blocked near-duplicate pairs.
+
+Scale design:
+  * vectors are quantized to int64 once (floor(x*1000+0.5)) — all dot
+    products are exact integer folds: order-independent, identical
+    across engines, immune to float-sum reassociation at any
+    parallelism;
+  * brute force broadcasts the (small) query set against the corpus —
+    a map-side cross join, no shuffle of the corpus, O(|Q|·N) but
+    embarrassingly parallel: this is the right plan when |Q| is small;
+  * sign-LSH reduces candidates to one bucket: corpus and queries are
+    sketched with the same deterministic hyperplanes (md5-seeded
+    integer weights), candidates meet in an equi-join on the bucket id
+    — at 100 TB this is the difference between a cross join and a
+    hash join; recall is tuned by plane count / multi-probe.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkproj_spark.sources.tables import load_table
+
+DIM = 64
+N_QUERIES = 8          # query set: vec_id < 8
+TOP_K = 5
+N_PLANES_TOPK = 6      # 64 buckets — sized to the corpus (500-2000 vecs)
+N_PLANES_NEARDUP = 4   # 16 buckets
+NEARDUP_MIN_COS = 0.25
+
+
+def _plane_weights(n_planes: int, dim: int = DIM) -> list[list[int]]:
+    """Deterministic hyperplane weights in [-1000, 1000]: seeded by
+    md5(f"{plane}_{dim}") so Spark, DuckDB, and this Python all derive
+    the identical matrix with no RNG state to ship."""
+    return [
+        [
+            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _quant(col: Column) -> Column:
+    """float embedding → exact int64 (3 decimal places)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product as a sequential fold (zip_with+aggregate
+    stays in codegen; no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def _sketch(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id: bit p = (w_p · v >= 0)."""
+    planes_col = F.array(*[F.array(*[F.lit(w) for w in row]) for row in planes])
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        lambda p: F.when(
+            _dot(F.element_at(planes_col, p + F.lit(1)), vec) >= 0,
+            F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        _quant(F.col("embedding")).alias("q"),
+    ).withColumn("norm", F.sqrt(_dot("q", "q").cast("double")))
+
+
+def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against the
+    corpus (map-side nested loop — the corpus never shuffles), rank per
+    query. The exact baseline the LSH variant trades recall against."""
+    from pyspark.sql import Window
+
+    base = _quantized(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot("q", "qv").cast("double") / (F.col("norm") * F.col("qnorm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-k: sketch corpus and queries with the
+    same deterministic hyperplanes, equi-join on the bucket, rank inside
+    it. The bucket join replaces the cross join — the 100 TB plan —
+    trading recall (tuned via plane count / multi-probe) for a shuffle
+    that only moves (id, bucket, vec)."""
+    from pyspark.sql import Window
+
+    planes = _plane_weights(N_PLANES_TOPK)
+    base = _quantized(spark, sf_dir).withColumn("bucket", _sketch(F.col("q"), planes))
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = (
+        base.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot("q", "qv").cast("double") / (F.col("norm") * F.col("qnorm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked: pairs meet in a
+    coarse sign-LSH bucket (16 buckets), exact quantized cosine filters.
+    Same shape as dedup_minhash_lsh: bucket join instead of O(n²)."""
+    planes = _plane_weights(N_PLANES_NEARDUP)
+    base = _quantized(spark, sf_dir).withColumn("bucket", _sketch(F.col("q"), planes))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+        F.col("norm").alias("na"), F.col("bucket").alias("ba"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+        F.col("norm").alias("nb"), F.col("bucket").alias("bb"),
+    )
+    pairs = (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot("qa", "qb").cast("double") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= NEARDUP_MIN_COS)
+    )
+    return pairs
+
+
+QUERIES = {
+    "ann_topk_brute": ann_topk_brute,
+    "ann_topk_lsh": ann_topk_lsh,
+    "embedding_neardup": embedding_neardup,
+}
+
+
+_QUANT_SQL = "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _planes_sql(n_planes: int) -> str:
+    rows = _plane_weights(n_planes)
+    return "[" + ", ".join("[" + ", ".join(str(w) for w in r) + "]" for r in rows) + "]"
+
+
+def _sketch_sql(vec: str, n_planes: int) -> str:
+    planes = _planes_sql(n_planes)
+    return f"""CAST(list_sum(list_transform(range(0, {n_planes}),
+        p -> CASE WHEN list_sum(list_transform(range(1, {DIM} + 1),
+                       i -> ({planes})[p + 1][i] * {vec}[i])) >= 0
+                  THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END)) AS BIGINT)"""
+
+
+_BASE_SQL = f"""
+    SELECT vec_id, label, {_QUANT_SQL} AS q,
+           sqrt(CAST({_dot_sql(_QUANT_SQL, _QUANT_SQL)} AS DOUBLE)) AS norm
+    FROM embeddings
+"""
+
+ORACLE = {
+    "ann_topk_brute": f"""
+        WITH base AS ({_BASE_SQL}),
+        scored AS (
+          SELECT q2.vec_id AS query_id, b.vec_id,
+                 ROUND(CAST({_dot_sql('b.q', 'q2.q')} AS DOUBLE) / (b.norm * q2.norm), 6) AS cos
+          FROM base b JOIN base q2 ON q2.vec_id < {N_QUERIES} AND b.vec_id <> q2.vec_id)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {TOP_K}
+    """,
+    "ann_topk_lsh": f"""
+        WITH base AS (
+          SELECT vec_id, q, norm, {_sketch_sql('q', N_PLANES_TOPK)} AS bucket
+          FROM ({_BASE_SQL})),
+        cands AS (
+          SELECT q2.vec_id AS query_id, b.vec_id,
+                 ROUND(CAST({_dot_sql('b.q', 'q2.q')} AS DOUBLE) / (b.norm * q2.norm), 6) AS cos
+          FROM base b JOIN base q2
+            ON q2.vec_id < {N_QUERIES} AND b.bucket = q2.bucket
+           AND b.vec_id <> q2.vec_id)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM cands)
+        WHERE rank <= {TOP_K}
+    """,
+    "embedding_neardup": f"""
+        WITH base AS (
+          SELECT vec_id, q, norm, {_sketch_sql('q', N_PLANES_NEARDUP)} AS bucket
+          FROM ({_BASE_SQL}))
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(CAST({_dot_sql('a.q', 'b.q')} AS DOUBLE) / (a.norm * b.norm), 6) AS cos
+        FROM base a JOIN base b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND(CAST({_dot_sql('a.q', 'b.q')} AS DOUBLE) / (a.norm * b.norm), 6) >= {NEARDUP_MIN_COS}
+    """,
+}

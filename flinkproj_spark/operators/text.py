@@ -1,0 +1,207 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Not in the reference (its only string ops are split/concat,
+SURVEY.md §2.9) — these are the LLM-data extensions mandated by the
+build plan (SURVEY.md §7 Phase 3): token counting, quality scoring,
+language ID, and document fingerprinting over the `documents` table.
+
+Everything is built from JVM-side expressions (split / higher-order
+array functions / regexp / md5) — zero Python in the hot path, so each
+operator is a single whole-stage-codegen'd scan+project that scales
+linearly with partitions: no shuffle at all except where a groupBy is
+the semantics. Cross-engine determinism rules: token arithmetic is
+integer, ratios are double divisions of integers, and hashes are md5
+(identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkproj_spark.sources.tables import load_table
+
+# Shared tokenizer: whitespace split, empties dropped. Identical
+# semantics to DuckDB's string_split + list_filter.
+def _words(col: str = "text") -> Column:
+    return F.filter(F.split(F.col(col), " "), lambda w: w != "")
+
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
+
+# BPE-ish token regex: letter runs, digit runs, single punctuation.
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+# Language marker words (n-gram heuristic): per-language evidence terms.
+_LANG_MARKERS = {
+    "en": ["the", "and", "with", "for"],
+    "de": ["der", "und", "die", "das"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "les", "des", "est"],
+    "zh": ["de", "shi", "zai", "he"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    tokenization — both single-pass, codegen'd, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_words"),
+        F.regexp_count("text", F.lit(_TOKEN_RE)).alias("n_tokens"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/word statistics + stopword ratio folded
+    into a deterministic [0,1] score (no transcendentals — exp/log may
+    differ in the last ulp across engine libms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    n_words = F.size(words)
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        total_len.alias("_tl"),
+        n_stop.alias("n_stopwords"),
+    ).filter(F.col("n_words") > 0)
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_stopwords",
+        F.round(F.col("_tl").cast("double") / F.col("n_words"), 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("n_words").cast("double") / F.lit(100.0), F.lit(1.0))
+            * (F.lit(1.0) - stop_ratio),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-word evidence (n-gram heuristic): count
+    per-language marker tokens, argmax with a fixed tiebreak order.
+    One scan, no shuffle; markers are a compile-time constant array."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.transform(_words(), lambda w: F.lower(w))
+    sel = [F.col("doc_id")]
+    for lang in _LANG_ORDER:
+        marker_arr = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        sel.append(
+            F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w))).alias(f"_s_{lang}")
+        )
+    scored = docs.select(*sel)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in _LANG_ORDER])
+    pred = F.lit("unknown")
+    for lang in reversed(_LANG_ORDER):  # earlier langs win ties
+        pred = F.when((F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), best.cast("long").alias("marker_hits")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: (a) content hash of the normalized text,
+    (b) a winnow-style min-hash over word 3-shingles (the minimum md5 of
+    the shingle set — stable under reordering-free edits elsewhere in
+    the doc). Both are one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
+    words = _words()
+    n = F.size(words)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    )
+    min_sh = F.array_min(F.transform(shingles, lambda s: F.md5(s)))
+    return docs.filter(n >= 3).select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        min_sh.alias("min_shingle_fp"),
+    )
+
+
+QUERIES = {
+    "text_token_count": text_token_count,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(list_transform({_WORDS_SQL}, w -> lower(w)), "
+        f"w -> list_contains([{markers}], w))) AS _s_{lang}"
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+_LANG_SCORES = ",\n                 ".join(_lang_score_sql(l) for l in _LANG_ORDER)
+_BEST = "GREATEST(" + ", ".join(f"_s_{l}" for l in _LANG_ORDER) + ")"
+_PRED_CASE = "CASE " + " ".join(
+    f"WHEN _s_{l} = {_BEST} AND {_BEST} > 0 THEN '{l}'" for l in _LANG_ORDER
+) + " ELSE 'unknown' END"
+
+ORACLE = {
+    "text_token_count": f"""
+        SELECT doc_id,
+               len({_WORDS_SQL}) AS n_words,
+               len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_tokens
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 len({_WORDS_SQL}) AS n_words,
+                 list_sum(list_transform({_WORDS_SQL}, w -> len(w))) AS _tl,
+                 len(list_filter({_WORDS_SQL},
+                     w -> list_contains([{_STOP_SQL}], lower(w)))) AS n_stopwords
+          FROM documents)
+        SELECT doc_id,
+               n_words,
+               n_stopwords,
+               ROUND(CAST(_tl AS DOUBLE) / n_words, 4) AS avg_word_len,
+               ROUND(CAST(n_stopwords AS DOUBLE) / n_words, 4) AS stopword_ratio,
+               ROUND(LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0) *
+                     (1.0 - CAST(n_stopwords AS DOUBLE) / n_words), 4) AS quality_score
+        FROM b WHERE n_words > 0
+    """,
+    "text_lang_id": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 {_LANG_SCORES}
+          FROM documents)
+        SELECT doc_id,
+               {_PRED_CASE} AS pred_lang,
+               CAST({_BEST} AS BIGINT) AS marker_hits
+        FROM s
+    """,
+    "doc_fingerprint": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_fp,
+                 {_WORDS_SQL} AS words
+          FROM documents),
+        sh AS (
+          SELECT doc_id, content_fp,
+                 list_min(list_transform(
+                   range(1, GREATEST(len(words) - 2, 1) + 1),
+                   i -> md5(array_to_string(words[i:i+2], ' ')))) AS min_shingle_fp
+          FROM w WHERE len(words) >= 3)
+        SELECT doc_id, content_fp, min_shingle_fp FROM sh
+    """,
+}
