@@ -4,15 +4,17 @@ Extensions mandated by the build plan (SURVEY.md §7 Phase 3): exact
 dedup, keyed-latest dedup, MinHash+LSH banding, SimHash fingerprints,
 and blocked n-gram Jaccard — over the `documents` table.
 
-Scale design: every per-document signature (shingles → minhash bands,
-token hashes → simhash) is computed in ONE codegen'd projection with
-nested higher-order array functions — no explode, no Python, no state.
-The only shuffles are the semantic ones: the LSH bucket join (which is
-the whole point of LSH — candidate pairs meet in a hash bucket instead
-of an O(n²) cross join) and the blocking-key self-join. At 100 TB both
-joins key on short strings with near-uniform fan-out; a hot bucket
-(boilerplate duplicated millions of times) would be salted or capped
-by bucket-size pre-aggregation.
+Scale design: signatures are computed entirely JVM-side (no Python in
+any hot path). Cheap per-doc fingerprints (simhash, jaccard blocking)
+stay in single nested-HOF projections; the minhash signature — where a
+nested formulation would re-inline the expression per band — uses the
+explode → codegen'd md5 → map-side-combined min pipeline instead (see
+dedup_minhash_lsh). The only shuffles are the semantic ones: the LSH
+bucket join (the whole point of LSH — candidate pairs meet in a hash
+bucket instead of an O(n²) cross join) and the blocking-key self-join.
+At 100 TB both join on short keys with near-uniform fan-out; a hot
+bucket (boilerplate duplicated millions of times) would be salted or
+capped by bucket-size pre-aggregation.
 
 Cross-engine determinism: md5 is the only hash (identical in Spark and
 DuckDB); all arithmetic on hashes is integer.
@@ -79,31 +81,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle → N_HASHES minhash signature → band keys → bucket self-join:
     sig[h] = min over shingles of md5(h':'shingle); documents agreeing on
-    all rows of any band become a candidate pair. The signature is one
-    nested-transform projection per doc (no explode); the bucket join is
-    the only shuffle and touches |docs|×bands short rows."""
+    all rows of any band become a candidate pair.
+
+    Pipeline shape (the 100 TB formulation): explode shingles → explode
+    the hash index → ONE codegen'd md5 per (shingle, h) → map-side
+    partial min per (doc, h) → band keys → bucket self-join. A
+    nested-transform projection computing the signature in-row looks
+    cheaper (no shuffle) but CollapseProject re-inlines the signature
+    expression per band element — measured 40x slower; here every hash
+    is computed exactly once and the shuffle rows are narrow
+    (doc_id, h, 32-char hash) with uniform key fan-out."""
     docs = load_table(spark, sf_dir, "documents")
     words = _words()
-    sh = _shingles(words)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda h: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s)))
-        ),
+    sh_rows = docs.filter(F.size(words) >= 3).select(
+        "doc_id", F.explode(_shingles(words)).alias("sh")
     )
-    n_bands = N_HASHES // BAND_ROWS
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.concat(
-            b.cast("string"),
+    hashed = sh_rows.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("h"),
+        "sh",
+    ).select(
+        "doc_id",
+        "h",
+        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("sh"))).alias("mh"),
+    )
+    sig = hashed.groupBy("doc_id", "h").agg(F.min("mh").alias("mh"))
+    by_band = sig.withColumn("band", F.expr(f"h div {BAND_ROWS}")).withColumn(
+        "r", F.col("h") % BAND_ROWS
+    )
+    band_keys = by_band.groupBy("doc_id", "band").agg(
+        *[
+            F.min(F.when(F.col("r") == r, F.col("mh"))).alias(f"m{r}")
+            for r in range(BAND_ROWS)
+        ]
+    )
+    keyed = band_keys.select(
+        "doc_id",
+        F.concat(
+            F.col("band").cast("string"),
             F.lit("|"),
-            # element_at is 1-indexed: band b holds sig rows b*R+1 .. b*R+R
-            *[F.element_at(sig, b * BAND_ROWS + F.lit(r + 1)) for r in range(BAND_ROWS)],
-        ),
-    )
-    keyed = (
-        docs.filter(F.size(words) >= 3)
-        .select("doc_id", F.explode(bands).alias("band_key"))
+            *[F.col(f"m{r}") for r in range(BAND_ROWS)],
+        ).alias("band_key"),
     )
     a = keyed.alias("a")
     b = keyed.alias("b")

@@ -1,0 +1,66 @@
+"""Operator-level semantics the oracle can't see: determinism across
+runs, known near-dup recovery, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flinkproj_spark.operators.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+from flinkproj_spark.operators.multimodal import multimodal_decode, multimodal_meta
+from flinkproj_spark.operators.similarity import ann_topk_brute, ann_topk_lsh
+from flinkproj_spark.sources.tables import load_table
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """The corpus plants near-duplicate documents (shared long prefixes);
+    MinHash-LSH must surface them, and candidates must really be similar."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    jacc = dedup_ngram_jaccard(spark, sf_dir)
+    p = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    j = {(r.doc_a, r.doc_b) for r in jacc.collect()}
+    assert p, "no candidate pairs found despite planted near-dups"
+    # LSH candidates and exact-jaccard pairs agree substantially
+    assert p & j, "LSH candidates disjoint from exact high-jaccard pairs"
+
+
+def test_minhash_deterministic_across_runs(spark, sf_dir):
+    a = sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect()))
+    b = sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_lsh_topk_is_subset_quality_of_brute(spark, sf_dir):
+    """LSH trades recall, never precision: every (query, hit) it returns
+    must score the same cosine as brute force computes for that pair."""
+    brute = {(r.query_id, r.vec_id): r.cos for r in ann_topk_brute(spark, sf_dir).collect()}
+    for r in ann_topk_lsh(spark, sf_dir).collect():
+        if (r.query_id, r.vec_id) in brute:
+            assert abs(brute[(r.query_id, r.vec_id)] - r.cos) < 1e-9
+
+
+def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
+    out = multimodal_decode(spark, sf_dir)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_bytes", "width", "height", "mean_byte", "max_byte", "n_frames"]
+    rows = {r.doc_id: r for r in out.collect()}
+    meta = {r.doc_id: r for r in multimodal_meta(spark, sf_dir).collect()}
+    assert set(rows) == set(meta)
+    for did, r in rows.items():
+        assert r.n_bytes == meta[did].n_bytes
+        assert r.n_frames == (r.n_bytes + 63) // 64
+        assert 0 <= r.mean_byte <= 255
+    # deterministic across runs (stub decode is pinned)
+    again = {r.doc_id: r.mean_byte for r in multimodal_decode(spark, sf_dir).collect()}
+    assert again == {d: r.mean_byte for d, r in rows.items()}
+
+
+def test_multimodal_decode_is_arrow_batched(spark, sf_dir):
+    plan = multimodal_decode(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_events_timestamps_survive_nanos_roundtrip(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert mn.year == 2024 and mx > mn
