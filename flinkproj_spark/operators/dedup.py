@@ -137,34 +137,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint (32-bit): token md5 → per-bit ±1 weights
     summed over the doc; bit j of the fingerprint is sign(weight_j).
     Term frequency weights naturally (duplicate tokens count twice).
-    One projection per doc; near-dup = small Hamming distance, banded
-    the same way as minhash when pairing at scale."""
+    Near-dup = small Hamming distance, banded the same way as minhash
+    when pairing at scale."""
     docs = load_table(spark, sf_dir, "documents")
     words = _words()
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    # Explode to (doc_id, token-hash) rows: one codegen'd md5 per token,
+    # then 32 SUM(CASE) aggregates in a single map-side-combinable
+    # groupBy — the nested-HOF formulation re-evaluates the hash array
+    # per bit (measured 10s -> ~1s at sf0.1). bit_j(h) = (h div 2^j) % 2.
+    tok = docs.select("doc_id", F.explode(words).alias("w")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("h"),
     )
-    # bit_j(h) = floor(h / 2^j) % 2 — column-valued shift via exact
-    # double division (h < 2^32 << 2^53, so floor is lossless).
-    def bit(h, j):
-        return (F.floor(h / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2)
-
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(31)),
-        lambda j: F.aggregate(
-            hashes, F.lit(0).cast("long"), lambda acc, h: acc + (bit(h, j) * 2 - 1)
-        ),
+    weights = tok.groupBy("doc_id").agg(
+        *[
+            F.sum((F.expr(f"h div {2**j}") % 2) * 2 - 1).alias(f"b{j}")
+            for j in range(32)
+        ]
     )
-    simhash = F.aggregate(
-        F.zip_with(
-            weights,
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda wgt, j: F.when(wgt >= 0, F.pow(F.lit(2.0), j.cast("double")).cast("long")).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    fingerprint = sum(
+        [
+            F.when(F.col(f"b{j}") >= 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+            for j in range(32)
+        ],
+        start=F.lit(0).cast("long"),
     )
-    return docs.filter(F.size(words) >= 1).select("doc_id", simhash.alias("simhash"))
+    return weights.select("doc_id", fingerprint.alias("simhash"))
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

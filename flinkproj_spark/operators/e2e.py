@@ -1,0 +1,134 @@
+"""End-to-end pipeline query keys (SURVEY.md §2.10, §5.2.2).
+
+The two reference pipelines as oracle-checked batch queries: wire-format
+JSON lines are fabricated deterministically from the events table, then
+run through the REAL pipeline cores (from_json → explode → broadcast
+join → window agg) — so the driver's correctness gate exercises the
+full parser-to-result path, not just individual operators. The oracle
+computes the same result relationally (the JSON round-trip is lossless:
+Java's shortest-repr double formatting is read back exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkproj_spark.pipelines import report_aggregate, report_parse, clean_transform
+from flinkproj_spark.sources.dims import dim_area
+from flinkproj_spark.sources.tables import load_table
+
+# 8 countries: 7 from the reference's Redis hash + 'ID' (present in the
+# generator but absent from the dim, FIXTURES.md §6.3) → 'other' path.
+_CC = ["US", "TW", "HK", "PK", "KW", "SA", "IN", "ID"]
+_AREAS = ["AREA_US", "AREA_CT", "AREA_AR", "AREA_IN", "AREA_ID"]
+
+
+def _alldata_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """allData wire JSON fabricated from events: dt from ts, countryCode
+    from user_id, a 2-element data array from value (the reference
+    generator's shape, kafkaProducer.java:34)."""
+    events = load_table(spark, sf_dir, "events")
+    cc = F.element_at(
+        F.array(*[F.lit(c) for c in _CC]), (F.col("user_id") % 8 + 1).cast("int")
+    )
+    dt = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    line = F.concat(
+        F.lit('{"dt":"'), dt,
+        F.lit('","countryCode":"'), cc,
+        F.lit('","data":[{"type":"s1","score":'), F.col("value").cast("string"),
+        F.lit(',"level":"A"},{"type":"s2","score":'), (F.col("value") + F.lit(1.0)).cast("string"),
+        F.lit(',"level":"B"}]}'),
+    )
+    return events.select(line.alias("value"))
+
+
+def pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 1 end-to-end (pre-serialization projection): JSON lines →
+    parse → explode → broadcast dim join ('other' default) → enriched
+    flat records."""
+    raw = _alldata_lines(spark, sf_dir)
+    cleaned = clean_transform(raw, dim_area(spark))
+    # Re-parse the serialized output so the oracle compares typed columns
+    # (proves the to_json edge is lossless too).
+    return cleaned.select(
+        F.from_json(
+            "value",
+            "type string, score double, level string, area string, dt string",
+        ).alias("j")
+    ).select("j.type", "j.score", "j.level", "j.area", "j.dt")
+
+
+def _auditlog_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auditLog wire JSON from events; error-type rows get a malformed dt
+    (the parse-failure path, DataReport.java:100-108)."""
+    events = load_table(spark, sf_dir, "events")
+    dt = F.when(F.col("event_type") == "error", F.lit("xxxx-bad-date")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    area = F.element_at(
+        F.array(*[F.lit(a) for a in _AREAS]), (F.col("user_id") % 5 + 1).cast("int")
+    )
+    line = F.concat(
+        F.lit('{"dt":"'), dt,
+        F.lit('","type":"'), F.col("event_type"),
+        F.lit('","username":"u","area":"'), area,
+        F.lit('"}'),
+    )
+    return events.select(line.alias("value"))
+
+
+def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline 2 end-to-end: JSON lines → tolerant parse → bad-record
+    filter → 30 s tumbling (type, area) count + max(ts) + upsert key."""
+    raw = _auditlog_lines(spark, sf_dir)
+    return report_aggregate(report_parse(raw))
+
+
+QUERIES = {
+    "pipeline_clean": pipeline_clean,
+    "pipeline_report": pipeline_report,
+}
+
+_DIM_SQL = """(VALUES ('US','AREA_US'), ('TW','AREA_CT'), ('HK','AREA_CT'),
+    ('PK','AREA_AR'), ('KW','AREA_AR'), ('SA','AREA_AR'),
+    ('IN','AREA_IN')) d(country, area)"""
+
+_CC_SQL = "(['US','TW','HK','PK','KW','SA','IN','ID'])[CAST(user_id % 8 + 1 AS INTEGER)]"
+_AREA_SQL = ("(['AREA_US','AREA_CT','AREA_AR','AREA_IN','AREA_ID'])"
+             "[CAST(user_id % 5 + 1 AS INTEGER)]")
+
+ORACLE = {
+    "pipeline_clean": f"""
+        WITH src AS (
+          SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS dt,
+                 {_CC_SQL} AS cc,
+                 "value" AS v
+          FROM events),
+        flat AS (
+          SELECT dt, cc, 's1' AS type, v AS score, 'A' AS level FROM src
+          UNION ALL
+          SELECT dt, cc, 's2' AS type, v + 1.0 AS score, 'B' AS level FROM src)
+        SELECT f.type, f.score, f.level,
+               COALESCE(d.area, 'other') AS area,
+               f.dt
+        FROM flat f LEFT JOIN {_DIM_SQL} ON f.cc = d.country
+    """,
+    "pipeline_report": f"""
+        WITH parsed AS (
+          SELECT date_trunc('second', ts) AS ts,
+                 event_type AS type,
+                 {_AREA_SQL} AS area
+          FROM events
+          WHERE event_type <> 'error'),
+        agg AS (
+          SELECT CAST(FLOOR(epoch(ts) / 30) * 30 AS BIGINT) AS wstart,
+                 type, area,
+                 COUNT(*) AS count,
+                 strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS time
+          FROM parsed GROUP BY 1, 2, 3)
+        SELECT time, type, area, count,
+               replace(time, ' ', '_') || '-' || type || '-' || area AS doc_id
+        FROM agg
+    """,
+}

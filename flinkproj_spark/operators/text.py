@@ -116,7 +116,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: (a) content hash of the normalized text,
     (b) a winnow-style min-hash over word 3-shingles (the minimum md5 of
     the shingle set — stable under reordering-free edits elsewhere in
-    the doc). Both are one codegen'd projection."""
+    the doc)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
     words = _words()
@@ -125,11 +125,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
         lambda i: F.array_join(F.slice(words, i, 3), " "),
     )
-    min_sh = F.array_min(F.transform(shingles, lambda s: F.md5(s)))
-    return docs.filter(n >= 3).select(
-        "doc_id",
-        F.md5(norm).alias("content_fp"),
-        min_sh.alias("min_shingle_fp"),
+    base = docs.filter(n >= 3)
+    # Min-hash over shingles via explode + map-side-combined MIN (one
+    # codegen'd md5 per shingle; the in-row array_min formulation pays
+    # interpreted HOF evaluation over the whole shingle array).
+    min_sh = (
+        base.select("doc_id", F.explode(shingles).alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("sh")).alias("min_shingle_fp"))
+    )
+    return base.select("doc_id", F.md5(norm).alias("content_fp")).join(
+        min_sh, "doc_id"
     )
 
 
