@@ -30,6 +30,15 @@ from flinkproj_spark.sources.tables import load_table
 N_HASHES = 9
 BAND_ROWS = 3  # 3 bands × 3 rows
 
+# Affine minhash permutations h_i(x) = (A[i]*x + B[i]) mod P over the
+# 32-bit base hash — the classic universal-hash family, so each shingle
+# is md5'd ONCE and the other N-1 "hash functions" are integer
+# arithmetic (P prime > 2^32; A[i]*x < 2^43 so BIGINT-exact in both
+# Spark and DuckDB).
+MINHASH_P = 4294967311
+MINHASH_A = [131, 193, 257, 389, 521, 769, 1031, 1543, 2053]
+MINHASH_B = [17, 29, 43, 61, 89, 113, 151, 197, 251]
+
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
 
 
@@ -80,48 +89,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidate pairs.
 
     shingle → N_HASHES minhash signature → band keys → bucket self-join:
-    sig[h] = min over shingles of md5(h':'shingle); documents agreeing on
-    all rows of any band become a candidate pair.
+    sig[i] = min over shingles of (A[i]*md5_32(shingle) + B[i]) mod P;
+    documents agreeing on all rows of any band become a candidate pair.
 
-    Pipeline shape (the 100 TB formulation): explode shingles → explode
-    the hash index → ONE codegen'd md5 per (shingle, h) → map-side
-    partial min per (doc, h) → band keys → bucket self-join. A
-    nested-transform projection computing the signature in-row looks
-    cheaper (no shuffle) but CollapseProject re-inlines the signature
-    expression per band element — measured 40x slower; here every hash
-    is computed exactly once and the shuffle rows are narrow
-    (doc_id, h, 32-char hash) with uniform key fan-out."""
+    Pipeline shape (the 100 TB formulation): explode shingles → ONE
+    codegen'd md5 per shingle → N_HASHES affine permutations as N min
+    aggregates in a single map-side-combined groupBy (no 9× row
+    blow-up, no per-hash md5) → band keys in a projection → bucket
+    self-join. Shuffle rows are narrow (doc_id, 9 longs) with uniform
+    key fan-out."""
     docs = load_table(spark, sf_dir, "documents")
     words = _words()
-    sh_rows = docs.filter(F.size(words) >= 3).select(
-        "doc_id", F.explode(_shingles(words)).alias("sh")
+    base = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    sig = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(_shingles(words)).alias("sh"))
+        .select("doc_id", base.alias("x"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"s{i}")
+                for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+            ]
+        )
     )
-    hashed = sh_rows.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("h"),
-        "sh",
-    ).select(
-        "doc_id",
-        "h",
-        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("sh"))).alias("mh"),
-    )
-    sig = hashed.groupBy("doc_id", "h").agg(F.min("mh").alias("mh"))
-    by_band = sig.withColumn("band", F.expr(f"h div {BAND_ROWS}")).withColumn(
-        "r", F.col("h") % BAND_ROWS
-    )
-    band_keys = by_band.groupBy("doc_id", "band").agg(
-        *[
-            F.min(F.when(F.col("r") == r, F.col("mh"))).alias(f"m{r}")
-            for r in range(BAND_ROWS)
-        ]
-    )
-    keyed = band_keys.select(
-        "doc_id",
-        F.concat(
-            F.col("band").cast("string"),
-            F.lit("|"),
-            *[F.col(f"m{r}") for r in range(BAND_ROWS)],
-        ).alias("band_key"),
+    n_bands = N_HASHES // BAND_ROWS
+    band_key = [
+        F.concat_ws(
+            "|",
+            F.lit(str(bnd)),
+            *[F.col(f"s{bnd * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)],
+        )
+        for bnd in range(n_bands)
+    ]
+    keyed = sig.select(
+        "doc_id", F.explode(F.array(*band_key)).alias("band_key")
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
@@ -223,21 +225,20 @@ ORACLE = {
         WHERE rn = 1
     """,
     "dedup_minhash_lsh": f"""
-        WITH sh AS (
-          SELECT doc_id, {_SHINGLES_SQL} AS shingles
+        WITH x AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(unnest({_SHINGLES_SQL})), 1, 8))::BIGINT AS x
           FROM documents WHERE len({_WORDS_SQL}) >= 3),
         sig AS (
           SELECT doc_id,
-                 list_transform(range(0, {N_HASHES}),
-                   h -> list_min(list_transform(shingles,
-                        s -> md5(CAST(h AS VARCHAR) || ':' || s)))) AS sig
-          FROM sh),
+                 {", ".join(f"MIN(({a} * x + {b}) % {MINHASH_P}) AS s{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+          FROM x GROUP BY doc_id),
         bands AS (
           SELECT doc_id,
-                 unnest(list_transform(range(0, {_N_BANDS}),
-                   b -> CAST(b AS VARCHAR) || '|' ||
-                        sig[b * {BAND_ROWS} + 1] || sig[b * {BAND_ROWS} + 2] ||
-                        sig[b * {BAND_ROWS} + 3])) AS band_key
+                 unnest([{", ".join(
+                     "'" + str(bnd) + "|' || " + " || '|' || ".join(
+                         f"CAST(s{bnd * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS))
+                     for bnd in range(_N_BANDS))}]) AS band_key
           FROM sig)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b

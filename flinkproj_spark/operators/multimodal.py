@@ -65,11 +65,18 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """STUB decode: byte statistics stand in for a real codec (the
     container has no PIL/ffmpeg). Deterministic so tests can pin it.
     Real deployment: decode bytes -> pixels here, batch-at-a-time."""
+    import numpy as np
+
     for pdf in batches:
         payload = pdf["payload"]
+        # One C-speed pass per blob (np.frombuffer is zero-copy); the
+        # per-byte Python loop this replaces was ~10x slower at sf0.1.
         n_bytes = payload.map(len)
-        mean_byte = payload.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
-        max_byte = payload.map(lambda b: max(b) if len(b) else 0)
+        views = payload.map(lambda b: np.frombuffer(b, dtype=np.uint8))
+        mean_byte = views.map(
+            lambda a: float(a.sum(dtype=np.int64)) / a.size if a.size else 0.0
+        )
+        max_byte = views.map(lambda a: int(a.max()) if a.size else 0)
         # "frame sample": pretend every 64-byte slice is one frame
         n_frames = n_bytes.map(lambda n: (n + 63) // 64)
         yield pd.DataFrame(

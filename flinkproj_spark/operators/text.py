@@ -61,20 +61,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a deterministic [0,1] score (no transcendentals — exp/log may
     differ in the last ulp across engine libms)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = _words()
-    n_words = F.size(words)
-    total_len = F.aggregate(
-        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    # Explode to one row per token, then count/sum/conditional-count in a
+    # single map-side-combinable groupBy — the in-row HOF formulation
+    # (aggregate/filter over the split array) re-evaluates the split per
+    # statistic in interpreted eval (measured ~10s -> ~1s at sf0.1).
+    # Docs with zero words vanish at explode, matching `n_words > 0`.
+    tok = docs.select("doc_id", F.explode(_words()).alias("w"))
+    base = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("_tl"),
+        F.sum(
+            F.when(F.lower("w").isin(_STOPWORDS), 1).otherwise(0)
+        ).alias("n_stopwords"),
     )
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    base = docs.select(
-        "doc_id",
-        "n_chars",
-        n_words.alias("n_words"),
-        total_len.alias("_tl"),
-        n_stop.alias("n_stopwords"),
-    ).filter(F.col("n_words") > 0)
     stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_words")
     return base.select(
         "doc_id",
