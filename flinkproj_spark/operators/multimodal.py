@@ -100,9 +100,40 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInPandas(_fake_decode, schema=DECODE_SCHEMA)
 
 
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads, entirely JVM-side: the blob
+    is sliced into FRAME_BYTES-byte frames, every FRAME_STRIDE-th frame
+    kept, fingerprinted with md5 — explode + substring on the binary
+    column, no Python. At 100 TB this is the shape of video
+    frame-extraction: 1→N explode bounded by payload size, with the
+    payload column projected away immediately after slicing.
+
+    (Oracle note: corpus text is pure ASCII, so the DuckDB twin slices
+    the VARCHAR — byte-per-char equality makes the md5s identical.)"""
+    p = _payloads(spark, sf_dir)
+    n_frames = F.ceil(F.length("payload") / F.lit(FRAME_BYTES)).cast("int")
+    frames = p.select(
+        "doc_id",
+        "payload",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+    frame = F.expr(f"substring(payload, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length(frame).alias("frame_len"),
+        F.md5(frame).alias("frame_md5"),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
@@ -117,4 +148,15 @@ ORACLE = {
         FROM documents
     """,
     # multimodal_decode: intentionally absent — rows-only check.
+    "multimodal_frame_sample": f"""
+        WITH f AS (
+          SELECT doc_id, text,
+                 unnest(range(0, CAST(CEIL(length(text) / {FRAME_BYTES}.0) AS BIGINT))) AS frame_idx
+          FROM documents)
+        SELECT doc_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(length(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})) AS INTEGER) AS frame_len,
+               md5(substring(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT), {FRAME_BYTES})) AS frame_md5
+        FROM f WHERE frame_idx % {FRAME_STRIDE} = 0
+    """,
 }

@@ -192,6 +192,15 @@ def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.rollup("event_type").agg(F.count("*").alias("cnt"))
 
 
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregation over two dimensions — all four
+    grouping sets in one pass (Spark expands then partially aggregates;
+    no extra scan per set)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return events.cube("event_type", day).agg(F.count("*").alias("cnt"))
+
+
 def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: per-user event-type count matrix with a fixed column set
     (explicit pivot values keep the schema static at any data scale)."""
@@ -255,6 +264,7 @@ QUERIES = {
     "sessionize": sessionize,
     "set_except": set_except,
     "rollup_counts": rollup_counts,
+    "cube_counts": cube_counts,
     "pivot_counts": pivot_counts,
     "asof_join": asof_join,
 }
@@ -374,6 +384,10 @@ ORACLE = {
     "rollup_counts": """
         SELECT event_type, COUNT(*) AS cnt
         FROM events GROUP BY ROLLUP(event_type)
+    """,
+    "cube_counts": """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+        FROM events GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
     """,
     "pivot_counts": """
         SELECT user_id,

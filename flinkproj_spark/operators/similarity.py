@@ -178,9 +178,79 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+N_CENTROIDS = 16       # IVF cells; centroid ids N_QUERIES..N_QUERIES+15
+N_PROBE = 4            # cells each query searches
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: the corpus is partitioned into
+    cells by nearest centroid; each query searches only its N_PROBE
+    nearest cells. Centroids here are a fixed deterministic subset of
+    the corpus (vec_id N_QUERIES..N_QUERIES+N_CENTROIDS-1) standing in
+    for a k-means codebook — the *plan* is the point: assignment is a
+    broadcast map-side argmax (max_by over a lexicographic struct, no
+    window shuffle), and the candidate join is an equi-join on cell id.
+    At 100 TB the cell assignment is write-time metadata (a partition
+    column), making probes partition-pruned scans."""
+    from pyspark.sql import Window
+
+    base = _quantized(spark, sf_dir)
+    cent = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    scored_cells = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (_dot("q", "cv").cast("double") / (F.col("norm") * F.col("cnorm"))).alias("csim"),
+    )
+    # argmax centroid per vector: max_by over (csim, -cid) — highest
+    # similarity, smallest cid on ties; pure map-side agg, one shuffle
+    # on vec_id with partial combine.
+    assign = scored_cells.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).cast("double"))).alias("cell")
+    )
+    corpus = base.join(assign, "vec_id")
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumn("prank", F.row_number().over(qw))
+        .filter(F.col("prank") <= N_PROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    probe_vec = probes.join(F.broadcast(queries), "query_id")
+    cands = (
+        corpus.join(F.broadcast(probe_vec), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                _dot("q", "qv").cast("double") / (F.col("norm") * F.col("qnorm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
     "embedding_neardup": embedding_neardup,
 }
 
@@ -214,6 +284,44 @@ _BASE_SQL = f"""
 """
 
 ORACLE = {
+    "ann_topk_ivf": f"""
+        WITH base AS ({_BASE_SQL}),
+        cent AS (
+          SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
+          WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+        scored_cells AS (
+          SELECT b.vec_id, c.cid,
+                 CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim
+          FROM base b CROSS JOIN cent c),
+        assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS arn
+            FROM scored_cells)
+          WHERE arn = 1),
+        probes AS (
+          SELECT query_id, cid AS cell FROM (
+            SELECT vec_id AS query_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid) AS prank
+            FROM scored_cells WHERE vec_id < {N_QUERIES})
+          WHERE prank <= {N_PROBE}),
+        cands AS (
+          SELECT p.query_id, b.vec_id,
+                 ROUND(CAST({_dot_sql('b.q', 'q2.q')} AS DOUBLE) / (b.norm * q2.norm), 6) AS cos
+          FROM base b
+          JOIN assign a ON b.vec_id = a.vec_id
+          JOIN probes p ON a.cell = p.cell
+          JOIN base q2 ON q2.vec_id = p.query_id
+          WHERE b.vec_id <> p.query_id)
+        SELECT query_id, vec_id, cos, rank FROM (
+          SELECT query_id, vec_id, cos,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rank
+          FROM cands)
+        WHERE rank <= {TOP_K}
+    """,
     "ann_topk_brute": f"""
         WITH base AS ({_BASE_SQL}),
         scored AS (

@@ -64,3 +64,38 @@ def test_text_ops_stay_jvm_side_and_shuffle_free(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
     assert "FileScan parquet" in plan
+
+
+def test_tpch_q4_uses_semi_join(spark, sf_dir):
+    from flinkproj_spark.operators.tpch import tpch_q4
+
+    plan = _plan(tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q22_uses_anti_join_and_broadcast_scalar(spark, sf_dir):
+    from flinkproj_spark.operators.tpch import tpch_q22
+
+    plan = _plan(tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the 1-row average is broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tpch_q14_broadcasts_part_and_pushes_shipdate(spark, sf_dir):
+    from flinkproj_spark.operators.tpch import tpch_q14
+
+    plan = _formatted(tpch_q14(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_tpch_q18_preaggregates_before_join(spark, sf_dir):
+    # The HAVING pre-agg must run on lineitem BEFORE any join touches
+    # orders — at 100 TB this shrinks the fact by ~4 orders of magnitude.
+    from flinkproj_spark.operators.tpch import tpch_q18
+
+    plan = _plan(tpch_q18(spark, sf_dir))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1

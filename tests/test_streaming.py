@@ -96,3 +96,79 @@ class TestStreamClean:
         recs = [json.loads(r.value) for r in spark.read.parquet(out).collect()]
         assert recs == [{"type": "s1", "score": 0.3, "level": "A",
                          "area": "AREA_CT", "dt": "2018-01-01 11:11:11"}]
+
+
+class TestStatefulSessionize:
+    def _feed(self, spark, src, rows, name):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def test_sessions_close_on_gap_and_converge_to_batch(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        from flinkproj_spark.streaming.stateful import stream_sessionize
+
+        t0 = datetime(2018, 1, 1, 10, 0, 0)
+        m = timedelta(minutes=1)
+        # user 1: two sessions (gap 40 min); user 2: one session; then a
+        # far-future closer event per user forces the open session shut
+        # in-stream (deterministic — no reliance on timeout firing).
+        batch1 = [(1, t0), (1, t0 + 2 * m), (2, t0 + m)]
+        batch2 = [(1, t0 + 45 * m), (2, t0 + 10 * m)]
+        closer = [(u, t0 + timedelta(hours=5)) for u in (1, 2)]
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        for i, rows in enumerate((batch1, batch2, closer)):
+            self._feed(spark, src, rows, f"b{i}")
+
+        events = spark.readStream.schema("user_id long, ts timestamp").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = (
+            stream_sessionize(events)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert (1, t0, t0 + 2 * m, 2) in got          # first session of user 1
+        assert (1, t0 + 45 * m, t0 + 45 * m, 1) in got  # second session of user 1
+        assert (2, t0 + m, t0 + 10 * m, 2) in got       # user 2's one session
+
+    def test_state_survives_restart(self, spark, tmp_path):
+        from datetime import datetime, timedelta
+
+        from flinkproj_spark.streaming.stateful import stream_sessionize
+
+        t0 = datetime(2018, 1, 1, 10, 0, 0)
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+        def run():
+            events = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+            q = (
+                stream_sessionize(events)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        self._feed(spark, src, [(7, t0), (7, t0 + timedelta(minutes=5))], "b0")
+        run()  # session is open in state; nothing emitted yet
+        self._feed(spark, src, [(7, t0 + timedelta(hours=2))], "b1")
+        run()  # restart from checkpoint; the gap closes the old session
+
+        rows = spark.read.parquet(out).collect()
+        assert (7, t0, t0 + timedelta(minutes=5), 2) in {
+            (r.user_id, r.session_start, r.session_end, r.n_events) for r in rows
+        }
