@@ -52,13 +52,14 @@ def clean_transform(raw: DataFrame, dim: DataFrame) -> DataFrame:
     coalesce('other') is the CoFlatMap enrichment with the Scala
     default (DataClean.java:69-97, DataCleanScala.scala:68)."""
     parsed = raw.select(F.from_json("value", ALLDATA_SCHEMA).alias("j"))
-    flat = (
-        parsed.filter(F.col("j").isNotNull())
-        .select(
-            F.col("j.dt").alias("dt"),
-            F.col("j.countryCode").alias("countryCode"),
-            F.explode("j.data").alias("d"),
-        )
+    # No explicit null filter: corrupt records parse to a null struct,
+    # whose null data array the explode drops for free. (An isNotNull
+    # filter here makes Catalyst evaluate the from_json TWICE per row —
+    # once in the pushed Filter, once in the Project.)
+    flat = parsed.select(
+        F.col("j.dt").alias("dt"),
+        F.col("j.countryCode").alias("countryCode"),
+        F.explode("j.data").alias("d"),
     )
     enriched = flat.join(
         F.broadcast(dim), flat.countryCode == dim.country, "left"
