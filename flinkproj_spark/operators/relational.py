@@ -254,6 +254,62 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation: users and days per event type.
+    Spark expands count_distinct into a two-phase partial-dedup agg —
+    map-side distinct before the shuffle, so the exchange carries only
+    unique (type, user) pairs."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch: the 100 TB path where the exact
+    two-phase distinct's shuffle of unique pairs is itself too big.
+    Fixed-size sketch per group, mergeable map-side — constant memory
+    at any cardinality. No oracle entry (DuckDB's HLL differs); the
+    error bound vs the exact twin is pinned by a test."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SALT_BUCKETS = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join: the fact side gets a deterministic
+    salt (event_id mod 8), the dim side is exploded 8x, and the join key
+    becomes (key, salt) — a hot key's rows now land on 8 reducers
+    instead of 1. shuffle_hash hint keeps it a shuffle join so the
+    pattern is actually exercised (a dim this small would otherwise
+    broadcast — which is the FIRST fix for skew; salting is for when
+    both sides are too big to broadcast). Result equals the plain join,
+    which is exactly what the oracle checks."""
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = events.withColumn("salt", F.pmod("event_id", F.lit(SALT_BUCKETS)))
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("salt"),
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 QUERIES = {
     "tpch_q1": tpch_q1,
     "tpch_q3": tpch_q3,
@@ -267,6 +323,9 @@ QUERIES = {
     "cube_counts": cube_counts,
     "pivot_counts": pivot_counts,
     "asof_join": asof_join,
+    "distinct_counts": distinct_counts,
+    "approx_distinct_counts": approx_distinct_counts,
+    "salted_skew_join": salted_skew_join,
 }
 
 ORACLE = {
@@ -403,5 +462,21 @@ ORACLE = {
         FROM (SELECT o_orderkey, o_custkey % 20 AS k, o_orderdate FROM orders) o
         ASOF LEFT JOIN events e
           ON o.k = e.user_id AND e.ts <= o.o_orderdate
+    """,
+    "distinct_counts": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """,
+    # approx_distinct_counts: intentionally absent — rows-only check
+    # (engine HLL sketches differ; error bound pinned in tests).
+    "salted_skew_join": """
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
     """,
 }

@@ -64,3 +64,27 @@ def test_events_timestamps_survive_nanos_roundtrip(spark, sf_dir):
     assert dict(events.dtypes)["ts"] == "timestamp"
     mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
     assert mn.year == 2024 and mx > mn
+
+
+def test_sql_api_runs_arbitrary_queries(spark, sf_dir):
+    from flinkproj_spark.sql import sql
+
+    df = sql(spark, sf_dir, """
+        SELECT n.n_name, COUNT(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_cust DESC, n.n_name LIMIT 3
+    """)
+    rows = df.collect()
+    assert len(rows) == 3 and all(r.n_cust > 0 for r in rows)
+
+
+def test_approx_distinct_within_error_bound(spark, sf_dir):
+    from flinkproj_spark.operators.relational import (
+        approx_distinct_counts, distinct_counts)
+
+    exact = {r.event_type: r.n_users for r in distinct_counts(spark, sf_dir).collect()}
+    approx = {r.event_type: r.n_users_approx
+              for r in approx_distinct_counts(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, n, approx[t])

@@ -99,3 +99,11 @@ def test_tpch_q18_preaggregates_before_join(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("Join")
     assert agg_pos != -1 and join_pos != -1
+
+
+def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
+    from flinkproj_spark.operators.relational import salted_skew_join
+
+    plan = _plan(salted_skew_join(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "salt" in plan  # the composite (key, salt) drives the exchange
