@@ -176,6 +176,24 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window): dynamic-gap windows
+    merged by the engine — the streaming-capable twin of `sessionize`
+    (same gap rule; runs unchanged under readStream + watermark).
+    An event exactly gap seconds after the last starts a NEW session
+    (window end is exclusive)."""
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    return agg.select(
+        "user_id",
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation surface: (user, day) pairs with a click but no
     purchase (EXCEPT == left anti join in the physical plan)."""
@@ -318,6 +336,7 @@ QUERIES = {
     "top_k_per_group": top_k_per_group,
     "window_functions": window_functions,
     "sessionize": sessionize,
+    "session_window_agg": session_window_agg,
     "set_except": set_except,
     "rollup_counts": rollup_counts,
     "cube_counts": cube_counts,
@@ -432,6 +451,27 @@ ORACLE = {
           FROM g)
         SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
         FROM s GROUP BY 1
+    """,
+    "session_window_agg": """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                      WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
+                           LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w
+                           >= 1800 THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM g)
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
     """,
     "set_except": """
         SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day

@@ -138,11 +138,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term frequency, top-3 terms (alphabetical tiebreak):
+    explode → map-side-combined count → rank within doc. The TF shuffle
+    carries (doc_id, term, count) — already combined, not raw tokens."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("w"))
+        .select("doc_id", F.lower("w").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "rank")
+    )
+
+
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams: per-row bigram construction
+    (zip words with their tail — one pass, no index loop), explode,
+    one combined count shuffle, top-k with deterministic tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.transform(_words(), lambda w: F.lower(w))
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counts = (
+        docs.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), "bigram").limit(20)
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "text_tf_top_terms": text_tf_top_terms,
+    "ngram_counts": ngram_counts,
 }
 
 
@@ -194,6 +237,32 @@ ORACLE = {
                {_PRED_CASE} AS pred_lang,
                CAST({_BEST} AS BIGINT) AS marker_hits
         FROM s
+    """,
+    "text_tf_top_terms": f"""
+        WITH tf AS (
+          SELECT doc_id, lower(unnest({_WORDS_SQL})) AS term
+          FROM documents),
+        c AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM tf GROUP BY 1, 2)
+        SELECT doc_id, term, tf, rank FROM (
+          SELECT doc_id, term, tf,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tf DESC, term) AS rank
+          FROM c)
+        WHERE rank <= 3
+    """,
+    "ngram_counts": f"""
+        WITH w AS (
+          SELECT list_transform({_WORDS_SQL}, x -> lower(x)) AS words
+          FROM documents WHERE len({_WORDS_SQL}) >= 2),
+        b AS (
+          SELECT unnest(list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1])) AS bigram
+          FROM w)
+        SELECT bigram, COUNT(*) AS n
+        FROM b GROUP BY 1
+        ORDER BY n DESC, bigram LIMIT 20
     """,
     "doc_fingerprint": f"""
         WITH w AS (

@@ -26,15 +26,12 @@ def _pick(pool: list, key) -> F.Column:
     return F.element_at(arr, (key % len(pool) + 1).cast("int"))
 
 
-def alldata_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
-    """allData-style JSON lines (clean job input, kafkaProducer.java:34):
-    dt=now, pseudo-random countryCode, 2-element data array."""
-    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
-    v = F.col("value")
-    dt = F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss")
-    rec = F.to_json(
+def alldata_record(v: F.Column, ts: F.Column) -> F.Column:
+    """One allData JSON line from a (sequence, timestamp) pair — shared
+    by the rate-source stream and batch tests (kafkaProducer.java:34)."""
+    return F.to_json(
         F.struct(
-            dt.alias("dt"),
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("dt"),
             _pick(COUNTRIES, v).alias("countryCode"),
             F.array(
                 F.struct(
@@ -50,20 +47,31 @@ def alldata_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
             ).alias("data"),
         )
     )
-    return rate.select(rec.alias("value"))
 
 
-def auditlog_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
-    """auditLog-style JSON lines (report job input,
-    kafkaProducerDataReport.java:38)."""
-    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
-    v = F.col("value")
-    rec = F.to_json(
+def auditlog_record(v: F.Column, ts: F.Column) -> F.Column:
+    """One auditLog JSON line (kafkaProducerDataReport.java:38)."""
+    return F.to_json(
         F.struct(
-            F.date_format("timestamp", "yyyy-MM-dd HH:mm:ss").alias("dt"),
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("dt"),
             _pick(AUDIT_TYPES, v).alias("type"),
             F.concat(F.lit("shenhe"), ((v % 5) + 1).cast("string")).alias("username"),
             _pick(AUDIT_AREAS, v + 2).alias("area"),
         )
     )
-    return rate.select(rec.alias("value"))
+
+
+def alldata_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """allData-style JSON lines riding the rate source (clean job input)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        alldata_record(F.col("value"), F.col("timestamp")).alias("value")
+    )
+
+
+def auditlog_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """auditLog-style JSON lines riding the rate source (report job input)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        auditlog_record(F.col("value"), F.col("timestamp")).alias("value")
+    )

@@ -101,3 +101,34 @@ class TestReportPipeline:
         epoch_ms, typ, area = late_rows[0].value.split("\t")
         assert typ == "black" and area == "AREA_US"
         assert epoch_ms == str(1514800800 * 1000)  # 2018-01-01 10:00:00 UTC
+
+
+class TestGenerators:
+    def test_generated_records_flow_through_both_pipelines(self, spark):
+        from datetime import datetime
+
+        from flinkproj_spark.pipelines import (
+            clean_transform, report_aggregate, report_parse)
+        from flinkproj_spark.sources.dims import dim_area
+        from flinkproj_spark.sources.generators import (
+            alldata_record, auditlog_record)
+        import pyspark.sql.functions as F
+
+        seq = spark.createDataFrame(
+            [(i, datetime(2018, 1, 1, 10, 0, i)) for i in range(50)],
+            "value long, timestamp timestamp",
+        )
+        alldata = seq.select(
+            alldata_record(F.col("value"), F.col("timestamp")).alias("value"))
+        cleaned = clean_transform(alldata, dim_area(spark))
+        assert cleaned.count() == 100  # 2 data elements per record
+        # every generated record parses and enriches (no null areas:
+        # generator countries all map, or fall back to 'other')
+        areas = {r.area for r in cleaned.select(
+            F.get_json_object("value", "$.area").alias("area")).collect()}
+        assert None not in areas
+
+        audit = seq.select(
+            auditlog_record(F.col("value"), F.col("timestamp")).alias("value"))
+        agg = report_aggregate(report_parse(audit))
+        assert agg.agg(F.sum("count")).collect()[0][0] == 50  # nothing dropped
