@@ -75,20 +75,13 @@ def stream_report(
     overwrite — observably the ES upsert, K3). The late split runs
     inside the same foreachBatch so both halves see each batch exactly
     once (SURVEY.md §7 watch-list 2)."""
+    from flinkproj_spark.sinks import upsert_keyed
+
     parsed = report_parse(raw_stream).withWatermark("ts", WATERMARK)
     agg = report_aggregate(parsed)
 
     def upsert(batch: DataFrame, epoch_id: int) -> None:
-        # Idempotent keyed upsert without Delta: partition results by
-        # key-hash prefix and overwrite only the partitions present in
-        # this batch (dynamic partition overwrite = poor-man's MERGE).
-        if batch.isEmpty():
-            return
-        spark_b = batch.sparkSession
-        spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.withColumn("kb", F.abs(F.hash("doc_id")) % 16).write.mode(
-            "overwrite"
-        ).partitionBy("kb").parquet(result_dir)
+        upsert_keyed(batch, result_dir, "doc_id")
 
     return (
         agg.writeStream.outputMode("update")

@@ -107,3 +107,63 @@ def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
     plan = _plan(salted_skew_join(spark, sf_dir))
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "salt" in plan  # the composite (key, salt) drives the exchange
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    # The write-once-shuffle-never story: bucket both join sides by the
+    # join key; the join plan must contain NO Exchange at all.
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.sinks import write_bucketed
+    from flinkproj_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority")
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+        write_bucketed(orders, "b_orders", "o_orderkey", 8)
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderpriority").agg(F.sum("l_quantity"))
+        j.collect()
+        plan = _plan(j)
+        join_part = plan.split("HashAggregate")[-1]  # below the final agg
+        assert "Exchange" not in join_part, plan
+        # cross-check the join really ran as a sort-merge of bucketed scans
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.sinks import write_partitioned
+    from flinkproj_spark.sources.tables import load_table
+
+    out = str(tmp_path / "by_type")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "et", F.col("event_type"))
+    write_partitioned(events, out, "et")
+    back = spark.read.parquet(out).filter(F.col("et") == "click")
+    plan = _formatted(back)
+    assert "PartitionFilters" in plan and "et" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert back.count() > 0
+
+
+def test_upsert_keyed_converges(spark, tmp_path):
+    from flinkproj_spark.sinks import upsert_keyed
+
+    out = str(tmp_path / "upsert")
+    v1 = spark.createDataFrame([("k1", 1), ("k2", 1)], "doc_id string, count int")
+    v2 = spark.createDataFrame([("k1", 2)], "doc_id string, count int")
+    upsert_keyed(v1, out)
+    upsert_keyed(v2, out)  # k1 overwritten, k2 (other partition) kept iff hash differs
+    rows = {r.doc_id: r['count'] for r in spark.read.parquet(out).collect()}
+    assert rows["k1"] == 2  # re-fired key converged to the latest value
