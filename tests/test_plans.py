@@ -101,6 +101,43 @@ def test_tpch_q18_preaggregates_before_join(spark, sf_dir):
     assert agg_pos != -1 and join_pos != -1
 
 
+def test_tpch_q2_broadcasts_both_dims(spark, sf_dir):
+    # part and supplier both broadcast onto the distinct pair stream; the
+    # only shuffle is the window over p_partkey.
+    from flinkproj_spark.operators.tpch2 import tpch_q2
+
+    plan = _plan(tpch_q2(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q15_scalar_max_is_broadcast(spark, sf_dir):
+    # The 1-row MAX(revenue) must reach the probe side as a broadcast,
+    # never via a shuffle or a driver collect.
+    from flinkproj_spark.operators.tpch2 import tpch_q15
+
+    plan = _plan(tpch_q15(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_tpch_q16_excludes_suppliers_with_anti_join(spark, sf_dir):
+    from flinkproj_spark.operators.tpch2 import tpch_q16
+
+    plan = _plan(tpch_q16(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_tpch_q21_single_fact_shuffle(spark, sf_dir):
+    # The EXISTS/NOT-EXISTS rewrite must not multiply fact-fact joins:
+    # lineitem appears as a scan feeding one per-order aggregate, and all
+    # joins against it are semi/broadcast.
+    from flinkproj_spark.operators.tpch2 import tpch_q21
+
+    plan = _plan(tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin LeftOuter" not in plan
+
+
 def test_salted_join_shuffles_on_salted_key(spark, sf_dir):
     from flinkproj_spark.operators.relational import salted_skew_join
 
