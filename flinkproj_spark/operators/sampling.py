@@ -1,0 +1,203 @@
+"""Corpus sampling / chunking / packing operators for training-data
+pipelines, plus the sliding (hopping) window the tumbling/session
+operators don't cover.
+
+Not in the reference (its only windows are 30 s tumbles,
+DataReport.java:139; it has no sampling or batching surface at all,
+SURVEY.md §2.9) — these are the remaining dataset-construction steps an
+LLM pipeline runs between dedup and tokenization: stratified
+downsampling to a language budget, splitting long documents into
+fixed-token chunks, and packing short documents into fixed-capacity
+training sequences.
+
+Scale notes:
+  * sampling is a pure codegen'd filter on md5(doc_id) — deterministic,
+    seedable by salt, no shuffle, and at 100 TB it prunes before any
+    expensive downstream work;
+  * chunking is O(words) per doc (explode of pre-sliced chunks), with
+    the chunk count, not the token stream, crossing the explode;
+  * packing uses one window cumsum per source partition — a single
+    shuffle on `source`; the greedy-contiguous formulation is the
+    standard scalable approximation of bin packing (exact packing is
+    inherently sequential);
+  * the sliding window expands each event into window/slide = 3 rows
+    in-row (no self-join), then one combined count shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkproj_spark.sources.tables import load_table
+
+# Per-language keep rate, expressed as an md5-hex-prefix ceiling: a doc
+# survives iff md5(doc_id || salt) starts below the ceiling. '28' ≈
+# 25/256 ≈ 16%, 'c0' = 192/256 = 75%. String comparison on the hex
+# digest is identical in Spark and DuckDB, so no float RNG is involved.
+_RATES = {"en": "28", "de": "c0", "es": "c0", "fr": "c0"}
+_DEFAULT_CEIL = "ff"  # unknown languages kept (ceiling above any digest)
+_SALT = "s0"
+
+_CHUNK_WORDS = 32
+_PACK_CAPACITY = 256  # words per packed training sequence
+
+
+def _keep_hash(doc_id_col) -> F.Column:
+    return F.substring(F.md5(F.concat(doc_id_col.cast("string"), F.lit(_SALT))), 1, 2)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of `documents`: each language
+    keeps a fixed fraction chosen by hash, so the sample is reproducible
+    across runs/engines and requires no shuffle or state."""
+    docs = load_table(spark, sf_dir, "documents")
+    ceil_col = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _RATES.items() for x in kv])[F.col("lang")],
+        F.lit(_DEFAULT_CEIL),
+    )
+    return docs.filter(_keep_hash(F.col("doc_id")) < ceil_col).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size word chunks (CHUNK_WORDS=32):
+    one output row per chunk with its text and word count. The slice per
+    chunk is O(chunk), so total work is O(words) per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n = F.size(words)
+    base = docs.filter(n >= 1).select("doc_id", words.alias("ws"), n.alias("n"))
+    n_chunks = F.ceil(F.col("n") / F.lit(_CHUNK_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("ws"), i * _CHUNK_WORDS + 1, _CHUNK_WORDS), " "
+        ),
+    )
+    out = base.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.size(F.filter(F.split("chunk_text", " "), lambda w: w != "")).alias(
+            "chunk_words"
+        ),
+    )
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-contiguous sequence packing: within each source (ordered by
+    doc_id), documents fill fixed-capacity packs of PACK_CAPACITY=256
+    words; a doc starts a new pack when its words would overflow the
+    running total. Emits per-pack doc count, word total, and fill ratio.
+
+    Contiguous-fill is the shuffle-light approximation of bin packing:
+    one window cumsum per source, no global coordination — the form that
+    still works when a source holds billions of docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    sized = docs.select(
+        "doc_id", "source", F.least(F.size(words), F.lit(_PACK_CAPACITY)).alias("nw")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("cum_before", F.sum("nw").over(w) - F.col("nw"))
+    packed = cum.withColumn(
+        "pack_id", F.floor(F.col("cum_before") / F.lit(_PACK_CAPACITY)).cast("long")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nw").alias("n_words"),
+    )
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window count over events: 30 s windows sliding every 10 s,
+    per event_type. Each event lands in exactly 3 windows; the expansion
+    is an in-row sequence explode (no self-join), the count one combined
+    shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    agg = (
+        events.groupBy(
+            F.window("ts", "30 seconds", "10 seconds").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return agg.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "cnt",
+    )
+
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+    "doc_chunking": doc_chunking,
+    "sequence_pack": sequence_pack,
+    "sliding_window_agg": sliding_window_agg,
+}
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
+
+ORACLE = {
+    "stratified_sample": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR) || '{_SALT}'), 1, 2)
+              < CASE lang WHEN 'en' THEN '28'
+                          WHEN 'de' THEN 'c0'
+                          WHEN 'es' THEN 'c0'
+                          WHEN 'fr' THEN 'c0'
+                          ELSE 'ff' END
+    """,
+    "doc_chunking": f"""
+        WITH ws AS (
+          SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+          WHERE len({_WORDS_SQL}) >= 1
+        ),
+        ch AS (
+          SELECT doc_id,
+                 CAST(i AS BIGINT) AS chunk_id,
+                 array_to_string(w[i*{_CHUNK_WORDS}+1 : (i+1)*{_CHUNK_WORDS}], ' ')
+                   AS chunk_text
+          FROM ws, UNNEST(range(CAST(ceil(len(w) / {_CHUNK_WORDS}.0) AS BIGINT))) t(i)
+        )
+        SELECT doc_id, chunk_id, chunk_text,
+               len(list_filter(string_split(chunk_text, ' '), x -> x != ''))
+                 AS chunk_words
+        FROM ch
+    """,
+    "sequence_pack": f"""
+        WITH sized AS (
+          SELECT doc_id, source,
+                 least(len({_WORDS_SQL}), {_PACK_CAPACITY}) AS nw
+          FROM documents
+        ),
+        cum AS (
+          SELECT source, nw,
+                 SUM(nw) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - nw AS cum_before
+          FROM sized
+        )
+        SELECT source,
+               CAST(FLOOR(cum_before / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS n_words
+        FROM cum
+        GROUP BY 1, 2
+    """,
+    "sliding_window_agg": """
+        SELECT strftime(time_bucket(INTERVAL 10 seconds, ts)
+                          - k * INTERVAL 10 seconds,
+                        '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type,
+               COUNT(*) AS cnt
+        FROM events, UNNEST([0, 1, 2]) t(k)
+        GROUP BY 1, 2
+    """,
+}

@@ -120,21 +120,28 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower("text"), "\\s+", " "))
     words = _words()
     n = F.size(words)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, 3), " "),
+    # 3-shingles built in O(n) per doc: zip the word array against its
+    # two shifted tails (the transform-over-sequence + slice(words, i, 3)
+    # formulation is O(n²) per doc and went pathological on long docs).
+    m = F.greatest(n - F.lit(2), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(words, 1, m), F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    base = docs.filter(n >= 3)
+    shingles = F.zip_with(
+        pairs, F.slice(words, 3, m),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    base = docs.filter(n >= 3).select(
+        "doc_id", F.md5(norm).alias("content_fp"), shingles.alias("shs")
+    )
     # Min-hash over shingles via explode + map-side-combined MIN (one
-    # codegen'd md5 per shingle; the in-row array_min formulation pays
-    # interpreted HOF evaluation over the whole shingle array).
-    min_sh = (
-        base.select("doc_id", F.explode(shingles).alias("sh"))
-        .groupBy("doc_id")
+    # codegen'd md5 per shingle); content_fp rides along as a group key
+    # so no join is needed — one shuffle total, already combined.
+    return (
+        base.select("doc_id", "content_fp", F.explode("shs").alias("sh"))
+        .groupBy("doc_id", "content_fp")
         .agg(F.min(F.md5("sh")).alias("min_shingle_fp"))
-    )
-    return base.select("doc_id", F.md5(norm).alias("content_fp")).join(
-        min_sh, "doc_id"
     )
 
 

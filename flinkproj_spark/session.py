@@ -47,7 +47,12 @@ def build_session(
         # Small files at test SF: don't spawn thousands of tiny tasks.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Keep broadcast threshold at default 10MB; dims here are tiny.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] runs executors inside the driver JVM, so the heap must
+        # hold N concurrent task working sets; with a big heap full GC is
+        # rare, so force periodic GC or broadcast/shuffle blocks from
+        # earlier queries pile up and long sessions degrade.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
