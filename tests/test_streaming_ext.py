@@ -1,0 +1,107 @@
+"""Streaming extensions: stream-stream interval join, streaming dedup,
+sliding-window counts — state bounded by watermarks, results converge
+to the equivalent batch computation."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from flinkproj_spark.streaming.joins import (
+    stream_dedup,
+    stream_sliding_counts,
+    stream_stream_join,
+)
+
+T0 = datetime(2018, 1, 1, 10, 0, 0)
+
+
+def _sec(s):
+    return T0 + timedelta(seconds=s)
+
+
+def _feed(spark, src, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+
+def _run(df, out, ckpt, mode="append"):
+    q = (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+class TestStreamStreamJoin:
+    def test_attributes_clicks_within_delay(self, spark, tmp_path):
+        imp_src, clk_src, out, ckpt = (
+            str(tmp_path / d) for d in ("imp", "clk", "out", "ckpt")
+        )
+        _feed(spark, imp_src, [(1, _sec(0)), (2, _sec(0))], "ad_id long, imp_ts timestamp")
+        # ad 1 clicked in-window; ad 2 clicked 20 min later (outside 10m);
+        # ad 3 clicked but never impressed
+        _feed(
+            spark,
+            clk_src,
+            [(1, _sec(120)), (2, _sec(1200)), (3, _sec(60))],
+            "ad_id long, click_ts timestamp",
+        )
+        imp = spark.readStream.schema("ad_id long, imp_ts timestamp").parquet(imp_src)
+        clk = spark.readStream.schema("ad_id long, click_ts timestamp").parquet(clk_src)
+        _run(stream_stream_join(imp, clk), out, ckpt)
+
+        got = {(r.ad_id, r.imp_ts, r.click_ts) for r in spark.read.parquet(out).collect()}
+        assert got == {(1, _sec(0), _sec(120))}
+
+
+class TestStreamDedup:
+    def test_drops_redeliveries_across_batches(self, spark, tmp_path):
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        schema = "event_id long, ts timestamp"
+        _feed(spark, src, [(1, _sec(0)), (2, _sec(1))], schema)
+        _run(stream_dedup(spark.readStream.schema(schema).parquet(src)), out, ckpt)
+        # redelivery of id 1 in a later batch within the horizon + a new id
+        _feed(spark, src, [(1, _sec(5)), (3, _sec(6))], schema)
+        _run(stream_dedup(spark.readStream.schema(schema).parquet(src)), out, ckpt)
+
+        ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+        assert ids == [1, 2, 3]
+
+
+class TestStreamSlidingCounts:
+    def test_converges_to_batch_sliding_window(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        schema = "ts timestamp, event_type string"
+        rows = [
+            (_sec(5), "click"),
+            (_sec(12), "click"),
+            (_sec(25), "view"),
+            # closer event far past the horizon so every window finalizes
+            (_sec(3600), "view"),
+        ]
+        _feed(spark, src, rows, schema)
+        _run(
+            stream_sliding_counts(spark.readStream.schema(schema).parquet(src)),
+            out,
+            ckpt,
+        )
+
+        batch = (
+            spark.createDataFrame(rows, schema)
+            .groupBy(F.window("ts", "30 seconds", "10 seconds").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+        )
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in batch.collect()}
+        # append mode emits only watermark-finalized windows; everything
+        # emitted must match the batch result, and the early windows must
+        # all have been finalized by the closer event
+        assert got <= want
+        finalized = {t for t in want if t[0] < _sec(3000)}
+        assert finalized <= got
