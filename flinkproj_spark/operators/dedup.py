@@ -47,13 +47,19 @@ def _words() -> Column:
 
 
 def _shingles(words: Column) -> Column:
-    """Distinct word 3-shingles (same construction as the reference-free
-    doc_fingerprint operator)."""
+    """Distinct word 3-shingles, built in O(n) per doc by zipping the
+    word array against its two shifted tails (the transform-over-index +
+    slice formulation is O(n²) per doc). Callers filter size >= 3."""
     n = F.size(words)
+    m = F.greatest(n - F.lit(2), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(words, 1, m), F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1))),
-            lambda i: F.array_join(F.slice(words, i, 3), " "),
+        F.zip_with(
+            pairs, F.slice(words, 3, m),
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
         )
     )
 
@@ -125,14 +131,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = sig.select(
         "doc_id", F.explode(F.array(*band_key)).alias("band_key")
     )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    # Bucket-expand instead of self-joining: group each band bucket,
+    # emit the O(k²) ordered pairs in-row. One shuffle on band_key and
+    # the signature pipeline runs ONCE (a self-join evaluates its whole
+    # input subtree per side). Bucket sizes are near-dup cluster sizes,
+    # so k is small; a pathological hot bucket (mass-duplicated
+    # boilerplate) would be capped/salted upstream at real scale.
+    buckets = (
+        keyed.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return pairs
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
