@@ -194,6 +194,47 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     assert back.count() > 0
 
 
+def test_minhash_lsh_reads_documents_once(spark, sf_dir):
+    # Bucket-expansion formulation: the signature pipeline (scan →
+    # shingle explode → md5 → min-aggs) must appear ONCE — a bucket
+    # self-join would show two document scans.
+    from flinkproj_spark.operators.dedup import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_stratified_sample_is_pure_scan_filter(spark, sf_dir):
+    # Sampling must prune rows before anything downstream: no shuffle,
+    # no Python, one codegen'd scan+filter+project.
+    from flinkproj_spark.operators.sampling import stratified_sample
+
+    plan = _plan(stratified_sample(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sequence_pack_single_shuffle(spark, sf_dir):
+    # One hash exchange on `source` feeds the window cumsum; the final
+    # groupBy(source, pack_id) reuses that partitioning (subset key), so
+    # a second exchange would mean the plan regressed.
+    from flinkproj_spark.operators.sampling import sequence_pack
+
+    plan = _plan(sequence_pack(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sliding_window_is_inrow_expand_plus_one_shuffle(spark, sf_dir):
+    # The 3-windows-per-event expansion must be an in-row explode, never
+    # a self-join; one combined count shuffle.
+    from flinkproj_spark.operators.sampling import sliding_window_agg
+
+    plan = _plan(sliding_window_agg(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_upsert_keyed_converges(spark, tmp_path):
     from flinkproj_spark.sinks import upsert_keyed
 
