@@ -158,6 +158,54 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph: every
+    near-dup group becomes one cluster labeled by its minimum doc_id —
+    the step that turns pairwise candidates into "keep one per group".
+
+    Iterative min-label propagation (the DataFrame form of union-find):
+    each round every node takes the min label among itself and its
+    neighbors; converges in O(graph diameter) rounds. Each round is one
+    broadcast-or-shuffle join + a map-side-combined min — at 100 TB this
+    is the standard large-star/small-star family shape, and near-dup
+    components are tiny (diameter 2-3), so 2-4 rounds in practice.
+    localCheckpoint truncates the lineage per round so the plan doesn't
+    grow with iterations (and makes each round's result concrete before
+    the convergence check)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # pairs pipeline runs once
+    labels = (
+        edges.select("src").distinct().select(
+            F.col("src").alias("node"), F.col("src").alias("label")
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(64):  # bound >> any real diameter; convergence breaks out
+        neighbor = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(edges.src.alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint (32-bit): token md5 → per-bit ±1 weights
     summed over the doc; bit j of the fingerprint is sign(weight_j).
@@ -221,6 +269,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keyed_latest": dedup_keyed_latest,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster": dedup_cluster,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
 }
@@ -233,21 +282,7 @@ _SHINGLES_SQL = f"""
 
 _N_BANDS = N_HASHES // BAND_ROWS
 
-ORACLE = {
-    "dedup_exact": """
-        SELECT MIN(doc_id) AS doc_id, md5(text) AS content_fp, COUNT(*) AS n_copies
-        FROM documents GROUP BY md5(text)
-    """,
-    "dedup_keyed_latest": """
-        SELECT user_id, event_id,
-               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
-        FROM (SELECT user_id, event_id, ts,
-                     ROW_NUMBER() OVER (PARTITION BY user_id
-                                        ORDER BY ts DESC, event_id DESC) AS rn
-              FROM events)
-        WHERE rn = 1
-    """,
-    "dedup_minhash_lsh": f"""
+_MINHASH_PAIRS_SQL = f"""
         WITH x AS (
           SELECT doc_id,
                  ('0x' || substr(md5(unnest({_SHINGLES_SQL})), 1, 8))::BIGINT AS x
@@ -266,6 +301,34 @@ ORACLE = {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS content_fp, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "dedup_keyed_latest": """
+        SELECT user_id, event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+        FROM (SELECT user_id, event_id, ts,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+    "dedup_minhash_lsh": _MINHASH_PAIRS_SQL,
+    "dedup_cluster": f"""
+        WITH RECURSIVE sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM ({_MINHASH_PAIRS_SQL})
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM ({_MINHASH_PAIRS_SQL})),
+        reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
     """,
     "dedup_simhash": f"""
         WITH h AS (

@@ -23,6 +23,21 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert p & j, "LSH candidates disjoint from exact high-jaccard pairs"
 
 
+def test_cluster_labels_are_transitive_closure(spark, sf_dir):
+    """Connected-components invariants: every candidate pair shares a
+    cluster label, the label is the component's min doc_id, and labels
+    are stable across runs."""
+    from flinkproj_spark.operators.dedup import dedup_cluster
+
+    pairs = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    label = {r.doc_id: r.cluster_id for r in dedup_cluster(spark, sf_dir).collect()}
+    for a, b in pairs:
+        assert label[a] == label[b], f"pair ({a},{b}) split across clusters"
+    for node, lab in label.items():
+        assert lab <= node  # min-label: never above the member id
+        assert label[lab] == lab  # the labeling is canonical (root maps to itself)
+
+
 def test_minhash_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect()))
     b = sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect()))
