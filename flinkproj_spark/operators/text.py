@@ -186,6 +186,39 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.col("n").desc(), "bigram").limit(20)
 
 
+# PII patterns shared by both engines (Java regex and RE2 agree on this
+# subset: char classes, bounded repeats, \b word boundaries).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub email addresses and phone-shaped numbers,
+    emitting per-doc match counts and a fingerprint of the redacted
+    text. The corpus contains no organic PII, so the query plants one
+    email + one phone per doc deterministically from doc_id and then
+    redacts — proving removal, not absence. Single codegen'd
+    scan+project: regexp_count + two regexp_replace passes, no shuffle,
+    no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(planted, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -193,6 +226,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "text_tf_top_terms": text_tf_top_terms,
     "ngram_counts": ngram_counts,
+    "text_pii_redact": text_pii_redact,
 }
 
 
@@ -270,6 +304,23 @@ ORACLE = {
         SELECT bigram, COUNT(*) AS n
         FROM b GROUP BY 1
         ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "text_pii_redact": f"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com tel 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(planted, '{_EMAIL_RE}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(planted, '{_PHONE_RE}')) AS BIGINT)
+                 AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(planted, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+        FROM p
     """,
     "doc_fingerprint": f"""
         WITH w AS (
