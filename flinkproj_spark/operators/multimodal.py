@@ -130,10 +130,51 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THUMB_LEN = 64  # target "thumbnail" sample count per payload
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resize: stride-resample the byte stream down to ≤ THUMB_LEN
+    samples (stands in for a pixel-space downscale; swap for a real
+    resampler on a cluster with codecs). Deterministic and cheap enough
+    that the DuckDB oracle can recompute it, so the mapInPandas path
+    itself is hash-verified."""
+    import numpy as np
+
+    for pdf in batches:
+        views = pdf["payload"].map(lambda b: np.frombuffer(b, dtype=np.uint8))
+        stride = views.map(lambda a: max(1, -(-a.size // THUMB_LEN)))
+        sampled = [a[::k] for a, k in zip(views, stride)]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "stride": stride.astype("int32"),
+                "thumb_len": pd.Series([s.size for s in sampled], dtype="int32"),
+                "thumb_checksum": pd.Series(
+                    [int(s.sum(dtype=np.int64)) for s in sampled], dtype="int64"
+                ),
+            }
+        )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched downsample of binary payloads via mapInPandas:
+    every payload reduced to ≤ THUMB_LEN stride-sampled bytes, emitting
+    the stride, sample count, and checksum. Unlike multimodal_decode
+    this stub's arithmetic is SQL-expressible, so the Pandas-UDF
+    plumbing (Arrow batching, schema, partition preservation) is
+    verified end-to-end by the oracle, not just rows-only."""
+    p = _payloads(spark, sf_dir)
+    return p.select("doc_id", "payload").mapInPandas(
+        _fake_resize, schema="doc_id long, stride int, thumb_len int, thumb_checksum long"
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_resize": multimodal_resize,
 }
 
 ORACLE = {
@@ -148,6 +189,23 @@ ORACLE = {
         FROM documents
     """,
     # multimodal_decode: intentionally absent — rows-only check.
+    # ASCII corpus: ord(char) == byte, octet_length == length.
+    "multimodal_resize": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 strlen(text) AS n,
+                 GREATEST(1, CAST(CEIL(strlen(text) / {THUMB_LEN}.0) AS BIGINT)) AS k,
+                 text
+          FROM documents)
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS stride,
+               CAST(CEIL(n / CAST(k AS DOUBLE)) AS INTEGER) AS thumb_len,
+               CAST(COALESCE(list_sum(list_transform(
+                     range(0, CAST(CEIL(n / CAST(k AS DOUBLE)) AS BIGINT)),
+                     i -> ord(substr(text, CAST(1 + i * k AS BIGINT), 1)))), 0)
+                 AS BIGINT) AS thumb_checksum
+        FROM b
+    """,
     "multimodal_frame_sample": f"""
         WITH f AS (
           SELECT doc_id, text,
