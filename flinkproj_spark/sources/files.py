@@ -1,0 +1,107 @@
+"""File-format sources beyond parquet: CSV and JSON-lines, batch and
+streaming.
+
+The reference reads only Kafka JSON strings (SURVEY.md §2.1); a user
+migrating onto this engine lands files too. Rules that matter at
+100 TB:
+
+  * schemas are ALWAYS explicit — schema inference is a full extra
+    pass over the data before the real job starts;
+  * JSON/CSV are ingestion formats, not working formats: read once,
+    write parquet (columnar, splittable, pushdown-able) and run the
+    engine on that — `ingest_to_parquet` is that one-liner;
+  * the streaming variants use maxFilesPerTrigger so a huge backfill
+    directory drains in bounded micro-batches instead of one giant
+    first batch.
+
+Malformed records follow the engine's permissive contract (§2.2 P2):
+unparseable fields come back null; the `_corrupt_record` column is
+exposed on request so bad lines can be routed to a dead-letter sink
+instead of killing the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Batch CSV scan with a declared schema (never inferred)."""
+    return (
+        spark.read.schema(schema)
+        .options(header=str(header).lower(), mode="PERMISSIVE", **options)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    keep_corrupt: bool = False,
+    **options: str,
+) -> DataFrame:
+    """Batch JSON-lines scan with a declared schema. With keep_corrupt,
+    bad lines surface in `_corrupt_record` (null for good rows) for
+    dead-letter routing; otherwise they parse to all-null rows exactly
+    like the pipelines' from_json edge."""
+    if keep_corrupt:
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
+        schema = schema.add("_corrupt_record", "string")
+        options = {"columnNameOfCorruptRecord": "_corrupt_record", **options}
+    return spark.read.schema(schema).options(mode="PERMISSIVE", **options).json(path)
+
+
+def stream_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int = 16,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Streaming CSV directory source, bounded micro-batches."""
+    return (
+        spark.readStream.schema(schema)
+        .options(
+            header=str(header).lower(),
+            maxFilesPerTrigger=str(max_files_per_trigger),
+            **options,
+        )
+        .csv(path)
+    )
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int = 16,
+    **options: str,
+) -> DataFrame:
+    """Streaming JSON-lines directory source, bounded micro-batches."""
+    return (
+        spark.readStream.schema(schema)
+        .options(maxFilesPerTrigger=str(max_files_per_trigger), **options)
+        .json(path)
+    )
+
+
+def ingest_to_parquet(
+    df: DataFrame, out_path: str, *partition_cols: str
+) -> None:
+    """The read-once step: land an ingestion-format DataFrame as parquet
+    (optionally hive-partitioned) so every later scan gets pushdown,
+    pruning, and splittability."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(out_path)
