@@ -35,6 +35,15 @@ def main() -> None:
 
     # JVM/codegen warmup on a trivial plan so query 1 isn't charged for it.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the parquet reader + FS classes with a 1-row peek per table
+    # (footer read only) — otherwise whichever query runs first absorbs
+    # one-time class-loading that isn't part of its plan.
+    from flinkproj_spark.sources.tables import TABLES, load_table
+    for t in TABLES:
+        try:
+            load_table(spark, SF_DIR, t).limit(1).collect()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name, fn in registry.queries().items():
