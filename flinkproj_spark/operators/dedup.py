@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flinkproj_spark.sources.tables import load_table
+from flinkproj_spark.sources.tables import fan_out, load_table
 
 N_HASHES = 9
 BAND_ROWS = 3  # 3 bands × 3 rows
@@ -104,7 +104,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up, no per-hash md5) → band keys in a projection → bucket
     self-join. Shuffle rows are narrow (doc_id, 9 longs) with uniform
     key fan-out."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = _words()
     base = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
     sig = (
@@ -243,7 +243,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang + first two words — near-dups share their prefix), then exact
     word-set Jaccard ≥ 0.5. Blocking bounds the self-join the same way
     LSH bucketing does, with the exact measure as the verifier stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = _words()
     keyed = docs.filter(F.size(words) >= 2).select(
         "doc_id",

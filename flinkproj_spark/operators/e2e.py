@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from flinkproj_spark.pipelines import report_aggregate, report_parse, clean_transform
 from flinkproj_spark.sources.dims import dim_area
-from flinkproj_spark.sources.tables import load_table
+from flinkproj_spark.sources.tables import fan_out, load_table
 
 # 8 countries: 7 from the reference's Redis hash + 'ID' (present in the
 # generator but absent from the dim, FIXTURES.md §6.3) → 'other' path.
@@ -28,7 +28,10 @@ def _alldata_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """allData wire JSON fabricated from events: dt from ts, countryCode
     from user_id, a 2-element data array from value (the reference
     generator's shape, kafkaProducer.java:34)."""
-    events = load_table(spark, sf_dir, "events")
+    # The whole clean pipeline is map-side (JSON build→parse→explode→
+    # broadcast join→to_json) — fan the single-split scan out so it
+    # doesn't run on one core (2.6× at sf0.1; no-op at real scale).
+    events = fan_out(spark, sf_dir, "events", load_table(spark, sf_dir, "events"))
     cc = F.element_at(
         F.array(*[F.lit(c) for c in _CC]), (F.col("user_id") % 8 + 1).cast("int")
     )

@@ -26,7 +26,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flinkproj_spark.sources.tables import load_table
+from flinkproj_spark.sources.tables import fan_out, load_table
 
 DIM = 64
 N_QUERIES = 8          # query set: vec_id < 8
@@ -157,7 +157,12 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse sign-LSH bucket (16 buckets), exact quantized cosine filters.
     Same shape as dedup_minhash_lsh: bucket join instead of O(n²)."""
     planes = _plane_weights(N_PLANES_NEARDUP)
-    base = _quantized(spark, sf_dir).withColumn("bucket", _sketch(F.col("q"), planes))
+    # The per-pair dot products run on the probe side of a broadcast
+    # join — fan out the single-split scan so they parallelize (3× at
+    # sf0.1; no-op on a multi-split layout).
+    base = fan_out(spark, sf_dir, "embeddings", _quantized(spark, sf_dir)).withColumn(
+        "bucket", _sketch(F.col("q"), planes)
+    )
     a = base.select(
         F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
         F.col("norm").alias("na"), F.col("bucket").alias("ba"),

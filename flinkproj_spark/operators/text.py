@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flinkproj_spark.sources.tables import load_table
+from flinkproj_spark.sources.tables import fan_out, load_table
 
 # Shared tokenizer: whitespace split, empties dropped. Identical
 # semantics to DuckDB's string_split + list_filter.
@@ -92,8 +92,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by marker-word evidence (n-gram heuristic): count
     per-language marker tokens, argmax with a fixed tiebreak order.
-    One scan, no shuffle; markers are a compile-time constant array."""
-    docs = load_table(spark, sf_dir, "documents")
+    One scan, no shuffle; markers are a compile-time constant array.
+    Map-only and marker-matching-heavy → fan the single-split scan out."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = F.transform(_words(), lambda w: F.lower(w))
     sel = [F.col("doc_id")]
     for lang in _LANG_ORDER:
@@ -199,8 +200,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     email + one phone per doc deterministically from doc_id and then
     redacts — proving removal, not absence. Single codegen'd
     scan+project: regexp_count + two regexp_replace passes, no shuffle,
-    no Python."""
-    docs = load_table(spark, sf_dir, "documents")
+    no Python. Three regex passes per doc → fan the scan out."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     planted = F.concat(
         F.col("text"),
         F.lit(" contact user"), F.col("doc_id").cast("string"),

@@ -52,7 +52,14 @@ def build_session(
         # rare, so force periodic GC or broadcast/shuffle blocks from
         # earlier queries pile up and long sessions degrade.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # Periodic GC keeps multi-hour sessions from accumulating dead
+        # broadcast/shuffle blocks — but the System.gc() it triggers
+        # stalls whatever query is running when it fires (measured: a
+        # 0.3 s query charged 4-10 s). 5min clears a full bench run;
+        # ExplicitGCInvokesConcurrent turns the remaining explicit GCs
+        # into concurrent cycles instead of stop-the-world fulls.
+        .config("spark.cleaner.periodicGC.interval", "5min")
+        .config("spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

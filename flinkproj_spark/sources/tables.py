@@ -29,6 +29,36 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+def fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
+    """Opt-in scan redistribution for operators whose MAP side is the hot
+    path (per-row JSON round-trips, shingling, Arrow UDF batches).
+
+    The driver corpus writes each table as ONE parquet row group, which
+    Spark cannot split — so a scan arrives as a single populated split
+    and the whole map side runs on one core of local[32]. The split
+    count is predicted from the file size (driver-side, free — calling
+    .rdd.getNumPartitions() here would compile the plan and cost ~0.1 s
+    per call) and the exchange is added only when the scan is
+    under-split relative to the session's cores. On a real 100 TB
+    layout, size/maxPartitionBytes >> cores, the predicate is false, and
+    this is a no-op — the expensive full-table shuffle never happens at
+    scale, only on pathologically small inputs where it is cheap.
+
+    NOT applied in load_table for everyone: for shuffle-bound queries
+    (joins/aggs at sf0.1) the extra exchange measurably loses — blanket
+    fan-out regressed the bench total 45.7 s → 70.9 s."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    except OSError:
+        return df
+    # Fixed 128 MiB split size (build_session sets exactly this; parsing
+    # the conf value is unsafe — a vanilla session returns "128MB").
+    max_bytes = 134217728
+    target = spark.sparkContext.defaultParallelism
+    if size // max_bytes + 1 < max(2, target // 4):
+        df = df.repartition(target)
+    return df
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table. Plain parquet scan — Catalyst prunes
