@@ -44,6 +44,11 @@ def main() -> None:
             load_table(spark, SF_DIR, t).limit(1).collect()
         except Exception:
             pass
+    # Spawn+warm the Python/Arrow UDF workers (reused session-wide) so
+    # the first pandas-UDF query isn't charged ~1 s of worker startup.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in registry.queries().items():
