@@ -95,6 +95,38 @@ def stream_jsonl(
     )
 
 
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """Batch ORC scan. ORC is self-describing and columnar, so no schema
+    argument: pushdown/pruning work as with parquet (Spark's native
+    vectorized ORC reader)."""
+    return spark.read.options(**options).orc(path)
+
+
+def stream_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int = 16,
+    **options: str,
+) -> DataFrame:
+    """Streaming ORC directory source (file streams always need a
+    declared schema), bounded micro-batches."""
+    return (
+        spark.readStream.schema(schema)
+        .options(maxFilesPerTrigger=str(max_files_per_trigger), **options)
+        .orc(path)
+    )
+
+
+def write_orc(df: DataFrame, out_path: str, *partition_cols: str) -> None:
+    """Land a DataFrame as ORC (optionally hive-partitioned) for
+    ORC-standardized warehouses; otherwise prefer ingest_to_parquet."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(out_path)
+
+
 def ingest_to_parquet(
     df: DataFrame, out_path: str, *partition_cols: str
 ) -> None:

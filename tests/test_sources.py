@@ -79,3 +79,26 @@ def test_stream_jsonl_drains_to_batch_result(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    from flinkproj_spark.sources.files import read_orc, stream_orc, write_orc
+
+    ev = _events(spark, sf_dir)
+    p = str(tmp_path / "ev_orc")
+    write_orc(ev, p)
+    back = read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+    # streaming drain over the same directory converges to the batch result
+    out = str(tmp_path / "orc_out")
+    ck = str(tmp_path / "orc_ck")
+    q = (
+        stream_orc(spark, p, SCHEMA, max_files_per_trigger=4)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == ev.count()
