@@ -204,6 +204,31 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clickers.exceptAll(buyers).distinct()
 
 
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation surface: (user, day) pairs with BOTH a click and a
+    purchase (INTERSECT == left semi join in the physical plan)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id", day).distinct()
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    return clickers.intersect(buyers)
+
+
+def global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY ... LIMIT k — the one total-order query shape.
+    Catalyst plans this as TakeOrderedAndProject: each partition keeps a
+    k-row heap and the driver merges k·P rows, so NO full sort and no
+    single-partition shuffle of the whole table ever happens — the only
+    ORDER BY formulation that survives 100 TB. Tiebreak on event_id
+    makes the k-set deterministic under value ties."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
 def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-set aggregation (absent from the reference)."""
     events = load_table(spark, sf_dir, "events")
@@ -338,6 +363,8 @@ QUERIES = {
     "sessionize": sessionize,
     "session_window_agg": session_window_agg,
     "set_except": set_except,
+    "set_intersect": set_intersect,
+    "global_topk": global_topk,
     "rollup_counts": rollup_counts,
     "cube_counts": cube_counts,
     "pivot_counts": pivot_counts,
@@ -479,6 +506,19 @@ ORACLE = {
         EXCEPT
         SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
         FROM events WHERE event_type = 'purchase'
+    """,
+    "set_intersect": """
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "global_topk": """
+        SELECT event_id, user_id, event_type, value
+        FROM events
+        ORDER BY value DESC, event_id ASC
+        LIMIT 100
     """,
     "rollup_counts": """
         SELECT event_type, COUNT(*) AS cnt

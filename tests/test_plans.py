@@ -245,3 +245,13 @@ def test_upsert_keyed_converges(spark, tmp_path):
     upsert_keyed(v2, out)  # k1 overwritten, k2 (other partition) kept iff hash differs
     rows = {r.doc_id: r['count'] for r in spark.read.parquet(out).collect()}
     assert rows["k1"] == 2  # re-fired key converged to the latest value
+
+
+def test_global_topk_is_heap_not_full_sort(spark, sf_dir):
+    from flinkproj_spark.operators.relational import global_topk
+
+    plan = _plan(global_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # a global Sort node would mean the whole table funnels through a
+    # total-order shuffle — fatal at scale
+    assert "Sort " not in plan, plan
