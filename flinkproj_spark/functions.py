@@ -1,0 +1,127 @@
+"""Public scalar-function library: reusable Column expressions.
+
+Every function here returns a `pyspark.sql.Column` built ONLY from
+built-in `pyspark.sql.functions` (higher-order array functions, regexp,
+hashes) — they stay inside whole-stage codegen, never touch Python at
+execution time, and compose freely with any DataFrame plan. This is the
+engine's UDF surface: where the reference expresses custom logic as
+Flink user-function classes (MapFunction, FlatMapFunction, …,
+SURVEY.md §2.9), this engine expresses it as JVM-side column algebra.
+
+The operator modules (`operators/text.py`, `operators/dedup.py`,
+`operators/similarity.py`, `operators/sampling.py`) build on these; the
+library is exported so engine users can compose the same primitives
+into their own queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token regex: letter runs, digit runs, single punctuation.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokenize_ws(col: Column | str = "text") -> Column:
+    """Whitespace tokenizer: split on single spaces, drop empties.
+    Identical semantics to DuckDB's string_split + list_filter, which is
+    what keeps the text operators oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+def token_count(col: Column | str = "text") -> Column:
+    """BPE-ish token count via one regexp_count pass (no array built)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_RE))
+
+
+def normalize_text(col: Column | str = "text") -> Column:
+    """Lowercase, collapse whitespace runs, trim — the canonical form
+    used by exact-dup hashing and fingerprints."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-shingles, built in O(len) per doc by zipping the
+    word array against its shifted tails (the transform-over-index +
+    slice formulation is O(len²) per doc and goes pathological on long
+    docs). Callers should filter size(words) >= n first."""
+    m = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    out = F.slice(words, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(
+            out, F.slice(words, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.array_distinct(out)
+
+
+def quantize_embedding(col: Column, places: int = 3) -> Column:
+    """float embedding → exact int64 at `places` decimals. All
+    similarity math downstream is integer-exact, which is what makes
+    cosine results hash-comparable against a SQL oracle (float
+    summation order would differ between engines)."""
+    scale = float(10**places)
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long")
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product as a sequential fold — zip_with +
+    aggregate stays in codegen; no Python, no shuffle."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from precomputed norms (compute norms once per side
+    before a pair join — never per pair)."""
+    return dot(a, b).cast("double") / (norm_a * norm_b)
+
+
+def l2_norm(a: Column) -> Column:
+    """sqrt of the integer self-dot, as double."""
+    return F.sqrt(dot(a, a).cast("double"))
+
+
+def sign_lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id over integer plane weights: bit p of the id is
+    (planes[p] · vec >= 0). 2^len(planes) buckets; candidate pairs meet
+    in a bucket, turning an O(n²) similarity self-join into an equi-join."""
+    planes_col = F.array(*[F.array(*[F.lit(w) for w in row]) for row in planes])
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
+        lambda p: F.when(
+            dot(F.element_at(planes_col, p + F.lit(1)), vec) >= 0,
+            F.pow(F.lit(2.0), p.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic hyperplane weights in [-1000, 1000]: seeded by
+    md5(f"{plane}_{dim}") so Spark, DuckDB SQL, and driver Python all
+    derive the identical codebook with no RNG state to ship."""
+    return [
+        [
+            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hash_keep(key: Column, frac_hex2: str | None = None, salt: str = "s0") -> Column:
+    """Deterministic sampling predicate material: the first 2 hex chars
+    of md5(key || salt). Comparing against a threshold selects a
+    reproducible ~(threshold/256) fraction with no RNG, no state, and no
+    shuffle — the only sampling that is stable across engines, retries,
+    and partitionings (rand()-based sampling is none of those)."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 2)

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flinkproj_spark import functions as fx
 from flinkproj_spark.sources.tables import fan_out, load_table
 
 N_HASHES = 9
@@ -42,26 +43,13 @@ MINHASH_B = [17, 29, 43, 61, 89, 113, 151, 197, 251]
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
 
 
-def _words() -> Column:
-    return F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+# Canonical implementations live in the public function library
+# (flinkproj_spark/functions.py); aliases keep module-local names.
+_words = fx.tokenize_ws
 
 
 def _shingles(words: Column) -> Column:
-    """Distinct word 3-shingles, built in O(n) per doc by zipping the
-    word array against its two shifted tails (the transform-over-index +
-    slice formulation is O(n²) per doc). Callers filter size >= 3."""
-    n = F.size(words)
-    m = F.greatest(n - F.lit(2), F.lit(0))
-    pairs = F.zip_with(
-        F.slice(words, 1, m), F.slice(words, 2, m),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    return F.array_distinct(
-        F.zip_with(
-            pairs, F.slice(words, 3, m),
-            lambda ab, c: F.concat(ab, F.lit(" "), c),
-        )
-    )
+    return fx.shingles(words, 3)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,11 +21,10 @@ Scale design:
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flinkproj_spark import functions as fx
 from flinkproj_spark.sources.tables import fan_out, load_table
 
 DIM = 64
@@ -36,45 +35,15 @@ N_PLANES_NEARDUP = 4   # 16 buckets
 NEARDUP_MIN_COS = 0.25
 
 
+# Canonical implementations live in the public function library
+# (flinkproj_spark/functions.py); these aliases keep module-local names.
 def _plane_weights(n_planes: int, dim: int = DIM) -> list[list[int]]:
-    """Deterministic hyperplane weights in [-1000, 1000]: seeded by
-    md5(f"{plane}_{dim}") so Spark, DuckDB, and this Python all derive
-    the identical matrix with no RNG state to ship."""
-    return [
-        [
-            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8], 16) % 2001 - 1000
-            for d in range(dim)
-        ]
-        for p in range(n_planes)
-    ]
+    return fx.lsh_planes(n_planes, dim)
 
 
-def _quant(col: Column) -> Column:
-    """float embedding → exact int64 (3 decimal places)."""
-    return F.transform(
-        col, lambda x: F.floor(x.cast("double") * F.lit(1000.0) + F.lit(0.5)).cast("long")
-    )
-
-
-def _dot(a: Column, b: Column) -> Column:
-    """Exact integer dot product as a sequential fold (zip_with+aggregate
-    stays in codegen; no Python)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
-
-
-def _sketch(vec: Column, planes: list[list[int]]) -> Column:
-    """Sign-LSH bucket id: bit p = (w_p · v >= 0)."""
-    planes_col = F.array(*[F.array(*[F.lit(w) for w in row]) for row in planes])
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(len(planes) - 1)),
-        lambda p: F.when(
-            _dot(F.element_at(planes_col, p + F.lit(1)), vec) >= 0,
-            F.pow(F.lit(2.0), p.cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+_quant = fx.quantize_embedding
+_dot = fx.dot
+_sketch = fx.sign_lsh_bucket
 
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:

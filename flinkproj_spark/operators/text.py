@@ -19,18 +19,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flinkproj_spark import functions as fx
 from flinkproj_spark.sources.tables import fan_out, load_table
 
-# Shared tokenizer: whitespace split, empties dropped. Identical
-# semantics to DuckDB's string_split + list_filter.
-def _words(col: str = "text") -> Column:
-    return F.filter(F.split(F.col(col), " "), lambda w: w != "")
-
+# Canonical implementations live in the public function library
+# (flinkproj_spark/functions.py); aliases keep module-local names.
+_words = fx.tokenize_ws
 
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
 
-# BPE-ish token regex: letter runs, digit runs, single punctuation.
-_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_TOKEN_RE = fx.TOKEN_RE
 
 _STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
 
