@@ -1,0 +1,216 @@
+"""Ranked retrieval + corpus analytics for training-data pipelines.
+
+Not in the reference (its string surface is split/concat only,
+SURVEY.md §2.9) — these extend the Phase-3 text family (SURVEY.md §7)
+with the search-shaped operators a data-curation pipeline runs over a
+crawled corpus: BM25 ranked retrieval, per-language corpus statistics,
+and exact-size deterministic per-group sampling.
+
+Scale design:
+  * bm25_topk is two shuffles end-to-end at any corpus size: one
+    map-side-combined groupBy(doc_id) producing (dl, tf per query term)
+    — the explode never leaves the map stage uncombined — and the final
+    top-k, which Spark executes as TakeOrderedAndProject (per-partition
+    heap + driver merge, no global sort). Corpus-level constants
+    (N, df, avgdl) are a one-row aggregate broadcast back with a cross
+    join — the scalar-subquery plan, free at any scale.
+  * determinism across engines: no transcendentals. The classic BM25
+    log-idf is replaced by its rational core idf = (N-df+.5)/(df+.5)
+    (same ranking monotonicity for a fixed corpus); k1=1.5, b=0.75 are
+    binary-exact doubles; the per-term scores are added in fixed
+    expression order, so Spark and DuckDB produce bit-identical
+    doubles.
+  * sample_exact_k is the deterministic replacement for reservoir
+    sampling: rank docs per group by md5(doc_id) and keep the first k.
+    Same result on any partitioning, any retry, any engine — reservoir
+    sampling is none of those. One shuffle on the group key; a skewed
+    group costs one hot partition, which is why the rank key is the
+    hash (uniform) and k is tiny; for huge k use per-partition heaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkproj_spark import functions as fx
+from flinkproj_spark.sources.tables import load_table
+
+# Fixed query-term set: frequent corpus terms (the synthetic corpus is
+# query-plan vocabulary). Fixed literals keep both engines' plans and
+# float-add order identical.
+QUERY_TERMS = ["spark", "query", "join"]
+K1 = 1.5
+B = 0.75
+TOP_N = 20
+SAMPLE_K = 25
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 docs for a fixed conjunctive query-term set.
+
+    Pipeline: explode lowercased words → ONE map-side-combined
+    groupBy(doc_id) emitting doc length + one conditional-sum tf per
+    query term (no join between tf and dl — they come out of the same
+    aggregate) → one-row corpus aggregate (N, avgdl, df per term)
+    broadcast back via cross join → fixed-order score expression →
+    TakeOrderedAndProject top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(fx.tokenize_ws()).alias("w")).select(
+        "doc_id", F.lower("w").alias("w")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("w") == t, 1).otherwise(0)).alias(f"tf_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in QUERY_TERMS
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(corpus))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    norm = F.lit(K1) * (F.lit(1.0) - F.lit(B) + F.lit(B) * F.col("dl").cast("double") / avgdl)
+    score = F.lit(0.0)
+    for t in QUERY_TERMS:  # fixed add order = bit-identical doubles
+        idf = (F.col("n_docs").cast("double") - F.col(f"df_{t}") + F.lit(0.5)) / (
+            F.col(f"df_{t}").cast("double") + F.lit(0.5)
+        )
+        tf = F.col(f"tf_{t}").cast("double")
+        score = score + idf * tf * F.lit(K1 + 1.0) / (tf + norm)
+    out = scored.select("doc_id", F.round(score, 4).alias("bm25"))
+    return (
+        out.filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(TOP_N)
+    )
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics over docs with ≥1 word: doc count,
+    total/min/max words per doc, vocabulary size, average doc length.
+
+    Two aggregation trees over one tokenized scan — per-doc lengths
+    rolled up to language, and a distinct-vocab count — joined on the
+    (tiny) language key via broadcast. The vocab count is the only
+    expensive shuffle (distinct on (lang, word)); at 100 TB you'd swap
+    it for approx_count_distinct and declare the sketch (the engine
+    ships that as `approx_distinct_counts`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", "doc_id", F.explode(fx.tokenize_ws()).alias("w")).select(
+        "lang", "doc_id", F.lower("w").alias("w")
+    )
+    per_doc = tok.groupBy("lang", "doc_id").agg(F.count("*").alias("dl"))
+    by_lang = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("n_words"),
+        F.min("dl").alias("min_doc_words"),
+        F.max("dl").alias("max_doc_words"),
+    )
+    vocab = tok.groupBy("lang").agg(F.count_distinct("w").alias("vocab"))
+    return (
+        by_lang.join(F.broadcast(vocab), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "min_doc_words",
+            "max_doc_words",
+            "vocab",
+            F.round(
+                F.col("n_words").cast("double") / F.col("n_docs").cast("double"), 4
+            ).alias("avg_doc_words"),
+        )
+    )
+
+
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample: rank docs within each
+    language by md5(doc_id) (uniform, engine-agnostic, seedless) and
+    keep the first SAMPLE_K. The deterministic twin of stratified
+    reservoir sampling — identical output on any partitioning, retry,
+    or engine, which `TABLESAMPLE`/`rand()` cannot promise."""
+    docs = load_table(spark, sf_dir, "documents")
+    rk = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(rk, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_K)
+    )
+
+
+QUERIES = {
+    "bm25_topk": bm25_topk,
+    "corpus_stats": corpus_stats,
+    "sample_exact_k": sample_exact_k,
+}
+
+_WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
+_TF_SQL = ",\n                 ".join(
+    f"len(list_filter(w, x -> x = '{t}')) AS tf_{t}" for t in QUERY_TERMS
+)
+_DF_SQL = ",\n                 ".join(
+    f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in QUERY_TERMS
+)
+_SCORE_SQL = " + ".join(
+    f"((CAST(n_docs AS DOUBLE) - df_{t} + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+    f" * CAST(tf_{t} AS DOUBLE) * {K1 + 1.0}"
+    f" / (CAST(tf_{t} AS DOUBLE) + {K1} * (1.0 - {B} + {B} * CAST(dl AS DOUBLE)"
+    f" / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+    for t in QUERY_TERMS
+)
+
+ORACLE = {
+    "bm25_topk": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_transform({_WORDS_SQL}, x -> lower(x)) AS w
+          FROM documents),
+        per_doc AS (
+          SELECT doc_id, len(w) AS dl,
+                 {_TF_SQL}
+          FROM t WHERE len(w) > 0),
+        corpus AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+                 {_DF_SQL}
+          FROM per_doc)
+        SELECT doc_id, bm25 FROM (
+          SELECT doc_id,
+                 ROUND(0.0 + {_SCORE_SQL}, 4) AS bm25
+          FROM per_doc CROSS JOIN corpus)
+        WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id LIMIT {TOP_N}
+    """,
+    "corpus_stats": f"""
+        WITH tok AS (
+          SELECT lang, doc_id, lower(unnest({_WORDS_SQL})) AS w
+          FROM documents),
+        per_doc AS (
+          SELECT lang, doc_id, COUNT(*) AS dl FROM tok GROUP BY 1, 2),
+        by_lang AS (
+          SELECT lang, COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS n_words,
+                 MIN(dl) AS min_doc_words, MAX(dl) AS max_doc_words
+          FROM per_doc GROUP BY 1),
+        vocab AS (
+          SELECT lang, COUNT(DISTINCT w) AS vocab FROM tok GROUP BY 1)
+        SELECT b.lang, n_docs, n_words, min_doc_words, max_doc_words, vocab,
+               ROUND(CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+                 AS avg_doc_words
+        FROM by_lang b JOIN vocab v ON b.lang = v.lang
+    """,
+    "sample_exact_k": f"""
+        SELECT doc_id, lang, rn FROM (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= {SAMPLE_K}
+    """,
+}

@@ -16,7 +16,7 @@ def _modules():
     # Imported lazily/defensively so one broken extension module doesn't
     # take down the whole contract.
     mods = list(_MODULES)
-    for name in ("relational", "tpch", "tpch2", "analytic", "dedup", "similarity", "text", "multimodal", "sampling", "e2e"):
+    for name in ("relational", "tpch", "tpch2", "analytic", "dedup", "similarity", "text", "retrieval", "multimodal", "sampling", "e2e"):
         try:
             mod = __import__(f"flinkproj_spark.operators.{name}", fromlist=[name])
             mods.append(mod)
