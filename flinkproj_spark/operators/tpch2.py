@@ -46,19 +46,6 @@ def _rev_e4():
     return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
 
 
-def _ship_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stand-in for the missing partsupp table: the distinct
-    (part, supplier) pairs observed in lineitem. At 100 TB this is a
-    shuffle on (l_partkey, l_suppkey) over two narrow int64 columns —
-    the cheapest possible distinct — and downstream joins reuse its
-    hash partitioning on l_partkey."""
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-
-
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 (minimum-cost supplier, adapted): for each PROMO part of size
     < 10, the supplier(s) with the lowest account balance among those
@@ -73,8 +60,19 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # Semi-join the fact against the (broadcast) filtered part list
+    # BEFORE the distinct: the PROMO/size<10 predicate is ~4% selective,
+    # so the distinct's shuffle shrinks by 25× — Catalyst won't push an
+    # inner join below an Aggregate on its own, so order it by hand.
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .distinct()
+    )
     cand = (
-        _ship_pairs(spark, sf_dir)
+        pairs
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
@@ -258,10 +256,17 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
+    # Same manual reorder as tpch_q2: semi-join the broadcast part list
+    # (and anti-join the bad suppliers) below the distinct so the
+    # distinct's shuffle only carries qualifying pairs.
     pairs = (
-        _ship_pairs(spark, sf_dir)
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .distinct()
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
     )
     return pairs.groupBy("p_brand", "p_type", "p_size").agg(
         F.count_distinct("l_suppkey").alias("supplier_cnt")
