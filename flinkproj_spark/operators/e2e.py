@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flinkproj_spark import functions as fx
 from flinkproj_spark.pipelines import report_aggregate, report_parse, clean_transform
 from flinkproj_spark.sources.dims import dim_area
 from flinkproj_spark.sources.tables import fan_out, load_table
@@ -88,9 +89,60 @@ def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_aggregate(report_parse(raw))
 
 
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-data curation pipeline end-to-end, one declarative plan:
+    language-evidence filter → length/quality filter → exact dedup
+    (keep min doc_id per content hash) → near-dup removal (drop the
+    younger member of every MinHash-LSH candidate pair). Returns the
+    surviving (doc_id, lang, n_words).
+
+    Scale shape: the two filters fuse into the scan (one codegen'd
+    pass, no shuffle); exact dedup is one hash-partition on the content
+    md5; near-dup removal broadcasts the (tiny relative to corpus)
+    doc_b list into an anti join — the only non-broadcast shuffle left
+    is the LSH pipeline itself, which is the minhash signature's
+    map-side-combined groupBy + bucket expansion."""
+    from pyspark.sql import Window
+
+    from flinkproj_spark.operators.dedup import dedup_minhash_lsh
+    from flinkproj_spark.operators.text import _LANG_MARKERS, _LANG_ORDER, _STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = fx.tokenize_ws()
+    lower = F.transform(words, lambda w: F.lower(w))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    def _hits(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(lower, lambda w: F.array_contains(arr, w)))
+
+    marker_hits = F.greatest(*[_hits(_LANG_MARKERS[lang]) for lang in _LANG_ORDER])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(lower, lambda w: F.array_contains(stop_arr, w)))
+    quality = (
+        F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - n_stop.cast("double") / n_words.cast("double"))
+    )
+    kept = docs.select(
+        "doc_id", "lang", "text", n_words.alias("n_words")
+    ).filter((marker_hits > 0) & (n_words >= 20) & (quality >= 0.3))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    younger = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
+    return (
+        deduped.join(
+            F.broadcast(younger), deduped.doc_id == younger.doc_b, "left_anti"
+        )
+        .select("doc_id", "lang", "n_words")
+    )
+
+
 QUERIES = {
     "pipeline_clean": pipeline_clean,
     "pipeline_report": pipeline_report,
+    "pipeline_curate": pipeline_curate,
 }
 
 _DIM_SQL = """(VALUES ('US','AREA_US'), ('TW','AREA_CT'), ('HK','AREA_CT'),
@@ -135,3 +187,41 @@ ORACLE = {
         FROM agg
     """,
 }
+
+
+def _curate_oracle() -> str:
+    from flinkproj_spark.operators.dedup import _MINHASH_PAIRS_SQL
+    from flinkproj_spark.operators.text import (
+        _BEST,
+        _LANG_SCORES,
+        _STOP_SQL,
+        _WORDS_SQL,
+    )
+
+    return f"""
+        WITH s AS (
+          SELECT doc_id, lang, text,
+                 len({_WORDS_SQL}) AS n_words,
+                 len(list_filter({_WORDS_SQL},
+                     w -> list_contains([{_STOP_SQL}], lower(w)))) AS n_stop,
+                 {_LANG_SCORES}
+          FROM documents),
+        kept AS (
+          SELECT doc_id, lang, text, n_words FROM s
+          WHERE {_BEST} > 0
+            AND n_words >= 20
+            AND LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                * (1.0 - CAST(n_stop AS DOUBLE) / n_words) >= 0.3),
+        deduped AS (
+          SELECT doc_id, lang, n_words FROM (
+            SELECT doc_id, lang, n_words,
+                   ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM kept)
+          WHERE rn = 1)
+        SELECT doc_id, lang, n_words FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_b FROM ({_MINHASH_PAIRS_SQL}))
+    """
+
+
+ORACLE["pipeline_curate"] = _curate_oracle()
