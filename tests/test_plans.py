@@ -255,3 +255,42 @@ def test_global_topk_is_heap_not_full_sort(spark, sf_dir):
     # a global Sort node would mean the whole table funnels through a
     # total-order shuffle — fatal at scale
     assert "Sort " not in plan, plan
+
+
+def test_bm25_topk_is_heap_with_broadcast_corpus_constants(spark, sf_dir):
+    from flinkproj_spark.operators.retrieval import bm25_topk
+
+    plan = _plan(bm25_topk(spark, sf_dir))
+    # top-k must be a per-partition heap + driver merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    # corpus constants (N, df, avgdl) arrive as a broadcast one-row join
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_tpch_q2_semi_join_below_distinct(spark, sf_dir):
+    from flinkproj_spark.operators.tpch2 import tpch_q2
+
+    plan = _plan(tpch_q2(spark, sf_dir))
+    # the part filter must narrow the fact BEFORE the pair-distinct's
+    # exchange: LeftSemi appears below (= later in the tree than) the
+    # distinct's HashAggregate shuffle
+    semi = plan.index("LeftSemi")
+    dist_exchange = plan.index("Exchange hashpartitioning(l_partkey")
+    assert semi > dist_exchange, "semi join must run scan-side of the distinct"
+
+
+def test_pipeline_curate_anti_join_is_broadcast(spark, sf_dir):
+    from flinkproj_spark.operators.e2e import pipeline_curate
+
+    plan = _plan(pipeline_curate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the filter funnel fuses into the scan: no Python anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sample_exact_k_single_shuffle_on_group_key(spark, sf_dir):
+    from flinkproj_spark.operators.retrieval import sample_exact_k
+
+    plan = _plan(sample_exact_k(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
