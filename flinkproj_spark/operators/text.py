@@ -218,6 +218,58 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_W = 4  # winnowing window: guarantee one fingerprint per 4 shingles
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    positional word 3-shingle (rolling k-gram hash), slide a window of
+    _WINNOW_W hashes, keep each window's minimum — the classic
+    guarantee that any match of ≥ w+k-1 words shares a fingerprint.
+    Output is the distinct fingerprint set per doc, exploded to rows.
+
+    Everything is in-row (transform over the positions sequence +
+    sliced array minima): a single codegen'd scan+project, no shuffle,
+    O(n·w) per doc with w=4. The per-shingle hash is the same 32-bit
+    md5 prefix the dedup family uses — engine-identical."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = _words()
+    n = F.size(words)
+    m = F.greatest(n - F.lit(2), F.lit(0))
+    # positional (non-distinct) 3-shingles: order matters for the window
+    pairs = F.zip_with(
+        F.slice(words, 1, m), F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sh = F.zip_with(
+        pairs, F.slice(words, 3, m),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    # Materialize the hash array ONCE per row. Without the barrier,
+    # CollapseProject inlines the whole tokenize→shingle→md5 expression
+    # into the per-window lambda below and every window position
+    # re-evaluates it — O(n²) per doc (measured 10× at sf0.1). A
+    # nondeterministic column in the lower projection legally blocks the
+    # collapse; the column itself is never read.
+    staged = docs.select(
+        "doc_id", hashes.alias("hs"), F.monotonically_increasing_id().alias("_nc")
+    )
+    n_sh = F.size(F.col("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh - F.lit(_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        )
+    )
+    return (
+        staged.filter(n_sh >= _WINNOW_W)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_quality": text_quality,
@@ -226,6 +278,7 @@ QUERIES = {
     "text_tf_top_terms": text_tf_top_terms,
     "ngram_counts": ngram_counts,
     "text_pii_redact": text_pii_redact,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
 }
 
 
@@ -334,5 +387,23 @@ ORACLE = {
                    i -> md5(array_to_string(words[i:i+2], ' ')))) AS min_shingle_fp
           FROM w WHERE len(words) >= 3)
         SELECT doc_id, content_fp, min_shingle_fp FROM sh
+    """,
+    "doc_winnow_fingerprints": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, GREATEST(len(words) - 2, 0) + 1),
+                   i -> ('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8))::BIGINT
+                 ) AS hashes
+          FROM w),
+        f AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, len(hashes) - {_WINNOW_W - 1} + 1),
+                   i -> list_min(hashes[i:i+{_WINNOW_W - 1}]))) AS fps
+          FROM h WHERE len(hashes) >= {_WINNOW_W})
+        SELECT doc_id, unnest(fps) AS fp FROM f
     """,
 }

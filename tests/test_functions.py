@@ -1,0 +1,111 @@
+"""Property tests for the public function library: each Column-algebra
+primitive is compared against an independent pure-Python reference on a
+seeded random corpus (adversarial whitespace, punctuation, digits,
+empty strings). One DataFrame per test — hundreds of cases per Spark
+job, not one job per case."""
+
+from __future__ import annotations
+
+import math
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from flinkproj_spark import functions as fx
+
+_ALPHABET = ["the", "a", "Spark", "x1", "99", "!", "...", "é", "word", "q-q"]
+
+
+def _random_texts(n: int = 300, seed: int = 7) -> list[tuple[int, str]]:
+    rng = random.Random(seed)
+    out = []
+    for i in range(n):
+        k = rng.randint(0, 12)
+        # random runs of spaces stress empty-token filtering
+        text = "".join(
+            rng.choice(_ALPHABET) + " " * rng.randint(1, 3) for _ in range(k)
+        ).rstrip()
+        out.append((i, text))
+    out += [(n, ""), (n + 1, "   "), (n + 2, "one"), (n + 3, "a  b")]
+    return out
+
+
+def _py_words(s: str) -> list[str]:
+    return [w for w in s.split(" ") if w != ""]
+
+
+def test_tokenize_ws_matches_python_reference(spark):
+    rows = _random_texts()
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.w for r in df.select("id", fx.tokenize_ws().alias("w")).collect()}
+    for i, s in rows:
+        assert got[i] == _py_words(s), f"id={i} text={s!r}"
+
+
+def test_token_count_matches_python_regex(spark):
+    rows = _random_texts(seed=11)
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.n for r in df.select("id", fx.token_count().alias("n")).collect()}
+    for i, s in rows:
+        assert got[i] == len(re.findall(fx.TOKEN_RE, s)), f"id={i} text={s!r}"
+
+
+def test_shingles_match_python_reference(spark):
+    rows = _random_texts(seed=13)
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: r.sh
+        for r in df.select(
+            "id", fx.shingles(fx.tokenize_ws(), 3).alias("sh")
+        ).collect()
+    }
+    for i, s in rows:
+        words = _py_words(s)
+        ref, seen = [], set()
+        for j in range(max(len(words) - 2, 0)):
+            g = " ".join(words[j : j + 3])
+            if g not in seen:
+                seen.add(g)
+                ref.append(g)
+        assert got[i] == ref, f"id={i} words={words}"
+
+
+def test_quantize_and_dot_are_integer_exact(spark):
+    rng = random.Random(17)
+    rows = [
+        (i, [rng.uniform(-2, 2) for _ in range(16)], [rng.uniform(-2, 2) for _ in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    qa, qb = fx.quantize_embedding(F.col("a")), fx.quantize_embedding(F.col("b"))
+    got = {
+        r.id: (r.qa, r.d)
+        for r in df.select(
+            "id", qa.alias("qa"), fx.dot(qa, qb).alias("d")
+        ).collect()
+    }
+    for i, a, b in rows:
+        ref_a = [math.floor(x * 1000.0 + 0.5) for x in a]
+        ref_b = [math.floor(x * 1000.0 + 0.5) for x in b]
+        assert got[i][0] == ref_a, f"id={i}"
+        assert got[i][1] == sum(x * y for x, y in zip(ref_a, ref_b)), f"id={i}"
+
+
+def test_normalize_text_reference(spark):
+    rows = [(0, "  A  b\tC  "), (1, "x"), (2, ""), (3, "Mixed   CASE here")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.n for r in df.select("id", fx.normalize_text().alias("n")).collect()}
+    for i, s in rows:
+        assert got[i] == re.sub(r"\s+", " ", s.lower()).strip(), f"id={i}"
+
+
+def test_hash_keep_fraction_and_determinism(spark):
+    df = spark.range(20000).select(fx.hash_keep(F.col("id")).alias("h"))
+    kept = df.filter(F.col("h") < "28").count()
+    # '28' hex = 40/256 ≈ 15.6%; md5 uniformity keeps this tight
+    assert abs(kept / 20000 - 40 / 256) < 0.02
+    again = spark.range(20000).select(fx.hash_keep(F.col("id")).alias("h")).filter(
+        F.col("h") < "28"
+    ).count()
+    assert kept == again
