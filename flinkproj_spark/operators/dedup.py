@@ -226,6 +226,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weights.select("doc_id", fingerprint.alias("simhash"))
 
 
+EVAL_MOD = 97  # doc_id % 97 == 0 defines the held-out "benchmark" set
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any word
+    3-shingle with the held-out eval set (doc_id % EVAL_MOD == 0 stands
+    in for an external benchmark). Output: (doc_id, n_shared,
+    contaminated) for every non-eval doc with ≥ 3 words.
+
+    Scale shape: the eval set's distinct shingle hashes are tiny
+    relative to the corpus, so they BROADCAST into an inner join
+    against the exploded training shingles; the per-doc overlap count
+    is a map-side-combined groupBy. The corpus never self-joins and
+    never shuffles its text — only (doc_id, matched-hash) survivor rows
+    move. Contaminated-doc removal is then an anti join, as in
+    pipeline_curate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    sh = docs.filter(F.size(words) >= 3).select(
+        "doc_id", F.explode(_shingles(words)).alias("s")
+    ).select("doc_id", F.md5("s").alias("h"))
+    eval_hashes = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("h").distinct()
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    overlap = (
+        train.join(F.broadcast(eval_hashes), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_shared"))
+    )
+    base = docs.filter((F.size(words) >= 3) & (F.col("doc_id") % EVAL_MOD != 0)).select("doc_id")
+    return (
+        base.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: candidate pairs share a blocking key
     (lang + first two words — near-dups share their prefix), then exact
@@ -260,6 +299,7 @@ QUERIES = {
     "dedup_cluster": dedup_cluster,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "decontaminate": decontaminate,
 }
 
 _SHINGLES_SQL = f"""
@@ -335,6 +375,25 @@ ORACLE = {
                  j -> CASE WHEN weights[j + 1] >= 0
                            THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
         FROM wgt
+    """,
+    "decontaminate": f"""
+        WITH sh AS (
+          SELECT doc_id, md5(unnest({_SHINGLES_SQL})) AS h
+          FROM documents WHERE len({_WORDS_SQL}) >= 3),
+        ev AS (
+          SELECT DISTINCT h FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+        train AS (
+          SELECT doc_id, h FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+        o AS (
+          SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_shared
+          FROM train t JOIN ev ON t.h = ev.h
+          GROUP BY t.doc_id)
+        SELECT b.doc_id,
+               COALESCE(o.n_shared, 0) AS n_shared,
+               COALESCE(o.n_shared, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents
+              WHERE len({_WORDS_SQL}) >= 3 AND doc_id % {EVAL_MOD} <> 0) b
+        LEFT JOIN o ON b.doc_id = o.doc_id
     """,
     "dedup_ngram_jaccard": f"""
         WITH k AS (
