@@ -1,0 +1,63 @@
+"""Streaming twin of the batch curation funnel (operators/e2e.py::
+pipeline_curate): continuous document ingest with quality gating and
+content dedup.
+
+The reference has no document pipeline at all (its streams are JSON
+event records, SURVEY.md §2.10); this is the LLM-data extension running
+as a stream: the same language-evidence + length/quality filters as the
+batch funnel — stateless, so they fuse into the scan exactly like the
+batch plan — followed by exact content dedup keyed on the normalized
+text's md5, with state bounded by the watermark horizon
+(dropDuplicatesWithinWatermark keeps ONE state row per content hash and
+evicts it when the watermark passes — at 100 TB/day the state store
+holds a horizon's worth of hashes, not history).
+
+Near-dup (MinHash) removal stays batch-side: LSH bucketing needs a
+corpus-wide self-grouping that streaming state cannot bound, so the
+idiomatic split is stream-gate cheap + exact, batch-sweep the
+accumulated store (the lambda-architecture shape the batch
+pipeline_curate implements).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flinkproj_spark import functions as fx
+from flinkproj_spark.operators.text import _LANG_MARKERS, _LANG_ORDER, _STOPWORDS
+
+
+def curate_gate(docs: DataFrame) -> DataFrame:
+    """The stateless filter stage, shared verbatim by batch and stream:
+    language evidence present, ≥ 20 words, quality ≥ 0.3. Adds the
+    content fingerprint column the dedup stage keys on."""
+    words = fx.tokenize_ws()
+    lower = F.transform(words, lambda w: F.lower(w))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+
+    def _hits(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return F.size(F.filter(lower, lambda w: F.array_contains(arr, w)))
+
+    marker_hits = F.greatest(*[_hits(_LANG_MARKERS[lang]) for lang in _LANG_ORDER])
+    n_words = F.size(words)
+    quality = (
+        F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
+        * (F.lit(1.0) - F.size(F.filter(lower, lambda w: F.array_contains(stop_arr, w))).cast("double") / n_words.cast("double"))
+    )
+    return docs.filter(
+        (marker_hits > 0) & (n_words >= 20) & (quality >= 0.3)
+    ).withColumn("content_fp", F.md5(fx.normalize_text()))
+
+
+def stream_curate(docs: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Streaming curation: quality gate → exact content dedup within the
+    watermark horizon. Keeps the first arrival of each normalized
+    content; re-deliveries and byte-identical near-in-time copies drop.
+
+    Input needs columns (doc_id, ts, text); all columns pass through
+    plus content_fp."""
+    return curate_gate(docs).withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["content_fp"]
+    )

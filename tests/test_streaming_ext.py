@@ -105,3 +105,35 @@ class TestStreamSlidingCounts:
         assert got <= want
         finalized = {t for t in want if t[0] < _sec(3000)}
         assert finalized <= got
+
+
+class TestStreamCurate:
+    def test_gates_and_dedups_match_batch(self, spark, tmp_path):
+        from flinkproj_spark.streaming.curate import curate_gate, stream_curate
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        schema = "doc_id long, ts timestamp, text string"
+        good = "the quick value " + "word data table spark query join row " * 5
+        low_quality = "the " * 30  # all stopwords -> quality 0
+        no_markers = "zz yy xx " * 10
+        rows = [
+            (1, _sec(0), good),
+            (2, _sec(1), low_quality),
+            (3, _sec(2), no_markers),
+            (4, _sec(3), good),  # byte-identical duplicate of 1
+        ]
+        _feed(spark, src, rows, schema)
+        _run(stream_curate(spark.readStream.schema(schema).parquet(src)), out, ckpt)
+        # duplicate redelivered in a later micro-batch, still within horizon
+        _feed(spark, src, [(5, _sec(10), good)], schema)
+        _run(stream_curate(spark.readStream.schema(schema).parquet(src)), out, ckpt)
+
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1]
+
+        # the stateless gate itself matches the batch filter exactly
+        batch_ids = sorted(
+            r.doc_id
+            for r in curate_gate(spark.createDataFrame(rows, schema)).collect()
+        )
+        assert batch_ids == [1, 4]
