@@ -40,6 +40,11 @@ MINHASH_P = 4294967311
 MINHASH_A = [131, 193, 257, 389, 521, 769, 1031, 1543, 2053]
 MINHASH_B = [17, 29, 43, 61, 89, 113, 151, 197, 251]
 
+# Hot-bucket guard: a band bucket larger than this is dropped before
+# pair expansion (its O(k²) pairs are mass-duplicate boilerplate, the
+# upstream exact-dedup/boilerplate filter's job, not LSH's).
+BUCKET_CAP = 200
+
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
 
 
@@ -123,12 +128,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emit the O(k²) ordered pairs in-row. One shuffle on band_key and
     # the signature pipeline runs ONCE (a self-join evaluates its whole
     # input subtree per side). Bucket sizes are near-dup cluster sizes,
-    # so k is small; a pathological hot bucket (mass-duplicated
-    # boilerplate) would be capped/salted upstream at real scale.
+    # so k is small — and a hard cap (BUCKET_CAP) drops pathological hot
+    # buckets (mass-duplicated boilerplate shingles) instead of melting
+    # one task on an O(k²) expansion: members of an over-full bucket are
+    # still pair-covered by their OTHER bands unless they collide there
+    # too, which is exactly the all-pairs-duplicate case a boilerplate
+    # filter should handle upstream.
     buckets = (
         keyed.groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter(F.size("ids").between(2, BUCKET_CAP))
     )
     pair_arr = F.flatten(
         F.transform(
@@ -329,6 +338,9 @@ _MINHASH_PAIRS_SQL = f"""
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        JOIN (SELECT band_key FROM bands GROUP BY band_key
+              HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {BUCKET_CAP}) ok
+          ON a.band_key = ok.band_key
 """
 
 ORACLE = {
