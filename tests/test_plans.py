@@ -294,3 +294,43 @@ def test_sample_exact_k_single_shuffle_on_group_key(spark, sf_dir):
 
     plan = _plan(sample_exact_k(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_cells_as_partition_column_prune_probes(spark, sf_dir, tmp_path):
+    # The IVF docstring's 100 TB claim, pinned: materialize the cell
+    # assignment as a partition column, then a probe of N_PROBE cells
+    # must be a partition-pruned scan (only the probed directories read).
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        _quantized,
+        _dot,
+    )
+
+    base = _quantized(spark, sf_dir)
+    cent = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("norm").alias("cnorm"))
+    assign = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "label", "q", "cid",
+            (_dot("q", "cv").cast("double") / (F.col("norm") * F.col("cnorm"))).alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).cast("double"))).alias("cell"),
+            F.first("label").alias("label"),
+        )
+    )
+    out = str(tmp_path / "ivf_index")
+    assign.write.partitionBy("cell").parquet(out)
+
+    probed = spark.read.parquet(out).filter(F.col("cell").isin(8, 9, 10, 11))
+    plan = _formatted(probed)
+    pf = plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "cell" in pf, plan
+    # pruned scan reads only the probed cells
+    assert probed.select("cell").distinct().count() <= 4
