@@ -221,11 +221,33 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: quantize once, posexplode to
+    (label, pos, q) rows, one map-side-combined groupBy(label, pos) —
+    sums are integer-exact at any parallelism, the mean is one double
+    division at the end. The output IS a k-means maximization step
+    (given labels as assignments), i.e. the codebook builder the IVF
+    index needs — at 100 TB the shuffle carries 64 longs per (label,
+    partition), nothing else."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = fx.quantize_embedding(F.col("embedding"))
+    return (
+        emb.select("label", F.posexplode(q).alias("pos0", "qv"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.count("*").alias("n"), F.sum("qv").alias("sum_q"))
+        .select(
+            "label", "pos", "n", "sum_q",
+            F.round(F.col("sum_q").cast("double") / F.col("n").cast("double"), 4).alias("mean_q"),
+        )
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_neardup": embedding_neardup,
+    "embedding_centroids": embedding_centroids,
 }
 
 
@@ -258,6 +280,18 @@ _BASE_SQL = f"""
 """
 
 ORACLE = {
+    "embedding_centroids": """
+        WITH x AS (
+          SELECT label,
+                 unnest(generate_series(1, len(embedding))) AS pos,
+                 CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+                      AS BIGINT) AS qv
+          FROM embeddings)
+        SELECT label, pos, COUNT(*) AS n,
+               CAST(SUM(qv) AS BIGINT) AS sum_q,
+               ROUND(CAST(SUM(qv) AS DOUBLE) / COUNT(*), 4) AS mean_q
+        FROM x GROUP BY 1, 2
+    """,
     "ann_topk_ivf": f"""
         WITH base AS ({_BASE_SQL}),
         cent AS (
