@@ -103,3 +103,17 @@ def test_approx_distinct_within_error_bound(spark, sf_dir):
     assert set(exact) == set(approx)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, n, approx[t])
+
+
+def test_ann_recall_floors_vs_brute(spark, sf_dir):
+    """The approximate variants must stay above their measured recall
+    floors against exact brute force — a config regression (fewer
+    probes, broken multi-probe expansion) trips this before a user sees
+    silently-bad neighbors."""
+    from flinkproj_spark.operators.similarity import ann_topk_ivf
+
+    brute = {(r.query_id, r.vec_id) for r in ann_topk_brute(spark, sf_dir).collect()}
+    lsh = {(r.query_id, r.vec_id) for r in ann_topk_lsh(spark, sf_dir).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in ann_topk_ivf(spark, sf_dir).collect()}
+    assert len(lsh & brute) / len(brute) >= 0.15
+    assert len(ivf & brute) / len(brute) >= 0.35
