@@ -190,15 +190,18 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # Convergence via the label-sum invariant: labels only ever
+        # decrease (new = min(own, neighbors)), so the sum strictly
+        # drops on any active round and is equal iff nothing changed —
+        # one cheap aggregate on checkpointed data instead of a
+        # join-and-compare per round.
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        prev_sum = getattr(labels, "_label_sum", None)
+        if prev_sum is None:
+            prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        labels._label_sum = new_sum
+        if new_sum == prev_sum:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
