@@ -482,10 +482,13 @@ ORACLE = {
     "session_window_agg": """
         WITH g AS (
           SELECT user_id, ts,
+                 -- microsecond-exact gap test: Spark's session_window
+                 -- merges on full timestamp precision, so second-level
+                 -- truncation here flips events that sit within 1 s of
+                 -- the 30 min boundary (one such pair exists at sf0.1)
                  CASE WHEN LAG(ts) OVER w IS NULL THEN 1
-                      WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT) -
-                           LAG(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER w
-                           >= 1800 THEN 1
+                      WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                           >= 1800000000 THEN 1
                       ELSE 0 END AS new_session
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
