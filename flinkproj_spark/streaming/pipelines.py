@@ -127,9 +127,16 @@ def stream_report_with_late_split(
             return
         batch = batch.persist()
         try:
-            mx = batch.agg(F.max("ts")).collect()[0][0]
+            # Format the max event time JVM-side (session timezone) —
+            # collecting the raw timestamp would surface it as a Python
+            # datetime in the HOST timezone, and re-parsing that string
+            # with to_timestamp (session TZ) shifted the watermark by
+            # the host/UTC offset on non-UTC hosts.
+            mx = batch.agg(
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            ).collect()[0][0]
             prev = _load_max_ts()
-            cur = max(p for p in (prev, mx.strftime("%Y-%m-%d %H:%M:%S.%f")) if p)
+            cur = max(p for p in (prev, mx) if p)
             _store_max_ts(cur)
             wm = F.to_timestamp(F.lit(cur)) - F.expr(f"INTERVAL {WATERMARK}")
             on_time, late = report_late_split(batch, wm)

@@ -77,8 +77,13 @@ def test_multimodal_decode_is_arrow_batched(spark, sf_dir):
 def test_events_timestamps_survive_nanos_roundtrip(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     assert dict(events.dtypes)["ts"] == "timestamp"
-    mn, mx = events.agg(F.min("ts"), F.max("ts")).collect()[0]
-    assert mn.year == 2024 and mx > mn
+    # read the year JVM-side (session TZ = UTC): collecting the raw
+    # timestamp renders it in the HOST timezone, which would flip
+    # 2024-01-01T00:.. to 2023-12-31 on hosts west of UTC
+    mn_year, mn, mx = events.agg(
+        F.date_format(F.min("ts"), "yyyy"), F.min("ts"), F.max("ts")
+    ).collect()[0]
+    assert mn_year == "2024" and mx > mn
 
 
 def test_sql_api_runs_arbitrary_queries(spark, sf_dir):
