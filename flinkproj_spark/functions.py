@@ -46,18 +46,24 @@ def normalize_text(col: Column | str = "text") -> Column:
     return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
 
 
-def shingles(words: Column, n: int = 3) -> Column:
-    """Distinct word n-shingles, built in O(len) per doc by zipping the
-    word array against its shifted tails (the transform-over-index +
-    slice formulation is O(len²) per doc and goes pathological on long
-    docs). Callers should filter size(words) >= n first."""
+def ngrams(words: Column, n: int) -> Column:
+    """Positional (non-distinct) word n-grams, built in O(len) per doc
+    by zipping the word array against its shifted tails (the
+    transform-over-index + slice formulation is O(len²) per doc and
+    goes pathological on long docs). Callers should filter
+    size(words) >= n first."""
     m = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
     out = F.slice(words, 1, m)
     for i in range(1, n):
         out = F.zip_with(
             out, F.slice(words, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
-    return F.array_distinct(out)
+    return out
+
+
+def shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-shingles (see ngrams for the O(len) shape)."""
+    return F.array_distinct(ngrams(words, n))
 
 
 def quantize_embedding(col: Column, places: int = 3) -> Column:

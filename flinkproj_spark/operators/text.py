@@ -270,8 +270,72 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 use 0.20
+# for the top-2-gram fraction and 0.15-ish for duplicate-n-gram mass;
+# we keep those two signals plus a duplicate-word fraction).
+_REP_TOP_BIGRAM = 0.20
+_REP_DUP_TRIGRAM = 0.15
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction (1 − distinct/total), top-bigram mass fraction, and the
+    fraction of trigram occurrences belonging to repeated trigrams —
+    with the classic repetitive-document flag over the thresholds.
+
+    Scale shape: words, bigrams and trigrams are built in-row (O(len)
+    zip_with, no index loop), tagged, concatenated and exploded ONCE —
+    a single (doc_id, gram) shuffle with map-side combine, then one
+    map-side-combinable rollup to a per-doc row. Gram volume is 3n−3
+    per doc → linear; doc_id keys are uniform so no skew. All ratios
+    are double divisions of exact integers, rounded to 4 places for
+    cross-engine hashing; the flag compares the rounded values so both
+    engines agree at the threshold boundary. The gram-construction map
+    side is tokenize-heavy → fan the under-split scan out (no-op on a
+    properly-split 100 TB layout)."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = F.transform(_words(), lambda w: F.lower(w))
+    tagged = F.concat(
+        F.transform(words, lambda w: F.concat(F.lit("w:"), w)),
+        F.transform(fx.ngrams(words, 2), lambda g: F.concat(F.lit("b:"), g)),
+        F.transform(fx.ngrams(words, 3), lambda g: F.concat(F.lit("t:"), g)),
+    )
+    grams = (
+        docs.filter(F.size(_words()) >= 3)
+        .select("doc_id", F.explode(tagged).alias("gm"))
+    )
+    c = grams.groupBy("doc_id", "gm").agg(F.count("*").alias("c"))
+    kind = F.substring("gm", 1, 2)
+    per_doc = c.groupBy("doc_id").agg(
+        F.sum(F.when(kind == "w:", F.col("c"))).alias("n_words"),
+        F.count(F.when(kind == "w:", 1)).alias("_n_distinct"),
+        F.max(F.when(kind == "b:", F.col("c"))).alias("_top_bi"),
+        F.sum(F.when(kind == "b:", F.col("c"))).alias("_total_bi"),
+        F.sum(F.when((kind == "t:") & (F.col("c") >= 2), F.col("c"))).alias("_dup_tri"),
+        F.sum(F.when(kind == "t:", F.col("c"))).alias("_total_tri"),
+    )
+    dup_word = F.round(
+        (F.col("n_words") - F.col("_n_distinct")).cast("double") / F.col("n_words"), 4
+    )
+    top_bi = F.round(F.col("_top_bi").cast("double") / F.col("_total_bi"), 4)
+    dup_tri = F.round(
+        F.coalesce(F.col("_dup_tri"), F.lit(0)).cast("double") / F.col("_total_tri"), 4
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        dup_word.alias("dup_word_frac"),
+        top_bi.alias("top_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        ((top_bi > _REP_TOP_BIGRAM) | (dup_tri > _REP_DUP_TRIGRAM))
+        .cast("long")
+        .alias("repetitive"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
+    "text_repetition": text_repetition,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "doc_fingerprint": doc_fingerprint,
@@ -298,6 +362,39 @@ _PRED_CASE = "CASE " + " ".join(
 ) + " ELSE 'unknown' END"
 
 ORACLE = {
+    "text_repetition": f"""
+        WITH w AS (
+          SELECT doc_id, list_transform({_WORDS_SQL}, x -> lower(x)) AS words
+          FROM documents WHERE len({_WORDS_SQL}) >= 3),
+        g AS (
+          SELECT doc_id, unnest(list_concat(list_concat(
+                   list_transform(words, x -> 'w:' || x),
+                   list_transform(range(1, len(words)),
+                                  i -> 'b:' || words[i] || ' ' || words[i + 1])),
+                   list_transform(range(1, len(words) - 1),
+                                  i -> 't:' || words[i] || ' ' || words[i + 1]
+                                       || ' ' || words[i + 2]))) AS gm
+          FROM w),
+        c AS (SELECT doc_id, gm, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        d AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN substr(gm, 1, 2) = 'w:' THEN c END) AS n_words,
+                 COUNT(CASE WHEN substr(gm, 1, 2) = 'w:' THEN 1 END) AS _n_distinct,
+                 MAX(CASE WHEN substr(gm, 1, 2) = 'b:' THEN c END) AS _top_bi,
+                 SUM(CASE WHEN substr(gm, 1, 2) = 'b:' THEN c END) AS _total_bi,
+                 SUM(CASE WHEN substr(gm, 1, 2) = 't:' AND c >= 2 THEN c END) AS _dup_tri,
+                 SUM(CASE WHEN substr(gm, 1, 2) = 't:' THEN c END) AS _total_tri
+          FROM c GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               ROUND(CAST(n_words - _n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+               ROUND(CAST(_top_bi AS DOUBLE) / _total_bi, 4) AS top_bigram_frac,
+               ROUND(CAST(COALESCE(_dup_tri, 0) AS DOUBLE) / _total_tri, 4) AS dup_trigram_frac,
+               CAST(ROUND(CAST(_top_bi AS DOUBLE) / _total_bi, 4) > {_REP_TOP_BIGRAM}
+                    OR ROUND(CAST(COALESCE(_dup_tri, 0) AS DOUBLE) / _total_tri, 4)
+                       > {_REP_DUP_TRIGRAM} AS BIGINT) AS repetitive
+        FROM d
+    """,
     "text_token_count": f"""
         SELECT doc_id,
                len({_WORDS_SQL}) AS n_words,

@@ -122,3 +122,23 @@ def test_ann_recall_floors_vs_brute(spark, sf_dir):
     ivf = {(r.query_id, r.vec_id) for r in ann_topk_ivf(spark, sf_dir).collect()}
     assert len(lsh & brute) / len(brute) >= 0.15
     assert len(ivf & brute) / len(brute) >= 0.35
+
+
+def test_repetition_flags_planted_repetitive_doc(spark, tmp_path):
+    """A doc that is one trigram stamped over and over must flag; a
+    diverse doc must not; a doc below 3 words is excluded."""
+    from flinkproj_spark.operators.text import text_repetition
+
+    rows = [
+        (1, ("spam ham eggs " * 20).strip(), "en", "s", 0),
+        (2, "every word here appears exactly once in this document", "en", "s", 0),
+        (3, "too short", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in text_repetition(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].repetitive == 1 and out[1].dup_trigram_frac > 0.9
+    assert out[2].repetitive == 0 and out[2].dup_word_frac == 0.0
