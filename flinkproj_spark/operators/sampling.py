@@ -135,8 +135,38 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SHARDS = 8
+_SHUFFLE_SALT = "shard0"
+
+
+def train_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding of the corpus for
+    training output: every doc gets a pseudo-random but reproducible
+    position — shard = md5-bucket of doc_id, pos = rank of the full
+    md5 key within the shard — so a trainer streaming shard files in
+    pos order reads uniformly shuffled data, identically on every run.
+
+    Scale shape: the key is an in-row hash; the only shuffle is the
+    hash partition on `shard` + an in-partition sort (the sort IS the
+    semantics). At 100 TB, shard count is raised to O(10k) so each
+    shard sorts independently and writes one training file — the
+    classic shuffle-shard-write layout; no global sort ever happens."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
+    keyed = docs.select(
+        "doc_id",
+        key.alias("_k"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % _N_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("_k", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
+    "train_shard_shuffle": train_shard_shuffle,
     "doc_chunking": doc_chunking,
     "sequence_pack": sequence_pack,
     "sliding_window_agg": sliding_window_agg,
@@ -145,6 +175,18 @@ QUERIES = {
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
 
 ORACLE = {
+    "train_shard_shuffle": f"""
+        WITH k AS (
+          SELECT doc_id,
+                 md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}') AS _k
+          FROM documents)
+        SELECT doc_id,
+               ('0x' || substr(_k, 1, 8))::BIGINT % {_N_SHARDS} AS shard,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY ('0x' || substr(_k, 1, 8))::BIGINT % {_N_SHARDS}
+                 ORDER BY _k, doc_id) AS BIGINT) AS pos
+        FROM k
+    """,
     "stratified_sample": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents

@@ -142,3 +142,23 @@ def test_repetition_flags_planted_repetitive_doc(spark, tmp_path):
     assert set(out) == {1, 2}
     assert out[1].repetitive == 1 and out[1].dup_trigram_frac > 0.9
     assert out[2].repetitive == 0 and out[2].dup_word_frac == 0.0
+
+
+def test_train_shard_shuffle_is_dense_balanced_and_shuffled(spark, sf_dir):
+    """Every shard's positions are exactly 1..n (dense ranks), shards
+    are roughly balanced, and the order is not the input order (it is
+    actually shuffled)."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.sampling import train_shard_shuffle
+
+    rows = train_shard_shuffle(spark, sf_dir).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append((r.pos, r.doc_id))
+    n = len(rows)
+    for shard, members in by_shard.items():
+        assert sorted(p for p, _ in members) == list(range(1, len(members) + 1))
+        assert len(members) < 0.5 * n, "one shard holds half the corpus"
+        ordered = [d for _, d in sorted(members)]
+        assert ordered != sorted(ordered), f"shard {shard} kept input order"
