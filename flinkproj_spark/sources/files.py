@@ -137,3 +137,38 @@ def ingest_to_parquet(
     if partition_cols:
         w = w.partitionBy(*partition_cols)
     w.parquet(out_path)
+
+
+def write_training_shards(
+    docs: DataFrame, out_path: str, n_shards: int = 8, salt: str = "shard0"
+) -> None:
+    """Materialize the train_shard_shuffle layout: hash-partition the
+    corpus into `n_shards` deterministic pseudo-random shards, sort each
+    shard by its shuffle key, and write ONE file per shard
+    (`shard=<k>/part-*.parquet`), so a trainer streams uniformly
+    shuffled data by reading shard files front to back.
+
+    Scale shape: repartition on the shard column (one hash shuffle) +
+    sortWithinPartitions (in-partition sort, never global) + partitioned
+    write. At 100 TB raise n_shards to O(10k): each shard sorts and
+    writes independently, and file size stays at the 1-10 GB sweet spot.
+    """
+    import pyspark.sql.functions as F
+
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt)))
+    (
+        docs.withColumn("_k", key)
+        .withColumn(
+            "shard",
+            (F.conv(F.substring("_k", 1, 8), 16, 10).cast("long") % n_shards),
+        )
+        .repartition(n_shards, "shard")
+        # lead with the partition column: FileFormatWriter requires rows
+        # sorted by partition columns and would otherwise insert its own
+        # (non-stable) sort, scrambling the in-shard order
+        .sortWithinPartitions("shard", "_k", "doc_id")
+        .drop("_k")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_path)
+    )

@@ -102,3 +102,35 @@ def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_training_shard_write_matches_shuffle_operator(spark, sf_dir, tmp_path):
+    """The landed shard files reproduce train_shard_shuffle exactly: the
+    hive shard partition matches the operator's shard, and row order
+    inside each shard file is the operator's pos order."""
+    from flinkproj_spark.operators.sampling import train_shard_shuffle
+    from flinkproj_spark.sources.files import write_training_shards
+    from flinkproj_spark.sources.tables import load_table
+
+    out = str(tmp_path / "shards")
+    write_training_shards(load_table(spark, sf_dir, "documents"), out)
+    expect = {
+        r.doc_id: (r.shard, r.pos)
+        for r in train_shard_shuffle(spark, sf_dir).collect()
+    }
+    import glob
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{out}/shard=*/*.parquet"))
+    assert len(files) == 8, f"expected one file per shard, got {len(files)}"
+    seen = 0
+    for f in files:
+        shard = int(f.split("shard=")[1].split("/")[0])
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        for file_pos, doc_id in enumerate(ids, start=1):
+            assert expect[doc_id] == (shard, file_pos), (
+                f"doc {doc_id}: file says ({shard},{file_pos}), "
+                f"operator says {expect[doc_id]}"
+            )
+        seen += len(ids)
+    assert seen == len(expect)
