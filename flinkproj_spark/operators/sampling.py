@@ -135,6 +135,54 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target language mixture for domain_mix, integer percents.
+_MIX_PCT = {"en": 40, "de": 20, "es": 20, "fr": 10, "zh": 10}
+_MIX_SALT = "mix0"
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/language mixing by downsampling: find the largest total T
+    whose target mixture fits inside the corpus (T = min over languages
+    of count·100/pct — the binding language keeps everything), then keep
+    each language at fraction pct·T/(100·count) via the deterministic
+    md5-bucket coin. The DoReMi/Pile-style static-reweighting step
+    between dedup and tokenization.
+
+    Scale shape: pass 1 is a map-side-combined count by language (tiny
+    result), the threshold table is broadcast back, and pass 2 is a pure
+    scan+filter — no shuffle ever touches the corpus rows. Thresholds
+    are double arithmetic over exact integer counts with the SAME
+    operation order in both engines, so the kept set is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.create_map(
+        *[F.lit(x) for kv in _MIX_PCT.items() for x in kv]
+    )[F.col("lang")]
+    counts = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn("p", pct)
+        .filter(F.col("p").isNotNull() & (F.col("p") > 0))
+    )
+    t = counts.select(F.min(F.col("c") * 100.0 / F.col("p")).alias("t"))
+    thr = counts.crossJoin(F.broadcast(t)).select(
+        "lang",
+        ((F.col("p") / 100.0) * F.col("t") / F.col("c") * F.lit(4294967296.0))
+        .alias("thr"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(bucket.cast("double") < F.col("thr"))
+        .select("doc_id", "lang", "source")
+    )
+
+
 _N_SHARDS = 8
 _SHUFFLE_SALT = "shard0"
 
@@ -166,6 +214,7 @@ def train_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stratified_sample": stratified_sample,
+    "domain_mix": domain_mix,
     "train_shard_shuffle": train_shard_shuffle,
     "doc_chunking": doc_chunking,
     "sequence_pack": sequence_pack,
@@ -174,7 +223,25 @@ QUERIES = {
 
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
 
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_PCT.items()
+) + " ELSE NULL END"
+
 ORACLE = {
+    "domain_mix": f"""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS c, {_MIX_CASE} AS p
+          FROM documents GROUP BY lang),
+        f AS (SELECT lang, c, p FROM c WHERE p IS NOT NULL AND p > 0),
+        t AS (SELECT MIN(c * 100.0 / p) AS t FROM f),
+        thr AS (
+          SELECT lang, (p / 100.0) * (SELECT t FROM t) / c * 4294967296.0 AS thr
+          FROM f)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN thr USING (lang)
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{_MIX_SALT}'),
+                                   1, 8))::BIGINT AS DOUBLE) < thr
+    """,
     "train_shard_shuffle": f"""
         WITH k AS (
           SELECT doc_id,

@@ -162,3 +162,25 @@ def test_train_shard_shuffle_is_dense_balanced_and_shuffled(spark, sf_dir):
         assert len(members) < 0.5 * n, "one shard holds half the corpus"
         ordered = [d for _, d in sorted(members)]
         assert ordered != sorted(ordered), f"shard {shard} kept input order"
+
+
+def test_domain_mix_hits_target_mixture(spark, sf_dir):
+    """The binding language keeps ~everything and the achieved mixture
+    is within sampling noise of the target percents."""
+    from collections import Counter
+
+    from flinkproj_spark.operators.sampling import _MIX_PCT, domain_mix
+    from flinkproj_spark.sources.tables import load_table
+
+    kept = Counter(r.lang for r in domain_mix(spark, sf_dir).collect())
+    orig = Counter(
+        r.lang
+        for r in load_table(spark, sf_dir, "documents").select("lang").collect()
+    )
+    total = sum(kept.values())
+    binding = min(orig, key=lambda l: orig[l] * 100 / _MIX_PCT[l])
+    assert kept[binding] / orig[binding] > 0.9, "binding language was cut"
+    for lang, pct in _MIX_PCT.items():
+        assert abs(kept[lang] / total - pct / 100) < 0.06, (
+            f"{lang}: got {kept[lang] / total:.2f}, want {pct / 100:.2f}"
+        )
