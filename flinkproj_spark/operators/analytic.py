@@ -49,6 +49,50 @@ def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def time_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (the continuous-aggregate
+    analog): minute/hour/day time buckets per event_type, computed in ONE
+    Expand pass via GROUPING SETS — the scan reads events once and the
+    single shuffle carries already-combined partial aggregates for all
+    three resolutions. At 100 TB this replaces three separate rollup jobs
+    with one, and the coarse resolutions come almost free (their
+    cardinality is dwarfed by minute's). Value sums use exact integer
+    cents (see relational._cents) so hashes match across engines."""
+    events = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    base = events.select(
+        F.date_format(F.date_trunc("minute", "ts"), fmt).alias("b_min"),
+        F.date_format(F.date_trunc("hour", "ts"), fmt).alias("b_hour"),
+        F.date_format(F.date_trunc("day", "ts"), fmt).alias("b_day"),
+        "event_type",
+        _cents("value").alias("v_c"),
+    )
+    agg = base.groupingSets(
+        [["b_min", "event_type"], ["b_hour", "event_type"], ["b_day", "event_type"]],
+        "b_min",
+        "b_hour",
+        "b_day",
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("v_c").alias("_v"),
+        F.grouping("b_min").alias("_g_min"),
+        F.grouping("b_hour").alias("_g_hour"),
+    )
+    res = (
+        F.when(F.col("_g_min") == 0, F.lit("minute"))
+        .when(F.col("_g_hour") == 0, F.lit("hour"))
+        .otherwise(F.lit("day"))
+    )
+    return agg.select(
+        res.alias("resolution"),
+        F.coalesce("b_min", "b_hour", "b_day").alias("bucket"),
+        "event_type",
+        "n",
+        (F.col("_v").cast("double") / F.lit(100.0)).alias("value_sum"),
+    )
+
+
 def interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per customer, how many ordered pairs of their orders fall within
     30 days of each other — the interval/range-join shape. Equi-key
@@ -111,12 +155,32 @@ def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "grouping_sets_counts": grouping_sets_counts,
+    "time_rollup_multires": time_rollup_multires,
     "interval_join_pairs": interval_join_pairs,
     "percentile_stats": percentile_stats,
     "histogram_value": histogram_value,
 }
 
 ORACLE = {
+    "time_rollup_multires": """
+        WITH base AS (
+          SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS b_min,
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS b_hour,
+                 strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS b_day,
+                 event_type,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+          FROM events)
+        SELECT CASE WHEN GROUPING(b_min) = 0 THEN 'minute'
+                    WHEN GROUPING(b_hour) = 0 THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               COALESCE(b_min, b_hour, b_day) AS bucket,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(v_c) AS DOUBLE) / 100.0 AS value_sum
+        FROM base
+        GROUP BY GROUPING SETS ((b_min, event_type), (b_hour, event_type),
+                                (b_day, event_type))
+    """,
     "grouping_sets_counts": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
