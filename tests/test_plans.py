@@ -334,3 +334,45 @@ def test_ivf_cells_as_partition_column_prune_probes(spark, sf_dir, tmp_path):
     assert "cell" in pf, plan
     # pruned scan reads only the probed cells
     assert probed.select("cell").distinct().count() <= 4
+
+
+def test_time_rollup_is_single_expand_single_shuffle(spark, sf_dir):
+    from flinkproj_spark.operators.analytic import time_rollup_multires
+
+    plan = _plan(time_rollup_multires(spark, sf_dir))
+    assert plan.count("Expand") == 1  # one pass for all three resolutions
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_domain_mix_never_shuffles_corpus_rows(spark, sf_dir):
+    # pass 1 aggregates the tiny lang-count table; the kept-rows side is
+    # a scan + broadcast join + filter — no Exchange above the doc scan
+    from flinkproj_spark.operators.sampling import domain_mix
+
+    plan = _plan(domain_mix(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    docs_branch = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in docs_branch, plan
+
+
+def test_train_shard_shuffle_is_one_exchange_plus_local_sort(spark, sf_dir):
+    from flinkproj_spark.operators.sampling import train_shard_shuffle
+
+    plan = _plan(train_shard_shuffle(spark, sf_dir))
+    assert plan.count("Exchange") == 1  # hash partition on shard only
+    # Sort [...], false, 0 == in-partition sort; true would be a total sort
+    assert "Sort [" in plan and "], false, 0" in plan
+    assert "], true, 0" not in plan
+
+
+def test_text_repetition_shuffles_combined_partials_only(spark, sf_dir):
+    # both aggregations must be partial+final (map-side combine), so the
+    # wire carries (doc_id, gram, count) not raw grams
+    from flinkproj_spark.operators.text import text_repetition
+
+    plan = _plan(text_repetition(spark, sf_dir))
+    assert plan.count("partial_count") >= 1, plan
+    read = _formatted(text_repetition(spark, sf_dir)).split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read and "lang" not in read  # column-pruned scan
