@@ -294,16 +294,22 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is tokenize-heavy → fan the under-split scan out (no-op on a
     properly-split 100 TB layout)."""
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
-    words = F.transform(_words(), lambda w: F.lower(w))
+    # Stage the lowered word array behind a nondeterministic barrier so
+    # the tokenize runs once per row — CollapseProject would otherwise
+    # inline it into every slice of the three n-gram builders (12
+    # re-evaluations of split per row; see doc_winnow_fingerprints).
+    staged = docs.filter(F.size(_words()) >= 3).select(
+        "doc_id",
+        F.transform(_words(), lambda w: F.lower(w)).alias("ws"),
+        F.monotonically_increasing_id().alias("_nc"),
+    )
+    ws = F.col("ws")
     tagged = F.concat(
-        F.transform(words, lambda w: F.concat(F.lit("w:"), w)),
-        F.transform(fx.ngrams(words, 2), lambda g: F.concat(F.lit("b:"), g)),
-        F.transform(fx.ngrams(words, 3), lambda g: F.concat(F.lit("t:"), g)),
+        F.transform(ws, lambda w: F.concat(F.lit("w:"), w)),
+        F.transform(fx.ngrams(ws, 2), lambda g: F.concat(F.lit("b:"), g)),
+        F.transform(fx.ngrams(ws, 3), lambda g: F.concat(F.lit("t:"), g)),
     )
-    grams = (
-        docs.filter(F.size(_words()) >= 3)
-        .select("doc_id", F.explode(tagged).alias("gm"))
-    )
+    grams = staged.select("doc_id", F.explode(tagged).alias("gm"))
     c = grams.groupBy("doc_id", "gm").agg(F.count("*").alias("c"))
     kind = F.substring("gm", 1, 2)
     per_doc = c.groupBy("doc_id").agg(
