@@ -64,13 +64,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table. Plain parquet scan — Catalyst prunes
     columns and pushes filters into it from whatever plan sits on top.
 
-    The corpus stores some timestamps as parquet TIMESTAMP(NANOS), which
-    Spark has no native type for; nanosAsLong surfaces them as int64 and
-    the loader normalizes back to TimestampType (microsecond truncation,
-    matching what duckdb/pandas readers do)."""
+    Corpus timestamp columns have appeared in two physical encodings
+    across driver revisions: parquet TIMESTAMP(NANOS) (no native Spark
+    type; nanosAsLong surfaces int64, normalized below) and naive
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false (Spark 4 infers
+    TIMESTAMP_NTZ; inferTimestampNTZAsTimestampLTZ restores
+    TimestampType — identical values under the pinned UTC session
+    zone, and what the duckdb/pandas oracle readers produce)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set(
+        "spark.sql.parquet.inferTimestampNTZAsTimestampLTZ", "true"
+    )
     # The driver runs queries under its own SparkSession; pin UTC so
     # date formatting / epoch math matches the naive-UTC DuckDB oracle
     # no matter the host timezone.
