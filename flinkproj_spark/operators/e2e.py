@@ -97,17 +97,19 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving (doc_id, lang, n_words).
 
     Scale shape: the two filters fuse into the scan (one codegen'd
-    pass, no shuffle); exact dedup is one hash-partition on the content
-    md5; near-dup removal broadcasts the (tiny relative to corpus)
-    doc_b list into an anti join — the only non-broadcast shuffle left
-    is the LSH pipeline itself, which is the minhash signature's
-    map-side-combined groupBy + bucket expansion."""
+    pass, no shuffle) and the map-heavy lang/quality stage is fanned
+    out across cores; exact dedup is one hash-partition on the content
+    md5 — the md5 is computed BEFORE the exchange so the full text
+    column never travels through the shuffle; near-dup removal is a
+    plain hash anti join on doc_id — the doc_b set scales with the
+    corpus (10 % dup rate at 100 TB = billions of ids), so it must NOT
+    be broadcast: long-key shuffle is cheap, driver OOM is not."""
     from pyspark.sql import Window
 
     from flinkproj_spark.operators.dedup import dedup_minhash_lsh
     from flinkproj_spark.operators.text import _LANG_MARKERS, _LANG_ORDER, _STOPWORDS
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = fx.tokenize_ws()
     lower = F.transform(words, lambda w: F.lower(w))
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
@@ -122,19 +124,22 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
         * (F.lit(1.0) - n_stop.cast("double") / n_words.cast("double"))
     )
-    kept = docs.select(
-        "doc_id", "lang", "text", n_words.alias("n_words")
-    ).filter((marker_hits > 0) & (n_words >= 20) & (quality >= 0.3))
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.select("doc_id", "lang", "text", n_words.alias("n_words"))
+        .filter((marker_hits > 0) & (n_words >= 20) & (quality >= 0.3))
+        # Project the fingerprint and DROP text before the window's
+        # exchange: the shuffle carries (16-byte fp, id, lang, int),
+        # not document bodies.
+        .select("doc_id", "lang", "n_words", F.md5("text").alias("_fp"))
+    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
     deduped = (
         kept.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
     )
     younger = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
     return (
-        deduped.join(
-            F.broadcast(younger), deduped.doc_id == younger.doc_b, "left_anti"
-        )
+        deduped.join(younger, deduped.doc_id == younger.doc_b, "left_anti")
         .select("doc_id", "lang", "n_words")
     )
 

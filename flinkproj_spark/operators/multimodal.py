@@ -5,11 +5,14 @@ payloads are opaque `binary` columns with typed metadata; decode /
 feature-extract run as Arrow-batched Pandas UDFs via mapInPandas so the
 bytes never round-trip through Python row-at-a-time.
 
-The container has no image/audio codecs, so `decode` is a
-clearly-marked deterministic fake (byte statistics standing in for
-pixel decode); the Spark-side plumbing — binary schema, mapInPandas
-batch iteration, output schema, partition preservation — is real and
-tested. Swap `_fake_decode` for PIL/ffmpeg calls on a real cluster.
+The container has no image/audio codecs, so `decode` operates on a
+codec-free container format: payloads are fabricated as binary
+PGM-style images (`P5 <w> <h> 255\n<data>`) and the Arrow stage does a
+REAL decode — header parse (dimensions recovered from the bytes, not
+passed alongside) + zero-copy pixel statistics. The same decode is
+mirrored in DuckDB SQL over the ASCII byte stream, so the mapInPandas
+path is value-hash-verified end-to-end. Swap `_decode_pgm` for
+PIL/ffmpeg calls on a real cluster — the plumbing is identical.
 
 Scale notes: binary payloads dominate row width, so the operators
 project the payload away as soon as features are extracted, and
@@ -61,43 +64,72 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode: byte statistics stand in for a real codec (the
-    container has no PIL/ffmpeg). Deterministic so tests can pin it.
-    Real deployment: decode bytes -> pixels here, batch-at-a-time."""
+def _pgm_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each payload in a PGM-style binary container:
+    ``P5 <width> <height> 255\\n`` header followed by the raw bytes.
+    Built JVM-side (binary concat of encoded header + payload) so the
+    decode stage receives ONE opaque blob per row — dimensions must be
+    recovered by parsing, exactly like a real image decode."""
+    p = _payloads(spark, sf_dir)
+    hdr = F.concat_ws(
+        " ",
+        F.lit("P5"),
+        F.col("width").cast("string"),
+        F.col("height").cast("string"),
+        F.lit("255"),
+    )
+    return p.select(
+        "doc_id",
+        F.concat(F.encode(F.concat(hdr, F.lit("\n")), "UTF-8"), F.col("payload")).alias(
+            "payload"
+        ),
+    )
+
+
+def _decode_pgm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Real decode of the codec-free PGM-style container: parse the
+    ASCII header out of the blob (magic, width, height, maxval), then
+    one zero-copy numpy pass over the pixel bytes. Deterministic and
+    SQL-mirrorable, so the Arrow path is oracle-verified end-to-end.
+    Real deployment: replace with PIL/ffmpeg, batch-at-a-time."""
     import numpy as np
 
+    def parse(b: bytes):
+        nl = b.index(b"\n")
+        magic, w, h, _maxval = b[:nl].split(b" ")
+        assert magic == b"P5", magic
+        data = np.frombuffer(b, dtype=np.uint8, offset=nl + 1)
+        return int(w), int(h), len(b), data
+
     for pdf in batches:
-        payload = pdf["payload"]
-        # One C-speed pass per blob (np.frombuffer is zero-copy); the
-        # per-byte Python loop this replaces was ~10x slower at sf0.1.
-        n_bytes = payload.map(len)
-        views = payload.map(lambda b: np.frombuffer(b, dtype=np.uint8))
-        mean_byte = views.map(
-            lambda a: float(a.sum(dtype=np.int64)) / a.size if a.size else 0.0
+        parsed = pdf["payload"].map(parse)
+        mean_byte = parsed.map(
+            lambda t: float(t[3].sum(dtype=np.int64)) / t[3].size if t[3].size else 0.0
         )
-        max_byte = views.map(lambda a: int(a.max()) if a.size else 0)
-        # "frame sample": pretend every 64-byte slice is one frame
-        n_frames = n_bytes.map(lambda n: (n + 63) // 64)
+        n_data = parsed.map(lambda t: t[3].size)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_bytes": n_bytes.astype("int32"),
-                "width": pdf["width"].astype("int32"),
-                "height": pdf["height"].astype("int32"),
-                "mean_byte": mean_byte.round(6),
-                "max_byte": max_byte.astype("int32"),
-                "n_frames": n_frames.astype("int32"),
+                "n_bytes": parsed.map(lambda t: t[2]).astype("int32"),
+                "width": parsed.map(lambda t: t[0]).astype("int32"),
+                "height": parsed.map(lambda t: t[1]).astype("int32"),
+                "mean_byte": mean_byte,
+                "max_byte": parsed.map(
+                    lambda t: int(t[3].max()) if t[3].size else 0
+                ).astype("int32"),
+                # "frame sample": every 64-pixel-byte slice is one frame
+                "n_frames": n_data.map(lambda n: (n + 63) // 64).astype("int32"),
             }
         )
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched decode/feature-extract over binary payloads via
-    mapInPandas. Declared rows-only for the oracle (the decode itself is
-    not SQL-expressible); schema and determinism are pinned by tests."""
-    p = _payloads(spark, sf_dir)
-    return p.mapInPandas(_fake_decode, schema=DECODE_SCHEMA)
+    """Arrow-batched decode/feature-extract over binary image payloads
+    via mapInPandas: header parse + pixel stats, batch-at-a-time. The
+    DuckDB oracle recomputes the identical decode over the ASCII byte
+    stream, so this is value-hash-verified, not rows-only."""
+    p = _pgm_payloads(spark, sf_dir)
+    return p.mapInPandas(_decode_pgm, schema=DECODE_SCHEMA)
 
 
 FRAME_BYTES = 64
@@ -188,7 +220,32 @@ ORACLE = {
                'fake/blob' AS mime
         FROM documents
     """,
-    # multimodal_decode: intentionally absent — rows-only check.
+    # The decode twin: rebuild the PGM header the payload fabricator
+    # writes, then mirror the pixel statistics over the ASCII byte
+    # stream (ord(char) == byte). mean_byte is an UNROUNDED double —
+    # an exact-int sum divided by an exact-int count is correctly
+    # rounded IEEE in both engines, so the hash matches bit-for-bit.
+    "multimodal_decode": """
+        WITH s AS (
+          SELECT doc_id,
+                 strlen('P5 ' || CAST(32 + doc_id % 64 AS INTEGER)
+                        || ' ' || CAST(32 + doc_id % 48 AS INTEGER)
+                        || ' 255') + 1 AS hdr_len,
+                 CAST(32 + doc_id % 64 AS INTEGER) AS width,
+                 CAST(32 + doc_id % 48 AS INTEGER) AS height,
+                 strlen(text) AS nd,
+                 list_transform(range(1, strlen(text) + 1),
+                                i -> ord(substr(text, CAST(i AS BIGINT), 1))) AS bs
+          FROM documents)
+        SELECT doc_id,
+               CAST(hdr_len + nd AS INTEGER) AS n_bytes,
+               width, height,
+               CASE WHEN nd = 0 THEN 0.0
+                    ELSE CAST(list_sum(bs) AS DOUBLE) / nd END AS mean_byte,
+               CAST(CASE WHEN nd = 0 THEN 0 ELSE list_max(bs) END AS INTEGER) AS max_byte,
+               CAST((nd + 63) // 64 AS INTEGER) AS n_frames
+        FROM s
+    """,
     # ASCII corpus: ord(char) == byte, octet_length == length.
     "multimodal_resize": f"""
         WITH b AS (

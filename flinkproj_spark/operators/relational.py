@@ -166,7 +166,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gapped = events.withColumn(
         "new_session",
         (
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800
+            F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w) > 1800
         ).cast("int"),
     ).withColumn("new_session", F.coalesce("new_session", F.lit(1)))
     sess = gapped.withColumn("session_id", F.sum("new_session").over(w))

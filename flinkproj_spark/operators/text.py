@@ -283,21 +283,24 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of trigram occurrences belonging to repeated trigrams —
     with the classic repetitive-document flag over the thresholds.
 
-    Scale shape: words, bigrams and trigrams are built in-row (O(len)
+    Scale shape: bigrams and trigrams are built in-row (O(len)
     zip_with, no index loop), tagged, concatenated and exploded ONCE —
     a single (doc_id, gram) shuffle with map-side combine, then one
-    map-side-combinable rollup to a per-doc row. Gram volume is 3n−3
-    per doc → linear; doc_id keys are uniform so no skew. All ratios
-    are double divisions of exact integers, rounded to 4 places for
-    cross-engine hashing; the flag compares the rounded values so both
-    engines agree at the threshold boundary. The gram-construction map
-    side is tokenize-heavy → fan the under-split scan out (no-op on a
-    properly-split 100 TB layout)."""
+    map-side-combinable rollup to a per-doc row. Word-level stats
+    (count + distinct count) never touch the shuffle at all: they are
+    computed in-row (`size` / `array_distinct`) and ride the rollup
+    as grouping keys — cutting exploded volume from 3n−3 to 2n−3 rows
+    per doc (~33 % less shuffle I/O). Doc_id keys are uniform so no
+    skew. All ratios are double divisions of exact integers, rounded
+    to 4 places for cross-engine hashing; the flag compares the
+    rounded values so both engines agree at the threshold boundary.
+    The gram-construction map side is tokenize-heavy → fan the
+    under-split scan out (no-op on a properly-split 100 TB layout)."""
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     # Stage the lowered word array behind a nondeterministic barrier so
     # the tokenize runs once per row — CollapseProject would otherwise
-    # inline it into every slice of the three n-gram builders (12
-    # re-evaluations of split per row; see doc_winnow_fingerprints).
+    # inline it into every slice of the n-gram builders (re-evaluations
+    # of split per row; see doc_winnow_fingerprints).
     staged = docs.filter(F.size(_words()) >= 3).select(
         "doc_id",
         F.transform(_words(), lambda w: F.lower(w)).alias("ws"),
@@ -305,16 +308,23 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ws = F.col("ws")
     tagged = F.concat(
-        F.transform(ws, lambda w: F.concat(F.lit("w:"), w)),
         F.transform(fx.ngrams(ws, 2), lambda g: F.concat(F.lit("b:"), g)),
         F.transform(fx.ngrams(ws, 3), lambda g: F.concat(F.lit("t:"), g)),
     )
-    grams = staged.select("doc_id", F.explode(tagged).alias("gm"))
-    c = grams.groupBy("doc_id", "gm").agg(F.count("*").alias("c"))
+    grams = staged.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("_n_distinct"),
+        F.explode(tagged).alias("gm"),
+    )
+    # n_words/_n_distinct are per-doc constants: carrying them as extra
+    # grouping keys adds 16 bytes to the key, not extra rows — far
+    # cheaper than shuffling one `w:<word>` row per word.
+    c = grams.groupBy("doc_id", "n_words", "_n_distinct", "gm").agg(
+        F.count("*").alias("c")
+    )
     kind = F.substring("gm", 1, 2)
-    per_doc = c.groupBy("doc_id").agg(
-        F.sum(F.when(kind == "w:", F.col("c"))).alias("n_words"),
-        F.count(F.when(kind == "w:", 1)).alias("_n_distinct"),
+    per_doc = c.groupBy("doc_id", "n_words", "_n_distinct").agg(
         F.max(F.when(kind == "b:", F.col("c"))).alias("_top_bi"),
         F.sum(F.when(kind == "b:", F.col("c"))).alias("_total_bi"),
         F.sum(F.when((kind == "t:") & (F.col("c") >= 2), F.col("c"))).alias("_dup_tri"),

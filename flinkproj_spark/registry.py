@@ -3,6 +3,8 @@ into the driver contract consumed by __spark_entry__.py."""
 
 from __future__ import annotations
 
+import sys
+import traceback
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -11,18 +13,52 @@ from flinkproj_spark.operators import clean, report
 
 _MODULES = [clean, report]
 
+# Import order == driver check order. Round 1's correctness run was
+# budget-truncated after 50 keys, so modules the driver has never yet
+# verified green run FIRST; the long-green §2/TPC-H families run last.
+_EXTENSION_MODULES = (
+    "dedup",
+    "similarity",
+    "text",
+    "retrieval",
+    "multimodal",
+    "sampling",
+    "e2e",
+    "relational",
+    "tpch",
+    "tpch2",
+    "analytic",
+)
+
+#: name -> formatted traceback for extension modules that failed to
+#: import. A broken module must surface as an ERROR, not as silently
+#: missing keys (the driver would misreport those as "not implemented").
+IMPORT_ERRORS: dict[str, str] = {}
+
 
 def _modules():
     # Imported lazily/defensively so one broken extension module doesn't
-    # take down the whole contract.
+    # take down the whole contract — but loudly (stderr + IMPORT_ERRORS).
     mods = list(_MODULES)
-    for name in ("relational", "tpch", "tpch2", "analytic", "dedup", "similarity", "text", "retrieval", "multimodal", "sampling", "e2e"):
+    for name in _EXTENSION_MODULES:
         try:
             mod = __import__(f"flinkproj_spark.operators.{name}", fromlist=[name])
             mods.append(mod)
         except Exception:
-            pass
+            tb = traceback.format_exc()
+            IMPORT_ERRORS[name] = tb
+            print(
+                f"[flinkproj_spark.registry] ERROR importing operators.{name} — "
+                f"its query keys are DROPPED from the contract:\n{tb}",
+                file=sys.stderr,
+            )
     return mods
+
+
+def broken() -> dict[str, str]:
+    """Modules that failed to import, mapped to their tracebacks."""
+    _modules()
+    return dict(IMPORT_ERRORS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

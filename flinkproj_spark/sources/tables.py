@@ -68,22 +68,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     across driver revisions: parquet TIMESTAMP(NANOS) (no native Spark
     type; nanosAsLong surfaces int64, normalized below) and naive
     TIMESTAMP(MICROS) with isAdjustedToUTC=false (Spark 4 infers
-    TIMESTAMP_NTZ; inferTimestampNTZAsTimestampLTZ restores
-    TimestampType — identical values under the pinned UTC session
-    zone, and what the duckdb/pandas oracle readers produce)."""
+    TIMESTAMP_NTZ). NTZ columns are cast to TimestampType explicitly
+    after the read — value-preserving under the pinned UTC session
+    zone, and what the duckdb/pandas oracle readers produce. The cast
+    is a projection on top of the scan (pushdown/pruning unaffected)
+    and does not depend on version-sensitive parquet-reader confs."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set(
-        "spark.sql.parquet.inferTimestampNTZAsTimestampLTZ", "true"
-    )
     # The driver runs queries under its own SparkSession; pin UTC so
     # date formatting / epoch math matches the naive-UTC DuckDB oracle
-    # no matter the host timezone.
+    # no matter the host timezone. Must be set BEFORE the cast below so
+    # ntz -> ltz is an identity on the underlying micros.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz_cols})
     return df
 
 

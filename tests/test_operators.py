@@ -61,10 +61,15 @@ def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
     meta = {r.doc_id: r for r in multimodal_meta(spark, sf_dir).collect()}
     assert set(rows) == set(meta)
     for did, r in rows.items():
-        assert r.n_bytes == meta[did].n_bytes
-        assert r.n_frames == (r.n_bytes + 63) // 64
+        m = meta[did]
+        # n_bytes covers header + pixel data; dimensions must have been
+        # recovered from the parsed header, frames count pixel bytes.
+        hdr_len = len(f"P5 {m.width} {m.height} 255\n")
+        assert r.n_bytes == m.n_bytes + hdr_len
+        assert (r.width, r.height) == (m.width, m.height)
+        assert r.n_frames == (m.n_bytes + 63) // 64
         assert 0 <= r.mean_byte <= 255
-    # deterministic across runs (stub decode is pinned)
+    # deterministic across runs (decode is pinned)
     again = {r.doc_id: r.mean_byte for r in multimodal_decode(spark, sf_dir).collect()}
     assert again == {d: r.mean_byte for d, r in rows.items()}
 

@@ -1,0 +1,44 @@
+"""Registry contract: a broken operator module must surface as a loud
+error (stderr + ``registry.broken()``), never as silently-missing keys —
+the driver would misreport dropped keys as *not implemented* rather than
+*failing* (the worst failure mode for the correctness contract)."""
+
+import sys
+
+from flinkproj_spark import registry
+
+
+def test_all_modules_import_cleanly():
+    q = registry.queries()
+    assert len(q) >= 87
+    assert registry.broken() == {}
+    # every oracle key has a query implementation
+    assert set(registry.oracle_sql()) <= set(q)
+
+
+def test_broken_module_is_reported_not_swallowed(monkeypatch, capsys):
+    # Splice a nonexistent module name into the extension list: the
+    # import failure must land in broken() and on stderr, while every
+    # real module's keys still resolve.
+    monkeypatch.setattr(
+        registry,
+        "_EXTENSION_MODULES",
+        registry._EXTENSION_MODULES + ("definitely_not_a_module",),
+    )
+    monkeypatch.setattr(registry, "IMPORT_ERRORS", {})
+    q = registry.queries()
+    err = capsys.readouterr().err
+    assert len(q) >= 87
+    assert "definitely_not_a_module" in registry.broken()
+    assert "DROPPED" in err and "definitely_not_a_module" in err
+
+
+def test_duplicate_keys_rejected(monkeypatch):
+    import pytest
+
+    class Dupe:
+        QUERIES = {"json_extract": lambda spark, sf: None}
+
+    monkeypatch.setattr(registry, "_MODULES", registry._MODULES + [Dupe])
+    with pytest.raises(ValueError, match="duplicate query key"):
+        registry.queries()
