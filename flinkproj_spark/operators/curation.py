@@ -1,0 +1,344 @@
+"""Corpus-curation operators: the second wave of LLM-training-data
+pipeline stages beyond `dedup`/`text` (SURVEY.md §7 Phase 3) — span
+dedup, LM-based quality scoring, snapshot-incremental dedup, embedding
+quantization, and near-dup verification.
+
+Scale design (the 100 TB contract for each key):
+- `paragraph_dedup`: C4-style span-level dedup. Spans travel as 16-byte
+  md5s, never as text; winner election is one hash-partitioned window;
+  the per-doc rollup is the only other shuffle.
+- `unigram_lm_score`: two aggregation trees over one tokenized scan —
+  a (token → count) vocabulary and the per-doc scoring join. The
+  token join is skew-prone (Zipf), mitigated by AQE skew-join (pinned
+  in the session factory) — a static salt would penalize the uniform
+  tail. All probability math is integer (counts scaled by 1e9) so the
+  result is bit-identical across engines and partitionings.
+- `cross_snapshot_dedup`: the incremental-ingest shape — a new
+  snapshot is deduped against the existing corpus WITHOUT recomputing
+  anything over the base (base side reduces to distinct 16-byte
+  hashes; plain shuffle anti join — the base is corpus-scale, so
+  broadcasting it is forbidden).
+- `embedding_quantize`: single scan, zero shuffle, all arithmetic
+  in-row over the vector (the int8 quantization every ANN/storage
+  stage needs before shipping embeddings).
+- `minhash_jaccard_estimate`: the verify stage after LSH candidate
+  generation — signature agreement is an O(pairs) join on doc ids,
+  never touching document text.
+
+Cross-engine determinism: md5-only hashing, integer arithmetic for
+every ratio (scaled to 1e9/1e6 longs), floor(x+0.5) rounding mirrored
+literally in the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkproj_spark import functions as fx
+from flinkproj_spark.operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    N_HASHES,
+    _MINHASH_PAIRS_SQL,
+    _SHINGLES_SQL,
+    _WORDS_SQL,
+    minhash_signatures,
+)
+from flinkproj_spark.sources.tables import fan_out, load_table
+
+SPAN_WORDS = 16  # C4 dedups ~3-sentence spans; 16 words is the analog
+LM_SCALE = 1_000_000_000  # unigram probabilities as parts-per-1e9
+NEW_SOURCES = ("src0", "src1")  # the "incoming snapshot" slice
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup (C4-style, adapted to the corpus's single-line
+    documents): split each doc into consecutive SPAN_WORDS-word spans,
+    keep each distinct span's first occurrence corpus-wide (min
+    (doc_id, span_idx)), and report per doc how much text survives.
+
+    Shape: spans are fingerprinted in-row (md5) and the text is dropped
+    before any exchange; winner election is ROW_NUMBER over the span
+    hash (one shuffle on uniformly-distributed 16-byte keys); the
+    per-doc rollup is the second and last shuffle. No self-join, no
+    broadcast, nothing corpus-proportional on one node."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = fx.tokenize_ws()
+    # Nondeterministic barrier: without it CollapseProject inlines the
+    # tokenize into EVERY span's slice below — O(n_spans · n) re-splits
+    # per doc (same trap text_repetition engineers out).
+    staged = docs.filter(F.size(words) >= 1).select(
+        "doc_id", words.alias("ws"), F.monotonically_increasing_id().alias("_nc")
+    )
+    ws = F.col("ws")
+    n = F.size(ws)
+    n_spans = F.floor((n + F.lit(SPAN_WORDS - 1)) / F.lit(SPAN_WORDS)).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            i.alias("span_idx"),
+            F.md5(F.array_join(F.slice(ws, i * SPAN_WORDS + 1, SPAN_WORDS), " ")).alias("h"),
+            F.least(n - i * SPAN_WORDS, F.lit(SPAN_WORDS)).alias("span_len"),
+        ),
+    )
+    spans = staged.select("doc_id", F.explode(spans_arr).alias("sp")).select(
+        "doc_id", "sp.span_idx", "sp.h", "sp.span_len"
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "span_idx")
+    ranked = spans.withColumn("_rn", F.row_number().over(w))
+    kept = F.col("_rn") == 1
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(kept.cast("long")).alias("n_kept_spans"),
+        F.sum(F.when(kept, F.col("span_len")).otherwise(F.lit(0))).alias("n_kept_words"),
+    )
+
+
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score per document: the mean
+    corpus-frequency of the doc's tokens, in parts-per-1e9 — the
+    classic cheap fluency proxy (a doc of common well-distributed
+    words scores near the corpus mean; gibberish and boilerplate
+    outliers score low/high). Integer arithmetic end-to-end:
+    q(token) = (count*1e9) div total_tokens, score = sum(q) div n —
+    bit-identical across engines and aggregation orders.
+
+    Shape: one tokenized scan feeds both the vocabulary aggregate and
+    the scoring join. The (token) join key is Zipf-skewed — AQE
+    skew-join splits the hot reducers at runtime (session factory pins
+    the conf; see tests/test_plans.py) — and vocabulary rows are 2
+    longs + the token, so the join never moves document text."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(fx.tokenize_ws()).alias("w")
+    ).select("doc_id", F.lower("w").alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    # `div` = true integer division (a double `/` + cast can round the
+    # other way at quotient boundaries — not oracle-safe).
+    q = vocab.crossJoin(F.broadcast(total)).selectExpr(
+        "w", f"(cnt * {LM_SCALE}) div total AS q"
+    )
+    return (
+        tok.join(q, "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("q").alias("_sum_q"))
+        .selectExpr("doc_id", "n_tokens", "_sum_q div n_tokens AS mean_freq_e9")
+    )
+
+
+def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: documents from the incoming snapshot
+    (source ∈ NEW_SOURCES) survive only if their content hash appears
+    nowhere in the existing corpus (all other sources), then exact
+    dedup WITHIN the snapshot keeps the min doc_id per content.
+
+    Shape: the base corpus reduces to distinct 16-byte hashes before
+    the anti join — at 100 TB that set is still corpus-proportional,
+    so there is no broadcast HINT: Catalyst picks broadcast from stats
+    only while the hash set is actually small, and degrades to a plain
+    shuffle anti join as the corpus grows (the hinted version would
+    OOM the driver instead). Nothing ever recomputes over the base
+    beyond one md5 scan — the incremental property that makes daily
+    ingest affordable."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5("text").alias("content_fp")
+    is_new = F.col("source").isin(*NEW_SOURCES)
+    new = docs.filter(is_new).select("doc_id", "source", fp)
+    base_fps = docs.filter(~is_new).select(fp).distinct()
+    survivors = new.join(
+        base_fps, new.content_fp == base_fps.content_fp, "left_anti"
+    )
+    w = Window.partitionBy("content_fp").orderBy("doc_id")
+    return (
+        survivors.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "source", "content_fp")
+    )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step before ANN index build / shard shipping. Per
+    vector: scale = max|v|, q_i = floor(v_i*127/scale + 0.5). Emits
+    scalar digests (sum, sum-of-squares, min/max of the int8 codes,
+    scale in parts-per-1e6) rather than the code array so the oracle
+    hash is schema-stable.
+
+    Shape: one scan, zero shuffle, every expression a JVM higher-order
+    function over the vector — whole-stage codegen end to end. The
+    float→double widening and the fixed expression shape make the
+    doubles bit-identical in DuckDB."""
+    emb = fan_out(spark, sf_dir, "embeddings", load_table(spark, sf_dir, "embeddings"))
+    v = F.col("embedding")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    qs = F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / absmax + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    guarded = F.when(absmax > 0, qs).otherwise(
+        F.transform(v, lambda x: F.lit(0).cast("long"))
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size(v).alias("n_dims"),
+        F.floor(absmax * F.lit(1_000_000.0) + F.lit(0.5)).cast("long").alias("scale_e6"),
+        F.aggregate(guarded, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("sum_q"),
+        F.aggregate(guarded, F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias(
+            "sumsq_q"
+        ),
+        F.array_min(guarded).cast("long").alias("min_q"),
+        F.array_max(guarded).cast("long").alias("max_q"),
+    )
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verify stage after LSH candidate generation: for every
+    candidate pair, estimate Jaccard similarity as the fraction of
+    agreeing minhash components (the unbiased MinHash estimator).
+    Downstream curation thresholds on this instead of recomputing
+    exact shingle intersections.
+
+    Shape: signatures (9 longs/doc) are computed once and joined to
+    the pair list by doc id — two narrow equi-joins, O(pairs) rows,
+    document text untouched. At 100 TB the pair list is the small
+    side of both joins but still corpus-proportional, so no broadcast
+    hint: AQE picks broadcast only when the runtime size allows."""
+    from flinkproj_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    # ONE sig object feeds both the banding and the agreement joins, so
+    # the optimizer reuses the signature exchange instead of running
+    # the shingle pipeline three times.
+    sig = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)]
+    )
+    matched = pairs.join(a, "doc_a").join(b, "doc_b")
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    return matched.select(
+        "doc_a", "doc_b", n_match.cast("long").alias("n_match")
+    ).selectExpr(
+        "doc_a", "doc_b", "n_match", f"(n_match * 100) div {N_HASHES} AS est_jaccard_pct"
+    )
+
+
+QUERIES = {
+    "paragraph_dedup": paragraph_dedup,
+    "unigram_lm_score": unigram_lm_score,
+    "cross_snapshot_dedup": cross_snapshot_dedup,
+    "embedding_quantize": embedding_quantize,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
+}
+
+_NEW_SQL = ", ".join(f"'{s}'" for s in NEW_SOURCES)
+
+ORACLE = {
+    "paragraph_dedup": f"""
+        WITH d AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+          WHERE len({_WORDS_SQL}) >= 1),
+        idx AS (
+          SELECT doc_id, ws,
+                 unnest(range(0, CAST(CEIL(len(ws) / {SPAN_WORDS}.0) AS BIGINT))) AS span_idx
+          FROM d),
+        sp AS (
+          SELECT doc_id, span_idx,
+                 md5(array_to_string(
+                     ws[span_idx*{SPAN_WORDS}+1 : span_idx*{SPAN_WORDS}+{SPAN_WORDS}], ' ')) AS h,
+                 LEAST(len(ws) - span_idx*{SPAN_WORDS}, {SPAN_WORDS}) AS span_len
+          FROM idx),
+        r AS (
+          SELECT doc_id, span_len,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+          FROM sp)
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_spans,
+               CAST(SUM(CASE WHEN rn = 1 THEN span_len ELSE 0 END) AS BIGINT) AS n_kept_words
+        FROM r GROUP BY doc_id
+    """,
+    "unigram_lm_score": f"""
+        WITH tok AS (
+          SELECT doc_id, lower(unnest({_WORDS_SQL})) AS w FROM documents),
+        vocab AS (
+          SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+        q AS (
+          SELECT w, (cnt * {LM_SCALE}) // (SELECT SUM(cnt) FROM vocab) AS q
+          FROM vocab)
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(q.q) // COUNT(*) AS BIGINT) AS mean_freq_e9
+        FROM tok t JOIN q ON t.w = q.w
+        GROUP BY t.doc_id
+    """,
+    "cross_snapshot_dedup": f"""
+        WITH new AS (
+          SELECT doc_id, source, md5(text) AS content_fp FROM documents
+          WHERE source IN ({_NEW_SQL})),
+        surv AS (
+          SELECT * FROM new
+          WHERE content_fp NOT IN (
+            SELECT md5(text) FROM documents WHERE source NOT IN ({_NEW_SQL})))
+        SELECT doc_id, source, content_fp FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY content_fp ORDER BY doc_id) AS rn
+          FROM surv)
+        WHERE rn = 1
+    """,
+    "embedding_quantize": """
+        WITH e AS (
+          SELECT vec_id, label,
+                 len(embedding) AS n_dims,
+                 list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))) AS absmax,
+                 embedding
+          FROM embeddings),
+        g AS (
+          SELECT vec_id, label, n_dims, absmax,
+                 CASE WHEN absmax > 0 THEN
+                   list_transform(embedding,
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / absmax + 0.5) AS BIGINT))
+                 ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qs
+          FROM e)
+        SELECT vec_id, label,
+               CAST(n_dims AS INTEGER) AS n_dims,
+               CAST(FLOOR(absmax * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
+               CAST(list_sum(qs) AS BIGINT) AS sum_q,
+               CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS sumsq_q,
+               CAST(list_min(qs) AS BIGINT) AS min_q,
+               CAST(list_max(qs) AS BIGINT) AS max_q
+        FROM g
+    """,
+    "minhash_jaccard_estimate": f"""
+        WITH x2 AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(unnest({_SHINGLES_SQL})), 1, 8))::BIGINT AS x
+          FROM documents WHERE len({_WORDS_SQL}) >= 3),
+        sig2 AS (
+          SELECT doc_id,
+                 {", ".join(f"MIN(({a} * x + {b}) % {MINHASH_P}) AS s{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+          FROM x2 GROUP BY doc_id),
+        pairs AS ({_MINHASH_PAIRS_SQL}),
+        m AS (
+          SELECT p.doc_a, p.doc_b,
+                 ({" + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))}) AS n_match
+          FROM pairs p
+          JOIN sig2 a ON p.doc_a = a.doc_id
+          JOIN sig2 b ON p.doc_b = b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(n_match AS BIGINT) AS n_match,
+               CAST(n_match * 100 // {N_HASHES} AS BIGINT) AS est_jaccard_pct
+        FROM m
+    """,
+}

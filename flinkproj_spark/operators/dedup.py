@@ -84,23 +84,15 @@ def dedup_keyed_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidate pairs.
-
-    shingle → N_HASHES minhash signature → band keys → bucket self-join:
-    sig[i] = min over shingles of (A[i]*md5_32(shingle) + B[i]) mod P;
-    documents agreeing on all rows of any band become a candidate pair.
-
-    Pipeline shape (the 100 TB formulation): explode shingles → ONE
-    codegen'd md5 per shingle → N_HASHES affine permutations as N min
-    aggregates in a single map-side-combined groupBy (no 9× row
-    blow-up, no per-hash md5) → band keys in a projection → bucket
-    self-join. Shuffle rows are narrow (doc_id, 9 longs) with uniform
-    key fan-out."""
-    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{N_HASHES-1}) minhash signatures: explode shingles
+    → ONE codegen'd md5 per shingle → N_HASHES affine permutations as N
+    min aggregates in a single map-side-combined groupBy (no 9× row
+    blow-up, no per-hash md5). Shared by dedup_minhash_lsh and the
+    Jaccard-estimate verifier."""
     words = _words()
     base = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
-    sig = (
+    return (
         docs.filter(F.size(words) >= 3)
         .select("doc_id", F.explode(_shingles(words)).alias("sh"))
         .select("doc_id", base.alias("x"))
@@ -112,6 +104,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature frame and expand each bucket into ordered
+    candidate pairs. Shared by dedup_minhash_lsh and the
+    Jaccard-estimate verifier (which passes the SAME sig object so the
+    optimizer can reuse the signature exchange across both subtrees)."""
     n_bands = N_HASHES // BAND_ROWS
     band_key = [
         F.concat_ws(
@@ -153,6 +152,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidate pairs.
+
+    shingle → N_HASHES minhash signature → band keys → bucket self-join:
+    sig[i] = min over shingles of (A[i]*md5_32(shingle) + B[i]) mod P;
+    documents agreeing on all rows of any band become a candidate pair.
+
+    Pipeline shape (the 100 TB formulation): the shared signature
+    pipeline (minhash_signatures: explode shingles → ONE codegen'd md5
+    per shingle → N_HASHES affine permutations in one map-side-combined
+    groupBy) → band keys in a projection → bucket expansion
+    (lsh_candidate_pairs). Shuffle rows are narrow (doc_id, 9 longs)
+    with uniform key fan-out."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(minhash_signatures(docs))
 
 
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,6 +17,8 @@ _MODULES = [clean, report]
 # budget-truncated after 50 keys, so modules the driver has never yet
 # verified green run FIRST; the long-green §2/TPC-H families run last.
 _EXTENSION_MODULES = (
+    "curation",   # new this round — never driver-verified
+    "relational", # holds sessionize, round 1's one red key
     "dedup",
     "similarity",
     "text",
@@ -24,7 +26,6 @@ _EXTENSION_MODULES = (
     "multimodal",
     "sampling",
     "e2e",
-    "relational",
     "tpch",
     "tpch2",
     "analytic",

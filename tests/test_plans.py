@@ -179,6 +179,40 @@ def test_salt_actually_splits_the_hot_key(spark):
     assert hot_key_spread(salted, "key", "salt") >= SALT_BUCKETS - 2
 
 
+def test_embedding_quantize_has_no_semantic_shuffle(spark, sf_dir):
+    # int8 quantization is per-row vector math: no hash/range exchange
+    # (no groupBy/join/sort). The only allowed Exchange is fan_out's
+    # round-robin scan redistribution, which self-disables at scale.
+    from flinkproj_spark.operators.curation import embedding_quantize
+
+    plan = _plan(embedding_quantize(spark, sf_dir))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_paragraph_dedup_never_shuffles_text(spark, sf_dir):
+    # Spans travel as md5s: the winner-election exchange must carry the
+    # hash + ids, never the text/ws columns.
+    from flinkproj_spark.operators.curation import paragraph_dedup
+
+    plan = _plan(paragraph_dedup(spark, sf_dir))
+    assert "row_number" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line and "ws" not in line
+
+
+def test_cross_snapshot_dedup_is_anti_join_without_hint(spark, sf_dir):
+    # Anti join against the base corpus's hash set: LeftAnti present,
+    # and broadcast (if any) must come from Catalyst's size stats, not
+    # a hint — the plan is built with no broadcast() call, so at real
+    # scale it degrades to a shuffle join instead of OOMing the driver.
+    from flinkproj_spark.operators.curation import cross_snapshot_dedup
+
+    plan = _plan(cross_snapshot_dedup(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
 def test_aqe_skew_join_conf_is_on(spark):
     # The zero-code skew path: AQE splits oversized shuffle partitions
     # at runtime. Pin the session factory's contract so a conf refactor
