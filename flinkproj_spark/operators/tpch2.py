@@ -197,8 +197,11 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 (shipping modes & priority, adapted): lineitems shipped in
     1996 more than 90 days after the order date ("late"), bucketed by
     l_linestatus (stands in for l_shipmode), counting high- vs
-    low-priority orders. orders is the broadcast side after its
-    projection; the date arithmetic is codegen'd, no UDF."""
+    low-priority orders. lineitem⋈orders is fact-fact: pinned to a
+    sort-merge shuffle join on the order key (broadcasting the pruned
+    orders projection only works while it fits one executor — not at
+    100 TB; AQE still demotes to broadcast at runtime when small).
+    The date arithmetic is codegen'd, no UDF."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
@@ -206,7 +209,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
     )
-    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+    joined = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey).filter(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -345,7 +348,9 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     li = load_table(spark, sf_dir, "lineitem")
-    fli = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+    # fact-fact semi join: pinned to shuffle (the filtered orders key
+    # column is corpus-proportional, broadcast would cap scale)
+    fli = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey, "left_semi")
     per_order = fli.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("_n_supp"),
         F.count_distinct(
@@ -357,7 +362,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     waiting = (
         fli.filter(F.col("l_returnflag") == "R")
-        .join(lone, F.col("l_orderkey") == F.col("_ok"), "left_semi")
+        .join(lone.hint("merge"), F.col("l_orderkey") == F.col("_ok"), "left_semi")
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )

@@ -46,9 +46,25 @@ def test_tpch_q6_prunes_columns(spark, sf_dir):
     assert "l_extendedprice" in read_schema
 
 
-def test_tpch_q3_broadcasts_customer(spark, sf_dir):
+def test_tpch_q3_broadcasts_customer_not_facts(spark, sf_dir):
+    # customer (bounded dim) broadcasts; orders⋈lineitem is fact-fact
+    # and must stay a shuffle join — at sf0.1 the pruned lineitem slips
+    # under the broadcast threshold and an unhinted plan broadcasts a
+    # FACT table (driver/executor OOM at scale).
     plan = _plan(tpch_q3(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+    for line in plan.splitlines():
+        if "BroadcastExchange" in line or "BroadcastHashJoin" in line:
+            assert "l_orderkey" not in line and "l_extendedprice" not in line
+
+
+def test_tpch_q12_fact_join_is_shuffle(spark, sf_dir):
+    from flinkproj_spark.operators.tpch2 import tpch_q12
+
+    plan = _plan(tpch_q12(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_ann_brute_broadcasts_queries(spark, sf_dir):
