@@ -109,7 +109,9 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("k2"),
         F.col("o_orderdate").alias("d2"),
     )
-    pairs = o1.join(o2, F.col("custkey") == F.col("custkey2")).filter(
+    # fact self-join: pinned to shuffle on the equi key (stats at small
+    # SF would broadcast one orders projection — corpus-proportional)
+    pairs = o1.join(o2.hint("merge"), F.col("custkey") == F.col("custkey2")).filter(
         (F.col("d2") > F.col("d1"))
         & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 30 DAYS"))
     )
@@ -131,6 +133,30 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.col("_p50_c") / F.lit(100.0), 6).alias("median_bal"),
         F.round(F.col("_p90_c") / F.lit(100.0), 6).alias("p90_bal"),
+        "n_cust",
+    )
+
+
+def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate median / p90 per market segment via Spark's
+    Greenwald-Khanna quantile sketch (`approx_percentile`) — the 100 TB
+    path where exact percentile's full per-group sort/collect is too
+    big. Fixed-size mergeable sketch per group, map-side combinable,
+    constant memory at any cardinality. No oracle entry (DuckDB's
+    approx sketch differs); the error bound vs the exact twin
+    (percentile_stats) is pinned by a test, mirroring the
+    approx_distinct_counts/HLL treatment."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal_c = _cents("c_acctbal")
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.approx_percentile(bal_c, F.lit(0.5), F.lit(10000)).alias("_p50_c"),
+        F.approx_percentile(bal_c, F.lit(0.9), F.lit(10000)).alias("_p90_c"),
+        F.count("*").alias("n_cust"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        (F.col("_p50_c").cast("double") / F.lit(100.0)).alias("median_bal_approx"),
+        (F.col("_p90_c").cast("double") / F.lit(100.0)).alias("p90_bal_approx"),
         "n_cust",
     )
 
@@ -158,8 +184,12 @@ QUERIES = {
     "time_rollup_multires": time_rollup_multires,
     "interval_join_pairs": interval_join_pairs,
     "percentile_stats": percentile_stats,
+    "approx_percentile_stats": approx_percentile_stats,
     "histogram_value": histogram_value,
 }
+# approx_percentile_stats: intentionally no ORACLE entry — rows-only
+# check (sketch implementations differ across engines); accuracy vs the
+# exact twin is pinned by tests/test_operators.py.
 
 ORACLE = {
     "time_rollup_multires": """

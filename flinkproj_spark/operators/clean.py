@@ -101,7 +101,9 @@ def enrich_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dt")
     )
-    out = enriched.join(events, "event_id")
+    # both sides are events-derived facts: pinned to a shuffle join —
+    # Catalyst would broadcast the pruned events projection at small SF
+    out = enriched.join(events.hint("merge"), "event_id")
     return out.select(
         "event_id",
         F.concat(

@@ -122,7 +122,10 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w", f"(cnt * {LM_SCALE}) div total AS q"
     )
     return (
-        tok.join(q, "w")
+        # fact-fact: exploded corpus tokens ⋈ corpus vocabulary — pinned
+        # to a shuffle join (Catalyst would broadcast a corpus-derived
+        # side at small SF, which caps scale)
+        tok.join(q.hint("merge"), "w")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("q").alias("_sum_q"))
         .selectExpr("doc_id", "n_tokens", "_sum_q div n_tokens AS mean_freq_e9")

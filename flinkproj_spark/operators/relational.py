@@ -93,7 +93,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue per nation: 5-way join with
-    all dimension sides broadcast; only lineitem⋈orders shuffles."""
+    all dimension sides broadcast; only lineitem⋈orders shuffles — that
+    fact-fact join is pinned to sort-merge so small-SF stats can't flip
+    it to a fact broadcast."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -106,7 +108,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name")
     )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))

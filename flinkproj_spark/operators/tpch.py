@@ -47,8 +47,10 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     ).select("l_orderkey")
+    # fact-fact semi join: pinned to shuffle (the R-filtered lineitem
+    # key column is corpus-proportional; broadcast would cap scale)
     hit = orders.join(
-        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+        returned.hint("merge"), orders.o_orderkey == returned.l_orderkey, "left_semi"
     )
     return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
@@ -125,7 +127,8 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        # orders is a fact: pinned to shuffle on the (narrow) join key
+        cust.join(orders.hint("merge"), cust.c_custkey == orders.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("c_count"))
     )
@@ -169,7 +172,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    joined = orders.join(big, orders.o_orderkey == big.l_orderkey).join(
+    # orders ⋈ (lineitem pre-agg) is fact-fact: pinned to shuffle — the
+    # HAVING-filtered aggregate still scales with the fact
+    joined = orders.join(big.hint("merge"), orders.o_orderkey == big.l_orderkey).join(
         F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     )
     return joined.select(
@@ -221,7 +226,11 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = cust.join(F.broadcast(avg_row)).filter(
         bal_c.cast("double") > F.col("_avg_c")
     )
-    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    # anti join against the recent-orders keys: fact-derived, pinned to
+    # shuffle (broadcasting orders' key column caps scale)
+    no_orders = rich.join(
+        orders.hint("merge"), rich.c_custkey == orders.o_custkey, "left_anti"
+    )
     return (
         no_orders.groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
         .agg(

@@ -112,7 +112,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(orders.hint("merge"), li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -150,7 +150,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )

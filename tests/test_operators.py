@@ -103,6 +103,23 @@ def test_sql_api_runs_arbitrary_queries(spark, sf_dir):
     assert len(rows) == 3 and all(r.n_cust > 0 for r in rows)
 
 
+def test_approx_percentile_within_error_bound(spark, sf_dir):
+    from flinkproj_spark.operators.analytic import (
+        approx_percentile_stats, percentile_stats)
+
+    exact = {r.c_mktsegment: r for r in percentile_stats(spark, sf_dir).collect()}
+    approx = {r.c_mktsegment: r for r in approx_percentile_stats(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for seg, e in exact.items():
+        a = approx[seg]
+        assert a.n_cust == e.n_cust
+        # GK sketch at accuracy=10000 on sf0.01-sized groups: the
+        # approximate quantile must sit within 5% of the exact one
+        # (both are interpolation-free rank statistics over cents).
+        for ex, ap in ((e.median_bal, a.median_bal_approx), (e.p90_bal, a.p90_bal_approx)):
+            assert abs(ap - ex) <= max(1.0, 0.05 * abs(ex)), (seg, ex, ap)
+
+
 def test_approx_distinct_within_error_bound(spark, sf_dir):
     from flinkproj_spark.operators.relational import (
         approx_distinct_counts, distinct_counts)
