@@ -226,7 +226,9 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sig.select(
         F.col("doc_id").alias("doc_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)]
     )
-    matched = pairs.join(a, "doc_a").join(b, "doc_b")
+    # pairs and signatures are both corpus-proportional: pinned to
+    # shuffle joins on the doc ids (narrow rows, uniform keys)
+    matched = pairs.join(a.hint("merge"), "doc_a").join(b.hint("merge"), "doc_b")
     n_match = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
     )

@@ -306,8 +306,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(words).alias("wset"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
+    # corpus self-join: pinned to shuffle on the blocking key (stats at
+    # small SF would broadcast one side — corpus-proportional)
     pairs = a.join(
-        b, (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        b.hint("merge"),
+        (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
