@@ -61,3 +61,25 @@ def stream_curate(docs: DataFrame, horizon: str = "1 hour") -> DataFrame:
     return curate_gate(docs).withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
         ["content_fp"]
     )
+
+
+def stream_snapshot_dedup(
+    new_docs: DataFrame, base_docs: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of operators/curation.py::cross_snapshot_dedup —
+    continuous ingest deduped against the existing corpus: a
+    stream-static LEFT ANTI join on the content md5 drops any incoming
+    doc whose content already exists in the base, then
+    dropDuplicatesWithinWatermark removes within-stream copies (state =
+    one hash per horizon, not per history).
+
+    Scale shape: the static side reduces to distinct 16-byte hashes
+    and is re-resolved per micro-batch (so a compaction job can refresh
+    it); it is NOT broadcast-hinted — corpus-proportional, same rule as
+    batch. Input stream needs (doc_id, ts, text); base needs (text)."""
+    base_fps = base_docs.select(F.md5("text").alias("content_fp")).distinct()
+    incoming = new_docs.withColumn("content_fp", F.md5("text"))
+    fresh = incoming.join(base_fps, "content_fp", "left_anti")
+    return fresh.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["content_fp"]
+    )

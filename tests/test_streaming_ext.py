@@ -137,3 +137,29 @@ class TestStreamCurate:
             for r in curate_gate(spark.createDataFrame(rows, schema)).collect()
         )
         assert batch_ids == [1, 4]
+
+
+class TestStreamSnapshotDedup:
+    def test_drops_base_content_and_stream_copies(self, spark, tmp_path):
+        from flinkproj_spark.streaming.curate import stream_snapshot_dedup
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        schema = "doc_id long, ts timestamp, text string"
+        base = spark.createDataFrame(
+            [(100, "seen before"), (101, "also seen")], "doc_id long, text string"
+        )
+        rows = [
+            (1, _sec(0), "brand new doc"),
+            (2, _sec(1), "seen before"),     # exists in base -> dropped
+            (3, _sec(2), "another new doc"),
+            (4, _sec(3), "brand new doc"),   # within-stream copy -> dropped
+        ]
+        _feed(spark, src, rows, schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        _run(stream_snapshot_dedup(stream, base), out, ckpt)
+        # a later micro-batch redelivers base content and a stream copy
+        _feed(spark, src, [(5, _sec(10), "also seen"), (6, _sec(11), "another new doc")], schema)
+        _run(stream_snapshot_dedup(stream, base), out, ckpt)
+
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 3]
