@@ -142,6 +142,31 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a query: per-query recall of the LSH
+    top-k against the exact brute-force top-k (the metric every ANN
+    deployment monitors). Both inputs are deterministic operators, so
+    the whole evaluation is oracle-checkable — integer arithmetic for
+    the percentage. Shape: two small per-query result sets (|Q|·k rows
+    each) joined on (query_id, vec_id) — negligible next to either
+    input pipeline; the corpus is touched exactly twice (once per
+    variant), never cross-joined."""
+    brute = ann_topk_brute(spark, sf_dir).select("query_id", "vec_id")
+    lsh = ann_topk_lsh(spark, sf_dir).select("query_id", "vec_id")
+    hits = brute.join(lsh, ["query_id", "vec_id"], "left_semi")
+    per_q = brute.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hit_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        per_q.join(hit_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .selectExpr("query_id", "n_exact", "n_hit", "(n_hit * 100) div n_exact AS recall_pct")
+    )
+
+
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked with multi-probe:
     the smaller-id side probes its own coarse sign-LSH bucket plus
@@ -278,6 +303,7 @@ QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "ann_recall_eval": ann_recall_eval,
     "embedding_neardup": embedding_neardup,
     "embedding_centroids": embedding_centroids,
 }
@@ -415,3 +441,19 @@ ORACLE = {
         WHERE ROUND(CAST({_dot_sql('a.q', 'b.q')} AS DOUBLE) / (a.norm * b.norm), 6) >= {NEARDUP_MIN_COS}
     """,
 }
+
+# Composed from the two variants' own oracle bodies so the evaluation
+# can never drift from what it evaluates.
+ORACLE["ann_recall_eval"] = f"""
+    WITH brute AS ({ORACLE["ann_topk_brute"]}),
+         lshr AS ({ORACLE["ann_topk_lsh"]}),
+         hits AS (
+           SELECT b.query_id, b.vec_id FROM brute b
+           JOIN lshr l ON b.query_id = l.query_id AND b.vec_id = l.vec_id),
+         per_q AS (SELECT query_id, COUNT(*) AS n_exact FROM brute GROUP BY 1),
+         hit_q AS (SELECT query_id, COUNT(*) AS n_hit FROM hits GROUP BY 1)
+    SELECT p.query_id, p.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           (CAST(COALESCE(h.n_hit, 0) AS BIGINT) * 100) // p.n_exact AS recall_pct
+    FROM per_q p LEFT JOIN hit_q h ON p.query_id = h.query_id
+"""
