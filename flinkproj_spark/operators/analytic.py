@@ -137,6 +137,81 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how many users progressed view → click
+    → purchase IN TEMPORAL ORDER (a later-stage event only counts if it
+    happens strictly after the user's earliest qualifying prior stage).
+
+    Shape: ONE exchange on user_id, then three chained window passes
+    over the same partitioning (each stage's earliest-qualifying
+    timestamp references the previous stage's column — Spark reuses the
+    sort/partition, no new shuffle), then a 1-row conditional
+    aggregate. At 100 TB this is a single fact shuffle; the per-user
+    event timeline never leaves its partition."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("t1"),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+        ).over(w).alias("t2"),
+    )
+    s3 = s2.select(
+        "*",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+        ).over(w).alias("t3"),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull().cast("int")).alias("r1"),
+        F.max(F.col("t2").isNotNull().cast("int")).alias("r2"),
+        F.max(F.col("t3").isNotNull().cast("int")).alias("r3"),
+    )
+    agg = per_user.agg(
+        F.sum("r1").alias("n_view"),
+        F.sum("r2").alias("n_view_click"),
+        F.sum("r3").alias("n_view_click_purchase"),
+    )
+    return agg.selectExpr(
+        "CAST(n_view AS BIGINT) AS n_view",
+        "CAST(n_view_click AS BIGINT) AS n_view_click",
+        "CAST(n_view_click_purchase AS BIGINT) AS n_view_click_purchase",
+        "(n_view_click * 100) div n_view AS pct_click",
+        "(n_view_click_purchase * 100) div n_view AS pct_purchase",
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted as retained in each later week they were active — the
+    standard growth-analytics triangle.
+
+    Shape: per-user first week via one map-side-combined min aggregate,
+    joined back on user_id (one narrow shuffle — 2 longs per row),
+    distinct (cohort, offset, user) then the cohort rollup. Weeks are
+    integer epoch-DAY divisions (datediff is exact integer arithmetic
+    in both engines — epoch-second doubles are not)."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7).cast("long")
+    acts = events.select("user_id", week.alias("week")).distinct()
+    first = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = acts.join(first, "user_id").select(
+        "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"), "user_id"
+    )
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate median / p90 per market segment via Spark's
     Greenwald-Khanna quantile sketch (`approx_percentile`) — the 100 TB
@@ -186,10 +261,55 @@ QUERIES = {
     "percentile_stats": percentile_stats,
     "approx_percentile_stats": approx_percentile_stats,
     "histogram_value": histogram_value,
+    "funnel_steps": funnel_steps,
+    "retention_cohorts": retention_cohorts,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
 # exact twin is pinned by tests/test_operators.py.
+
+_FUNNEL_SQL = """
+        WITH u AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+          FROM events GROUP BY 1),
+        u2 AS (
+          SELECT e.user_id, u.t1,
+                 MIN(CASE WHEN e.event_type = 'click' AND e.ts > u.t1
+                          THEN e.ts END) AS t2
+          FROM events e JOIN u USING (user_id) GROUP BY 1, 2),
+        u3 AS (
+          SELECT e.user_id, u2.t1, u2.t2,
+                 MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > u2.t2
+                          THEN e.ts END) AS t3
+          FROM events e JOIN u2 USING (user_id) GROUP BY 1, 2, 3),
+        agg AS (
+          SELECT SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+                 SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS n_view_click,
+                 SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS n_view_click_purchase
+          FROM u3)
+        SELECT CAST(n_view AS BIGINT) AS n_view,
+               CAST(n_view_click AS BIGINT) AS n_view_click,
+               CAST(n_view_click_purchase AS BIGINT) AS n_view_click_purchase,
+               CAST(n_view_click * 100 // n_view AS BIGINT) AS pct_click,
+               CAST(n_view_click_purchase * 100 // n_view AS BIGINT) AS pct_purchase
+        FROM agg
+"""
+
+_RETENTION_SQL = """
+        WITH acts AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                      AS BIGINT) AS week
+          FROM events),
+        cohort AS (
+          SELECT user_id, MIN(week) AS cohort_week FROM acts GROUP BY 1)
+        SELECT c.cohort_week,
+               a.week - c.cohort_week AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM acts a JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+"""
 
 ORACLE = {
     "time_rollup_multires": """
@@ -245,3 +365,6 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+ORACLE["funnel_steps"] = _FUNNEL_SQL
+ORACLE["retention_cohorts"] = _RETENTION_SQL

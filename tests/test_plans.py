@@ -229,6 +229,16 @@ def test_cross_snapshot_dedup_is_anti_join_without_hint(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_funnel_is_one_shuffle_three_windows(spark, sf_dir):
+    # The chained stage columns (t1 -> t2 -> t3) must reuse the single
+    # user_id partitioning: 3 Window passes, exactly 1 hash exchange.
+    from flinkproj_spark.operators.analytic import funnel_steps
+
+    plan = _plan(funnel_steps(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 3
+
+
 def test_aqe_skew_join_conf_is_on(spark):
     # The zero-code skew path: AQE splits oversized shuffle partitions
     # at runtime. Pin the session factory's contract so a conf refactor
