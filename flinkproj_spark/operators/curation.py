@@ -239,12 +239,56 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal verification of near-dup candidates: MinHash-LSH
+    text candidate pairs are scored with the documents' embedding
+    cosine (doc_id ↔ vec_id share the id space in this corpus), and a
+    pair is confirmed only when the embeddings agree (cos ≥ 0.5) —
+    the standard two-signal curation gate (cheap lexical recall,
+    semantic precision).
+
+    Shape: the pair list is O(candidates); embeddings join it by id
+    twice (merge-pinned — both sides corpus-proportional), with the
+    quantized vector + precomputed norm as the only payload. Cosine is
+    the integer-exact fold shared with the similarity family, so the
+    verdict hashes identically in DuckDB."""
+    from flinkproj_spark.operators.dedup import lsh_candidate_pairs
+    from flinkproj_spark.operators.similarity import _quantized
+
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    emb = _quantized(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("q").alias("qa"), F.col("norm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("doc_b"), F.col("q").alias("qb"), F.col("norm").alias("nb")
+    )
+    scored = (
+        pairs.join(a.hint("merge"), "doc_a")
+        .join(b.hint("merge"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                fx.dot(F.col("qa"), F.col("qb")).cast("double")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return scored.select(
+        "doc_a", "doc_b", "cos", (F.col("cos") >= 0.5).cast("long").alias("confirmed")
+    )
+
+
 QUERIES = {
     "paragraph_dedup": paragraph_dedup,
     "unigram_lm_score": unigram_lm_score,
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "embedding_quantize": embedding_quantize,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
+    "neardup_semantic_verify": neardup_semantic_verify,
 }
 
 _NEW_SQL = ", ".join(f"'{s}'" for s in NEW_SOURCES)
@@ -347,3 +391,22 @@ ORACLE = {
         FROM m
     """,
 }
+
+
+def _semantic_verify_oracle() -> str:
+    from flinkproj_spark.operators.similarity import _BASE_SQL, _dot_sql
+
+    cos = f"ROUND(CAST({_dot_sql('a.q', 'b.q')} AS DOUBLE) / (a.norm * b.norm), 6)"
+    return f"""
+        WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+             base AS ({_BASE_SQL})
+        SELECT p.doc_a, p.doc_b,
+               {cos} AS cos,
+               CAST({cos} >= 0.5 AS BIGINT) AS confirmed
+        FROM pairs p
+        JOIN base a ON p.doc_a = a.vec_id
+        JOIN base b ON p.doc_b = b.vec_id
+    """
+
+
+ORACLE["neardup_semantic_verify"] = _semantic_verify_oracle()
