@@ -212,6 +212,48 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly counts per event type: events whose value sits
+    more than 3 population standard deviations from the type mean —
+    the data-quality screen every ingest pipeline runs.
+
+    Shape: ONE map-side-combined aggregate produces exact integer
+    moments (value quantized to e4; the squared sums accumulate in
+    DECIMAL(38,0) so they stay exact at 100 TB row counts, where a
+    BIGINT sum of squares would overflow); the 5-row stats frame
+    broadcasts back onto the scan for the outlier count — two passes
+    over the fact, zero fact shuffles. Mean/std become doubles only at
+    the very end, in an expression mirrored exactly by the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    v_e4 = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    stats = (
+        events.select("event_type", v_e4.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("_s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("_ss"),
+        )
+    )
+    mean = F.col("_s").cast("double") / F.col("n")
+    var = F.col("_ss").cast("double") / F.col("n") - mean * mean
+    enriched = stats.select(
+        "event_type", "n", mean.alias("_mean"), F.sqrt(var).alias("_std")
+    )
+    joined = events.select("event_type", v_e4.alias("v")).join(
+        F.broadcast(enriched), "event_type"
+    )
+    out = joined.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            (F.abs(F.col("v") - F.col("_mean")) > F.lit(3.0) * F.col("_std")).cast("long")
+        ).alias("n_outliers"),
+        F.max(F.round(F.col("_mean") / F.lit(10000.0), 4)).alias("mean_value"),
+        F.max(F.round(F.col("_std") / F.lit(10000.0), 4)).alias("std_value"),
+    )
+    return out.select("event_type", "n", "mean_value", "std_value", "n_outliers")
+
+
 def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate median / p90 per market segment via Spark's
     Greenwald-Khanna quantile sketch (`approx_percentile`) — the 100 TB
@@ -263,6 +305,7 @@ QUERIES = {
     "histogram_value": histogram_value,
     "funnel_steps": funnel_steps,
     "retention_cohorts": retention_cohorts,
+    "outlier_zscore": outlier_zscore,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
@@ -368,3 +411,30 @@ ORACLE = {
 
 ORACLE["funnel_steps"] = _FUNNEL_SQL
 ORACLE["retention_cohorts"] = _RETENTION_SQL
+
+# Mirrors outlier_zscore exactly: integer e4 moments, double math only
+# in the final mean/var expressions (same shape, same rounding).
+ORACLE["outlier_zscore"] = """
+    WITH q AS (
+      SELECT event_type,
+             CAST(FLOOR("value" * 10000 + 0.5) AS BIGINT) AS v
+      FROM events),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(v) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS ss
+      FROM q GROUP BY 1),
+    enriched AS (
+      SELECT event_type, n,
+             CAST(s AS DOUBLE) / n AS m,
+             sqrt(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sd
+      FROM stats)
+    SELECT q.event_type,
+           CAST(MAX(e.n) AS BIGINT) AS n,
+           MAX(ROUND(e.m / 10000.0, 4)) AS mean_value,
+           MAX(ROUND(e.sd / 10000.0, 4)) AS std_value,
+           CAST(SUM(CASE WHEN ABS(q.v - e.m) > 3.0 * e.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN enriched e USING (event_type)
+    GROUP BY 1
+"""
