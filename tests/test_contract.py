@@ -1,0 +1,61 @@
+"""Whole-contract guards: every registered key must (a) build and
+analyze a Spark plan and (b) ship a DuckDB-parseable oracle. These run
+in seconds (no execution) and catch drift — a renamed column, a broken
+import, a SQL typo — long before the full oracle harness would."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flinkproj_spark import registry
+from flinkproj_spark.sources.tables import TABLES
+
+
+def test_every_query_key_analyzes(spark, sf_dir):
+    """Force Catalyst analysis (not execution) of every key's plan."""
+    failures = {}
+    for key, fn in registry.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            df.schema  # triggers analysis
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[key] = repr(e)[:200]
+    assert not failures, failures
+
+
+def test_every_oracle_sql_parses(sf_dir):
+    """EXPLAIN every oracle statement against the real table schemas."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = {}
+    for key, sql in registry.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            failures[key] = repr(e)[:200]
+    assert not failures, failures
+
+
+def test_oracle_keys_subset_of_queries():
+    q, o = registry.queries(), registry.oracle_sql()
+    assert set(o) <= set(q)
+    rows_only = set(q) - set(o)
+    # rows-only keys must stay an explicit, named set — additions here
+    # need a justification (sketches / non-SQL-expressible only)
+    assert rows_only == {"approx_distinct_counts", "approx_percentile_stats"}
+
+
+def test_query_count_matches_readme():
+    import re
+    from pathlib import Path
+
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    m = re.search(r"\*\*(\d+) registered query keys\*\*", readme.read_text())
+    assert m, "README coverage bullet missing"
+    assert int(m.group(1)) == len(registry.queries()), (
+        "README key count drifted from registry — update the Coverage section"
+    )
