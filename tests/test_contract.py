@@ -49,6 +49,17 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only == {"approx_distinct_counts", "approx_percentile_stats"}
 
 
+def test_cli_list_and_oracle(capsys, sf_dir):
+    from flinkproj_spark.__main__ import main
+
+    assert main(["list", "--filter", "tpch_q6"]) == 0
+    out = capsys.readouterr().out
+    assert "tpch_q6\toracle" in out
+    assert main(["oracle", "tpch_q6", "--sf-dir", sf_dir]) == 0
+    assert "revenue" in capsys.readouterr().out
+    assert main(["run", "definitely_not_a_key"]) == 2
+
+
 def test_query_count_matches_readme():
     import re
     from pathlib import Path
