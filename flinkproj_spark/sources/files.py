@@ -95,6 +95,35 @@ def stream_jsonl(
     )
 
 
+def parse_xml_column(
+    df: DataFrame, col: str, schema: str, out: str = "xml"
+) -> DataFrame:
+    """Parse an XML-string column with a declared schema (Spark 4's
+    built-in from_xml — expression-level, codegen-friendly, no external
+    package). The wire twin of the pipelines' from_json edge for
+    XML-framed feeds; malformed fragments parse to all-null structs,
+    so a null-check on any required field dead-letters them exactly
+    like the JSON path."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out, F.from_xml(F.col(col), schema))
+
+
+def read_xml_lines(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    out: str = "xml",
+    **options: str,
+) -> DataFrame:
+    """Batch scan of line-framed XML records (one document per line —
+    the streaming-friendly framing): read as text, parse per-line with
+    from_xml. For multi-line documents use a real rowTag-based reader;
+    line framing is what a Kafka-style wire carries."""
+    raw = spark.read.options(**options).text(path)
+    return parse_xml_column(raw, "value", schema, out)
+
+
 def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
     """Batch ORC scan. ORC is self-describing and columnar, so no schema
     argument: pushdown/pruning work as with parquet (Spark's native

@@ -63,6 +63,26 @@ def test_jsonl_corrupt_records_are_routable(spark, tmp_path):
     df.unpersist()
 
 
+def test_xml_lines_parse_and_route_malformed(spark, tmp_path):
+    from flinkproj_spark.sources.files import read_xml_lines
+
+    p = str(tmp_path / "xml")
+    os.makedirs(p)
+    with open(os.path.join(p, "a.xml"), "w") as f:
+        f.write("<rec><event_id>1</event_id><event_type>ok</event_type><value>0.5</value></rec>\n")
+        f.write("<rec><event_id>2</event_id><event_type>ok2</event_type><value>1.5</value></rec>\n")
+        f.write("not xml at all\n")
+    df = read_xml_lines(
+        spark, p, "struct<event_id:long,event_type:string,value:double>"
+    ).cache()
+    good = df.filter(F.col("xml.event_id").isNotNull()).select("xml.event_id", "xml.value")
+    rows = {r.event_id: r.value for r in good.collect()}
+    assert rows == {1: 0.5, 2: 1.5}
+    # malformed line -> all-null struct, routable like the JSON dead-letter
+    assert df.filter(F.col("xml.event_id").isNull()).count() == 1
+    df.unpersist()
+
+
 def test_stream_jsonl_drains_to_batch_result(spark, sf_dir, tmp_path):
     ev = _events(spark, sf_dir).limit(200)
     src = str(tmp_path / "src")
