@@ -59,6 +59,17 @@ def test_lsh_topk_is_subset_quality_of_brute(spark, sf_dir):
     assert recall >= 0.4, f"distance-2 multi-probe recall regressed: {recall}"
 
 
+def test_banded_lsh_recall_beats_single_table(spark, sf_dir):
+    """OR-banding (3 tables x d<=2 probes) must hold its recall floor:
+    measured 0.90 at sf0.001, 0.975 at sf0.01."""
+    from flinkproj_spark.operators.similarity import ann_topk_lsh_banded
+
+    brute = {(r.query_id, r.vec_id) for r in ann_topk_brute(spark, sf_dir).collect()}
+    got = {(r.query_id, r.vec_id) for r in ann_topk_lsh_banded(spark, sf_dir).collect()}
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.8, f"banded LSH recall regressed: {recall}"
+
+
 def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
     out = multimodal_decode(spark, sf_dir)
     assert [f.name for f in out.schema.fields] == [
