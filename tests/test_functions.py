@@ -109,3 +109,53 @@ def test_hash_keep_fraction_and_determinism(spark):
         F.col("h") < "28"
     ).count()
     assert kept == again
+
+
+def test_paragraph_spans_match_python_reference(spark):
+    """paragraph_dedup's in-row span construction vs a pure-Python
+    reference, stressing the 16-word boundary (n = 1, 15, 16, 17, 31,
+    32, 33, ...): span index, md5 fingerprint, and span length must all
+    agree for every doc."""
+    import hashlib
+
+    from flinkproj_spark.operators.curation import SPAN_WORDS
+
+    rng = random.Random(13)
+    rows = []
+    sizes = [1, 2, 15, 16, 17, 31, 32, 33, 48, 49, 5, 100]
+    for i, n in enumerate(sizes):
+        words = [rng.choice(_ALPHABET[:5]) for _ in range(n)]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    words_col = fx.tokenize_ws()
+    staged = df.select(
+        "doc_id", words_col.alias("ws"), F.monotonically_increasing_id().alias("_nc")
+    )
+    ws = F.col("ws")
+    n = F.size(ws)
+    n_spans = F.floor((n + F.lit(SPAN_WORDS - 1)) / F.lit(SPAN_WORDS)).cast("int")
+    spans_arr = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            i.alias("span_idx"),
+            F.md5(F.array_join(F.slice(ws, i * SPAN_WORDS + 1, SPAN_WORDS), " ")).alias("h"),
+            F.least(n - i * SPAN_WORDS, F.lit(SPAN_WORDS)).alias("span_len"),
+        ),
+    )
+    got = {}
+    out = staged.select("doc_id", F.explode(spans_arr).alias("sp")).select(
+        "doc_id", "sp.span_idx", "sp.h", "sp.span_len"
+    )
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append((r.span_idx, r.h, r.span_len))
+
+    for i, text in rows:
+        pywords = [w for w in text.split(" ") if w]
+        expect = []
+        for si in range(0, (len(pywords) + SPAN_WORDS - 1) // SPAN_WORDS):
+            chunk = pywords[si * SPAN_WORDS : si * SPAN_WORDS + SPAN_WORDS]
+            expect.append(
+                (si, hashlib.md5(" ".join(chunk).encode()).hexdigest(), len(chunk))
+            )
+        assert sorted(got[i]) == expect, f"doc {i} ({len(pywords)} words)"
