@@ -229,6 +229,19 @@ def test_cross_snapshot_dedup_is_anti_join_without_hint(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_banded_lsh_corpus_never_shuffles(spark, sf_dir):
+    # The corpus side must meet broadcast probes map-side: the only
+    # hash exchanges allowed are over the CANDIDATE set (query_id keys
+    # for dedup + ranking), never over corpus rows or buckets.
+    from flinkproj_spark.operators.similarity import ann_topk_lsh_banded
+
+    plan = _plan(ann_topk_lsh_banded(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "query_id" in line, f"corpus-side exchange: {line.strip()[:120]}"
+
+
 def test_funnel_is_one_shuffle_three_windows(spark, sf_dir):
     # The chained stage columns (t1 -> t2 -> t3) must reuse the single
     # user_id partitioning: 3 Window passes, exactly 1 hash exchange.
