@@ -89,24 +89,15 @@ def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_aggregate(report_parse(raw))
 
 
-def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM-data curation pipeline end-to-end, one declarative plan:
-    language-evidence filter → length/quality filter → exact dedup
-    (keep min doc_id per content hash) → near-dup removal (drop the
-    younger member of every MinHash-LSH candidate pair). Returns the
-    surviving (doc_id, lang, n_words).
-
-    Scale shape: the two filters fuse into the scan (one codegen'd
-    pass, no shuffle) and the map-heavy lang/quality stage is fanned
-    out across cores; exact dedup is one hash-partition on the content
-    md5 — the md5 is computed BEFORE the exchange so the full text
-    column never travels through the shuffle; near-dup removal is a
-    plain hash anti join on doc_id — the doc_b set scales with the
-    corpus (10 % dup rate at 100 TB = billions of ids), so it must NOT
-    be broadcast: long-key shuffle is cheap, driver OOM is not."""
+def _curate_gated_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared funnel head: language-evidence filter → length/quality
+    filter → exact dedup (keep min doc_id per content hash). The two
+    filters fuse into the scan (one codegen'd pass) and the map-heavy
+    lang/quality stage is fanned out; the content md5 is projected
+    BEFORE the dedup window's exchange so document bodies never travel
+    through a shuffle."""
     from pyspark.sql import Window
 
-    from flinkproj_spark.operators.dedup import dedup_minhash_lsh
     from flinkproj_spark.operators.text import _LANG_MARKERS, _LANG_ORDER, _STOPWORDS
 
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
@@ -127,19 +118,55 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         docs.select("doc_id", "lang", "text", n_words.alias("n_words"))
         .filter((marker_hits > 0) & (n_words >= 20) & (quality >= 0.3))
-        # Project the fingerprint and DROP text before the window's
-        # exchange: the shuffle carries (16-byte fp, id, lang, int),
-        # not document bodies.
         .select("doc_id", "lang", "n_words", F.md5("text").alias("_fp"))
     )
     w = Window.partitionBy("_fp").orderBy("doc_id")
-    deduped = (
-        kept.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-    )
+    return kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-data curation pipeline end-to-end, one declarative plan:
+    language-evidence filter → length/quality filter → exact dedup
+    (keep min doc_id per content hash) → near-dup removal (drop the
+    younger member of every MinHash-LSH candidate pair). Returns the
+    surviving (doc_id, lang, n_words).
+
+    Scale shape: see _curate_gated_deduped for the funnel head;
+    near-dup removal is a plain hash anti join on doc_id — the doc_b
+    set scales with the corpus (10 % dup rate at 100 TB = billions of
+    ids), so it must NOT be broadcast: long-key shuffle is cheap,
+    driver OOM is not."""
+    from flinkproj_spark.operators.dedup import dedup_minhash_lsh
+
+    deduped = _curate_gated_deduped(spark, sf_dir)
     younger = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
     return (
         deduped.join(younger, deduped.doc_id == younger.doc_b, "left_anti")
+        .select("doc_id", "lang", "n_words")
+    )
+
+
+def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-signal curation funnel: same gate + exact dedup as
+    pipeline_curate, but near-dup removal drops only candidates the
+    embedding cosine CONFIRMS (neardup_semantic_verify, cos ≥ 0.5) —
+    lexical recall proposes, semantic precision disposes, so borderline
+    MinHash collisions stop deleting real documents.
+
+    Scale shape identical to v1 plus the verify joins: pairs and
+    signatures meet by id (merge-pinned), the confirmed doc_b set stays
+    an un-broadcast hash anti join."""
+    from flinkproj_spark.operators.curation import neardup_semantic_verify
+
+    deduped = _curate_gated_deduped(spark, sf_dir)
+    confirmed = (
+        neardup_semantic_verify(spark, sf_dir)
+        .filter(F.col("confirmed") == 1)
+        .select("doc_b")
+        .distinct()
+    )
+    return (
+        deduped.join(confirmed, deduped.doc_id == confirmed.doc_b, "left_anti")
         .select("doc_id", "lang", "n_words")
     )
 
@@ -148,6 +175,7 @@ QUERIES = {
     "pipeline_clean": pipeline_clean,
     "pipeline_report": pipeline_report,
     "pipeline_curate": pipeline_curate,
+    "pipeline_curate_v2": pipeline_curate_v2,
 }
 
 _DIM_SQL = """(VALUES ('US','AREA_US'), ('TW','AREA_CT'), ('HK','AREA_CT'),
@@ -194,7 +222,7 @@ ORACLE = {
 }
 
 
-def _curate_oracle() -> str:
+def _curate_oracle(drop_set_sql: str | None = None) -> str:
     from flinkproj_spark.operators.dedup import _MINHASH_PAIRS_SQL
     from flinkproj_spark.operators.text import (
         _BEST,
@@ -203,6 +231,8 @@ def _curate_oracle() -> str:
         _WORDS_SQL,
     )
 
+    if drop_set_sql is None:
+        drop_set_sql = f"SELECT doc_b FROM ({_MINHASH_PAIRS_SQL})"
     return f"""
         WITH s AS (
           SELECT doc_id, lang, text,
@@ -225,8 +255,18 @@ def _curate_oracle() -> str:
             FROM kept)
           WHERE rn = 1)
         SELECT doc_id, lang, n_words FROM deduped
-        WHERE doc_id NOT IN (SELECT doc_b FROM ({_MINHASH_PAIRS_SQL}))
+        WHERE doc_id NOT IN ({drop_set_sql})
     """
 
 
+def _curate_v2_oracle() -> str:
+    from flinkproj_spark.operators.curation import ORACLE as _CURATION_ORACLE
+
+    verify = _CURATION_ORACLE["neardup_semantic_verify"]
+    return _curate_oracle(
+        f"SELECT doc_b FROM ({verify}) WHERE confirmed = 1"
+    )
+
+
 ORACLE["pipeline_curate"] = _curate_oracle()
+ORACLE["pipeline_curate_v2"] = _curate_v2_oracle()
