@@ -349,6 +349,80 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of the marker-word
+    classifier against the corpus's labeled `lang` column — the
+    monitoring twin of ann_recall_eval for the text family. Output is
+    one row per (true lang, predicted lang) cell with its count.
+
+    Shape: the classifier is a single fanned-out scan (text_lang_id);
+    truth rides the same documents scan, joined by doc_id
+    (merge-pinned — both sides corpus-proportional), then one narrow
+    rollup on the 2-string key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = text_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        docs.join(pred.hint("merge"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+PMI_MIN_COUNT = 5  # collocation support floor
+PMI_TOP = 20
+
+
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 word bigrams by lift
+    (count(ab)·N / (count(a)·count(b)) — PMI's argument, monotonic in
+    PMI) with support ≥ PMI_MIN_COUNT — the statistic tokenizer/phrase
+    builders rank merge candidates with.
+
+    Shape: one tokenized scan feeds the unigram vocabulary and the
+    bigram counts (both map-side-combined); the bigram frame joins the
+    vocabulary twice on a word key (merge-pinned, Zipf skew left to
+    AQE), N rides a broadcast 1-row aggregate. Lift is a double
+    division of exact sub-2^53 integer products — correctly-rounded
+    IEEE, identical in DuckDB (at 100 TB token counts the products
+    need DECIMAL(38,0) instead; the shape is unchanged)."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = F.transform(_words(), lambda w: F.lower(w))
+    tok = docs.select(F.explode(words).alias("w"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n_tokens"))
+    m = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, m), F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = (
+        docs.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        big.join(a.hint("merge"), "w1")
+        .join(b.hint("merge"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "c_ab",
+            F.round(
+                (F.col("c_ab") * F.col("n_tokens")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), "bigram").limit(PMI_TOP)
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_repetition": text_repetition,
@@ -359,6 +433,8 @@ QUERIES = {
     "ngram_counts": ngram_counts,
     "text_pii_redact": text_pii_redact,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "lang_id_eval": lang_id_eval,
+    "bigram_pmi_top": bigram_pmi_top,
 }
 
 
@@ -520,3 +596,41 @@ ORACLE = {
         SELECT doc_id, unnest(fps) AS fp FROM f
     """,
 }
+
+ORACLE["lang_id_eval"] = f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_LANG_SCORES}
+      FROM documents),
+    p AS (
+      SELECT doc_id, lang, {_PRED_CASE} AS pred_lang FROM s)
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM p GROUP BY 1, 2
+"""
+
+ORACLE["bigram_pmi_top"] = f"""
+    WITH tok AS (
+      SELECT lower(unnest({_WORDS_SQL})) AS w FROM documents),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+    total AS (SELECT SUM(c) AS n_tokens FROM uni),
+    wd AS (
+      SELECT list_transform({_WORDS_SQL}, x -> lower(x)) AS words
+      FROM documents WHERE len({_WORDS_SQL}) >= 2),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i + 1])) AS bigram
+      FROM wd),
+    bc AS (
+      SELECT bigram, COUNT(*) AS c_ab FROM bg GROUP BY 1
+      HAVING COUNT(*) >= {PMI_MIN_COUNT}),
+    scored AS (
+      SELECT b.bigram, b.c_ab,
+             ROUND(CAST(b.c_ab * t.n_tokens AS DOUBLE)
+                   / CAST(a.c * c.c AS DOUBLE), 4) AS lift
+      FROM bc b
+      JOIN uni a ON a.w = string_split(b.bigram, ' ')[1]
+      JOIN uni c ON c.w = string_split(b.bigram, ' ')[2]
+      CROSS JOIN total t)
+    SELECT bigram, c_ab, lift FROM scored
+    ORDER BY lift DESC, bigram LIMIT {PMI_TOP}
+"""
