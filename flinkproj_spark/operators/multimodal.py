@@ -132,6 +132,56 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInPandas(_decode_pgm, schema=DECODE_SCHEMA)
 
 
+def _pcm_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio-shaped decode: interpret the payload as little-endian
+    int16 PCM samples (trailing odd byte dropped) and emit exact
+    integer waveform statistics plus an RMS double derived from them.
+    One zero-copy numpy view per blob, batch-at-a-time — the same
+    Arrow shape a real audio feature extractor uses."""
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        views = pdf["payload"].map(
+            lambda b: np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2")
+        )
+        n = views.map(lambda a: a.size)
+        sumsq = views.map(
+            lambda a: int((a.astype(np.int64) ** 2).sum()) if a.size else 0
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_samples": n.astype("int64"),
+                "sum_abs": views.map(
+                    lambda a: int(np.abs(a.astype(np.int64)).sum()) if a.size else 0
+                ).astype("int64"),
+                "max_abs": views.map(
+                    lambda a: int(np.abs(a.astype(np.int64)).max()) if a.size else 0
+                ).astype("int64"),
+                # math.sqrt is correctly-rounded IEEE (x**0.5 is pow,
+                # which is not guaranteed bit-identical to sqrt)
+                "rms": [
+                    math.sqrt(s / c) if c else 0.0 for s, c in zip(sumsq, n)
+                ],
+            }
+        )
+
+
+def multimodal_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform statistics over binary payloads via mapInPandas: the
+    payload is decoded as int16 PCM (the audio twin of the PGM image
+    decode), emitting exact integer aggregates and an RMS double
+    computed from them — so the Arrow stage is value-hash-verified by
+    a DuckDB twin that rebuilds the samples with byte arithmetic."""
+    p = _payloads(spark, sf_dir)
+    return p.select("doc_id", "payload").mapInPandas(
+        _pcm_stats,
+        schema="doc_id long, n_samples long, sum_abs long, max_abs long, rms double",
+    )
+
+
 FRAME_BYTES = 64
 FRAME_STRIDE = 4  # keep every 4th frame
 
@@ -207,6 +257,7 @@ QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
+    "multimodal_pcm_stats": multimodal_pcm_stats,
 }
 
 ORACLE = {
@@ -262,6 +313,33 @@ ORACLE = {
                      i -> ord(substr(text, CAST(1 + i * k AS BIGINT), 1)))), 0)
                  AS BIGINT) AS thumb_checksum
         FROM b
+    """,
+    # ASCII corpus → byte == ord(char); little-endian int16 sample i is
+    # ord(2i+1) + 256*ord(2i+2), sign-corrected above 32767 (never
+    # fires on ASCII but the arithmetic is the real decoder's).
+    "multimodal_pcm_stats": """
+        WITH b AS (
+          SELECT doc_id, text,
+                 strlen(text) - (strlen(text) % 2) AS n2
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_transform(range(0, n2 // 2),
+                   i -> CASE WHEN ord(substr(text, CAST(2*i+1 AS BIGINT), 1))
+                               + 256 * ord(substr(text, CAST(2*i+2 AS BIGINT), 1)) >= 32768
+                             THEN ord(substr(text, CAST(2*i+1 AS BIGINT), 1))
+                               + 256 * ord(substr(text, CAST(2*i+2 AS BIGINT), 1)) - 65536
+                             ELSE ord(substr(text, CAST(2*i+1 AS BIGINT), 1))
+                               + 256 * ord(substr(text, CAST(2*i+2 AS BIGINT), 1)) END) AS v
+          FROM b)
+        SELECT doc_id,
+               CAST(len(v) AS BIGINT) AS n_samples,
+               CAST(COALESCE(list_sum(list_transform(v, x -> abs(x))), 0) AS BIGINT) AS sum_abs,
+               CAST(COALESCE(list_max(list_transform(v, x -> abs(x))), 0) AS BIGINT) AS max_abs,
+               CASE WHEN len(v) = 0 THEN 0.0
+                    ELSE sqrt(CAST(list_sum(list_transform(v, x -> CAST(x AS BIGINT) * x)) AS DOUBLE)
+                              / len(v)) END AS rms
+        FROM s
     """,
     "multimodal_frame_sample": f"""
         WITH f AS (
