@@ -61,6 +61,40 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IS_SALT = "is|"  # importance-sample hash domain separator
+IS_CAP_WORDS = 200  # weight saturates at this length
+
+
+def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: each document survives
+    with probability proportional to its (length-capped) weight —
+    longer/denser docs kept more often, the static analog of
+    importance-weighted data selection. No RNG: the coin is the
+    document's own 32-bit md5 prefix compared against an integer
+    threshold derived from the weight, so the sample is reproducible
+    across runs, engines, and partitionings.
+
+    Shape: pure scan + filter, zero shuffle, all integer arithmetic
+    (w_e6 · 2³² div 10⁶ never overflows a BIGINT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_words = F.size(words)
+    w_e6 = (F.least(n_words, F.lit(IS_CAP_WORDS)) * F.lit(1_000_000 // IS_CAP_WORDS)).cast(
+        "long"
+    )
+    h32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(IS_SALT), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    staged = docs.select(
+        "doc_id", "lang", n_words.alias("n_words"), w_e6.alias("w_e6"), h32.alias("_h")
+    )
+    return staged.filter(
+        F.col("_h") < F.expr("(w_e6 * 4294967296) div 1000000")
+    ).select("doc_id", "lang", "n_words", "w_e6")
+
+
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split each document into fixed-size word chunks (CHUNK_WORDS=32):
     one output row per chunk with its text and word count. The slice per
@@ -214,6 +248,7 @@ def train_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stratified_sample": stratified_sample,
+    "importance_sample": importance_sample,
     "domain_mix": domain_mix,
     "train_shard_shuffle": train_shard_shuffle,
     "doc_chunking": doc_chunking,
@@ -310,3 +345,15 @@ ORACLE = {
         GROUP BY 1, 2
     """,
 }
+
+ORACLE["importance_sample"] = f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len({_WORDS_SQL}) AS n_words,
+             CAST(LEAST(len({_WORDS_SQL}), {IS_CAP_WORDS})
+                  * {1_000_000 // IS_CAP_WORDS} AS BIGINT) AS w_e6,
+             ('0x' || substr(md5('{IS_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents)
+    SELECT doc_id, lang, n_words, w_e6 FROM s
+    WHERE h < (w_e6 * 4294967296) // 1000000
+"""
