@@ -145,9 +145,44 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset health summary — the numbers an ingest pipeline
+    alerts on: doc/lang counts, total words, exact-duplicate rate
+    (parts-per-1e6, integer), share of too-short docs (<20 words,
+    ppm), and mean chars per doc (integer div). Single scan + one
+    count-distinct on the 16-byte content hash; every ratio is integer
+    arithmetic so the row hashes identically in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = fx.tokenize_ws()
+    staged = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(words).alias("n_words"),
+        F.md5("text").alias("fp"),
+    )
+    agg = staged.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_words").alias("total_words"),
+        F.count_distinct("fp").alias("_n_distinct"),
+        F.sum((F.col("n_words") < 20).cast("long")).alias("_n_short"),
+        F.sum("n_chars").alias("_total_chars"),
+    )
+    return agg.selectExpr(
+        "n_docs",
+        "n_langs",
+        "total_words",
+        "((n_docs - _n_distinct) * 1000000) div n_docs AS dup_ppm",
+        "(_n_short * 1000000) div n_docs AS short_ppm",
+        "_total_chars div n_docs AS mean_chars",
+    )
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "corpus_stats": corpus_stats,
+    "corpus_health_report": corpus_health_report,
     "sample_exact_k": sample_exact_k,
 }
 
@@ -214,3 +249,18 @@ ORACLE = {
         WHERE rn <= {SAMPLE_K}
     """,
 }
+
+ORACLE["corpus_health_report"] = f"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             len({_WORDS_SQL}) AS n_words,
+             md5(text) AS fp
+      FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm,
+           CAST(SUM(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS short_ppm,
+           CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
+    FROM s
+"""
