@@ -184,8 +184,8 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_view AS BIGINT) AS n_view",
         "CAST(n_view_click AS BIGINT) AS n_view_click",
         "CAST(n_view_click_purchase AS BIGINT) AS n_view_click_purchase",
-        "(n_view_click * 100) div n_view AS pct_click",
-        "(n_view_click_purchase * 100) div n_view AS pct_purchase",
+        "(n_view_click * 100) div nullif(n_view, 0) AS pct_click",
+        "(n_view_click_purchase * 100) div nullif(n_view, 0) AS pct_purchase",
     )
 
 
@@ -232,7 +232,9 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("v").alias("_s"),
-            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("_ss"),
+            # cast BEFORE multiplying: a LongType v*v wraps (or throws
+            # under ANSI) for |value| ≳ 3e5; decimal(38,0)*long is exact
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("_ss"),
         )
     )
     mean = F.col("_s").cast("double") / F.col("n")
@@ -334,8 +336,8 @@ _FUNNEL_SQL = """
         SELECT CAST(n_view AS BIGINT) AS n_view,
                CAST(n_view_click AS BIGINT) AS n_view_click,
                CAST(n_view_click_purchase AS BIGINT) AS n_view_click_purchase,
-               CAST(n_view_click * 100 // n_view AS BIGINT) AS pct_click,
-               CAST(n_view_click_purchase * 100 // n_view AS BIGINT) AS pct_purchase
+               CAST(n_view_click * 100 // NULLIF(n_view, 0) AS BIGINT) AS pct_click,
+               CAST(n_view_click_purchase * 100 // NULLIF(n_view, 0) AS BIGINT) AS pct_purchase
         FROM agg
 """
 

@@ -337,9 +337,13 @@ ORACLE = {
           SELECT doc_id, source, md5(text) AS content_fp FROM documents
           WHERE source IN ({_NEW_SQL})),
         surv AS (
-          SELECT * FROM new
-          WHERE content_fp NOT IN (
-            SELECT md5(text) FROM documents WHERE source NOT IN ({_NEW_SQL})))
+          -- NOT EXISTS, not NOT IN: one NULL text in the base corpus
+          -- would make NOT IN three-valued and empty the result, while
+          -- the Spark side's left_anti join keeps non-matching rows.
+          SELECT * FROM new n
+          WHERE NOT EXISTS (
+            SELECT 1 FROM documents d
+            WHERE d.source NOT IN ({_NEW_SQL}) AND md5(d.text) = n.content_fp))
         SELECT doc_id, source, content_fp FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY content_fp ORDER BY doc_id) AS rn
           FROM surv)

@@ -22,6 +22,9 @@ DuckDB); all arithmetic on hashes is integer.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +47,11 @@ MINHASH_B = [17, 29, 43, 61, 89, 113, 151, 197, 251]
 # pair expansion (its O(k²) pairs are mass-duplicate boilerplate, the
 # upstream exact-dedup/boilerplate filter's job, not LSH's).
 BUCKET_CAP = 200
+
+# dedup_cluster: reliable-checkpoint the label frame every this many
+# min-propagation rounds; between checkpoints lineage stays ≤ CKPT_EVERY
+# joins deep, recomputable from the last durable round on executor loss.
+CKPT_EVERY = 3
 
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
 
@@ -182,20 +190,37 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-or-shuffle join + a map-side-combined min — at 100 TB this
     is the standard large-star/small-star family shape, and near-dup
     components are tiny (diameter 2-3), so 2-4 rounds in practice.
-    localCheckpoint truncates the lineage per round so the plan doesn't
-    grow with iterations (and makes each round's result concrete before
-    the convergence check)."""
+
+    Fault tolerance: RELIABLE checkpoints (spark checkpoint dir — HDFS/S3
+    on a real cluster, set SPARK_GRAFT_CHECKPOINT_DIR or call
+    setCheckpointDir first), not localCheckpoint: localCheckpoint stores
+    blocks only on executors with no lineage, so one lost executor kills
+    a cluster job mid-iteration with no recompute path. Edges and the
+    initial labels checkpoint once; each round persists, and every
+    CKPT_EVERY rounds the label frame checkpoints reliably so lineage
+    never grows past a few joins and recovery restarts from the last
+    durable round."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(
+            os.environ.get(
+                "SPARK_GRAFT_CHECKPOINT_DIR",
+                os.path.join(tempfile.gettempdir(), "flinkproj_spark_ckpt"),
+            )
+        )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)  # pairs pipeline runs once
+    edges = edges.checkpoint(eager=True)  # pairs pipeline runs once, durably
     labels = (
         edges.select("src").distinct().select(
             F.col("src").alias("node"), F.col("src").alias("label")
         )
-    ).localCheckpoint(eager=True)
-    for _ in range(64):  # bound >> any real diameter; convergence breaks out
+    ).checkpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    retained = None
+    for rnd in range(64):  # bound >> any real diameter; convergence breaks out
         neighbor = (
             edges.join(labels, edges.dst == labels.node)
             .select(edges.src.alias("node"), "label")
@@ -204,21 +229,24 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if (rnd + 1) % CKPT_EVERY == 0:
+            new_labels = new_labels.checkpoint(eager=True)  # durable, lineage cut
+        else:
+            new_labels = new_labels.persist()  # lineage kept back to last checkpoint
         # Convergence via the label-sum invariant: labels only ever
         # decrease (new = min(own, neighbors)), so the sum strictly
         # drops on any active round and is equal iff nothing changed —
-        # one cheap aggregate on checkpointed data instead of a
-        # join-and-compare per round.
+        # one cheap aggregate (which also materializes the persist)
+        # instead of a join-and-compare per round.
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        prev_sum = getattr(labels, "_label_sum", None)
-        if prev_sum is None:
-            prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if retained is not None:
+            retained.unpersist()
+        retained = new_labels
         labels = new_labels
-        labels._label_sum = new_sum
         if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -296,8 +324,17 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: candidate pairs share a blocking key
     (lang + first two words — near-dups share their prefix), then exact
-    word-set Jaccard ≥ 0.5. Blocking bounds the self-join the same way
-    LSH bucketing does, with the exact measure as the verifier stage."""
+    word-set Jaccard ≥ 0.5. Blocking bounds the pair space the same way
+    LSH bucketing does, with the exact measure as the verifier stage.
+
+    Scale shape (mirrors lsh_candidate_pairs): instead of a self-join on
+    bkey — where one boilerplate prefix shared by 10⁸ docs makes a
+    single merge-join key O(k²) and melts that task — each block is
+    grouped, capped at BUCKET_CAP members, and expanded to its ordered
+    pairs in-row with the Jaccard computed inline. ONE shuffle of
+    (doc_id, bkey, wset) instead of two self-join sides, and the O(k²)
+    expansion is hard-bounded: an over-full block is mass-duplicated
+    boilerplate, the upstream exact-dedup filter's job, not blocking's."""
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = _words()
     keyed = docs.filter(F.size(words) >= 2).select(
@@ -305,22 +342,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("lang", F.lit("|"), F.element_at(words, 1), F.lit(" "), F.element_at(words, 2)).alias("bkey"),
         F.array_distinct(words).alias("wset"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    # corpus self-join: pinned to shuffle on the blocking key (stats at
-    # small SF would broadcast one side — corpus-proportional)
-    pairs = a.join(
-        b.hint("merge"),
-        (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(
-            F.size(F.array_intersect("a.wset", "b.wset")).cast("double")
-            / F.size(F.array_union("a.wset", "b.wset")),
-            4,
-        ).alias("jaccard"),
+    # array_sort on struct(doc_id, wset) orders by doc_id (first field),
+    # so in-row expansion of i<j positions yields doc_a < doc_b.
+    blocks = (
+        keyed.groupBy("bkey")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "wset"))).alias("members"))
+        .filter(F.size("members").between(2, BUCKET_CAP))
     )
-    return pairs.filter(F.col("jaccard") >= 0.5)
+    pair_arr = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size("members")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.round(
+                        F.size(F.array_intersect(x["wset"], y["wset"])).cast("double")
+                        / F.size(F.array_union(x["wset"], y["wset"])),
+                        4,
+                    ).alias("jaccard"),
+                ),
+            ),
+        )
+    )
+    return (
+        blocks.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.jaccard")
+        .filter(F.col("jaccard") >= 0.5)
+    )
 
 
 QUERIES = {
@@ -434,12 +484,16 @@ ORACLE = {
           SELECT doc_id,
                  lang || '|' || ({_WORDS_SQL})[1] || ' ' || ({_WORDS_SQL})[2] AS bkey,
                  list_distinct({_WORDS_SQL}) AS wset
-          FROM documents WHERE len({_WORDS_SQL}) >= 2)
+          FROM documents WHERE len({_WORDS_SQL}) >= 2),
+        ok AS (
+          SELECT bkey FROM k GROUP BY bkey
+          HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP})
         SELECT doc_a, doc_b, jaccard FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  ROUND(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
                        len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
-          FROM k a JOIN k b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+          FROM k a JOIN k b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+          JOIN ok ON a.bkey = ok.bkey)
         WHERE jaccard >= 0.5
     """,
 }

@@ -481,6 +481,61 @@ def test_train_shard_shuffle_is_one_exchange_plus_local_sort(spark, sf_dir):
     assert "], true, 0" not in plan
 
 
+def test_ngram_jaccard_is_bucket_expand_not_self_join(spark, sf_dir):
+    # The blocking stage must be the capped bucket-expand shape (one
+    # scan, one shuffle on bkey, in-row pair expansion) — a bkey
+    # self-join would show two document scans and an unbounded O(k²)
+    # merge-join key on any boilerplate-hot prefix.
+    from flinkproj_spark.operators.dedup import dedup_ngram_jaccard
+
+    plan = _plan(dedup_ngram_jaccard(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_ngram_jaccard_hot_bucket_is_dropped(spark, tmp_path):
+    # Runtime proof of the BUCKET_CAP guard: a prefix shared by
+    # CAP+50 near-identical docs would expand to ~31k pairs un-capped;
+    # the capped plan drops that block and keeps the healthy one.
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.dedup import BUCKET_CAP, dedup_ngram_jaccard
+
+    hot = spark.range(BUCKET_CAP + 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(
+            F.lit("boiler plate prefix words repeated everywhere num "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    ok = spark.range(1000, 1003).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.concat(F.lit("rare unique opening sentence tail "), F.col("id").cast("string")).alias("text"),
+    )
+    hot.unionByName(ok).write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert len(pairs) == 3  # C(3,2)=3 from the healthy block only
+    assert all(r.doc_a >= 1000 for r in pairs)
+
+
+def test_dedup_cluster_checkpoints_reliably(spark, sf_dir, tmp_path):
+    # Fault-tolerance pin: the iteration must cut lineage via RELIABLE
+    # checkpoints in the SparkContext checkpoint dir (recoverable after
+    # executor loss), not executor-local blocks.
+    from flinkproj_spark.operators.dedup import dedup_cluster
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    out = dedup_cluster(spark, sf_dir)
+    assert out.count() > 0
+    found = [
+        f for _, _, files in __import__("os").walk(ckpt) for f in files
+    ]
+    assert found, "reliable checkpoint dir must contain persisted RDD blocks"
+
+
 def test_text_repetition_shuffles_combined_partials_only(spark, sf_dir):
     # both aggregations must be partial+final (map-side combine), so the
     # wire carries (doc_id, gram, count) not raw grams
