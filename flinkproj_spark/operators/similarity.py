@@ -154,6 +154,20 @@ def ann_topk_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability compounds as pᴸ). Measured recall vs brute at sf0.01:
     0.975 (vs 0.60 single-table d2); floor pinned by test.
 
+    Probe-trim trade study (measured, sf0.01 recall / probe rows per
+    query / scored-candidate fraction L·probes/2^planes — the term that
+    dominates at corpus scale): this 3×22-probe config is the knee.
+    (a) d≤1 with more tables: 4 tbl → 28 rows but recall 0.55; 6 tbl →
+    42 rows, 0.85. (b) wider 4-plane tables, d≤2: 3×11 rows, recall
+    0.975 — but candidate fraction doubles (2.06 vs 1.03), slower at
+    sf0.1 and strictly worse as the corpus grows. (c) query-adaptive
+    multi-probe (Lv et al.: flip lowest-|margin| bits; margins are
+    exact integer dots, so cross-engine deterministic): 1+3+C(4,2)=10
+    rows → 0.775; recall only returns to 0.975 at 1+4+C(6,2)=20 rows —
+    pair flips are NOT margin-concentrated at moderate neighbor
+    cosines, so adaptive saves just 2 of 22 probes at equal recall and
+    regresses to 0.875 on the sf0.001 draw. Kept: uniform d≤2.
+
     Scale shape: the corpus emits L (table, bucket) entries in a
     map-side explode — L× map rows, still ZERO corpus shuffles because
     the probe side stays broadcast; the equi-join key is (table,

@@ -8,6 +8,27 @@ spark-sql-kafka jar on the classpath; this container ships without it,
 so builders raise a clear error at call time (import of this module is
 always safe). On a real cluster:
     spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>
+
+Exactly-once delta vs the reference — READ THIS BEFORE DEPLOYING: the
+reference's producer uses Kafka transactions (Semantic.EXACTLY_ONCE,
+DataClean.java:108). Spark's Kafka SINK is AT-LEAST-ONCE — a failed
+micro-batch retries and may re-produce records; Spark does not write
+transactionally to Kafka. This engine's answer is idempotence one hop
+downstream, which is also how the reference's ES sink works (K3,
+DataReport.java:181): give every record a deterministic key
+(time-type-area) and make the consumer/sink an upsert on that key —
+`flinkproj_spark.sinks.upsert_keyed` is the batch/foreachBatch
+implementation, `streaming.pipelines.stream_report` the wired example.
+Duplicates then converge to one row (at-least-once produce + keyed
+dedup on read == exactly-once EFFECT). If you need transactional
+produce itself, put a dedup-on-read view over the topic (consumers
+filter on `kafka.isolation.level=read_committed` only helps with a
+transactional producer, which Spark is not).
+
+Integration coverage: tests/test_kafka_integration.py runs a real
+produce→clean→consume roundtrip through these builders, gated on
+SPARK_GRAFT_KAFKA_BOOTSTRAP + the connector jar (skips visibly in the
+jarless sandbox).
 """
 
 from __future__ import annotations

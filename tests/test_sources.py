@@ -154,3 +154,47 @@ def test_training_shard_write_matches_shuffle_operator(spark, sf_dir, tmp_path):
             )
         seen += len(ids)
     assert seen == len(expect)
+
+
+def test_dim_area_from_jdbc_matches_literal_dim(spark):
+    """S2 parity for the store-backed loader: seed an embedded Derby
+    (in-JVM, ships with Spark) with the reference's areas hash via the
+    JDBC writer, read it back through dim_area_from_jdbc, and the
+    inverted country→area rows must equal the literal dim_area."""
+    import pytest
+
+    from flinkproj_spark.sources.dims import (
+        AREA_HASH,
+        dim_area,
+        dim_area_from_jdbc,
+        jdbc_driver_available,
+    )
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    if not jdbc_driver_available(spark, driver):
+        pytest.skip("Derby JDBC driver not on classpath")
+    url = "jdbc:derby:memory:dimdb;create=true"
+    seed = spark.createDataFrame(
+        list(AREA_HASH.items()), "area string, countries string"
+    )
+    (
+        seed.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "areas")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    got = {(r.country, r.area) for r in dim_area_from_jdbc(
+        spark, url, "areas", driver).collect()}
+    want = {(r.country, r.area) for r in dim_area(spark).collect()}
+    assert got == want and len(got) == 7
+
+
+def test_dim_area_from_jdbc_gates_on_missing_driver(spark):
+    import pytest
+
+    from flinkproj_spark.sources.dims import dim_area_from_jdbc
+
+    with pytest.raises(RuntimeError, match="not on classpath"):
+        dim_area_from_jdbc(spark, "jdbc:nope://x", driver="com.example.NoSuchDriver")
