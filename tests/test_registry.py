@@ -42,3 +42,19 @@ def test_duplicate_keys_rejected(monkeypatch):
     monkeypatch.setattr(registry, "_MODULES", registry._MODULES + [Dupe])
     with pytest.raises(ValueError, match="duplicate query key"):
         registry.queries()
+
+
+def test_priority_keys_run_first():
+    """The driver's correctness budget covers ~the first 50 keys; the
+    never-driver-verified set (plus keys new this round) must lead."""
+    from flinkproj_spark import registry
+
+    keys = list(registry.queries().keys())
+    pri = list(registry._PRIORITY_KEYS)
+    assert len(set(pri)) == len(pri), "duplicate priority keys"
+    assert set(pri) <= set(keys), "priority key not in registry"
+    assert keys[: len(pri)] == pri, "priority keys must lead the contract"
+    assert len(pri) <= 50, "priority window exceeds the driver budget"
+    # oracle dict follows the same order for the keys it carries
+    okeys = [k for k in registry.oracle_sql() if k in set(pri)]
+    assert okeys == [k for k in pri if k in set(registry.oracle_sql())]
