@@ -246,6 +246,94 @@ def train_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_BUCKETS = 10
+_SPLIT_SALT = "split0"
+# md5-hex-prefix ceilings: < 'cc' (204/256 ≈ 80%) → train,
+# < 'e6' (230/256 ≈ 90%) → val, else test.
+_TRAIN_CEIL, _VAL_CEIL = "cc", "e6"
+
+
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile bucketing of documents by length, with
+    per-bucket statistics — the step that sizes length-stratified
+    training mixes and spots degenerate length distributions.
+
+    Boundaries are exact type-1 (rank-based) quantiles computed with
+    pure integer arithmetic — `boundary_k = min value whose cumulative
+    count·10 ≥ N·k` — so both engines agree bit-for-bit; interpolating
+    quantiles (percentile/quantile_cont) round differently per engine
+    and can flip a boundary bucket. Shape: one map-side-combined
+    count per distinct length (the heavy pass), then a running sum
+    over the DISTINCT length values only — that window sorts |distinct
+    lengths| rows, bounded by the corpus length cap (~10⁵ at any
+    corpus size), not by row count — then the 9 boundaries collapse to
+    one broadcast row and bucket assignment is a codegen'd comparison
+    fold. Ties share a bucket (deterministic, if uneven)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("cum", F.sum("c").over(w))
+    total = docs.agg(F.count("*").alias("n"))
+    bounds = (
+        cum.crossJoin(F.broadcast(total))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * _N_BUCKETS >= F.col("n") * k, F.col("n_chars")
+                    )
+                ).alias(f"b{k}")
+                for k in range(1, _N_BUCKETS)
+            ]
+        )
+    )
+    bucket = F.lit(1)
+    for k in range(1, _N_BUCKETS):
+        bucket = bucket + F.when(F.col("n_chars") > F.col(f"b{k}"), 1).otherwise(0)
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "n_chars")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split audit, stratified
+    reporting by language: each doc's split is a pure function of
+    md5(doc_id || salt), so the assignment is reproducible across runs,
+    engines, partitionings, and retries — no RNG state, no shuffle to
+    assign. Report: docs per (lang, split) plus the split's share of
+    the language in exact integer ppm. One combined groupBy; the
+    language totals ride a broadcast self-aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))), 1, 2
+    )
+    split = (
+        F.when(h < _TRAIN_CEIL, "train").when(h < _VAL_CEIL, "val").otherwise("test")
+    )
+    per = (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    lang_tot = per.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    return (
+        per.join(F.broadcast(lang_tot), "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            F.expr("n_docs * 1000000 div lang_total").alias("share_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "importance_sample": importance_sample,
@@ -254,6 +342,8 @@ QUERIES = {
     "doc_chunking": doc_chunking,
     "sequence_pack": sequence_pack,
     "sliding_window_agg": sliding_window_agg,
+    "quantile_bucketize": quantile_bucketize,
+    "stratified_split": stratified_split,
 }
 
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
@@ -356,4 +446,46 @@ ORACLE["importance_sample"] = f"""
       FROM documents)
     SELECT doc_id, lang, n_words, w_e6 FROM s
     WHERE h < (w_e6 * 4294967296) // 1000000
+"""
+
+_BOUNDS_SQL = ", ".join(
+    f"min(CASE WHEN cum * {_N_BUCKETS} >= n * {k} THEN n_chars END) AS b{k}"
+    for k in range(1, _N_BUCKETS)
+)
+_BUCKET_SQL = "1 + " + " + ".join(
+    f"(CASE WHEN d.n_chars > b.b{k} THEN 1 ELSE 0 END)"
+    for k in range(1, _N_BUCKETS)
+)
+
+ORACLE["quantile_bucketize"] = f"""
+    WITH vc AS (
+      SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+    cum AS (
+      SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum FROM vc),
+    t AS (SELECT COUNT(*) AS n FROM documents),
+    b AS (SELECT {_BOUNDS_SQL} FROM cum CROSS JOIN t)
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM (
+      SELECT CAST({_BUCKET_SQL} AS INT) AS bucket, d.n_chars
+      FROM documents d CROSS JOIN b)
+    GROUP BY 1
+"""
+
+ORACLE["stratified_split"] = f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'), 1, 2)
+                       < '{_TRAIN_CEIL}' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'), 1, 2)
+                       < '{_VAL_CEIL}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    per AS (
+      SELECT lang, split, COUNT(*) AS n_docs FROM assigned GROUP BY 1, 2),
+    tot AS (
+      SELECT lang, SUM(n_docs) AS lang_total FROM per GROUP BY 1)
+    SELECT p.lang, p.split, p.n_docs,
+           CAST(p.n_docs * 1000000 // t.lang_total AS BIGINT) AS share_ppm
+    FROM per p JOIN tot t ON p.lang = t.lang
 """

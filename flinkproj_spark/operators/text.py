@@ -423,6 +423,55 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("lift").desc(), "bigram").limit(PMI_TOP)
 
 
+GOPHER_MIN_WORDS = 15
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality rules (Rae et al. 2021, public):
+    word-count bounds, mean-word-length bounds, alphabetic-word ratio,
+    and minimum stopword evidence, folded into one keep/drop verdict
+    per document.
+
+    Every rule is an integer comparison — mean word length in [2, 10]
+    becomes `2·n ≤ chars ≤ 10·n`, the 80% alphabetic ratio becomes
+    `10·alpha ≥ 8·n` — so the verdict is bit-identical across engines
+    and immune to float rounding at any corpus size. One explode +
+    map-side-combined groupBy(doc_id) computes all four statistics in
+    a single pass; zero joins, one shuffle, and the text column is
+    projected away before the exchange. Documents with zero words
+    vanish at explode (same contract as text_quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_words()).alias("w"))
+    base = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("word_chars"),
+        F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0)).alias(
+            "alpha_words"
+        ),
+        F.sum(F.when(F.lower("w").isin(_STOPWORDS), 1).otherwise(0)).alias(
+            "stop_hits"
+        ),
+    )
+    n = F.col("n_words")
+    keep = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (F.col("word_chars") >= 2 * n)
+        & (F.col("word_chars") <= 10 * n)
+        & (F.col("alpha_words") * 10 >= 8 * n)
+        & (F.col("stop_hits") >= 2)
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "word_chars",
+        "alpha_words",
+        "stop_hits",
+        keep.cast("int").alias("keep"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "text_repetition": text_repetition,
@@ -435,6 +484,7 @@ QUERIES = {
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "lang_id_eval": lang_id_eval,
     "bigram_pmi_top": bigram_pmi_top,
+    "gopher_quality_filter": gopher_quality_filter,
 }
 
 
@@ -633,4 +683,26 @@ ORACLE["bigram_pmi_top"] = f"""
       CROSS JOIN total t)
     SELECT bigram, c_ab, lift FROM scored
     ORDER BY lift DESC, bigram LIMIT {PMI_TOP}
+"""
+
+ORACLE["gopher_quality_filter"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+    base AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             CAST(SUM(len(w)) AS BIGINT) AS word_chars,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+             CAST(SUM(CASE WHEN lower(w) IN ({_STOP_SQL})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+      FROM tok GROUP BY 1)
+    SELECT doc_id, n_words, word_chars, alpha_words, stop_hits,
+           CAST(n_words >= {GOPHER_MIN_WORDS}
+                AND n_words <= {GOPHER_MAX_WORDS}
+                AND word_chars >= 2 * n_words
+                AND word_chars <= 10 * n_words
+                AND alpha_words * 10 >= 8 * n_words
+                AND stop_hits >= 2 AS INT) AS keep
+    FROM base
 """

@@ -78,6 +78,9 @@ _PRIORITY_KEYS = (
     "retention_cohorts",
     "outlier_zscore",
     # --- new in round 3 (appended as implemented) ---
+    "gopher_quality_filter",
+    "quantile_bucketize",
+    "stratified_split",
 )
 
 

@@ -223,3 +223,50 @@ def test_domain_mix_hits_target_mixture(spark, sf_dir):
         assert abs(kept[lang] / total - pct / 100) < 0.06, (
             f"{lang}: got {kept[lang] / total:.2f}, want {pct / 100:.2f}"
         )
+
+
+def test_gopher_filter_rules_are_integer_exact(spark, sf_dir):
+    from flinkproj_spark.operators.text import gopher_quality_filter
+
+    df = gopher_quality_filter(spark, sf_dir).toPandas()
+    assert set(df["keep"]) <= {0, 1}
+    assert (df["keep"] == 1).any() and (df["keep"] == 0).any(), (
+        "thresholds should split the corpus, not rubber-stamp it"
+    )
+    # re-derive the verdict from the reported statistics: the output
+    # must be self-consistent (the rules ARE the columns)
+    import numpy as np
+
+    n = df["n_words"]
+    expect = (
+        (n >= 15)
+        & (n <= 100_000)
+        & (df["word_chars"] >= 2 * n)
+        & (df["word_chars"] <= 10 * n)
+        & (df["alpha_words"] * 10 >= 8 * n)
+        & (df["stop_hits"] >= 2)
+    ).astype(int)
+    assert (df["keep"] == expect).all()
+
+
+def test_quantile_buckets_are_equal_frequency(spark, sf_dir):
+    from flinkproj_spark.operators.sampling import quantile_bucketize
+
+    df = quantile_bucketize(spark, sf_dir).toPandas().sort_values("bucket")
+    assert list(df["bucket"]) == list(range(1, 11))
+    total = df["n_docs"].sum()
+    # each decile within 2x of ideal (ties can skew but not collapse)
+    assert df["n_docs"].max() <= 2 * (total // 10) + 1
+    # buckets tile the length axis in order without overlap
+    assert (df["min_chars"].values[1:] > df["max_chars"].values[:-1]).all()
+
+
+def test_stratified_split_shares_sum_per_lang(spark, sf_dir):
+    from flinkproj_spark.operators.sampling import stratified_split
+
+    df = stratified_split(spark, sf_dir).toPandas()
+    by_lang = df.groupby("lang")["share_ppm"].sum()
+    # integer-floor ppm: sums land within 3 ppm below 1e6, never above
+    assert ((by_lang <= 1_000_000) & (by_lang >= 1_000_000 - 3)).all()
+    tr = df[df["split"] == "train"].set_index("lang")["share_ppm"]
+    assert ((tr > 650_000) & (tr < 900_000)).all(), "train share ~80%"
