@@ -360,6 +360,120 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_T0 = "2024-01-02 00:00:00"  # snapshot/change-batch boundary
+_SKEW_TOP = 20
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event stream into change intervals — one row per run of a
+    constant event_type with [valid_from, valid_to) bounds and an
+    is_current flag. The warehouse pattern for turning a CDC stream
+    into a queryable dimension history.
+
+    Shape: ONE shuffle on user_id serves both windows (change
+    detection via lag, interval close via lead on the filtered change
+    rows — same partitioning, Spark reuses the exchange). Linear per
+    partition; per-user history length bounds the sort, not corpus
+    size. Determinism: (ts, event_id) is a unique order key."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        events.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    out = chg.withColumn("valid_to", F.lead("valid_from").over(w2))
+    return out.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    )
+
+
+def cdc_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (Delta-style MERGE INTO, upsert + delete): apply a
+    change batch (events at/after T0) onto a base snapshot (latest
+    state per user before T0), where event_type='error' is a DELETE
+    and anything else UPSERTs (ts, type, value). Last writer wins by
+    (ts, event_id).
+
+    Shape: each side collapses to latest-per-key with max_by — a TRUE
+    aggregate with map-side partial combine, not a row_number window,
+    so the shuffle carries one row per key per map partition, not the
+    raw stream. The merge itself is a full-outer join on user_id
+    (both sides already key-partitioned — one co-located join). The
+    oracle states the semantic contract (latest overall event, absent
+    if it is a delete), which the merge provably equals."""
+    events = load_table(spark, sf_dir, "events")
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("s")
+        ).select("user_id", "s.ts", "s.event_type", "s.value")
+
+    base = latest(events.filter(F.col("ts") < F.lit(_CDC_T0))).filter(
+        F.col("event_type") != "error"
+    )
+    chg = latest(events.filter(F.col("ts") >= F.lit(_CDC_T0)))
+    b = base.select(
+        "user_id",
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+        F.col("value").alias("b_value"),
+    )
+    merged = b.join(chg, "user_id", "full_outer")
+    take_chg = F.col("ts").isNotNull()
+    return (
+        merged.filter(
+            F.when(take_chg, F.col("event_type") != "error").otherwise(F.lit(True))
+        )
+        .select(
+            "user_id",
+            F.when(take_chg, F.col("ts")).otherwise(F.col("b_ts")).alias("last_ts"),
+            F.when(take_chg, F.col("event_type"))
+            .otherwise(F.col("b_type"))
+            .alias("last_type"),
+            F.when(take_chg, F.col("value"))
+            .otherwise(F.col("b_value"))
+            .alias("last_value"),
+        )
+    )
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of the events key distribution: top-20
+    user_ids by event count with exact integer-ppm share of the total
+    — the diagnostic that decides whether a downstream keyed join
+    needs salting/AQE skew handling BEFORE it melts a task.
+
+    Shape: one map-side-combined groupBy(user_id), the total rides a
+    broadcast 1-row aggregate, and the top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge — no
+    global sort at any key cardinality)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+        .limit(_SKEW_TOP)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "user_id")
+    return ranked.withColumn("rank", F.row_number().over(w))
+
+
 QUERIES = {
     # sessionize first: round 1's budget-truncated driver run never
     # reached it (it was the one red key) — keep it inside the first
@@ -382,6 +496,9 @@ QUERIES = {
     "distinct_counts": distinct_counts,
     "approx_distinct_counts": approx_distinct_counts,
     "salted_skew_join": salted_skew_join,
+    "scd2_history": scd2_history,
+    "cdc_merge_latest": cdc_merge_latest,
+    "key_skew_profile": key_skew_profile,
 }
 
 ORACLE = {
@@ -573,3 +690,49 @@ ORACLE = {
         GROUP BY 1
     """,
 }
+
+ORACLE["scd2_history"] = """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+           CAST(lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL
+             AS INT) AS is_current
+    FROM chg
+"""
+
+# Semantic contract of the merge: latest event per user overall,
+# absent when that latest event is a delete ('error'). The Spark side
+# computes it as snapshot + change-batch MERGE; the two are equal by
+# last-writer-wins.
+ORACLE["cdc_merge_latest"] = """
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           value AS last_value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+"""
+
+ORACLE["key_skew_profile"] = f"""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+    total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+    ranked AS (
+      SELECT user_id, cnt,
+             CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm
+      FROM counts CROSS JOIN total
+      ORDER BY cnt DESC, user_id LIMIT {_SKEW_TOP})
+    SELECT user_id, cnt, share_ppm,
+           CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank
+    FROM ranked
+"""

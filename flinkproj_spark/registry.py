@@ -81,6 +81,9 @@ _PRIORITY_KEYS = (
     "gopher_quality_filter",
     "quantile_bucketize",
     "stratified_split",
+    "scd2_history",
+    "cdc_merge_latest",
+    "key_skew_profile",
 )
 
 

@@ -270,3 +270,45 @@ def test_stratified_split_shares_sum_per_lang(spark, sf_dir):
     assert ((by_lang <= 1_000_000) & (by_lang >= 1_000_000 - 3)).all()
     tr = df[df["split"] == "train"].set_index("lang")["share_ppm"]
     assert ((tr > 650_000) & (tr < 900_000)).all(), "train share ~80%"
+
+
+def test_scd2_intervals_tile_per_user(spark, sf_dir):
+    from flinkproj_spark.operators.relational import scd2_history
+
+    df = scd2_history(spark, sf_dir).toPandas()
+    # exactly one open (current) interval per user
+    cur = df.groupby("user_id")["is_current"].sum()
+    assert (cur == 1).all()
+    # intervals are contiguous: each valid_to equals the next valid_from
+    for _, g in df.sort_values(["user_id", "valid_from"]).groupby("user_id"):
+        vt = g["valid_to"].iloc[:-1].reset_index(drop=True)
+        vf = g["valid_from"].iloc[1:].reset_index(drop=True)
+        assert (vt == vf).all()
+        # adjacent runs never share an event_type (true change points)
+        types = g["event_type"].tolist()
+        assert all(a != b for a, b in zip(types, types[1:]))
+
+
+def test_cdc_merge_equals_latest_with_deletes(spark, sf_dir):
+    from flinkproj_spark.operators.relational import cdc_merge_latest
+    from flinkproj_spark.sources.tables import load_table
+    import pandas as pd
+
+    got = cdc_merge_latest(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    last = ev.sort_values(["ts", "event_id"]).groupby("user_id").tail(1)
+    expect = last[last["event_type"] != "error"]
+    assert set(got["user_id"]) == set(expect["user_id"])
+    m = got.set_index("user_id").join(
+        expect.set_index("user_id")[["ts", "event_type", "value"]]
+    )
+    assert (m["last_ts"] == m["ts"]).all()
+    assert (m["last_type"] == m["event_type"]).all()
+
+
+def test_key_skew_profile_is_heavy_hitter_ranked(spark, sf_dir):
+    from flinkproj_spark.operators.relational import key_skew_profile
+
+    df = key_skew_profile(spark, sf_dir).toPandas().sort_values("rank")
+    assert (df["cnt"].diff().dropna() <= 0).all(), "descending by count"
+    assert df["share_ppm"].sum() <= 1_000_000
