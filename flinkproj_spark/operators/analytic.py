@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkproj_spark.operators.relational import _cents
@@ -298,6 +298,143 @@ def histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PATH_LEN = 5
+_PATH_TOP = 20
+_ROLL_WIN = 20   # rolling frame: the 20 preceding events
+_ROLL_MIN = 10   # emit a verdict only with >= 10 history rows
+_PR_SCALE = 1_000_000_000_000  # rank fixed-point scale (10^12)
+_PR_ITERS = 3
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
+_PR_TOP = 30
+
+
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey prefixes: each user's first 5 event types
+    (by time) joined into a path string, ranked by how many users share
+    the path — the product-analytics "common flows" query.
+
+    Shape: ONE shuffle on user_id serves both the row_number window
+    and the per-user path assembly (same partitioning — Spark reuses
+    the exchange); the path frequency count is map-side combined and
+    the final top-k is TakeOrderedAndProject. The collect_list is
+    bounded at 5 structs per user by the rank filter BEFORE the
+    aggregation, so no unbounded per-key buffer exists at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_n = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = first_n.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the event value stream,
+    per event_type: each event is judged against the mean/variance of
+    its 20 predecessors, flagged when (v - μ)² > 9σ² (|z| > 3).
+
+    Exactness: values are integer cents, and the rule is evaluated as
+    (n·v - s)² > 9·(n·ss - s²) — count, sum, and sum-of-squares are
+    BIGINT window sums, so the verdict is integer arithmetic end to
+    end: no float mean, no sqrt, no cross-engine ulp flips, immune to
+    how either engine accumulates the sliding frame. One shuffle on
+    event_type; the frame is ROWS-bounded so state per key is O(1)."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ROLL_WIN, -1)
+    )
+    v = _cents("value")
+    base = events.select(
+        "event_id", "event_type", "ts", v.alias("v_c")
+    ).select(
+        "event_id",
+        "event_type",
+        "ts",
+        "v_c",
+        F.count("v_c").over(w).alias("n"),
+        F.sum("v_c").over(w).alias("s"),
+        F.sum(F.col("v_c") * F.col("v_c")).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("v_c") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        base.filter(F.col("n") >= _ROLL_MIN)
+        .select(
+            "event_id",
+            "event_type",
+            "v_c",
+            "n",
+            "s",
+            (dev * dev > F.lit(9) * var_n2).cast("int").alias("is_anomaly"),
+        )
+    )
+
+
+def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the customer–supplier trade graph
+    (an edge per distinct customer/supplier pair that shares an order,
+    both directions), 3 iterations, damping 0.85 — the canonical
+    iterative-algorithm shape on Spark.
+
+    Exactness: ranks are fixed-point BIGINTs at scale 10¹². Each step
+    is rank' = base + (85 · Σ (rank_u div deg_u)) div 100 — integer
+    division only, so both engines agree bit-for-bit and the result is
+    independent of partitioning and aggregation order (a double
+    PageRank is neither).
+
+    Shape: the edge list (with out-degree attached once) shuffles onto
+    src per iteration to meet the rank frame, then combines map-side
+    onto dst — two exchanges per iteration, the irreducible cost of
+    synchronous PageRank. 3 iterations keep lineage shallow; at 10+
+    iterations reuse the reliable-checkpoint pattern from
+    dedup_cluster (operators/dedup.py). Output: top-30 nodes."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).alias("rank"))
+    base = _PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
+    for _ in range(_PR_ITERS):
+        contrib = ed.join(
+            ranks, ed.src == ranks.node
+        ).select("dst", F.expr("rank div deg").alias("contrib"))
+        ranks = contrib.groupBy("dst").agg(
+            (
+                F.lit(base)
+                + F.expr(f"{_PR_DAMP_NUM} * sum(contrib) div {_PR_DAMP_DEN}")
+            ).alias("rank")
+        ).select(F.col("dst").alias("node"), "rank")
+    return ranks.orderBy(F.col("rank").desc(), "node").limit(_PR_TOP)
+
+
 QUERIES = {
     "grouping_sets_counts": grouping_sets_counts,
     "time_rollup_multires": time_rollup_multires,
@@ -308,6 +445,9 @@ QUERIES = {
     "funnel_steps": funnel_steps,
     "retention_cohorts": retention_cohorts,
     "outlier_zscore": outlier_zscore,
+    "event_path_topk": event_path_topk,
+    "anomaly_rolling_z": anomaly_rolling_z,
+    "pagerank_fixed": pagerank_fixed,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
@@ -439,4 +579,65 @@ ORACLE["outlier_zscore"] = """
            CAST(SUM(CASE WHEN ABS(q.v - e.m) > 3.0 * e.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM q JOIN enriched e USING (event_type)
     GROUP BY 1
+"""
+
+ORACLE["event_path_topk"] = f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    p AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {_PATH_LEN} GROUP BY 1)
+    SELECT path, COUNT(*) AS n_users
+    FROM p GROUP BY 1
+    ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
+"""
+
+ORACLE["anomaly_rolling_z"] = f"""
+    WITH v AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+      FROM events),
+    st AS (
+      SELECT event_id, event_type, v_c,
+             COUNT(v_c) OVER w AS n,
+             CAST(SUM(v_c) OVER w AS BIGINT) AS s,
+             CAST(SUM(v_c * v_c) OVER w AS BIGINT) AS ss
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {_ROLL_WIN} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, v_c, n, s,
+           CAST((n * v_c - s) * (n * v_c - s) > 9 * (n * ss - s * s)
+                AS INT) AS is_anomaly
+    FROM st WHERE n >= {_ROLL_MIN}
+"""
+
+_PR_BASE = _PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
+_PR_ITER_SQL = "".join(
+    f""",
+    it{i + 1} AS (
+      SELECT e.dst AS node,
+             {_PR_BASE} + {_PR_DAMP_NUM} * SUM(r.rank // e.deg)
+                          // {_PR_DAMP_DEN} AS rank
+      FROM ed e JOIN it{i} r ON e.src = r.node
+      GROUP BY 1)"""
+    for i in range(_PR_ITERS)
+)
+
+ORACLE["pagerank_fixed"] = f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d ON e.src = d.src),
+    it0 AS (SELECT src AS node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg)
+    {_PR_ITER_SQL}
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM it{_PR_ITERS}
+    ORDER BY rank DESC, node LIMIT {_PR_TOP}
 """

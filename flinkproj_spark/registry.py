@@ -84,6 +84,9 @@ _PRIORITY_KEYS = (
     "scd2_history",
     "cdc_merge_latest",
     "key_skew_profile",
+    "event_path_topk",
+    "anomaly_rolling_z",
+    "pagerank_fixed",
 )
 
 

@@ -312,3 +312,36 @@ def test_key_skew_profile_is_heavy_hitter_ranked(spark, sf_dir):
     df = key_skew_profile(spark, sf_dir).toPandas().sort_values("rank")
     assert (df["cnt"].diff().dropna() <= 0).all(), "descending by count"
     assert df["share_ppm"].sum() <= 1_000_000
+
+
+def test_pagerank_mass_is_conserved_and_ranked(spark, sf_dir):
+    from flinkproj_spark.operators.analytic import (
+        _PR_SCALE,
+        pagerank_fixed,
+    )
+
+    df = pagerank_fixed(spark, sf_dir).toPandas()
+    assert len(df) == 30
+    assert (df["rank"] > 0).all()
+    # damping leaks at most 15% + integer-floor dust per step; ranks
+    # stay within an order of magnitude of the initial mass
+    assert df["rank"].max() < 100 * _PR_SCALE
+    assert (df["rank"].diff().dropna() <= 0).all()
+
+
+def test_anomaly_rolling_z_flags_are_sane(spark, sf_dir):
+    from flinkproj_spark.operators.analytic import anomaly_rolling_z
+
+    df = anomaly_rolling_z(spark, sf_dir).toPandas()
+    rate = df["is_anomaly"].mean()
+    # |z|>3 on a bounded uniform-ish stream: rare but present
+    assert 0 <= rate < 0.2
+    assert (df["n"] >= 10).all() and (df["n"] <= 20).all()
+
+
+def test_event_paths_start_with_singleton_prefixes(spark, sf_dir):
+    from flinkproj_spark.operators.analytic import event_path_topk
+
+    df = event_path_topk(spark, sf_dir).toPandas()
+    assert (df["path"].str.count(">") <= 4).all()
+    assert (df["n_users"].diff().dropna() <= 0).all()
