@@ -179,11 +179,77 @@ def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF vector-space retrieval: cosine between the query's idf
+    vector and each document's full tf·idf vector (true VSM — the doc
+    norm runs over ALL the doc's terms, not just query terms), top-20.
+
+    Exactness: idf is the rational BM25 core (N-df+0.5)/(df+0.5)
+    scaled to integer e3 with integer floor division; term weights are
+    BIGINTs, and both the doc-norm² and the dot product are DECIMAL
+    sums of integer products (one operand cast before multiplying —
+    LongType squares can wrap silently) — order-independent at any
+    parallelism. The only doubles are the two final correctly-rounded
+    ops: decimal→double and the divide.
+
+    Shape: tf and df come from one tokenized scan; idf attaches to the
+    df table with a broadcast 1-row corpus count; the tf⋈idf term join
+    is merge-pinned (Zipf-skewed key — AQE handles the hot terms, and
+    a corpus-sized side must never broadcast); doc-norm and query-dot
+    are both map-side-combined groupBy(doc_id); final top-k is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(fx.tokenize_ws()).alias("w")).select(
+        "doc_id", F.lower("w").alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "w",
+        F.expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)").alias("idf_e3"),
+    )
+    wdt = tf.join(idf.hint("merge"), "w").select(
+        "doc_id", "w", (F.col("tf") * F.col("idf_e3")).alias("w_dt")
+    )
+    norm2 = wdt.groupBy("doc_id").agg(
+        F.sum(F.col("w_dt").cast("decimal(38,0)") * F.col("w_dt")).alias("norm2")
+    )
+    qw = idf.filter(F.col("w").isin(QUERY_TERMS)).select(
+        "w", F.col("idf_e3").alias("qw")
+    )
+    qnorm2 = qw.agg(
+        F.sum(F.col("qw").cast("decimal(38,0)") * F.col("qw")).alias("qnorm2")
+    )
+    num = (
+        wdt.join(F.broadcast(qw), "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w_dt").cast("decimal(38,0)") * F.col("qw")).alias("num"))
+    )
+    scored = (
+        num.join(norm2, "doc_id")
+        .crossJoin(F.broadcast(qnorm2))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    F.sqrt(F.col("norm2").cast("double"))
+                    * F.sqrt(F.col("qnorm2").cast("double"))
+                ),
+                6,
+            ).alias("tfidf_cos"),
+        )
+    )
+    return scored.orderBy(F.col("tfidf_cos").desc(), "doc_id").limit(TOP_N)
+
+
 QUERIES = {
     "bm25_topk": bm25_topk,
     "corpus_stats": corpus_stats,
     "corpus_health_report": corpus_health_report,
     "sample_exact_k": sample_exact_k,
+    "tfidf_topk": tfidf_topk,
 }
 
 _WORDS_SQL = "list_filter(string_split(text, ' '), w -> w != '')"
@@ -263,4 +329,39 @@ ORACLE["corpus_health_report"] = f"""
            CAST(SUM(CASE WHEN n_words < 20 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS short_ppm,
            CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars
     FROM s
+"""
+
+_QTERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+ORACLE["tfidf_topk"] = f"""
+    WITH tok AS (
+      SELECT doc_id, lower(unnest({_WORDS_SQL})) AS w FROM documents),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (
+      SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    idf AS (
+      SELECT w, ((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1) AS idf_e3
+      FROM dfreq CROSS JOIN n),
+    wdt AS (
+      SELECT t.doc_id, t.w, t.tf * i.idf_e3 AS w_dt
+      FROM tf t JOIN idf i ON t.w = i.w),
+    norm2 AS (
+      SELECT doc_id, SUM(CAST(w_dt AS HUGEINT) * w_dt) AS norm2
+      FROM wdt GROUP BY 1),
+    qw AS (
+      SELECT w, idf_e3 AS qw FROM idf WHERE w IN ({_QTERMS_SQL})),
+    qnorm2 AS (
+      SELECT SUM(CAST(qw AS HUGEINT) * qw) AS qnorm2 FROM qw),
+    num AS (
+      SELECT d.doc_id, SUM(CAST(d.w_dt AS HUGEINT) * q.qw) AS num
+      FROM wdt d JOIN qw q ON d.w = q.w GROUP BY 1)
+    SELECT m.doc_id,
+           ROUND(CAST(m.num AS DOUBLE)
+                 / (sqrt(CAST(n2.norm2 AS DOUBLE))
+                    * sqrt(CAST(qn.qnorm2 AS DOUBLE))), 6) AS tfidf_cos
+    FROM num m JOIN norm2 n2 ON m.doc_id = n2.doc_id
+    CROSS JOIN qnorm2 qn
+    ORDER BY tfidf_cos DESC, m.doc_id LIMIT {TOP_N}
 """

@@ -403,6 +403,99 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column —
+    count, exact quantized mean, min/max, and spread — the calibration
+    pass a quantizer/whitener runs before fixing its codebook (dead or
+    low-variance dimensions show up immediately).
+
+    Shape: quantize once, posexplode to (pos, q) rows, ONE map-side-
+    combined groupBy(pos) with 64 output groups — the shuffle carries
+    64 partial rows per map partition regardless of corpus size.
+    Integer sums (reassociation-immune), min/max order-free; the mean
+    is one double division at the end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = fx.quantize_embedding(F.col("embedding"))
+    return (
+        emb.select(F.posexplode(q).alias("pos0", "qv"))
+        .groupBy((F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("qv").alias("sum_q"),
+            F.min("qv").alias("min_q"),
+            F.max("qv").alias("max_q"),
+        )
+        .select(
+            "pos",
+            "n",
+            "sum_q",
+            "min_q",
+            "max_q",
+            F.round(
+                F.col("sum_q").cast("double") / F.col("n").cast("double"), 4
+            ).alias("mean_q"),
+            (F.col("max_q") - F.col("min_q")).alias("range_q"),
+        )
+    )
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote: each query vector takes
+    the label most common among its 5 exact-cosine nearest neighbors
+    (tie → smaller label). The standard eval that turns a similarity
+    index into a classifier — and the quality probe for the embedding
+    space itself.
+
+    Shape: identical to ann_topk_brute's broadcast plan (queries
+    broadcast, corpus never shuffles), then the vote is a combined
+    groupBy over ≤ k·|Q| candidate rows — driver-scale. Determinism:
+    quantized-integer dot products, cosine rounded before ranking,
+    (cos, vec_id) and (votes, label) orderings are total."""
+    from pyspark.sql import Window
+
+    base = _quantized(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("nb_label"),
+            "vec_id",
+            F.round(
+                _dot("q", "qv").cast("double") / (F.col("norm") * F.col("qnorm")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    nn = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    votes = nn.groupBy("query_id", "true_label", "nb_label").agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nb_label")
+    )
+    return (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("nb_label").alias("pred_label"),
+            "votes",
+            (F.col("nb_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
@@ -411,6 +504,8 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "embedding_neardup": embedding_neardup,
     "embedding_centroids": embedding_centroids,
+    "embedding_dim_stats": embedding_dim_stats,
+    "knn_label_vote": knn_label_vote,
 }
 
 
@@ -605,4 +700,48 @@ ORACLE["ann_recall_eval"] = f"""
            CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
            (CAST(COALESCE(h.n_hit, 0) AS BIGINT) * 100) // p.n_exact AS recall_pct
     FROM per_q p LEFT JOIN hit_q h ON p.query_id = h.query_id
+"""
+
+ORACLE["embedding_dim_stats"] = """
+    WITH x AS (
+      SELECT unnest(generate_series(1, len(embedding))) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000.0 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings)
+    SELECT pos, COUNT(*) AS n,
+           CAST(SUM(qv) AS BIGINT) AS sum_q,
+           MIN(qv) AS min_q, MAX(qv) AS max_q,
+           ROUND(CAST(SUM(qv) AS DOUBLE) / COUNT(*), 4) AS mean_q,
+           MAX(qv) - MIN(qv) AS range_q
+    FROM x GROUP BY 1
+"""
+
+ORACLE["knn_label_vote"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    q AS (
+      SELECT vec_id AS query_id, label AS true_label,
+             q AS qv, norm AS qnorm
+      FROM base WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, q.true_label, b.label AS nb_label, b.vec_id,
+             ROUND(CAST({_dot_sql('b.q', 'q.qv')} AS DOUBLE)
+                   / (b.norm * q.qnorm), 6) AS cos
+      FROM base b CROSS JOIN q
+      WHERE b.vec_id <> q.query_id),
+    nn AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored)
+      WHERE rank <= {TOP_K}),
+    votes AS (
+      SELECT query_id, true_label, nb_label, COUNT(*) AS votes
+      FROM nn GROUP BY 1, 2, 3)
+    SELECT query_id, true_label, nb_label AS pred_label, votes,
+           CAST(nb_label = true_label AS INT) AS correct
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, nb_label) AS vrank
+      FROM votes)
+    WHERE vrank = 1
 """

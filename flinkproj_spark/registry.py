@@ -87,6 +87,9 @@ _PRIORITY_KEYS = (
     "event_path_topk",
     "anomaly_rolling_z",
     "pagerank_fixed",
+    "embedding_dim_stats",
+    "knn_label_vote",
+    "tfidf_topk",
 )
 
 

