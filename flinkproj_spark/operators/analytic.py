@@ -435,6 +435,55 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("rank").desc(), "node").limit(_PR_TOP)
 
 
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell χ² association table between document language and
+    source — the drift detector for "did source X suddenly change its
+    language mix". Emits, for every (lang, source) cell, the observed
+    count, the integer-e6 expected count, and the integer-e6 χ²
+    contribution (O·N − R·C)²·10⁶ div (N·R·C).
+
+    Exactness: no float expectation — the deviation (O·N − R·C) and
+    its square run in DECIMAL (one operand cast before multiplying, so
+    nothing wraps), and both e6 fixed-points use integer floor
+    division. Shape: one combined groupBy(lang, source) builds the
+    contingency table; row/column marginals are tiny aggregates of it
+    that re-attach via broadcast — the corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    row = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    col = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cell = (
+        obs.join(F.broadcast(row), "lang")
+        .join(F.broadcast(col), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    dev = F.col("o").cast("decimal(38,0)") * F.col("n") - F.col("r").cast(
+        "decimal(38,0)"
+    ) * F.col("c")
+    return cell.select(
+        "lang",
+        "source",
+        "o",
+        F.expr("(r * c * 1000000) div n").alias("expected_e6"),
+        (dev * dev)
+        .alias("_d2")
+        .cast("decimal(38,0)")
+        .alias("_d2"),
+        F.col("n"),
+        F.col("r"),
+        F.col("c"),
+    ).select(
+        "lang",
+        "source",
+        "o",
+        "expected_e6",
+        F.expr(
+            "CAST((_d2 * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+        ).alias("chi2_e6"),
+    )
+
+
 QUERIES = {
     "grouping_sets_counts": grouping_sets_counts,
     "time_rollup_multires": time_rollup_multires,
@@ -448,6 +497,7 @@ QUERIES = {
     "event_path_topk": event_path_topk,
     "anomaly_rolling_z": anomaly_rolling_z,
     "pagerank_fixed": pagerank_fixed,
+    "chi2_lang_source": chi2_lang_source,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
@@ -640,4 +690,22 @@ ORACLE["pagerank_fixed"] = f"""
     {_PR_ITER_SQL}
     SELECT node, CAST(rank AS BIGINT) AS rank FROM it{_PR_ITERS}
     ORDER BY rank DESC, node LIMIT {_PR_TOP}
+"""
+
+ORACLE["chi2_lang_source"] = """
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
+    SELECT obs.lang, obs.source, obs.o,
+           CAST((r.r * c.c * 1000000) // n.n AS BIGINT) AS expected_e6,
+           CAST(((CAST(obs.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
+                 * (CAST(obs.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
+                 * 1000000)
+                // (CAST(n.n AS HUGEINT) * r.r * c.c) AS BIGINT) AS chi2_e6
+    FROM obs
+    JOIN r ON obs.lang = r.lang
+    JOIN c ON obs.source = c.source
+    CROSS JOIN n
 """

@@ -282,6 +282,66 @@ def neardup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_LANGS = ("en", "de", "es", "fr")
+
+
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel observability: one row counting how many
+    documents survive each cumulative filter stage — total →
+    tokenizable → language allowlist → Gopher quality rules → exact
+    content dedup. The per-stage drop rates are what a pipeline owner
+    alerts on (a stage suddenly eating 40% of the corpus is an
+    incident, not a statistic).
+
+    Shape: ONE tokenized scan computes all per-doc statistics in a
+    combined groupBy (lang and the content hash ride along as
+    functionally-dependent group keys — no join back); the stage
+    counts fold into a single aggregate row, with count_distinct on
+    the 16-byte hash as the only heavy reduction. The all-docs total
+    joins in as a broadcast 1-row aggregate. Integer end to end."""
+    from flinkproj_spark.operators.text import (
+        _STOPWORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.explode(fx.tokenize_ws()).alias("w"),
+    )
+    base = tok.groupBy("doc_id", "lang", "fp").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("word_chars"),
+        F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0)).alias("alpha"),
+        F.sum(F.when(F.lower("w").isin(_STOPWORDS), 1).otherwise(0)).alias("stops"),
+    )
+    n = F.col("n_words")
+    lang_ok = F.col("lang").isin(*_FUNNEL_LANGS)
+    quality_ok = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (F.col("word_chars") >= 2 * n)
+        & (F.col("word_chars") <= 10 * n)
+        & (F.col("alpha") * 10 >= 8 * n)
+        & (F.col("stops") >= 2)
+    )
+    stages = base.agg(
+        F.count("*").alias("n_tokenizable"),
+        F.sum(lang_ok.cast("long")).alias("n_lang"),
+        F.sum((lang_ok & quality_ok).cast("long")).alias("n_quality"),
+        F.count_distinct(F.when(lang_ok & quality_ok, F.col("fp"))).alias(
+            "n_unique"
+        ),
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return total.crossJoin(F.broadcast(stages)).select(
+        "n_total", "n_tokenizable", "n_lang", "n_quality", "n_unique"
+    )
+
+
 QUERIES = {
     "paragraph_dedup": paragraph_dedup,
     "unigram_lm_score": unigram_lm_score,
@@ -289,6 +349,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "neardup_semantic_verify": neardup_semantic_verify,
+    "filter_funnel_report": filter_funnel_report,
 }
 
 _NEW_SQL = ", ".join(f"'{s}'" for s in NEW_SOURCES)
@@ -414,3 +475,50 @@ def _semantic_verify_oracle() -> str:
 
 
 ORACLE["neardup_semantic_verify"] = _semantic_verify_oracle()
+
+
+def _funnel_oracle() -> str:
+    from flinkproj_spark.operators.text import (
+        _STOP_SQL,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_WORDS,
+    )
+
+    langs = ", ".join(f"'{l}'" for l in _FUNNEL_LANGS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, md5(text) AS fp, unnest({_WORDS_SQL}) AS w
+      FROM documents),
+    base AS (
+      SELECT doc_id, lang, fp,
+             COUNT(*) AS n_words,
+             CAST(SUM(len(w)) AS BIGINT) AS word_chars,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha,
+             CAST(SUM(CASE WHEN lower(w) IN ({_STOP_SQL})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stops
+      FROM tok GROUP BY 1, 2, 3),
+    flagged AS (
+      SELECT fp,
+             CAST(lang IN ({langs}) AS INT) AS lang_ok,
+             CAST(lang IN ({langs})
+                  AND n_words >= {GOPHER_MIN_WORDS}
+                  AND n_words <= {GOPHER_MAX_WORDS}
+                  AND word_chars >= 2 * n_words
+                  AND word_chars <= 10 * n_words
+                  AND alpha * 10 >= 8 * n_words
+                  AND stops >= 2 AS INT) AS qual_ok
+      FROM base),
+    stages AS (
+      SELECT COUNT(*) AS n_tokenizable,
+             CAST(SUM(lang_ok) AS BIGINT) AS n_lang,
+             CAST(SUM(qual_ok) AS BIGINT) AS n_quality,
+             COUNT(DISTINCT CASE WHEN qual_ok = 1 THEN fp END) AS n_unique
+      FROM flagged),
+    total AS (SELECT COUNT(*) AS n_total FROM documents)
+    SELECT n_total, n_tokenizable, n_lang, n_quality, n_unique
+    FROM total CROSS JOIN stages
+    """
+
+
+ORACLE["filter_funnel_report"] = _funnel_oracle()

@@ -90,6 +90,8 @@ _PRIORITY_KEYS = (
     "embedding_dim_stats",
     "knn_label_vote",
     "tfidf_topk",
+    "filter_funnel_report",
+    "chi2_lang_source",
 )
 
 

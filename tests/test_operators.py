@@ -383,3 +383,34 @@ def test_tfidf_and_bm25_agree_on_relevance(spark, sf_dir):
     # two classical rankers over the same terms: top sets overlap
     overlap = len(set(t["doc_id"]) & set(b["doc_id"]))
     assert overlap >= 5
+
+
+def test_filter_funnel_is_monotone(spark, sf_dir):
+    from flinkproj_spark.operators.curation import filter_funnel_report
+
+    row = filter_funnel_report(spark, sf_dir).toPandas().iloc[0]
+    assert (
+        row["n_total"]
+        >= row["n_tokenizable"]
+        >= row["n_lang"]
+        >= row["n_quality"]
+        >= row["n_unique"]
+        > 0
+    )
+
+
+def test_chi2_cells_cover_the_contingency_table(spark, sf_dir):
+    from flinkproj_spark.operators.analytic import chi2_lang_source
+    from flinkproj_spark.sources.tables import load_table
+
+    df = chi2_lang_source(spark, sf_dir).toPandas()
+    n_cells = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "source")
+        .distinct()
+        .count()
+    )
+    assert len(df) == n_cells
+    # observed counts reconstruct the corpus size; chi2 is non-negative
+    assert (df["chi2_e6"] >= 0).all()
+    assert df["o"].sum() == load_table(spark, sf_dir, "documents").count()
