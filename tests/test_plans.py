@@ -545,3 +545,51 @@ def test_text_repetition_shuffles_combined_partials_only(spark, sf_dir):
     assert plan.count("partial_count") >= 1, plan
     read = _formatted(text_repetition(spark, sf_dir)).split("ReadSchema:")[1].split("\n")[0]
     assert "text" in read and "lang" not in read  # column-pruned scan
+
+
+def test_no_key_regresses_to_python_eval(spark, sf_dir):
+    """Sweep EVERY registered key's physical plan: no row-at-a-time or
+    Arrow expression eval anywhere (MapInPandas is fine — that's the
+    declared multimodal batch path). A refactor that silently drops an
+    operator into a Python UDF trips this before the bench notices."""
+    from flinkproj_spark import registry
+    from flinkproj_spark.plans.checks import assert_no_python_eval
+
+    failures = {}
+    for key, fn in registry.queries().items():
+        try:
+            assert_no_python_eval(fn(spark, sf_dir))
+        except AssertionError:
+            failures[key] = "python eval node in plan"
+    assert not failures, failures
+
+
+def test_pagerank_has_no_cartesian_and_bounded_lineage(spark, sf_dir):
+    from flinkproj_spark.operators.analytic import pagerank_fixed
+    from flinkproj_spark.plans.checks import executed_plan
+
+    plan = executed_plan(pagerank_fixed(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # iterative joins stay equi-joins on the node key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_tfidf_term_join_not_broadcast(spark, sf_dir):
+    """The tf⋈idf join key is the corpus vocabulary — Zipf-skewed and
+    corpus-proportional. It must shuffle, never broadcast."""
+    from flinkproj_spark.operators.retrieval import tfidf_topk
+    from flinkproj_spark.plans.checks import executed_plan
+
+    plan = executed_plan(tfidf_topk(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+
+
+def test_quantile_bucketize_heavy_pass_is_combined(spark, sf_dir):
+    """The corpus-sized aggregation (count per distinct length) must be
+    map-side combined; the only window runs over distinct lengths."""
+    from flinkproj_spark.operators.sampling import quantile_bucketize
+    from flinkproj_spark.plans.checks import executed_plan
+
+    plan = executed_plan(quantile_bucketize(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
