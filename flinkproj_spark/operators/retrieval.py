@@ -204,30 +204,38 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
-    n_docs = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    words = fx.tokenize_ws()
+    n_docs = docs.filter(F.size(words) >= 1).agg(F.count("*").alias("n_docs"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "w",
         F.expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)").alias("idf_e3"),
     )
+    # One pass computes BOTH the doc norm² and the query dot: a matched
+    # query term's weight in the query vector IS its idf (query tf = 1),
+    # so the dot folds into the same groupBy as a conditional sum — no
+    # second traversal of the tf⋈idf subtree (measured ~2× here).
     wdt = tf.join(idf.hint("merge"), "w").select(
-        "doc_id", "w", (F.col("tf") * F.col("idf_e3")).alias("w_dt")
+        "doc_id", "w", (F.col("tf") * F.col("idf_e3")).alias("w_dt"), "idf_e3"
     )
-    norm2 = wdt.groupBy("doc_id").agg(
-        F.sum(F.col("w_dt").cast("decimal(38,0)") * F.col("w_dt")).alias("norm2")
+    per_doc = wdt.groupBy("doc_id").agg(
+        F.sum(F.col("w_dt").cast("decimal(38,0)") * F.col("w_dt")).alias("norm2"),
+        F.sum(
+            F.when(
+                F.col("w").isin(QUERY_TERMS),
+                F.col("w_dt").cast("decimal(38,0)") * F.col("idf_e3"),
+            )
+        ).alias("num"),
     )
-    qw = idf.filter(F.col("w").isin(QUERY_TERMS)).select(
-        "w", F.col("idf_e3").alias("qw")
-    )
-    qnorm2 = qw.agg(
-        F.sum(F.col("qw").cast("decimal(38,0)") * F.col("qw")).alias("qnorm2")
-    )
-    num = (
-        wdt.join(F.broadcast(qw), "w")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("w_dt").cast("decimal(38,0)") * F.col("qw")).alias("num"))
+    qnorm2 = (
+        idf.filter(F.col("w").isin(QUERY_TERMS))
+        .agg(
+            F.sum(F.col("idf_e3").cast("decimal(38,0)") * F.col("idf_e3")).alias(
+                "qnorm2"
+            )
+        )
     )
     scored = (
-        num.join(norm2, "doc_id")
+        per_doc.filter(F.col("num").isNotNull())
         .crossJoin(F.broadcast(qnorm2))
         .select(
             "doc_id",
@@ -345,23 +353,22 @@ ORACLE["tfidf_topk"] = f"""
       SELECT w, ((2 * (n_docs - df) + 1) * 1000) // (2 * df + 1) AS idf_e3
       FROM dfreq CROSS JOIN n),
     wdt AS (
-      SELECT t.doc_id, t.w, t.tf * i.idf_e3 AS w_dt
+      SELECT t.doc_id, t.w, t.tf * i.idf_e3 AS w_dt, i.idf_e3
       FROM tf t JOIN idf i ON t.w = i.w),
-    norm2 AS (
-      SELECT doc_id, SUM(CAST(w_dt AS HUGEINT) * w_dt) AS norm2
+    per_doc AS (
+      SELECT doc_id,
+             SUM(CAST(w_dt AS HUGEINT) * w_dt) AS norm2,
+             SUM(CASE WHEN w IN ({_QTERMS_SQL})
+                      THEN CAST(w_dt AS HUGEINT) * idf_e3 END) AS num
       FROM wdt GROUP BY 1),
-    qw AS (
-      SELECT w, idf_e3 AS qw FROM idf WHERE w IN ({_QTERMS_SQL})),
     qnorm2 AS (
-      SELECT SUM(CAST(qw AS HUGEINT) * qw) AS qnorm2 FROM qw),
-    num AS (
-      SELECT d.doc_id, SUM(CAST(d.w_dt AS HUGEINT) * q.qw) AS num
-      FROM wdt d JOIN qw q ON d.w = q.w GROUP BY 1)
-    SELECT m.doc_id,
-           ROUND(CAST(m.num AS DOUBLE)
-                 / (sqrt(CAST(n2.norm2 AS DOUBLE))
+      SELECT SUM(CAST(idf_e3 AS HUGEINT) * idf_e3) AS qnorm2
+      FROM idf WHERE w IN ({_QTERMS_SQL}))
+    SELECT p.doc_id,
+           ROUND(CAST(p.num AS DOUBLE)
+                 / (sqrt(CAST(p.norm2 AS DOUBLE))
                     * sqrt(CAST(qn.qnorm2 AS DOUBLE))), 6) AS tfidf_cos
-    FROM num m JOIN norm2 n2 ON m.doc_id = n2.doc_id
-    CROSS JOIN qnorm2 qn
-    ORDER BY tfidf_cos DESC, m.doc_id LIMIT {TOP_N}
+    FROM per_doc p CROSS JOIN qnorm2 qn
+    WHERE p.num IS NOT NULL
+    ORDER BY tfidf_cos DESC, p.doc_id LIMIT {TOP_N}
 """
