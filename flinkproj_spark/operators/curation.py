@@ -215,10 +215,15 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkproj_spark.operators.dedup import lsh_candidate_pairs
 
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
-    # ONE sig object feeds both the banding and the agreement joins, so
-    # the optimizer reuses the signature exchange instead of running
-    # the shingle pipeline three times.
-    sig = minhash_signatures(docs)
+    # The signature frame feeds THREE consumers (banding + both sides of
+    # the agreement join) whose exchanges differ (different keys), so
+    # physical exchange-reuse cannot fire — persist it or the shingle+md5
+    # pipeline runs three times. 9 longs/doc: tiny relative to the text
+    # it summarizes; MEMORY_AND_DISK spills instead of OOMing and an
+    # executor loss recomputes from lineage.
+    from pyspark.storagelevel import StorageLevel
+
+    sig = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)]
