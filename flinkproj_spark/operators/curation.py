@@ -221,9 +221,20 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline runs three times. 9 longs/doc: tiny relative to the text
     # it summarizes; MEMORY_AND_DISK spills instead of OOMing and an
     # executor loss recomputes from lineage.
+    #
+    # The marker column makes the cached logical plan unique to THIS
+    # operator: Spark's CacheManager substitutes cached plans into any
+    # later query whose subtree is logically equal, so persisting the
+    # bare signature plan would hijack dedup_minhash_lsh/dedup_cluster's
+    # scans into cache reads behind their backs (and trip their
+    # plan-shape pins).
     from pyspark.storagelevel import StorageLevel
 
-    sig = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = (
+        minhash_signatures(docs)
+        .withColumn("_mje", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = lsh_candidate_pairs(sig)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)]

@@ -425,6 +425,44 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GOPHER_MIN_WORDS = 15
 GOPHER_MAX_WORDS = 100_000
+VOCAB_SIZE = 1000
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep coverage audit: build the top-VOCAB_SIZE corpus
+    vocabulary (by frequency, deterministic (count desc, word) order),
+    then report per language how much of the token stream falls
+    outside it — the OOV rate that decides whether a vocab budget is
+    big enough before anyone trains a tokenizer.
+
+    Shape: one tokenized scan feeds the vocabulary count and the
+    coverage join. The vocabulary is capped at VOCAB_SIZE rows, so it
+    IS legitimately broadcastable at any corpus size (a bounded top-k,
+    not a corpus-proportional side) — the one case where broadcasting
+    a corpus-derived frame is safe by construction. Coverage is a
+    combined groupBy(lang) over token flags; OOV ppm is integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(_words()).alias("w")).select(
+        "lang", F.lower("w").alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "w", "left")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .selectExpr("lang", "n_tokens", "n_oov", "(n_oov * 1000000) div n_tokens AS oov_ppm")
+    )
 
 
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,6 +523,7 @@ QUERIES = {
     "lang_id_eval": lang_id_eval,
     "bigram_pmi_top": bigram_pmi_top,
     "gopher_quality_filter": gopher_quality_filter,
+    "vocab_coverage": vocab_coverage,
 }
 
 
@@ -705,4 +744,20 @@ ORACLE["gopher_quality_filter"] = f"""
                 AND alpha_words * 10 >= 8 * n_words
                 AND stop_hits >= 2 AS INT) AS keep
     FROM base
+"""
+
+ORACLE["vocab_coverage"] = f"""
+    WITH tok AS (
+      SELECT lang, lower(unnest({_WORDS_SQL})) AS w FROM documents),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+        ORDER BY c DESC, w LIMIT {VOCAB_SIZE})),
+    flagged AS (
+      SELECT t.lang, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+    SELECT lang, COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           CAST(SUM(oov) AS BIGINT) * 1000000 // COUNT(*) AS oov_ppm
+    FROM flagged GROUP BY 1
 """

@@ -92,6 +92,7 @@ _PRIORITY_KEYS = (
     "tfidf_topk",
     "filter_funnel_report",
     "chi2_lang_source",
+    "vocab_coverage",
 )
 
 

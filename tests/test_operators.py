@@ -414,3 +414,13 @@ def test_chi2_cells_cover_the_contingency_table(spark, sf_dir):
     # observed counts reconstruct the corpus size; chi2 is non-negative
     assert (df["chi2_e6"] >= 0).all()
     assert df["o"].sum() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_vocab_coverage_rates_are_consistent(spark, sf_dir):
+    from flinkproj_spark.operators.text import vocab_coverage
+
+    df = vocab_coverage(spark, sf_dir).toPandas()
+    assert (df["n_oov"] <= df["n_tokens"]).all()
+    assert (df["oov_ppm"] <= 1_000_000).all() and (df["oov_ppm"] >= 0).all()
+    # the synthetic vocabulary is small: top-1000 must cover nearly all
+    assert (df["oov_ppm"] < 500_000).all()
