@@ -98,3 +98,76 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---- rolling-z anomaly stream (the stateful twin of operators/
+# analytic.anomaly_rolling_z) -------------------------------------------
+
+ANOM_WIN = 20   # ring buffer: the 20 preceding values per key
+ANOM_MIN = 10   # emit a verdict only with >= 10 history rows
+
+ANOM_OUTPUT_SCHEMA = (
+    "event_id long, event_type string, v_c long, n long, s long, is_anomaly int"
+)
+# The per-key state is the ring buffer itself: at most 20 longs.
+ANOM_STATE_SCHEMA = "vals array<long>"
+
+
+def _anomaly_for_key(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Replay this key's events in (ts, event_id) order against the
+    ring buffer carried in state, emitting the same BIGINT-exact
+    verdict as the batch operator: (n·v − s)² > 9·(n·ss − s²).
+    Python ints are arbitrary-precision, so the arithmetic is exactly
+    the batch plan's BIGINT math — no float mean, no sqrt."""
+    import math
+
+    (etype,) = key
+    buf: list[int] = list(state.get[0]) if state.exists else []
+    rows: list[tuple[int, int, int, int, int]] = []
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for ev, val in zip(pdf["event_id"].astype("int64"), pdf["value"]):
+        v = int(math.floor(float(val) * 100 + 0.5))  # relational._cents
+        n, s = len(buf), sum(buf)
+        if n >= ANOM_MIN:
+            ss = sum(x * x for x in buf)
+            flag = int((n * v - s) ** 2 > 9 * (n * ss - s * s))
+            rows.append((int(ev), v, n, s, flag))
+        buf.append(v)
+        if len(buf) > ANOM_WIN:
+            buf = buf[-ANOM_WIN:]
+    state.update((buf,))
+    if rows:
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "event_type": pd.Series([etype] * len(rows)),
+                "v_c": pd.Series([r[1] for r in rows], dtype="int64"),
+                "n": pd.Series([r[2] for r in rows], dtype="int64"),
+                "s": pd.Series([r[3] for r in rows], dtype="int64"),
+                "is_anomaly": pd.Series([r[4] for r in rows], dtype="int32"),
+            }
+        )
+
+
+def stream_rolling_anomaly(events: DataFrame) -> DataFrame:
+    """events(event_id, ts, event_type, value) stream → per-event
+    anomaly verdicts against each key's 20 predecessors. State is one
+    bounded array per live key (≤ 20 longs — O(1), never grows with
+    stream length); Arrow batches carry each key's rows into Python
+    once per micro-batch. Verdicts match the batch operator exactly
+    when the stream replays in event-time order; under disorder the
+    ring reflects arrival order within the watermark, which is the
+    honest streaming semantics (the batch op is the backfill twin)."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _anomaly_for_key,
+            outputStructType=ANOM_OUTPUT_SCHEMA,
+            stateStructType=ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -163,3 +163,56 @@ class TestStreamSnapshotDedup:
 
         got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
         assert got == [1, 3]
+
+
+class TestStreamRollingAnomaly:
+    def test_converges_to_batch_rolling_z(self, spark, sf_dir, tmp_path):
+        """Replay the events table through the stateful ring-buffer
+        operator in event-time order, split across micro-batches; the
+        emitted verdicts must equal the batch anomaly_rolling_z rows
+        (same BIGINT math, state carried across the batch boundary)."""
+        from flinkproj_spark.operators.analytic import anomaly_rolling_z
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.stateful import stream_rolling_anomaly
+        import pyspark.sql.functions as F
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "event_type", "value")
+            .orderBy("ts", "event_id")
+        )
+        n = ev.count()
+        pdf = ev.toPandas()
+        # three time-ordered chunk files -> three micro-batches
+        for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+            chunk = pdf.iloc[lo : lo + (n + 2) // 3]
+            spark.createDataFrame(chunk).coalesce(1).write.parquet(
+                f"{src}/b{i}", mode="overwrite"
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream_rolling_anomaly(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got = {
+            (r.event_id, r.v_c, r.n, r.s, r.is_anomaly)
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            (r.event_id, r.v_c, r.n, r.s, r.is_anomaly)
+            for r in anomaly_rolling_z(spark, sf_dir).collect()
+        }
+        assert got == want
