@@ -252,12 +252,60 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BITS = 60  # gradient bits; 60 keeps 2^k inside a signed BIGINT
+PHASH_SCHEMA = "doc_id long, phash long"
+
+
+def _phash_pgm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """dHash-style perceptual hash inside the Arrow decode stage: parse
+    the PGM header, then 60 gradient bits (pixel[k] < pixel[k+1]) packed
+    into one BIGINT — the difference-hash every image-dedup pipeline
+    computes after decode. numpy over the zero-copy byte view."""
+    import numpy as np
+
+    for pdf in batches:
+        ids: list[int] = []
+        hashes: list[int] = []
+        for did, b in zip(pdf["doc_id"], pdf["payload"]):
+            nl = b.index(b"\n")
+            data = np.frombuffer(b, dtype=np.uint8, offset=nl + 1)
+            if data.size < PHASH_BITS + 1:
+                continue
+            bits = data[: PHASH_BITS] < data[1 : PHASH_BITS + 1]
+            ids.append(int(did))
+            hashes.append(sum(int(bit) << k for k, bit in enumerate(bits)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "phash": pd.Series(hashes, dtype="int64"),
+            }
+        )
+
+
+def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate buckets by perceptual hash: decode each
+    payload (Arrow batch), compute the 60-bit dHash, and group payloads
+    whose hashes collide — bucket size + representative (min doc_id).
+    The image twin of exact text dedup: at 100 TB the grouping key is
+    ONE BIGINT per image (the payload is projected away inside the
+    Arrow stage before the exchange), and collision buckets feed a
+    verify stage exactly like MinHash candidates do. Payloads shorter
+    than 61 pixel bytes are skipped (no hash is defined)."""
+    p = _pgm_payloads(spark, sf_dir)
+    ph = p.mapInPandas(_phash_pgm, schema=PHASH_SCHEMA)
+    return ph.groupBy("phash").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("rep_doc"),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_resize": multimodal_resize,
     "multimodal_pcm_stats": multimodal_pcm_stats,
+    "multimodal_phash_buckets": multimodal_phash_buckets,
 }
 
 ORACLE = {
@@ -353,3 +401,18 @@ ORACLE = {
         FROM f WHERE frame_idx % {FRAME_STRIDE} = 0
     """,
 }
+
+_PHASH_SQL = (
+    "CAST(list_sum(list_transform(range(0, " + str(PHASH_BITS) + "), k -> "
+    "CASE WHEN ord(text[k + 1]) < ord(text[k + 2]) "
+    "THEN CAST(pow(2.0, k) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+)
+
+ORACLE["multimodal_phash_buckets"] = f"""
+    WITH ph AS (
+      SELECT doc_id, {_PHASH_SQL} AS phash
+      FROM documents
+      WHERE strlen(text) >= {PHASH_BITS + 1})
+    SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
+    FROM ph GROUP BY 1
+"""

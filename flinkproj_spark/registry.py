@@ -93,6 +93,7 @@ _PRIORITY_KEYS = (
     "filter_funnel_report",
     "chi2_lang_source",
     "vocab_coverage",
+    "multimodal_phash_buckets",
 )
 
 

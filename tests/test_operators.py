@@ -424,3 +424,18 @@ def test_vocab_coverage_rates_are_consistent(spark, sf_dir):
     assert (df["oov_ppm"] <= 1_000_000).all() and (df["oov_ppm"] >= 0).all()
     # the synthetic vocabulary is small: top-1000 must cover nearly all
     assert (df["oov_ppm"] < 500_000).all()
+
+
+def test_phash_buckets_group_identical_payloads(spark, sf_dir):
+    from flinkproj_spark.operators.multimodal import multimodal_phash_buckets
+    from flinkproj_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    df = multimodal_phash_buckets(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    n_eligible = docs.filter(F.length(F.encode("text", "UTF-8")) >= 61).count()
+    assert df["n_docs"].sum() == n_eligible, "every eligible doc is bucketed"
+    # the corpus plants exact/near duplicates: some buckets must collide
+    assert (df["n_docs"] > 1).any()
+    # a bucket's representative is its minimum member id
+    assert (df["rep_doc"] >= 0).all()
