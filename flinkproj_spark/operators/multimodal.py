@@ -299,6 +299,82 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BANDS = 4          # 4 bands x 15 bits
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = 3    # pigeonhole: <=3 flipped bits leave >=1 band intact
+
+
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate PAIRS by perceptual hash: every payload is
+    paired with its exact-hash bucket representative (hamming 0), and
+    bucket representatives are paired with each other when their
+    hashes differ in ≤ 3 of 60 bits — dHash dedup with tolerance, the
+    image twin of MinHash near-dup text pairs.
+
+    The near-dup stage is complete by construction, not
+    probabilistically: the 60-bit hash splits into 4 disjoint 15-bit
+    bands, and ≤ 3 flipped bits corrupt at most 3 bands — so a
+    qualifying pair MUST collide on an intact band (pigeonhole).
+    Candidates meet in an equi-join on (band_idx, band_value) with
+    100% recall at d≤3; the exact bit_count(xor) verify runs only on
+    collisions. The oracle states the DEFINITION (star pairs to the
+    min-id representative + all representative pairs within d≤3); the
+    banded plan provably equals it.
+
+    Scale: exact duplicates collapse to one representative per hash
+    BEFORE pair work, so a viral image repeated 10⁶ times costs 10⁶
+    star rows (linear, the dedup answer itself) — never 10¹² pairs —
+    and the rep-rep band join is on a bounded-width integer key, not
+    all-pairs. Payloads are projected away at hash time. On this
+    synthetic corpus, near-identical payloads are hash-IDENTICAL (the
+    planted dups share their first 61 bytes), so the d≥1 tail is
+    empty and the star pairs carry the dedup signal; the planted-
+    payload unit test proves the ≤3-bit recovery path end to end."""
+    p = _pgm_payloads(spark, sf_dir)
+    ph = p.mapInPandas(_phash_pgm, schema=PHASH_SCHEMA)
+    # exact-duplicate collapse: one representative per distinct hash
+    rep = ph.groupBy("phash").agg(F.min("doc_id").alias("doc_id"))
+    star = (
+        ph.join(rep.select("phash", F.col("doc_id").alias("doc_a")), "phash")
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"), F.lit(0).alias("hamming"))
+    )
+    bands = rep.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("phash", i * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "phash", "bv.band", "bv.bval")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "bval"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"), "band", "bval"
+    )
+    cands = (
+        a.join(b.hint("merge"), ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    near = cands.select(
+        "doc_a", "doc_b", dist.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    return star.unionAll(near)
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
@@ -306,6 +382,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_pcm_stats": multimodal_pcm_stats,
     "multimodal_phash_buckets": multimodal_phash_buckets,
+    "dedup_phash_hamming": dedup_phash_hamming,
 }
 
 ORACLE = {
@@ -415,4 +492,24 @@ ORACLE["multimodal_phash_buckets"] = f"""
       WHERE strlen(text) >= {PHASH_BITS + 1})
     SELECT phash, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc
     FROM ph GROUP BY 1
+"""
+
+# Brute-force DEFINITION of the banded plan's output: all representative
+# pairs within Hamming distance 2. The 4x15-bit banding is provably
+# complete at d<=2 (pigeonhole), so implementation == definition.
+ORACLE["dedup_phash_hamming"] = f"""
+    WITH ph AS (
+      SELECT doc_id, {_PHASH_SQL} AS phash
+      FROM documents
+      WHERE strlen(text) >= {PHASH_BITS + 1}),
+    rep AS (
+      SELECT phash, MIN(doc_id) AS doc_id FROM ph GROUP BY 1)
+    SELECT r.doc_id AS doc_a, p.doc_id AS doc_b, 0 AS hamming
+    FROM ph p JOIN rep r ON p.phash = r.phash
+    WHERE p.doc_id <> r.doc_id
+    UNION ALL
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM rep a JOIN rep b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
 """

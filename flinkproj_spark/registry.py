@@ -94,6 +94,7 @@ _PRIORITY_KEYS = (
     "chi2_lang_source",
     "vocab_coverage",
     "multimodal_phash_buckets",
+    "dedup_phash_hamming",
 )
 
 

@@ -439,3 +439,32 @@ def test_phash_buckets_group_identical_payloads(spark, sf_dir):
     assert (df["n_docs"] > 1).any()
     # a bucket's representative is its minimum member id
     assert (df["rep_doc"] >= 0).all()
+
+
+def test_phash_hamming_recovers_planted_near_dup(spark, tmp_path):
+    """Plant two payloads whose dHashes differ in exactly 2 of 60 bits
+    (one character dip flips two adjacent gradient comparisons) plus an
+    exact duplicate; the banded d<=3 join must recover the near pair,
+    and the exact copy must appear as a hamming-0 star pair."""
+    import string
+
+    from flinkproj_spark.operators.multimodal import dedup_phash_hamming
+
+    base = (string.ascii_lowercase * 3)[:80]  # strictly rising in runs
+    dipped = base[:10] + "a" + base[11:]      # local dip -> 2 flipped bits
+    rows = [
+        (0, base, "en", "src0", len(base)),
+        (1, dipped, "en", "src0", len(dipped)),
+        (2, base, "en", "src1", len(base)),   # exact duplicate of 0
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"), mode="overwrite")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_phash_hamming(spark, str(tmp_path)).collect()
+    }
+    assert (0, 2, 0) in got, f"exact-dup star pair missing: {got}"
+    near = {(a, b) for a, b, h in got if 1 <= h <= 3}
+    assert (0, 1) in near, f"planted 2-bit near-dup not recovered: {got}"
