@@ -468,3 +468,38 @@ def test_phash_hamming_recovers_planted_near_dup(spark, tmp_path):
     assert (0, 2, 0) in got, f"exact-dup star pair missing: {got}"
     near = {(a, b) for a, b, h in got if 1 <= h <= 3}
     assert (0, 1) in near, f"planted 2-bit near-dup not recovered: {got}"
+
+
+def test_round3_ops_survive_empty_inputs(spark, tmp_path):
+    """Every round-3 operator must execute (not crash) on structurally
+    valid but EMPTY tables — the first micro-batch of a new deployment
+    is empty, and an operator that throws there blocks the pipeline."""
+    from flinkproj_spark import registry
+
+    schemas = {
+        "documents": "doc_id long, text string, lang string, source string, n_chars long",
+        "events": "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        "embeddings": "vec_id long, embedding array<float>, label int",
+        "orders": "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate date, o_orderpriority string",
+        "lineitem": "l_orderkey long, l_suppkey long, l_partkey long, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate date, l_commitdate date, l_receiptdate date",
+    }
+    for name, schema in schemas.items():
+        spark.createDataFrame([], schema).write.parquet(
+            str(tmp_path / f"{name}.parquet"), mode="overwrite"
+        )
+    keys = [
+        "gopher_quality_filter", "vocab_coverage", "quantile_bucketize",
+        "stratified_split", "scd2_history", "cdc_merge_latest",
+        "key_skew_profile", "event_path_topk", "anomaly_rolling_z",
+        "pagerank_fixed", "chi2_lang_source", "embedding_dim_stats",
+        "knn_label_vote", "tfidf_topk", "filter_funnel_report",
+        "multimodal_phash_buckets", "dedup_phash_hamming",
+    ]
+    q = registry.queries()
+    failures = {}
+    for key in keys:
+        try:
+            q[key](spark, str(tmp_path)).count()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[key] = repr(e)[:160]
+    assert not failures, failures
