@@ -502,6 +502,50 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Z_BITS = 16  # bits per dimension interleaved into the Morton code
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit for the events table: interleave
+    the low 16 bits of user_id with the low 16 bits of the epoch-minute
+    into a 32-bit curve position, bucket by the top byte, and report
+    each bucket's extent in BOTH dimensions. This is the layout a
+    100 TB lake sorts/writes by so that min-max file statistics prune
+    scans on user_id AND time simultaneously — the narrow per-bucket
+    key/time ranges in the output ARE the data-skipping evidence.
+
+    Pure bit arithmetic (shift/and/or), codegen'd in-row; one combined
+    groupBy over 256 buckets. Identical in DuckDB, so the curve math
+    is hash-verified rather than trusted."""
+    events = load_table(spark, sf_dir, "events")
+    u = F.col("user_id").bitwiseAND(F.lit((1 << _Z_BITS) - 1))
+    m = (F.unix_timestamp("ts") / 60).cast("long").bitwiseAND(
+        F.lit((1 << _Z_BITS) - 1)
+    )
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(m, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    coded = events.select(
+        z.alias("zcode"),
+        F.col("user_id").alias("uid"),
+        (F.unix_timestamp("ts") / 60).cast("long").alias("minute"),
+    )
+    return (
+        coded.groupBy(F.shiftright("zcode", 24).alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("uid").alias("min_uid"),
+            F.max("uid").alias("max_uid"),
+            F.min("minute").alias("min_minute"),
+            F.max("minute").alias("max_minute"),
+        )
+    )
+
+
 QUERIES = {
     "grouping_sets_counts": grouping_sets_counts,
     "time_rollup_multires": time_rollup_multires,
@@ -516,6 +560,7 @@ QUERIES = {
     "anomaly_rolling_z": anomaly_rolling_z,
     "pagerank_fixed": pagerank_fixed,
     "chi2_lang_source": chi2_lang_source,
+    "zorder_layout": zorder_layout,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
@@ -730,4 +775,31 @@ ORACLE["chi2_lang_source"] = """
     JOIN r ON obs.lang = r.lang
     JOIN c ON obs.source = c.source
     CROSS JOIN n
+"""
+
+_Z_INTERLEAVE_SQL = " | ".join(
+    f"(((u >> {i}) & 1) << {2 * i}) | (((m >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+ORACLE["zorder_layout"] = f"""
+    WITH sec AS (
+      -- integer seconds FIRST: DuckDB's // on DOUBLE operands does not
+      -- floor, so epoch(ts)//60 followed by a (rounding) BIGINT cast
+      -- lands in the next minute for fractions > .5
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+    coded AS (
+      SELECT ({_Z_INTERLEAVE_SQL}) AS zcode,
+             user_id AS uid,
+             s // 60 AS minute
+      FROM (
+        SELECT user_id & {(1 << _Z_BITS) - 1} AS u,
+               (s // 60) & {(1 << _Z_BITS) - 1} AS m,
+               user_id, s
+        FROM sec))
+    SELECT CAST(zcode >> 24 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_events,
+           MIN(uid) AS min_uid, MAX(uid) AS max_uid,
+           MIN(minute) AS min_minute, MAX(minute) AS max_minute
+    FROM coded GROUP BY 1
 """

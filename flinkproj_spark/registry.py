@@ -95,6 +95,7 @@ _PRIORITY_KEYS = (
     "vocab_coverage",
     "multimodal_phash_buckets",
     "dedup_phash_hamming",
+    "zorder_layout",
 )
 
 

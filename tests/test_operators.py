@@ -503,3 +503,22 @@ def test_round3_ops_survive_empty_inputs(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — collecting all failures
             failures[key] = repr(e)[:160]
     assert not failures, failures
+
+
+def test_zorder_buckets_are_locality_tight(spark, sf_dir):
+    """The point of the curve: each z-bucket must span a narrow band of
+    BOTH dimensions relative to the full domain (that is what lets
+    min-max file stats prune on either predicate)."""
+    from flinkproj_spark.operators.analytic import zorder_layout
+    from flinkproj_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    df = zorder_layout(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    full_minutes = (hi - lo).total_seconds() / 60
+    spans = df["max_minute"] - df["min_minute"]
+    # buckets cover the time axis in disjoint-ish slices, each far
+    # narrower than the whole range
+    assert (spans <= full_minutes / 2).all()
+    assert df["n_events"].sum() == ev.count()
