@@ -67,6 +67,13 @@ def main() -> None:
             except Exception as e:  # a failing query must not hide the rest
                 times[name] = -1.0
                 print(f"BENCH ERROR {name}: {e}", file=sys.stderr)
+            finally:
+                # operators that persist multi-consumer frames (pagerank's
+                # edge frame, the MinHash signature cache) would otherwise
+                # accumulate MEMORY_AND_DISK blocks across the 100+-key
+                # sweep; each key pays its own materialization, none
+                # inherits another's cache
+                spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(json.dumps({

@@ -349,11 +349,15 @@ def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     its 20 predecessors, flagged when (v - μ)² > 9σ² (|z| > 3).
 
     Exactness: values are integer cents, and the rule is evaluated as
-    (n·v - s)² > 9·(n·ss - s²) — count, sum, and sum-of-squares are
-    BIGINT window sums, so the verdict is integer arithmetic end to
-    end: no float mean, no sqrt, no cross-engine ulp flips, immune to
-    how either engine accumulates the sliding frame. One shuffle on
-    event_type; the frame is ROWS-bounded so state per key is O(1)."""
+    (n·v - s)² > 9·(n·ss - s²) — count and sum are BIGINT window sums;
+    the squares (per-row v², the deviation square, and s²) run in
+    DECIMAL(38,0) with one operand cast BEFORE multiplying, because a
+    LongType square wraps (or throws under ANSI) around |v_c| ≈ 3·10⁹
+    while the Python-int streaming twin stays exact. The verdict is
+    integer arithmetic end to end: no float mean, no sqrt, no
+    cross-engine ulp flips, immune to how either engine accumulates
+    the sliding frame. One shuffle on event_type; the frame is
+    ROWS-bounded so state per key is O(1)."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -361,6 +365,7 @@ def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-_ROLL_WIN, -1)
     )
     v = _cents("value")
+    dec = "decimal(38,0)"
     base = events.select(
         "event_id", "event_type", "ts", v.alias("v_c")
     ).select(
@@ -370,10 +375,10 @@ def anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_c",
         F.count("v_c").over(w).alias("n"),
         F.sum("v_c").over(w).alias("s"),
-        F.sum(F.col("v_c") * F.col("v_c")).over(w).alias("ss"),
+        F.sum(F.col("v_c").cast(dec) * F.col("v_c")).over(w).alias("ss"),
     )
-    dev = F.col("n") * F.col("v_c") - F.col("s")
-    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    dev = F.col("n").cast(dec) * F.col("v_c") - F.col("s")
+    var_n2 = F.col("n").cast(dec) * F.col("ss") - F.col("s").cast(dec) * F.col("s")
     return (
         base.filter(F.col("n") >= _ROLL_MIN)
         .select(
@@ -483,11 +488,11 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "o",
-        F.expr("(r * c * 1000000) div n").alias("expected_e6"),
-        (dev * dev)
-        .alias("_d2")
-        .cast("decimal(38,0)")
-        .alias("_d2"),
+        # r·c·10⁶ overflows BIGINT at big-corpus marginals — decimal here too
+        F.expr(
+            "CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000) div n AS BIGINT)"
+        ).alias("expected_e6"),
+        (dev * dev).cast("decimal(38,0)").alias("_d2"),
         F.col("n"),
         F.col("r"),
         F.col("c"),
@@ -717,12 +722,13 @@ ORACLE["anomaly_rolling_z"] = f"""
       SELECT event_id, event_type, v_c,
              COUNT(v_c) OVER w AS n,
              CAST(SUM(v_c) OVER w AS BIGINT) AS s,
-             CAST(SUM(v_c * v_c) OVER w AS BIGINT) AS ss
+             SUM(CAST(v_c AS HUGEINT) * v_c) OVER w AS ss
       FROM v
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                    ROWS BETWEEN {_ROLL_WIN} PRECEDING AND 1 PRECEDING))
     SELECT event_id, event_type, v_c, n, s,
-           CAST((n * v_c - s) * (n * v_c - s) > 9 * (n * ss - s * s)
+           CAST((CAST(n AS HUGEINT) * v_c - s) * (CAST(n AS HUGEINT) * v_c - s)
+                > 9 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
                 AS INT) AS is_anomaly
     FROM st WHERE n >= {_ROLL_MIN}
 """
@@ -766,7 +772,8 @@ ORACLE["chi2_lang_source"] = """
     c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
     n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs)
     SELECT obs.lang, obs.source, obs.o,
-           CAST((r.r * c.c * 1000000) // n.n AS BIGINT) AS expected_e6,
+           CAST((CAST(r.r AS HUGEINT) * c.c * 1000000) // n.n AS BIGINT)
+             AS expected_e6,
            CAST(((CAST(obs.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
                  * (CAST(obs.o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.c)
                  * 1000000)

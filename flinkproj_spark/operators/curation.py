@@ -315,35 +315,21 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts fold into a single aggregate row, with count_distinct on
     the 16-byte hash as the only heavy reduction. The all-docs total
     joins in as a broadcast 1-row aggregate. Integer end to end."""
-    from flinkproj_spark.operators.text import (
-        _STOPWORDS,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_WORDS,
-    )
+    from flinkproj_spark.operators.text import gopher_keep_col, gopher_stat_aggs
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.md5("text").alias("fp"),
-        F.explode(fx.tokenize_ws()).alias("w"),
+    # md5 in its OWN projection, explode in the next: inlined into the
+    # explode's select, CollapseProject hoists the hash ABOVE Generate
+    # and the full-document md5 re-evaluates once per token (verified
+    # in the optimized plan) — staged, it runs once per document.
+    staged = docs.select(
+        "doc_id", "lang", F.md5("text").alias("fp"), fx.tokenize_ws().alias("ws")
     )
-    base = tok.groupBy("doc_id", "lang", "fp").agg(
-        F.count("*").alias("n_words"),
-        F.sum(F.length("w")).alias("word_chars"),
-        F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0)).alias("alpha"),
-        F.sum(F.when(F.lower("w").isin(_STOPWORDS), 1).otherwise(0)).alias("stops"),
-    )
-    n = F.col("n_words")
+    tok = staged.select("doc_id", "lang", "fp", F.explode("ws").alias("w"))
+    # the rules ARE text.gopher_quality_filter's — shared aggs + verdict
+    base = tok.groupBy("doc_id", "lang", "fp").agg(*gopher_stat_aggs())
     lang_ok = F.col("lang").isin(*_FUNNEL_LANGS)
-    quality_ok = (
-        (n >= GOPHER_MIN_WORDS)
-        & (n <= GOPHER_MAX_WORDS)
-        & (F.col("word_chars") >= 2 * n)
-        & (F.col("word_chars") <= 10 * n)
-        & (F.col("alpha") * 10 >= 8 * n)
-        & (F.col("stops") >= 2)
-    )
+    quality_ok = gopher_keep_col()
     stages = base.agg(
         F.count("*").alias("n_tokenizable"),
         F.sum(lang_ok.cast("long")).alias("n_lang"),
@@ -494,11 +480,7 @@ ORACLE["neardup_semantic_verify"] = _semantic_verify_oracle()
 
 
 def _funnel_oracle() -> str:
-    from flinkproj_spark.operators.text import (
-        _STOP_SQL,
-        GOPHER_MAX_WORDS,
-        GOPHER_MIN_WORDS,
-    )
+    from flinkproj_spark.operators.text import _STOP_SQL, GOPHER_KEEP_SQL
 
     langs = ", ".join(f"'{l}'" for l in _FUNNEL_LANGS)
     return f"""
@@ -510,20 +492,14 @@ def _funnel_oracle() -> str:
              COUNT(*) AS n_words,
              CAST(SUM(len(w)) AS BIGINT) AS word_chars,
              CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
-                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha,
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
              CAST(SUM(CASE WHEN lower(w) IN ({_STOP_SQL})
-                           THEN 1 ELSE 0 END) AS BIGINT) AS stops
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
       FROM tok GROUP BY 1, 2, 3),
     flagged AS (
       SELECT fp,
              CAST(lang IN ({langs}) AS INT) AS lang_ok,
-             CAST(lang IN ({langs})
-                  AND n_words >= {GOPHER_MIN_WORDS}
-                  AND n_words <= {GOPHER_MAX_WORDS}
-                  AND word_chars >= 2 * n_words
-                  AND word_chars <= 10 * n_words
-                  AND alpha * 10 >= 8 * n_words
-                  AND stops >= 2 AS INT) AS qual_ok
+             CAST(lang IN ({langs}) AND {GOPHER_KEEP_SQL} AS INT) AS qual_ok
       FROM base),
     stages AS (
       SELECT COUNT(*) AS n_tokenizable,

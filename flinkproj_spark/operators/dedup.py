@@ -203,11 +203,20 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(
-            os.environ.get(
-                "SPARK_GRAFT_CHECKPOINT_DIR",
-                os.path.join(tempfile.gettempdir(), "flinkproj_spark_ckpt"),
+        env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if env_dir is None and not sc.master.startswith("local"):
+            # A tempdir fallback on a CLUSTER writes checkpoint blocks to
+            # each executor's own local disk — an executor loss then loses
+            # them, silently recreating the exact localCheckpoint failure
+            # this operator exists to avoid. Fail fast and say why.
+            raise RuntimeError(
+                "dedup_cluster needs a RELIABLE checkpoint dir on a cluster "
+                f"(master={sc.master!r}): set SPARK_GRAFT_CHECKPOINT_DIR to "
+                "an HDFS/S3 path or call spark.sparkContext.setCheckpointDir"
             )
+        sc.setCheckpointDir(
+            env_dir
+            or os.path.join(tempfile.gettempdir(), "flinkproj_spark_ckpt")
         )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -495,8 +495,10 @@ ORACLE["multimodal_phash_buckets"] = f"""
 """
 
 # Brute-force DEFINITION of the banded plan's output: all representative
-# pairs within Hamming distance 2. The 4x15-bit banding is provably
-# complete at d<=2 (pigeonhole), so implementation == definition.
+# pairs within Hamming distance PHASH_MAX_HAMMING (3). The 4x15-bit
+# banding is provably complete at d <= BANDS-1 = 3 (pigeonhole: 3
+# flipped bits corrupt at most 3 of 4 bands), so implementation ==
+# definition.
 ORACLE["dedup_phash_hamming"] = f"""
     WITH ph AS (
       SELECT doc_id, {_PHASH_SQL} AS phash

@@ -428,6 +428,44 @@ GOPHER_MAX_WORDS = 100_000
 VOCAB_SIZE = 1000
 
 
+def gopher_stat_aggs() -> list[Column]:
+    """The four per-document statistics every Gopher-rule consumer
+    aggregates from an exploded token column `w` — defined ONCE so the
+    quality filter and the funnel report can never drift apart."""
+    return [
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("word_chars"),
+        F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0)).alias(
+            "alpha_words"
+        ),
+        F.sum(F.when(F.lower("w").isin(_STOPWORDS), 1).otherwise(0)).alias(
+            "stop_hits"
+        ),
+    ]
+
+
+# The same verdict for the DuckDB twins — one string, two oracles.
+GOPHER_KEEP_SQL = (
+    f"n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} "
+    "AND word_chars >= 2 * n_words AND word_chars <= 10 * n_words "
+    "AND alpha_words * 10 >= 8 * n_words AND stop_hits >= 2"
+)
+
+
+def gopher_keep_col() -> Column:
+    """The composite Gopher verdict over gopher_stat_aggs() columns —
+    every ratio threshold expressed as an integer comparison."""
+    n = F.col("n_words")
+    return (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (F.col("word_chars") >= 2 * n)
+        & (F.col("word_chars") <= 10 * n)
+        & (F.col("alpha_words") * 10 >= 8 * n)
+        & (F.col("stop_hits") >= 2)
+    )
+
+
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep coverage audit: build the top-VOCAB_SIZE corpus
     vocabulary (by frequency, deterministic (count desc, word) order),
@@ -478,28 +516,13 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy(doc_id) computes all four statistics in
     a single pass; zero joins, one shuffle, and the text column is
     projected away before the exchange. Documents with zero words
-    vanish at explode (same contract as text_quality)."""
+    vanish at explode (same contract as text_quality). Statistics and
+    verdict come from the shared gopher_stat_aggs/gopher_keep_col so
+    the funnel report (operators/curation.py) observes the SAME rules."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_words()).alias("w"))
-    base = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_words"),
-        F.sum(F.length("w")).alias("word_chars"),
-        F.sum(F.when(F.col("w").rlike("[A-Za-z]"), 1).otherwise(0)).alias(
-            "alpha_words"
-        ),
-        F.sum(F.when(F.lower("w").isin(_STOPWORDS), 1).otherwise(0)).alias(
-            "stop_hits"
-        ),
-    )
-    n = F.col("n_words")
-    keep = (
-        (n >= GOPHER_MIN_WORDS)
-        & (n <= GOPHER_MAX_WORDS)
-        & (F.col("word_chars") >= 2 * n)
-        & (F.col("word_chars") <= 10 * n)
-        & (F.col("alpha_words") * 10 >= 8 * n)
-        & (F.col("stop_hits") >= 2)
-    )
+    base = tok.groupBy("doc_id").agg(*gopher_stat_aggs())
+    keep = gopher_keep_col()
     return base.select(
         "doc_id",
         "n_words",
@@ -737,12 +760,7 @@ ORACLE["gopher_quality_filter"] = f"""
                            THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
       FROM tok GROUP BY 1)
     SELECT doc_id, n_words, word_chars, alpha_words, stop_hits,
-           CAST(n_words >= {GOPHER_MIN_WORDS}
-                AND n_words <= {GOPHER_MAX_WORDS}
-                AND word_chars >= 2 * n_words
-                AND word_chars <= 10 * n_words
-                AND alpha_words * 10 >= 8 * n_words
-                AND stop_hits >= 2 AS INT) AS keep
+           CAST({GOPHER_KEEP_SQL} AS INT) AS keep
     FROM base
 """
 

@@ -59,6 +59,9 @@ def build_session(
         # ExplicitGCInvokesConcurrent turns the remaining explicit GCs
         # into concurrent cycles instead of stop-the-world fulls.
         .config("spark.cleaner.periodicGC.interval", "5min")
+        # reliable checkpoints (dedup_cluster) are deleted once their
+        # RDDs are GC'd — without this the checkpoint dir grows forever
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.stateStore.providerClass",

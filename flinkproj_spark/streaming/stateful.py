@@ -157,9 +157,14 @@ def stream_rolling_anomaly(events: DataFrame) -> DataFrame:
     bounded array per live key (≤ 20 longs — O(1), never grows with
     stream length); Arrow batches carry each key's rows into Python
     once per micro-batch. Verdicts match the batch operator exactly
-    when the stream replays in event-time order; under disorder the
-    ring reflects arrival order within the watermark, which is the
-    honest streaming semantics (the batch op is the backfill twin)."""
+    when the stream replays in event-time order. The 0-second
+    watermark DROPS any event that arrives after a later-timestamped
+    event has closed a prior micro-batch (same deliberate tradeoff as
+    stream_sessionize: corpus replays are in order) — widen the
+    watermark for real disorder, accepting that within-delay late
+    events then enter the ring in ARRIVAL order, which can diverge
+    from the batch twin's strict event-time order (the batch op is
+    the backfill/repair path)."""
     return (
         events.withWatermark("ts", "0 seconds")
         .groupBy("event_type")

@@ -62,6 +62,8 @@ def main() -> int:
             print(f"FAIL {key}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            spark.catalog.clearCache()  # drop per-operator persists
         if key not in oracles:
             print(f"ROWS-ONLY {key}: {len(sdf)} rows (no oracle)")
             continue

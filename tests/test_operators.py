@@ -493,7 +493,7 @@ def test_round3_ops_survive_empty_inputs(spark, tmp_path):
         "key_skew_profile", "event_path_topk", "anomaly_rolling_z",
         "pagerank_fixed", "chi2_lang_source", "embedding_dim_stats",
         "knn_label_vote", "tfidf_topk", "filter_funnel_report",
-        "multimodal_phash_buckets", "dedup_phash_hamming",
+        "multimodal_phash_buckets", "dedup_phash_hamming", "zorder_layout",
     ]
     q = registry.queries()
     failures = {}
