@@ -551,6 +551,72 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_T0 = "2024-01-02 00:00:00"  # base-rollup / delta-batch boundary
+
+
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a minute×event_type
+    rollup is kept current by MERGING a delta batch's partial
+    aggregates into the existing base rollup — never recomputing over
+    history. This is the continuous-aggregate refresh every 100 TB
+    deployment runs instead of full rebuilds: the base side is the
+    stored rollup (bounded by bucket cardinality, not event count),
+    and only the delta scans raw events.
+
+    The merge is a full-outer join on the group key with coalesced
+    SUM/SUM/MAX combination — valid because count, integer-cent sum,
+    and max are all decomposable aggregates (partial ⊕ partial =
+    total). The oracle states the CONTRACT: the merged view equals the
+    rollup computed over ALL events from scratch — the invariant that
+    makes incremental refresh trustworthy. Both engines integer-exact."""
+    events = load_table(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.date_format(F.date_trunc("minute", "ts"), fmt).alias("bucket"),
+                "event_type",
+                _cents("value").alias("v_c"),
+            )
+            .groupBy("bucket", "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("v_c").alias("sum_c"),
+                F.max("v_c").alias("max_c"),
+            )
+        )
+
+    base = rollup(events.filter(F.col("ts") < F.lit(_IVM_T0)))
+    delta = rollup(events.filter(F.col("ts") >= F.lit(_IVM_T0)))
+    b = base.select(
+        "bucket",
+        "event_type",
+        F.col("n").alias("b_n"),
+        F.col("sum_c").alias("b_sum"),
+        F.col("max_c").alias("b_max"),
+    )
+    merged = b.join(delta, ["bucket", "event_type"], "full_outer").select(
+        "bucket",
+        "event_type",
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("n", F.lit(0))).alias("n"),
+        (F.coalesce("b_sum", F.lit(0)) + F.coalesce("sum_c", F.lit(0))).alias(
+            "_sum_c"
+        ),
+        F.greatest(
+            F.coalesce("b_max", F.lit(-(1 << 62))),
+            F.coalesce("max_c", F.lit(-(1 << 62))),
+        ).alias("_max_c"),
+    )
+    return merged.select(
+        "bucket",
+        "event_type",
+        "n",
+        (F.col("_sum_c").cast("double") / F.lit(100.0)).alias("value_sum"),
+        (F.col("_max_c").cast("double") / F.lit(100.0)).alias("value_max"),
+    )
+
+
 QUERIES = {
     "grouping_sets_counts": grouping_sets_counts,
     "time_rollup_multires": time_rollup_multires,
@@ -566,6 +632,7 @@ QUERIES = {
     "pagerank_fixed": pagerank_fixed,
     "chi2_lang_source": chi2_lang_source,
     "zorder_layout": zorder_layout,
+    "incremental_rollup_merge": incremental_rollup_merge,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
@@ -809,4 +876,17 @@ ORACLE["zorder_layout"] = f"""
            MIN(uid) AS min_uid, MAX(uid) AS max_uid,
            MIN(minute) AS min_minute, MAX(minute) AS max_minute
     FROM coded GROUP BY 1
+"""
+
+# The invariant, not the mechanism: merged(base, delta) must equal the
+# rollup over ALL events computed from scratch.
+ORACLE["incremental_rollup_merge"] = """
+    SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS value_sum,
+           CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS value_max
+    FROM events GROUP BY 1, 2
 """

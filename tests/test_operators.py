@@ -522,3 +522,25 @@ def test_zorder_buckets_are_locality_tight(spark, sf_dir):
     # narrower than the whole range
     assert (spans <= full_minutes / 2).all()
     assert df["n_events"].sum() == ev.count()
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """The IVM invariant directly: merging the pre-T0 base rollup with
+    the post-T0 delta must reproduce the full-history rollup row for
+    row — including buckets present on only one side of the merge."""
+    from flinkproj_spark.operators.analytic import (
+        _IVM_T0,
+        incremental_rollup_merge,
+    )
+    from flinkproj_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    got = incremental_rollup_merge(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # both sides of the boundary must be non-trivial for the test to bite
+    assert ev.filter(F.col("ts") < _IVM_T0).count() > 0
+    assert ev.filter(F.col("ts") >= _IVM_T0).count() > 0
+    assert got.count() == ev.select(
+        F.date_trunc("minute", "ts"), "event_type"
+    ).distinct().count()
+    assert got.filter(F.col("n") <= 0).count() == 0
