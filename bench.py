@@ -76,18 +76,49 @@ def main() -> None:
                 spark.catalog.clearCache()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(json.dumps({
+    config = {
+        "spark": spark.version,
+        "master": f"local[{CPUS}]",
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    full = {
         "metric": "total_wall_sec_all_queries",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
-        "config": {
-            "spark": spark.version,
-            "master": f"local[{CPUS}]",
-            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-        },
+        "config": config,
+    }
+    # Full per-key record: printed for humans AND persisted next to the
+    # repo so per-key history survives stdout truncation.
+    print(json.dumps(full))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        print(f"BENCH WARN could not write BENCH_FULL.json: {e}", file=sys.stderr)
+    # The driver records only the LAST ~2000 chars of stdout and parses
+    # the final line as JSON; the full line above is ~4-5 KB for 120+
+    # keys and overflows that window. The very last line is therefore a
+    # compact summary (aggregates + the slowest keys) guaranteed to fit.
+    ok = sorted((t for t in times.values() if t >= 0))
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "n_errors": sum(1 for t in times.values() if t < 0),
+        "errors": sorted(k for k, t in times.items() if t < 0),
+        "median_sec": round(ok[len(ok) // 2], 3) if ok else None,
+        "p95_sec": round(ok[int(len(ok) * 0.95)], 3) if ok else None,
+        "max_sec": round(ok[-1], 3) if ok else None,
+        "slowest": slowest,
+        "queries_full_file": "BENCH_FULL.json",
+        "config": config,
     }))
     spark.stop()
 
