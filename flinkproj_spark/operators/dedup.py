@@ -43,9 +43,10 @@ MINHASH_P = 4294967311
 MINHASH_A = [131, 193, 257, 389, 521, 769, 1031, 1543, 2053]
 MINHASH_B = [17, 29, 43, 61, 89, 113, 151, 197, 251]
 
-# Hot-bucket guard: a band bucket larger than this is dropped before
-# pair expansion (its O(k²) pairs are mass-duplicate boilerplate, the
-# upstream exact-dedup/boilerplate filter's job, not LSH's).
+# Hot-bucket guard: a band bucket larger than this switches from full
+# O(k²) pair expansion to O(k) STAR pairs (every member paired with the
+# bucket's minimum doc_id) — connectivity survives for clustering, the
+# cost stays linear, and no giant per-bucket array ever materializes.
 BUCKET_CAP = 200
 
 # dedup_cluster: reliable-checkpoint the label frame every this many
@@ -118,7 +119,26 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signature frame and expand each bucket into ordered
     candidate pairs. Shared by dedup_minhash_lsh and the
     Jaccard-estimate verifier (which passes the SAME sig object so the
-    optimizer can reuse the signature exchange across both subtrees)."""
+    optimizer can reuse the signature exchange across both subtrees).
+
+    Bucket-expand instead of self-joining: group each band bucket and
+    emit the O(k²) ordered pairs in-row — one shuffle on band_key, and
+    a self-join would evaluate the whole signature subtree per side.
+    Bucket sizes are near-dup cluster sizes, so k is small; a
+    pathological hot bucket (mass-duplicated boilerplate shingles,
+    k ≫ BUCKET_CAP) must neither melt one task on a k² expansion nor
+    materialize a k-member collect_set buffer. Those buckets therefore
+    switch to STAR pairs: every member pairs with the bucket's minimum
+    doc_id — O(k) rows emitted straight off the windowed stream (the
+    sort-based window spills; nothing bucket-sized is ever held in one
+    row), connectivity is preserved for dedup_cluster (the star spans
+    the same component the clique would), and the recall loss relative
+    to full expansion is measurable downstream (the verifier scores
+    the star pairs) instead of silent. The two branches share one
+    signature pipeline via shuffle reuse (the band_key exchange is
+    computed once and reused — pinned by tests/test_plans.py)."""
+    from pyspark.sql import Window
+
     n_bands = N_HASHES // BAND_ROWS
     band_key = [
         F.concat_ws(
@@ -131,20 +151,22 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     keyed = sig.select(
         "doc_id", F.explode(F.array(*band_key)).alias("band_key")
     )
-    # Bucket-expand instead of self-joining: group each band bucket,
-    # emit the O(k²) ordered pairs in-row. One shuffle on band_key and
-    # the signature pipeline runs ONCE (a self-join evaluates its whole
-    # input subtree per side). Bucket sizes are near-dup cluster sizes,
-    # so k is small — and a hard cap (BUCKET_CAP) drops pathological hot
-    # buckets (mass-duplicated boilerplate shingles) instead of melting
-    # one task on an O(k²) expansion: members of an over-full bucket are
-    # still pair-covered by their OTHER bands unless they collide there
-    # too, which is exactly the all-pairs-duplicate case a boilerplate
-    # filter should handle upstream.
-    buckets = (
-        keyed.groupBy("band_key")
+    # Bucket size + representative in ONE pass over the band_key
+    # partitioning (window, not a groupBy+join: no second subtree, and
+    # the hot bucket streams through a spillable sort instead of an
+    # unbounded aggregation buffer).
+    w = Window.partitionBy("band_key")
+    sized = keyed.select(
+        "doc_id",
+        "band_key",
+        F.count("*").over(w).alias("_k"),
+        F.min("doc_id").over(w).alias("_rep"),
+    )
+    small = (
+        sized.filter(F.col("_k") <= BUCKET_CAP)
+        .groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids").between(2, BUCKET_CAP))
+        .filter(F.size("ids") >= 2)
     )
     pair_arr = F.flatten(
         F.transform(
@@ -155,11 +177,14 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    small_pairs = small.select(F.explode(pair_arr).alias("p")).select(
+        "p.doc_a", "p.doc_b"
     )
+    star_pairs = (
+        sized.filter((F.col("_k") > BUCKET_CAP) & (F.col("doc_id") != F.col("_rep")))
+        .select(F.col("_rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,6 +316,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weights.select("doc_id", fingerprint.alias("simhash"))
 
 
+SUB_L = 8  # exact-substring dedup: minimum repeated run, in tokens
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the sorted-k-gram form of suffix-array
+    training-data dedup): flag every token span of SUB_L words whose
+    exact text occurs ≥ 2 times anywhere in the corpus — across
+    documents OR repeated inside one document — and report, per
+    affected doc, how many tokens the union of those spans covers
+    (the text an exact-substring pass would remove). Finer-grained
+    than paragraph_dedup's fixed non-overlapping spans: sliding
+    L-grams catch repeats at any offset.
+
+    Shape: L-grams are fingerprinted in-row (md5 over the joined
+    slice) and the text never leaves the scan — only (doc_id, pos,
+    16-byte hash) rows move. Three semantic shuffles: the gram
+    frequency count (map-side combined), the gram⋈frequency join
+    (merge-pinned — both sides corpus-proportional, broadcast would
+    cap scale), and the per-doc interval-union window. The
+    interval-union length is computed with one LEAD over positions:
+    a duplicated gram at p covers min(L, next_p − p) tokens, the last
+    covers L — integer end to end, bit-identical in DuckDB."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = _words()
+    # Nondeterministic barrier (paragraph_dedup's trick): without it
+    # CollapseProject inlines the tokenize into EVERY gram's slice —
+    # O(n_grams · n) re-splits per doc.
+    staged = docs.filter(F.size(words) >= SUB_L).select(
+        "doc_id", words.alias("ws"), F.monotonically_increasing_id().alias("_nc")
+    )
+    n = F.size("ws")
+    grams = staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.col("ws"),
+        F.explode(F.sequence(F.lit(1), n - SUB_L + 1)).alias("p"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "p",
+        F.md5(F.array_join(F.slice("ws", F.col("p"), SUB_L), " ")).alias("h"),
+    )
+    freq = grams.groupBy("h").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    dup = grams.join(freq.hint("merge"), "h").select("doc_id", "n_tokens", "p")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p")
+    iv = dup.withColumn("np", F.lead("p").over(w))
+    covered = F.when(F.col("np").isNull(), F.lit(SUB_L)).otherwise(
+        F.least(F.lit(SUB_L), F.col("np") - F.col("p"))
+    )
+    return (
+        iv.groupBy("doc_id")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.count("*").alias("n_dup_grams"),
+            F.sum(covered).alias("dup_tokens"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_dup_grams",
+            "dup_tokens",
+            "(dup_tokens * 1000000) div n_tokens AS dup_ratio_e6",
+        )
+    )
+
+
 EVAL_MOD = 97  # doc_id % 97 == 0 defines the held-out "benchmark" set
 
 
@@ -389,6 +482,7 @@ QUERIES = {
     "dedup_cluster": dedup_cluster,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_substring": dedup_substring,
     "decontaminate": decontaminate,
 }
 
@@ -415,13 +509,21 @@ _MINHASH_PAIRS_SQL = f"""
                      "'" + str(bnd) + "|' || " + " || '|' || ".join(
                          f"CAST(s{bnd * BAND_ROWS + r} AS VARCHAR)" for r in range(BAND_ROWS))
                      for bnd in range(_N_BANDS))}]) AS band_key
-          FROM sig)
+          FROM sig),
+        bsz AS (
+          SELECT band_key, COUNT(DISTINCT doc_id) AS k, MIN(doc_id) AS rep
+          FROM bands GROUP BY band_key)
+        -- small buckets: full pair expansion; over-cap buckets: STAR
+        -- pairs against the minimum doc_id (mirrors lsh_candidate_pairs)
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-        JOIN (SELECT band_key FROM bands GROUP BY band_key
-              HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {BUCKET_CAP}) ok
-          ON a.band_key = ok.band_key
+        JOIN bsz ON a.band_key = bsz.band_key
+          AND bsz.k BETWEEN 2 AND {BUCKET_CAP}
+        UNION
+        SELECT DISTINCT bsz.rep AS doc_a, a.doc_id AS doc_b
+        FROM bands a JOIN bsz ON a.band_key = bsz.band_key
+        WHERE bsz.k > {BUCKET_CAP} AND a.doc_id <> bsz.rep
 """
 
 ORACLE = {
@@ -468,6 +570,36 @@ ORACLE = {
                  j -> CASE WHEN weights[j + 1] >= 0
                            THEN CAST(pow(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
         FROM wgt
+    """,
+    "dedup_substring": f"""
+        WITH d AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+          WHERE len({_WORDS_SQL}) >= {SUB_L}),
+        pos AS (
+          SELECT doc_id, ws, len(ws) AS n_tokens,
+                 unnest(range(1, len(ws) - {SUB_L} + 2)) AS p
+          FROM d),
+        gr AS (
+          SELECT doc_id, n_tokens, p,
+                 md5(array_to_string(ws[p : p + {SUB_L} - 1], ' ')) AS h
+          FROM pos),
+        freq AS (
+          SELECT h FROM gr GROUP BY h HAVING COUNT(*) >= 2),
+        dup AS (
+          SELECT doc_id, n_tokens, p FROM gr JOIN freq USING (h)),
+        iv AS (
+          SELECT doc_id, n_tokens, p,
+                 LEAD(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+          FROM dup)
+        SELECT doc_id,
+               CAST(MIN(n_tokens) AS INT) AS n_tokens,
+               COUNT(*) AS n_dup_grams,
+               CAST(SUM(CASE WHEN np IS NULL THEN {SUB_L}
+                             ELSE LEAST({SUB_L}, np - p) END) AS BIGINT) AS dup_tokens,
+               CAST(SUM(CASE WHEN np IS NULL THEN {SUB_L}
+                             ELSE LEAST({SUB_L}, np - p) END) * 1000000
+                    // MIN(n_tokens) AS BIGINT) AS dup_ratio_e6
+        FROM iv GROUP BY doc_id
     """,
     "decontaminate": f"""
         WITH sh AS (

@@ -309,14 +309,19 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
 
 
 def test_minhash_lsh_reads_documents_once(spark, sf_dir):
-    # Bucket-expansion formulation: the signature pipeline (scan →
-    # shingle explode → md5 → min-aggs) must appear ONCE — a bucket
-    # self-join would show two document scans.
+    # Bucket-expansion formulation: no self-join anywhere, and the
+    # signature pipeline (scan → shingle explode → md5 → min-aggs →
+    # banding exchange) must RUN once — the small-bucket and star-pair
+    # branches share the band_key shuffle via exchange reuse, so the
+    # executed plan shows a ReusedExchange on band_key instead of a
+    # second full subtree.
     from flinkproj_spark.operators.dedup import dedup_minhash_lsh
 
-    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
-    assert plan.count("FileScan parquet") == 1
-    assert "Join" not in plan
+    df = dedup_minhash_lsh(spark, sf_dir)
+    assert "Join" not in _plan(df)
+    df.collect()
+    final = _plan(df)
+    assert "ReusedExchange" in final and "band_key" in final.split("ReusedExchange")[1].split("\n")[0]
 
 
 def test_stratified_sample_is_pure_scan_filter(spark, sf_dir):
@@ -520,6 +525,59 @@ def test_ngram_jaccard_hot_bucket_is_dropped(spark, tmp_path):
     assert all(r.doc_a >= 1000 for r in pairs)
 
 
+def test_lsh_hot_bucket_emits_star_pairs_and_matches_oracle(spark, tmp_path):
+    """The BUCKET_CAP fallback, exercised: BUCKET_CAP+50 identical docs
+    collide in every band (k = 250 > 200), so the bucket must emit O(k)
+    STAR pairs (min doc_id × each member), not C(250,2) ≈ 31k clique
+    pairs and not zero. A healthy 3-doc near-dup group keeps its full
+    expansion, and the DuckDB oracle — same star semantics — must
+    hash-match on this fixture, proving the cap path is cross-engine
+    deterministic, not just plausible."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.dedup import (
+        BUCKET_CAP,
+        _MINHASH_PAIRS_SQL,
+        dedup_minhash_lsh,
+    )
+
+    k = BUCKET_CAP + 50
+    hot = spark.range(k).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.lit("exactly the same boilerplate sentence repeated in every document""").alias("text"),
+    )
+    ok = spark.range(1000, 1003).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.concat(
+            F.lit("a genuinely rare shared opening phrase with unique tail "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    hot.unionByName(ok).select(
+        "doc_id", "text", "lang", "source",
+        F.length("text").alias("n_chars"),
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, str(tmp_path)).collect()}
+    star = {(0, d) for d in range(1, k)}
+    assert star <= got, "hot bucket must pair every member with the min doc_id"
+    assert {(1000, 1001), (1000, 1002), (1001, 1002)} <= got  # healthy clique intact
+    assert len(got) == (k - 1) + 3  # linear, not quadratic
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {(a, b) for a, b in con.execute(_MINHASH_PAIRS_SQL).fetchall()}
+    assert oracle == got
+
+
 def test_dedup_cluster_checkpoints_reliably(spark, sf_dir, tmp_path):
     # Fault-tolerance pin: the iteration must cut lineage via RELIABLE
     # checkpoints in the SparkContext checkpoint dir (recoverable after
@@ -582,6 +640,99 @@ def test_tfidf_term_join_not_broadcast(spark, sf_dir):
 
     plan = executed_plan(tfidf_topk(spark, sf_dir))
     assert "SortMergeJoin" in plan
+
+
+def test_cross_snapshot_bloom_prunes_before_exchange(spark, sf_dir):
+    """The bloom pre-filter must prune the BASE scan BEFORE the base
+    side's distinct exchange: the bitand probe joins (broadcast, on
+    w_idx) sit below (= later in the tree string than) the distinct's
+    hashpartitioning exchange on content_fp, and the bitmap build is a
+    map-side-combined bit_or."""
+    from flinkproj_spark.operators.curation import cross_snapshot_dedup
+
+    plan = _plan(cross_snapshot_dedup(spark, sf_dir))
+    probe = plan.find("& shiftleft(1")
+    assert probe != -1, "bloom bitand probe missing from plan"
+    dist_exchange = plan.rfind("Exchange hashpartitioning(content_fp")
+    assert dist_exchange != -1 and probe > dist_exchange, (
+        "bloom probe must run scan-side of the distinct's exchange"
+    )
+    assert "partial_bit_or" in plan  # bitmap build combines map-side
+    # probe lookups are broadcast hash joins on the bitmap word index
+    assert "LeftAnti" in plan  # exactness still rests on the anti join
+
+
+def test_bloom_bitmap_has_no_false_negatives(spark):
+    """Runtime proof of the bloom contract: every key present in the
+    build side survives the probe (no false negatives — the property
+    cross_snapshot_dedup's exactness rests on), and the filter does
+    prune most absent keys (the pruning is real, not a no-op)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.curation import bloom_bitmap, bloom_maybe_contains
+
+    keys = spark.range(500).select(F.concat(F.lit("k"), "id").alias("fp"))
+    bloom = bloom_bitmap(keys, "fp")
+    present = bloom_maybe_contains(keys, "fp", bloom)
+    assert present.count() == 500  # nothing in the build set is dropped
+    absent = spark.range(10_000, 30_000).select(
+        F.concat(F.lit("k"), "id").alias("fp")
+    )
+    fp_rate = bloom_maybe_contains(absent, "fp", bloom).count() / 20_000
+    assert fp_rate < 0.01, f"false-positive rate {fp_rate} — bloom not pruning"
+
+
+def test_unigram_lm_skew_join_actually_fires(spark, tmp_path):
+    """The Zipf-token-join skew claim, pinned at runtime instead of
+    asserted: on a fixture where one token dominates the corpus (one
+    hot reducer partition), AQE must split the token join's skewed
+    partition — the executed plan shows SortMergeJoin(skew=true). This
+    only works because of the operator's partitioning barrier: without
+    it the vocab side reaches the join partitioning-preserved through
+    the broadcast cross join and OptimizeSkewedJoin's bare-shuffle-
+    stage pattern never matches (measured before the fix)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.curation import unigram_lm_score
+
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.concat(
+            F.lit("zzz u"),
+            F.col("id").cast("string"),
+            F.lit(" t"),
+            (F.col("id") * 7919).cast("string"),
+        ).alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    confs = {
+        # local[32] partitions are far below the 256MB production
+        # threshold — scale the detector down, not the fixture up
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = unigram_lm_score(spark, str(tmp_path))
+        # collect() (not count()) so THIS DataFrame's QueryExecution is
+        # the one that runs — count() builds a separate plan and leaves
+        # df's adaptive plan unexecuted, hiding the runtime skew split
+        assert len(df.collect()) == 200_000
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew join did not fire on the hot token"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_quantile_bucketize_heavy_pass_is_combined(spark, sf_dir):
