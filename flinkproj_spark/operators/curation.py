@@ -107,9 +107,11 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one tokenized scan feeds both the vocabulary aggregate and
     the scoring join. The (token) join key is Zipf-skewed — AQE
-    skew-join splits the hot reducers at runtime (session factory pins
-    the conf; see tests/test_plans.py) — and vocabulary rows are 2
-    longs + the token, so the join never moves document text."""
+    skew-join splits the hot reducers at runtime — and vocabulary rows
+    are 2 longs + the token, so the join never moves document text.
+    The skew split is only REACHABLE because of the partitioning
+    barrier below; tests/test_plans.py pins that it actually fires on
+    a skewed fixture."""
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(fx.tokenize_ws()).alias("w")
@@ -121,6 +123,18 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = vocab.crossJoin(F.broadcast(total)).selectExpr(
         "w", f"(cnt * {LM_SCALE}) div total AS q"
     )
+    # Partitioning barrier (load-bearing): q would otherwise inherit
+    # hashpartitioning(w) from the vocab aggregate THROUGH the broadcast
+    # cross join, so the token join consumes it as Sort←Project←BNLJ —
+    # a child shape AQE's OptimizeSkewedJoin cannot split (the rule
+    # requires BOTH join children to be bare shuffle stages; measured:
+    # skew never fired on a Zipf fixture without this). Recomputing the
+    # key through an identity concat() drops the propagated
+    # partitioning, forcing a fresh ENSURE_REQUIREMENTS exchange of the
+    # narrow vocab-sized q frame directly under the join — the shape
+    # the skew rule splits. Costs one extra vocab-sized shuffle; buys
+    # runtime splitting of the Zipf-hot token partitions at 100 TB.
+    q = q.withColumn("w", F.concat("w"))
     return (
         # fact-fact: exploded corpus tokens ⋈ corpus vocabulary — pinned
         # to a shuffle join (Catalyst would broadcast a corpus-derived
@@ -132,6 +146,64 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_BITS = 1 << 22  # bloom size m; at scale ≈ 10× delta cardinality
+
+
+def bloom_bitmap(keys: DataFrame, col: str, m: int = _BLOOM_BITS) -> DataFrame:
+    """Build a DataFrame-native bloom filter over `keys[col]` as a
+    (w_idx, bits) bitmap frame: k=2 bit positions per key derived from
+    one xxhash64, OR-combined into 64-bit words. The frame is bounded
+    by m/64 rows regardless of input size, and the build shuffle is
+    map-side-combined bit_or — narrow and decomposable. Spark's
+    catalog has no SQL-level bloom_filter_agg, so this IS the engine's
+    bloom primitive; membership is probed with `bloom_maybe_contains`
+    (broadcast equi-join on w_idx + bitand — O(1) per probe row,
+    no Python anywhere)."""
+    h = F.xxhash64(col)
+    p0 = F.pmod(h, F.lit(m))
+    p1 = F.pmod(F.shiftright(h, 22), F.lit(m))
+    return (
+        keys.select(F.explode(F.array(p0, p1)).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("w_idx"),
+            # SQL shiftleft: the shift amount can be a column (the
+            # python F.shiftleft wrapper insists on a literal int)
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w_idx")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_maybe_contains(
+    probe: DataFrame, col: str, bloom: DataFrame, m: int = _BLOOM_BITS
+) -> DataFrame:
+    """Keep only probe rows that MIGHT be in the bloom (both bit
+    positions set). Rows dropped here are DEFINITELY absent — bloom
+    filters have no false negatives — so any exact join downstream is
+    unaffected; false positives (rate ≈ (2n/m)²) merely survive to be
+    rejected by that exact join. The two lookups are broadcast hash
+    joins on w_idx (≤ m/64 rows each side), so pruning happens in the
+    probe's scan stage, BEFORE any exchange."""
+    h = F.xxhash64(col)
+    b0 = bloom.select(F.col("w_idx").alias("_w0"), F.col("bits").alias("_bits0"))
+    b1 = bloom.select(F.col("w_idx").alias("_w1"), F.col("bits").alias("_bits1"))
+    mask = lambda p: F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))")  # noqa: E731
+    return (
+        probe.withColumn("_p0", F.pmod(h, F.lit(m)))
+        .withColumn("_p1", F.pmod(F.shiftright(h, 22), F.lit(m)))
+        .withColumn("_w0", F.expr("_p0 div 64"))
+        .withColumn("_w1", F.expr("_p1 div 64"))
+        .join(F.broadcast(b0), "_w0")
+        .join(F.broadcast(b1), "_w1")
+        .filter(
+            (F.col("_bits0").bitwiseAND(mask("_p0")) != 0)
+            & (F.col("_bits1").bitwiseAND(mask("_p1")) != 0)
+        )
+        .drop("_p0", "_p1", "_w0", "_w1", "_bits0", "_bits1")
+    )
+
+
 def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: documents from the incoming snapshot
     (source ∈ NEW_SOURCES) survive only if their content hash appears
@@ -140,17 +212,37 @@ def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the base corpus reduces to distinct 16-byte hashes before
     the anti join — at 100 TB that set is still corpus-proportional,
-    so there is no broadcast HINT: Catalyst picks broadcast from stats
-    only while the hash set is actually small, and degrades to a plain
-    shuffle anti join as the corpus grows (the hinted version would
-    OOM the driver instead). Nothing ever recomputes over the base
-    beyond one md5 scan — the incremental property that makes daily
-    ingest affordable."""
+    so there is no broadcast HINT on it: Catalyst picks broadcast from
+    stats only while the hash set is actually small, and degrades to a
+    plain shuffle anti join as the corpus grows (the hinted version
+    would OOM the driver instead). Nothing ever recomputes over the
+    base beyond one md5 scan — the incremental property that makes
+    daily ingest affordable.
+
+    Bloom pre-filter (the semi-join reduction): a compact bitmap bloom
+    (bloom_bitmap, ≤ 64Ki rows) is built from the DELTA side — the
+    small side in a daily ingest — and pruned against the BASE scan
+    with broadcast joins + bitand BEFORE the base side's
+    distinct/exchange. A base hash failing the bloom cannot equal any
+    delta hash, so at 100 TB the base's shuffled survivor rows shrink
+    from corpus-proportional to ≈ true-dups + fpp·base. (This inverts
+    the naive direction — blooming the base to prune the delta — on
+    purpose: pruning the orders-of-magnitude-larger side is worth
+    strictly more, and the build side is the cheap one.) Correctness
+    is unaffected by the bloom's fpp: no false negatives, and false
+    positives die in the exact anti join — the DuckDB oracle is the
+    unchanged NOT EXISTS."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5("text").alias("content_fp")
     is_new = F.col("source").isin(*NEW_SOURCES)
     new = docs.filter(is_new).select("doc_id", "source", fp)
-    base_fps = docs.filter(~is_new).select(fp).distinct()
+    bloom = bloom_bitmap(new.select("content_fp"), "content_fp")
+    base_fps = (
+        bloom_maybe_contains(
+            docs.filter(~is_new).select(fp), "content_fp", bloom
+        )
+        .distinct()
+    )
     survivors = new.join(
         base_fps, new.content_fp == base_fps.content_fp, "left_anti"
     )
@@ -211,7 +303,14 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair list by doc id — two narrow equi-joins, O(pairs) rows,
     document text untouched. At 100 TB the pair list is the small
     side of both joins but still corpus-proportional, so no broadcast
-    hint: AQE picks broadcast only when the runtime size allows."""
+    hint: AQE picks broadcast only when the runtime size allows.
+
+    Cache contract: the signature frame is persist()ed (three
+    consumers, see below) and stays cached after the result
+    materializes — unpersisting it here would evict the blocks before
+    the caller's action runs. Long-lived callers own the cache
+    lifetime: call spark.catalog.clearCache() after consuming the
+    result, as bench.py and tests/oracle_check.py do."""
     from flinkproj_spark.operators.dedup import lsh_candidate_pairs
 
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
