@@ -131,3 +131,26 @@ def hash_keep(key: Column, frac_hex2: str | None = None, salt: str = "s0") -> Co
     shuffle — the only sampling that is stable across engines, retries,
     and partitionings (rand()-based sampling is none of those)."""
     return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 2)
+
+
+def morton2(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low `bits` bits of two integer
+    columns into a single curve position: bit i of x lands at 2i, bit i
+    of y at 2i+1. Sorting/range-partitioning a table by this code keeps
+    rows that are close in BOTH dimensions inside the same file, so
+    parquet min-max statistics prune scans on either column — the
+    data-skipping layout a 100 TB lake writes by (see
+    sources/files.py::write_zorder_layout, audited by the
+    `zorder_layout` query key). Pure shift/and/or bit arithmetic,
+    codegen'd in-row, identical in DuckDB."""
+    lo = F.lit((1 << bits) - 1)
+    xb = x.bitwiseAND(lo)
+    yb = y.bitwiseAND(lo)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z

@@ -409,7 +409,13 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto dst — two exchanges per iteration, the irreducible cost of
     synchronous PageRank. 3 iterations keep lineage shallow; at 10+
     iterations reuse the reliable-checkpoint pattern from
-    dedup_cluster (operators/dedup.py). Output: top-30 nodes."""
+    dedup_cluster (operators/dedup.py). Output: top-30 nodes.
+
+    Cache contract: the degree-annotated edge frame is persist()ed
+    (MEMORY_AND_DISK, read once per iteration) and stays cached after
+    the result materializes. Long-lived callers own the cache lifetime:
+    call spark.catalog.clearCache() after consuming the result, as
+    bench.py and tests/oracle_check.py do."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # Integer node ids (customer = 2k, supplier = 2k+1): every downstream
@@ -444,9 +450,18 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("dst", F.expr("rank div deg").alias("contrib"))
         ranks = contrib.groupBy("dst").agg(
             (
+                # sum(contrib) is cast to DECIMAL(38,0) BEFORE the damping
+                # multiply (the one-operand-cast pattern from
+                # anomaly_rolling_z): a mega-hub whose incoming sum tops
+                # ~1.08e17 would wrap the BIGINT 85·sum silently under
+                # non-ANSI Spark while DuckDB promotes to HUGEINT. `div`
+                # on decimals yields an exact BIGINT quotient.
                 F.lit(base)
-                + F.expr(f"{_PR_DAMP_NUM} * sum(contrib) div {_PR_DAMP_DEN}")
-            ).alias("rank")
+                + F.expr(
+                    f"{_PR_DAMP_NUM} * CAST(sum(contrib) AS DECIMAL(38,0))"
+                    f" div {_PR_DAMP_DEN}"
+                )
+            ).cast("long").alias("rank")
         ).select(F.col("dst").alias("node"), "rank")
     label = F.when(
         F.col("node") % 2 == 0, F.concat(F.lit("c"), (F.col("node") / 2).cast("long"))
@@ -521,19 +536,17 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure bit arithmetic (shift/and/or), codegen'd in-row; one combined
     groupBy over 256 buckets. Identical in DuckDB, so the curve math
-    is hash-verified rather than trusted."""
+    is hash-verified rather than trusted. The corresponding WRITE path
+    (materialize the layout the audit scores) is
+    sources/files.py::write_zorder_layout."""
+    from flinkproj_spark import functions as fx
+
     events = load_table(spark, sf_dir, "events")
-    u = F.col("user_id").bitwiseAND(F.lit((1 << _Z_BITS) - 1))
-    m = (F.unix_timestamp("ts") / 60).cast("long").bitwiseAND(
-        F.lit((1 << _Z_BITS) - 1)
+    z = fx.morton2(
+        F.col("user_id"),
+        (F.unix_timestamp("ts") / 60).cast("long"),
+        _Z_BITS,
     )
-    z = F.lit(0).cast("long")
-    for i in range(_Z_BITS):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(u, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(m, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
     coded = events.select(
         z.alias("zcode"),
         F.col("user_id").alias("uid"),

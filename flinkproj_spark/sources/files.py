@@ -201,3 +201,45 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(out_path)
     )
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    out_path: str,
+    col_x: str,
+    col_y,
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Materialize a Z-order (Morton-curve) data-skipping layout:
+    interleave the low bits of two dimensions (functions.morton2),
+    range-partition the rows by curve position, sort each partition by
+    it, and write one parquet file per range. Rows close in BOTH
+    dimensions land in the same file, so every file's min-max
+    statistics span a narrow rectangle and a predicate on EITHER
+    column prunes most files — the layout the `zorder_layout` query
+    key audits.
+
+    Scale shape: repartitionByRange samples the curve positions to cut
+    balanced boundaries (one range exchange — the same cost any
+    sorted write pays), the sort is per-partition (never global), and
+    the curve column is dropped before the write so the layout is
+    invisible to readers. At 100 TB raise n_files so each file stays
+    in the 1-10 GB sweet spot; the boundaries stay balanced because
+    they come from sampling, not fixed splits.
+
+    `col_y` may be a column name or a Column expression (e.g. an
+    epoch-minute derived from a timestamp)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark import functions as fx
+
+    y = F.col(col_y) if isinstance(col_y, str) else col_y
+    (
+        df.withColumn("_z", fx.morton2(F.col(col_x), y, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )

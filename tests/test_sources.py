@@ -198,3 +198,48 @@ def test_dim_area_from_jdbc_gates_on_missing_driver(spark):
 
     with pytest.raises(RuntimeError, match="not on classpath"):
         dim_area_from_jdbc(spark, "jdbc:nope://x", driver="com.example.NoSuchDriver")
+
+
+def test_zorder_write_shrinks_per_file_extents(spark, sf_dir, tmp_path):
+    """The write path for the zorder_layout audit: after
+    write_zorder_layout, each parquet file's (user_id × minute)
+    bounding rectangle — what min-max row-group stats expose to a
+    scan planner — must be dramatically smaller than under a
+    round-robin write of the same file count, and the rows must
+    round-trip unchanged."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.sources.files import write_zorder_layout
+    from flinkproj_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", (F.unix_timestamp("ts") / 60).cast("long").alias("minute")
+    )
+    z_out = str(tmp_path / "zorder")
+    rr_out = str(tmp_path / "roundrobin")
+    write_zorder_layout(events, z_out, "user_id", "minute", n_files=8)
+    events.repartition(8).write.parquet(rr_out)
+
+    def total_extent_area(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("du"),
+                (F.max("minute") - F.min("minute")).alias("dm"),
+            )
+            .collect()
+        )
+        assert len(per_file) == 8
+        return sum((r.du + 1) * (r.dm + 1) for r in per_file)
+
+    back = spark.read.parquet(z_out)
+    assert back.count() == events.count()
+    assert {r.event_id for r in back.select("event_id").collect()} == {
+        r.event_id for r in events.select("event_id").collect()
+    }
+    z_area = total_extent_area(z_out)
+    rr_area = total_extent_area(rr_out)
+    # round-robin files each span ~the full rectangle; z-order files
+    # tile it — demand at least a 2× total shrink (observed ≫ that)
+    assert z_area < rr_area / 2, (z_area, rr_area)
