@@ -1,0 +1,238 @@
+"""Streaming twins of the warehouse-maintenance operators
+(operators/relational.py::cdc_merge_latest / scd2_history): a CDC
+event stream maintains the same keyed latest-state and SCD2 history
+tables incrementally via foreachBatch MERGE — the continuous form of
+the batch contract, converging to byte-identical results (pinned by
+tests/test_streaming_ext.py).
+
+Versioned-swap MERGE: plain parquet has no transactional MERGE INTO
+(that is Delta/Iceberg's job on a production lake), so each micro-batch
+writes the merged state as a NEW version directory named by the epoch
+id and readers resolve the latest COMPLETE one (_SUCCESS marker) —
+snapshot isolation by directory swap; no reader ever sees a
+half-written file set, and a replayed epoch overwrites its own
+version, keeping the sink idempotent under foreachBatch's
+at-least-once contract. State is one row per key (CDC) / one open run
+per key plus append-only closed runs (SCD2), so the per-batch rewrite
+cost is state-size-proportional, never history-size-proportional. On a
+real lake, swap the store for Delta MERGE INTO and keep the same batch
+logic.
+
+Ordering contract: cross-batch disorder is merged correctly for CDC
+(last-writer-wins by (ts, event_id) over the union of state and
+batch). For SCD2, events older than the last CLOSED interval of their
+key are not retracted (the standard append-only SCD2 feed contract);
+bound disorder upstream with a watermark-delayed trigger.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_KEEP_VERSIONS = 2
+
+
+def _versions(store: str) -> list[int]:
+    try:
+        names = os.listdir(store)
+    except OSError:
+        return []
+    out = []
+    for n in names:
+        m = re.fullmatch(r"v(\d+)", n)
+        if m and os.path.exists(os.path.join(store, n, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _latest_before(store: str, epoch: int | None = None) -> int | None:
+    vs = [v for v in _versions(store) if epoch is None or v < epoch]
+    return vs[-1] if vs else None
+
+
+def _commit_version(df: DataFrame, store: str, epoch: int) -> None:
+    df.write.mode("overwrite").parquet(os.path.join(store, f"v{epoch}"))
+    # best-effort local prune of superseded versions (keep a safety one);
+    # on HDFS/S3 a janitor job does this via the Hadoop FS API
+    for v in _versions(store)[:-_KEEP_VERSIONS]:
+        try:
+            shutil.rmtree(os.path.join(store, f"v{v}"))
+        except OSError:
+            pass
+
+
+def _read_version(spark: SparkSession, store: str, v: int | None) -> DataFrame | None:
+    if v is None:
+        return None
+    return spark.read.parquet(os.path.join(store, f"v{v}"))
+
+
+_CDC_STATE_SCHEMA = "user_id bigint, ts timestamp, event_type string, value double, event_id bigint"
+
+
+def _cdc_latest(df: DataFrame) -> DataFrame:
+    """Latest row per key by (ts, event_id) — max_by, a true aggregate
+    with map-side partial combine (same shape as the batch operator)."""
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value", "event_id"),
+                F.struct("ts", "event_id"),
+            ).alias("s")
+        )
+        .select("user_id", "s.ts", "s.event_type", "s.value", "s.event_id")
+    )
+
+
+def stream_cdc_merge(
+    events: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Continuous CDC MERGE: each micro-batch collapses to latest-per-
+    key and merges into the versioned keyed state, newer (ts, event_id)
+    wins. Deletes (event_type = 'error', as in the batch operator) stay
+    in state as TOMBSTONES — physically removing them would let an
+    out-of-order older event resurrect the key — and are filtered by
+    `cdc_state_view`. Input needs (user_id, ts, event_type, value,
+    event_id). Returns the started StreamingQuery."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark_b = batch.sparkSession
+        latest_b = _cdc_latest(batch)
+        cur = _read_version(spark_b, state_dir, _latest_before(state_dir, epoch_id))
+        merged = latest_b if cur is None else _cdc_latest(cur.unionByName(latest_b))
+        _commit_version(merged, state_dir, epoch_id)
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdc_state_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Reader view over the CDC state: tombstones filtered, columns
+    matching operators/relational.py::cdc_merge_latest."""
+    cur = _read_version(spark, state_dir, _latest_before(state_dir))
+    if cur is None:
+        return spark.createDataFrame([], _CDC_STATE_SCHEMA).select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    return cur.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+def _scd2_runs(rows: DataFrame) -> DataFrame:
+    """The shared SCD2 core: collapse (user_id, event_type, ts,
+    event_id) rows into change runs — identical windows to the batch
+    operator (one shuffle on user_id, reused by both passes)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        rows.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return chg.withColumn("valid_to", F.lead("valid_from").over(w2))
+
+
+def stream_scd2(events: DataFrame, store_dir: str, checkpoint_dir: str):
+    """Continuous SCD2 history maintenance. Per micro-batch: the open
+    run of each key re-enters the run computation as a pseudo-event at
+    its original (valid_from, event_id) alongside the batch rows;
+    newly CLOSED intervals append to the history (written under
+    closed/epoch=<id> so a replayed epoch overwrites itself), and the
+    still-open runs become the new open state (versioned swap). A run
+    spanning many batches keeps its original valid_from because the
+    pseudo-event carries it forward. Input needs (user_id, ts,
+    event_type, event_id). Returns the started StreamingQuery;
+    assemble the queryable history with `scd2_view`."""
+    open_store = os.path.join(store_dir, "open")
+    closed_dir = os.path.join(store_dir, "closed")
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark_b = batch.sparkSession
+        rows = batch.select("user_id", "ts", "event_type", "event_id")
+        cur = _read_version(spark_b, open_store, _latest_before(open_store, epoch_id))
+        if cur is not None:
+            rows = rows.unionByName(
+                cur.select(
+                    "user_id",
+                    F.col("valid_from").alias("ts"),
+                    "event_type",
+                    "event_id",
+                )
+            )
+        runs = _scd2_runs(rows).persist()
+        try:
+            closed = runs.filter(F.col("valid_to").isNotNull()).select(
+                "user_id", "event_type", "valid_from", "valid_to"
+            )
+            closed.write.mode("overwrite").parquet(
+                os.path.join(closed_dir, f"epoch={epoch_id}")
+            )
+            new_open = runs.filter(F.col("valid_to").isNull()).select(
+                "user_id", "event_type", "valid_from", "event_id"
+            )
+            _commit_version(new_open, open_store, epoch_id)
+        finally:
+            runs.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def scd2_view(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Queryable SCD2 history: closed intervals plus the current open
+    run per key — columns matching operators/relational.py::
+    scd2_history."""
+    open_store = os.path.join(store_dir, "open")
+    cur = _read_version(spark, open_store, _latest_before(open_store))
+    closed_glob = os.path.join(store_dir, "closed")
+    parts = []
+    if os.path.isdir(closed_glob) and os.listdir(closed_glob):
+        parts.append(
+            spark.read.parquet(closed_glob).select(
+                "user_id", "event_type", "valid_from", "valid_to"
+            )
+        )
+    if cur is not None:
+        parts.append(
+            cur.select(
+                "user_id",
+                "event_type",
+                "valid_from",
+                F.lit(None).cast("timestamp").alias("valid_to"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "user_id bigint, event_type string, valid_from timestamp, valid_to timestamp"
+        ).withColumn("is_current", F.lit(0))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "is_current", F.col("valid_to").isNull().cast("int")
+    )

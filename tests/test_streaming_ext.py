@@ -216,3 +216,79 @@ class TestStreamRollingAnomaly:
             for r in anomaly_rolling_z(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestStreamWarehouse:
+    """The r3 warehouse ops' streaming twins: foreachBatch MERGE onto a
+    versioned keyed store must converge to the batch operators'
+    results when the same events arrive split across micro-batches."""
+
+    def _split_feed(self, spark, sf_dir, src, cols, schema):
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.sources.tables import load_table
+
+        events = load_table(spark, sf_dir, "events").select(*cols)
+        mid = events.selectExpr(
+            "percentile(cast(ts as long), 0.5) AS m"
+        ).collect()[0][0]
+        first = events.filter(F.unix_timestamp("ts") < mid)
+        second = events.filter(F.unix_timestamp("ts") >= mid)
+        assert first.count() > 0 and second.count() > 0
+        return events, first, second
+
+    def test_cdc_merge_converges_to_batch_contract(self, spark, sf_dir, tmp_path):
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.streaming.warehouse import (
+            _cdc_latest,
+            cdc_state_view,
+            stream_cdc_merge,
+        )
+
+        src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+        cols = ("user_id", "ts", "event_type", "value", "event_id")
+        schema = "user_id bigint, ts timestamp, event_type string, value double, event_id bigint"
+        events, first, second = self._split_feed(spark, sf_dir, src, cols, schema)
+
+        for chunk in (first, second):
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q = stream_cdc_merge(
+                spark.readStream.schema(schema).parquet(src), state, ckpt
+            )
+            q.awaitTermination(180)
+
+        got = {tuple(r) for r in cdc_state_view(spark, state).collect()}
+        expected = {
+            tuple(r)
+            for r in _cdc_latest(events)
+            .filter(F.col("event_type") != "error")
+            .select(
+                "user_id",
+                F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_type"),
+                F.col("value").alias("last_value"),
+            )
+            .collect()
+        }
+        assert got == expected
+
+    def test_scd2_converges_to_batch_history(self, spark, sf_dir, tmp_path):
+        from flinkproj_spark.operators.relational import scd2_history
+        from flinkproj_spark.streaming.warehouse import scd2_view, stream_scd2
+
+        src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+        cols = ("user_id", "ts", "event_type", "event_id")
+        schema = "user_id bigint, ts timestamp, event_type string, event_id bigint"
+        _, first, second = self._split_feed(spark, sf_dir, src, cols, schema)
+
+        for chunk in (first, second):
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q = stream_scd2(
+                spark.readStream.schema(schema).parquet(src), store, ckpt
+            )
+            q.awaitTermination(180)
+
+        got = {tuple(r) for r in scd2_view(spark, store).collect()}
+        expected = {tuple(r) for r in scd2_history(spark, sf_dir).collect()}
+        assert got == expected
