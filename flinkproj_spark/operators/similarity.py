@@ -382,6 +382,172 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUT_FACTOR = 4  # outlier: squared distance > 4× the label mean
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection (the vector-quality filter a
+    curation pipeline runs before indexing): flag vectors whose squared
+    L2 distance to their LABEL's centroid exceeds OUT_FACTOR× the
+    label's mean squared distance — mislabeled or corrupted embeddings
+    light up, dense cluster cores stay dark.
+
+    Exactness: the centroid mean is rational (sum/n), so distances are
+    computed n²-scaled — d2n2 = Σ(n·x_i − sum_i)² — entirely in
+    integers; the flag compares d2n2·n_label > OUT_FACTOR·Σd2n2 with
+    DECIMAL(38,0) one-operand casts so nothing wraps at any corpus
+    size, and both engines agree bit-for-bit (no float mean, no sqrt).
+
+    Shape: pass 1 builds per-label per-dim sums (posexplode +
+    map-side-combined groupBy — the embedding_centroids shape),
+    reassembled into one sums-array row per label (labels × 64 longs —
+    tiny) that BROADCASTS back onto the corpus; the distance is an
+    in-row zip_with fold; pass 2's label stats are another tiny
+    aggregate that broadcasts back. The corpus is scanned twice and
+    shuffles never carry vectors."""
+    emb = fan_out(spark, sf_dir, "embeddings", load_table(spark, sf_dir, "embeddings"))
+    q = emb.select("vec_id", "label", _quant(F.col("embedding")).alias("q"))
+    sums = (
+        q.select("label", F.posexplode("q").alias("pos0", "qv"))
+        .groupBy("label", "pos0")
+        .agg(F.count("*").alias("n_pos"), F.sum("qv").alias("sum_q"))
+        .groupBy("label")
+        .agg(
+            F.max("n_pos").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "sum_q"))),
+                lambda s: s["sum_q"],
+            ).alias("sums"),
+        )
+    )
+    dec = "decimal(38,0)"
+    d2n2 = F.aggregate(
+        F.zip_with(
+            "q",
+            "sums",
+            lambda x, s: (
+                (F.col("n") * x - s).cast(dec) * (F.col("n") * x - s)
+            ),
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, x: acc + x,
+    )
+    scored = q.join(F.broadcast(sums), "label").select(
+        "vec_id", "label", d2n2.alias("d2n2"), "n"
+    )
+    stats = scored.groupBy("label").agg(F.sum("d2n2").alias("tot"))
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            "d2n2",
+            (
+                F.col("d2n2") * F.col("n")
+                > F.lit(OUT_FACTOR) * F.col("tot")
+            ).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+PQ_M = 8               # product-quantization subspaces
+PQ_SUB = DIM // PQ_M   # dims per subspace
+PQ_K = 16              # codewords per subspace (4-bit codes)
+
+
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (the FAISS-style compressed
+    path): each vector is encoded as PQ_M 4-bit codes (nearest
+    codeword per subspace), and queries score candidates with
+    asymmetric distance computation — a per-query lookup table of
+    query↔codeword subdistances, summed over the code — so query-time
+    cost is PQ_M table lookups per candidate instead of DIM multiplies,
+    and storage is 8 bytes/vector instead of 256.
+
+    Codewords are a fixed deterministic corpus subset (vec_id
+    N_QUERIES..N_QUERIES+PQ_K-1, per subspace), standing in for a
+    trained codebook exactly as ann_topk_ivf's centroids do — the
+    PLAN is the point: encoding is a broadcast-codebook map-side
+    argmin (128 tiny rows), the corpus never shuffles or carries raw
+    vectors past encoding, and the distance tables (PQ_M·PQ_K longs
+    per query) broadcast to meet the codes map-side. All distances
+    are integer (quantized-e3 squared L2), so rank order is
+    bit-identical in DuckDB at any parallelism.
+
+    At 100 TB: codes are write-time columns (8 B/vec beside the
+    payload), the ADC scan is embarrassingly parallel, and the same
+    two-level layout as IVF (cell partition column + in-cell codes)
+    turns probes into partition-pruned code scans."""
+    from pyspark.sql import Window
+
+    base = _quantized(spark, sf_dir)
+    sub_arr = F.array(
+        *[F.slice("q", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+    )
+    cb = (
+        base.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .select((F.col("vec_id") - N_QUERIES).alias("cid"), F.posexplode(sub_arr).alias("m", "cw"))
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("sub"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    enc = (
+        base.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
+        .join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+    )
+    codes = (
+        enc.groupBy("vec_id", "m")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    qt = (
+        enc.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("m") * PQ_K + F.col("cid")).alias("idx"),
+            "d2",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "d2"))),
+                lambda s: s["d2"],
+            ).alias("dtq")
+        )
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            F.col("codes"),
+            lambda m, c: F.element_at("dtq", (m * PQ_K + c + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qt))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adist.alias("adist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist2", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "adist2", "rank")
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components: quantize once, posexplode to
     (label, pos, q) rows, one map-side-combined groupBy(label, pos) —
@@ -506,6 +672,8 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "embedding_dim_stats": embedding_dim_stats,
     "knn_label_vote": knn_label_vote,
+    "ann_topk_pq": ann_topk_pq,
+    "embedding_outliers": embedding_outliers,
 }
 
 
@@ -658,6 +826,74 @@ _BANDED_TAGGED_SQL = " UNION ALL ".join(
     f"{_sketch_slice_sql('q', t * N_PLANES_TOPK, N_PLANES_TOPK)} AS bucket FROM base"
     for t in range(N_TABLES)
 )
+
+ORACLE["embedding_outliers"] = f"""
+    WITH q AS (
+      SELECT vec_id, label, {_QUANT_SQL} AS q FROM embeddings),
+    s AS (
+      SELECT label, pos, COUNT(*) AS n_pos, CAST(SUM(qv) AS BIGINT) AS sum_q
+      FROM (SELECT label,
+                   unnest(generate_series(1, len(q))) AS pos,
+                   unnest(q) AS qv
+            FROM q)
+      GROUP BY 1, 2),
+    cent AS (
+      SELECT label, MAX(n_pos) AS n, list(sum_q ORDER BY pos) AS sums
+      FROM s GROUP BY 1),
+    d AS (
+      -- unnest + SUM, not list_sum: list_sum accumulates HUGEINT
+      -- lists in DOUBLE and loses exactness past 2^53
+      SELECT vec_id, label, n, SUM(t * t) AS d2n2
+      FROM (
+        SELECT q.vec_id, q.label, c.n,
+               CAST(c.n AS HUGEINT) * unnest(q.q)
+                 - unnest(c.sums) AS t
+        FROM q JOIN cent c USING (label))
+      GROUP BY 1, 2, 3),
+    st AS (SELECT label, SUM(d2n2) AS tot FROM d GROUP BY 1)
+    -- BIGINT output (HUGEINT surfaces as float64 in pandas and breaks
+    -- the value hash); exact at oracle scale, and the COMPARISON above
+    -- stays HUGEINT so the verdict itself never wraps
+    SELECT d.vec_id, d.label, CAST(d.d2n2 AS BIGINT) AS d2n2,
+           CAST(d.d2n2 * d.n > {OUT_FACTOR} * st.tot AS INT) AS is_outlier
+    FROM d JOIN st USING (label)
+"""
+
+ORACLE["ann_topk_pq"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    cb AS (
+      SELECT b.vec_id - {N_QUERIES} AS cid, ms.m,
+             b.q[ms.m * {PQ_SUB} + 1 : ms.m * {PQ_SUB} + {PQ_SUB}] AS cw
+      FROM base b CROSS JOIN ms
+      WHERE b.vec_id >= {N_QUERIES} AND b.vec_id < {N_QUERIES + PQ_K}),
+    enc AS (
+      SELECT b.vec_id, c.m, c.cid,
+             list_sum(list_transform(range(1, {PQ_SUB} + 1),
+               i -> (b.q[c.m * {PQ_SUB} + i] - c.cw[i])
+                  * (b.q[c.m * {PQ_SUB} + i] - c.cw[i]))) AS d2
+      FROM base b CROSS JOIN cb c),
+    codes AS (
+      SELECT vec_id, m, cid AS code FROM (
+        SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, cid) AS rn
+        FROM enc)
+      WHERE rn = 1),
+    -- ADC as a join: each (query, vec) pair sums its PQ_M table cells
+    adist AS (
+      SELECT t.vec_id AS query_id, k.vec_id, CAST(SUM(t.d2) AS BIGINT) AS adist2
+      FROM codes k
+      JOIN enc t ON k.m = t.m AND k.code = t.cid
+      WHERE t.vec_id < {N_QUERIES} AND k.vec_id <> t.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, vec_id, adist2, rank FROM (
+      SELECT query_id, vec_id, adist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adist2, vec_id) AS rank
+      FROM adist)
+    WHERE rank <= {TOP_K}
+"""
 
 ORACLE["ann_topk_lsh_banded"] = f"""
     WITH base AS ({_BASE_SQL}),

@@ -533,8 +533,74 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-candidate scan (the tokenizer-induction
+    primitive): count every ADJACENT character pair inside lowercased
+    tokens corpus-wide and emit the top-50 by frequency — the pair a
+    byte-pair-encoding trainer would merge first, and the next ones in
+    line. Word boundaries never pair (BPE's base contract).
+
+    Shape: two in-row explodes (token, then pair index — both engines
+    slice by character, same result on any UTF-8 corpus), a map-side-
+    combined count on 2-char keys, and TakeOrderedAndProject for the
+    top-k (per-partition heaps + driver merge, no global sort). The
+    exchange carries (pair, partial count) — bounded by alphabet²,
+    independent of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_words()).alias("w0")).select(
+        F.lower("w0").alias("w")
+    )
+    pairs = tok.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+def doc_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve over document token counts: for every distinct
+    length, how many documents have AT LEAST that many tokens — the
+    table a curation owner reads to set a min-length threshold ("a
+    cutoff of 30 tokens keeps 92% of docs") without re-running the
+    filter per candidate value.
+
+    Shape: one map-side-combined groupBy on the length, then a
+    running-sum window over the DISTINCT lengths only (thousands of
+    rows, not corpus rows) ordered descending — the same
+    aggregate-then-window-the-aggregate trick as quantile_bucketize.
+    Integer end to end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.size(_words()).alias("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return counts.select(
+        "n_tokens", "n_docs", F.sum("n_docs").over(w).alias("n_docs_at_least")
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
+    "bpe_pair_counts": bpe_pair_counts,
+    "doc_length_survival": doc_length_survival,
     "text_repetition": text_repetition,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
@@ -708,6 +774,29 @@ ORACLE = {
         SELECT doc_id, unnest(fps) AS fp FROM f
     """,
 }
+
+ORACLE["bpe_pair_counts"] = f"""
+    WITH tok AS (
+      SELECT lower(unnest({_WORDS_SQL})) AS w FROM documents),
+    pairs AS (
+      SELECT w[i : i + 1] AS pair
+      FROM (SELECT w, unnest(range(1, len(w))) AS i
+            FROM tok WHERE len(w) >= 2))
+    SELECT pair, COUNT(*) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
+"""
+
+ORACLE["doc_length_survival"] = f"""
+    WITH c AS (
+      SELECT len({_WORDS_SQL}) AS n_tokens, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1)
+    SELECT CAST(n_tokens AS INT) AS n_tokens, n_docs,
+           CAST(SUM(n_docs) OVER (ORDER BY n_tokens DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_docs_at_least
+    FROM c
+"""
 
 ORACLE["lang_id_eval"] = f"""
     WITH s AS (

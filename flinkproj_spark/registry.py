@@ -32,70 +32,67 @@ _EXTENSION_MODULES = (
 )
 
 # Key order == driver check order, and the driver's per-round
-# correctness budget covers only the FIRST ~50 keys. Rounds 1-2
-# verified 73/105 keys; the keys below are the remainder that has never
-# had a driver-written green row (all already hash-match in
-# tests/oracle_check.py), plus the keys NEW this round. They run first
-# so round 3's window lands on exactly the never-driver-verified set;
-# the long-green families follow in module order.
+# correctness budget covers only the FIRST ~50 keys. After round 3,
+# every key has a driver-green row EXCEPT incremental_rollup_merge
+# (committed after the r3 check ran), so round 4's window leads with
+# it plus every key NEW this round; the remaining budget re-verifies
+# the LONGEST-AGO-green families (the §2/relational/TPC-H keys, green
+# since rounds 1-2) as a regression sweep. The r3-verified 50 rotate
+# to the tail in module order.
 _PRIORITY_KEYS = (
-    # text tail — never driver-sampled
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_tf_top_terms",
-    "ngram_counts",
-    "text_pii_redact",
-    "doc_winnow_fingerprints",
-    "lang_id_eval",
-    "bigram_pmi_top",
-    # retrieval
-    "bm25_topk",
-    "corpus_stats",
-    "corpus_health_report",
-    "sample_exact_k",
-    # multimodal
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_pcm_stats",
-    # sampling
-    "stratified_sample",
-    "importance_sample",
-    "domain_mix",
-    "train_shard_shuffle",
-    "doc_chunking",
-    "sequence_pack",
-    "sliding_window_agg",
-    # e2e pipelines
-    "pipeline_clean",
-    "pipeline_report",
-    "pipeline_curate",
-    "pipeline_curate_v2",
-    # analytic tail
-    "approx_percentile_stats",
-    "funnel_steps",
-    "retention_cohorts",
-    "outlier_zscore",
-    # --- new in round 3 (appended as implemented) ---
-    "gopher_quality_filter",
-    "quantile_bucketize",
-    "stratified_split",
-    "scd2_history",
-    "cdc_merge_latest",
-    "key_skew_profile",
-    "event_path_topk",
-    "anomaly_rolling_z",
-    "pagerank_fixed",
-    "embedding_dim_stats",
-    "knn_label_vote",
-    "tfidf_topk",
-    "filter_funnel_report",
-    "chi2_lang_source",
-    "vocab_coverage",
-    "multimodal_phash_buckets",
-    "dedup_phash_hamming",
-    "zorder_layout",
+    # never driver-verified (added after the r3 window ran)
+    "incremental_rollup_merge",
+    # --- new in round 4 (appended as implemented) ---
+    "dedup_substring",
+    "ann_topk_pq",
+    "embedding_outliers",
+    "bpe_pair_counts",
+    "doc_length_survival",
+    # --- oldest green rows (round 1-2) — regression re-verification ---
+    "json_extract",
+    "explode_data",
+    "dim_join",
+    "enrich_serialize",
+    "ts_parse",
+    "filter_valid",
+    "format_tsv",
+    "window_count",
+    "late_split",
+    "paragraph_dedup",
+    "unigram_lm_score",
+    "cross_snapshot_dedup",
+    "embedding_quantize",
+    "minhash_jaccard_estimate",
+    "neardup_semantic_verify",
+    "sessionize",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "top_k_per_group",
+    "window_functions",
+    "session_window_agg",
+    "set_except",
+    "set_intersect",
+    "global_topk",
+    "rollup_counts",
+    "cube_counts",
+    "pivot_counts",
+    "asof_join",
+    "distinct_counts",
+    "salted_skew_join",
+    "dedup_exact",
+    "dedup_keyed_latest",
+    "dedup_minhash_lsh",
+    "dedup_cluster",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "decontaminate",
+    "ann_topk_brute",
+    "ann_topk_lsh",
+    "ann_topk_lsh_banded",
+    "ann_topk_ivf",
+    "ann_recall_eval",
 )
 
 
