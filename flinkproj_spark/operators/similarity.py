@@ -453,31 +453,38 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M = 8               # product-quantization subspaces
 PQ_SUB = DIM // PQ_M   # dims per subspace
 PQ_K = 16              # codewords per subspace (4-bit codes)
+PQ_SHORTLIST = 100     # ADC shortlist depth fed to the exact rerank
 
 
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN top-k (the FAISS-style compressed
-    path): each vector is encoded as PQ_M 4-bit codes (nearest
-    codeword per subspace), and queries score candidates with
-    asymmetric distance computation — a per-query lookup table of
-    query↔codeword subdistances, summed over the code — so query-time
-    cost is PQ_M table lookups per candidate instead of DIM multiplies,
-    and storage is 8 bytes/vector instead of 256.
+    """Product-quantization ANN top-k, full production funnel: encode →
+    ADC shortlist → exact rerank. Each vector is encoded as PQ_M 4-bit
+    codes (nearest codeword per subspace); queries score ALL candidates
+    with asymmetric distance computation — a per-query lookup table of
+    query↔codeword subdistances summed over the code, PQ_M table
+    lookups per candidate instead of DIM multiplies — keep the
+    PQ_SHORTLIST best, and rerank only those with the exact integer
+    squared-L2 on the full vectors (the FAISS IndexPQ + refine shape).
+    Output: exact-distance top-k of the shortlist.
 
     Codewords are a fixed deterministic corpus subset (vec_id
     N_QUERIES..N_QUERIES+PQ_K-1, per subspace), standing in for a
     trained codebook exactly as ann_topk_ivf's centroids do — the
     PLAN is the point: encoding is a broadcast-codebook map-side
-    argmin (128 tiny rows), the corpus never shuffles or carries raw
-    vectors past encoding, and the distance tables (PQ_M·PQ_K longs
-    per query) broadcast to meet the codes map-side. All distances
-    are integer (quantized-e3 squared L2), so rank order is
+    argmin (128 tiny rows), the corpus never shuffles raw vectors
+    (the ADC pass touches 8-byte codes only; the rerank fetches full
+    vectors for |Q|·PQ_SHORTLIST ids via a broadcast semi-join), and
+    the distance tables (PQ_M·PQ_K longs per query) broadcast to meet
+    the codes map-side. All distances are integer, so rank order is
     bit-identical in DuckDB at any parallelism.
 
     At 100 TB: codes are write-time columns (8 B/vec beside the
     payload), the ADC scan is embarrassingly parallel, and the same
     two-level layout as IVF (cell partition column + in-cell codes)
-    turns probes into partition-pruned code scans."""
+    turns probes into partition-pruned code scans. Recall against
+    exact L2 is pinned by ann_pq_recall_eval + tests (the untrained
+    subset codebook on near-orthogonal synthetic vectors is the
+    recall floor; a k-means codebook only raises it)."""
     from pyspark.sql import Window
 
     base = _quantized(spark, sf_dir)
@@ -540,11 +547,81 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", adist.alias("adist2"))
     )
-    w = Window.partitionBy("query_id").orderBy("adist2", "vec_id")
+    ws = Window.partitionBy("query_id").orderBy("adist2", "vec_id")
+    shortlist = (
+        scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .select("query_id", "vec_id")
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("q", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    rerank = base.join(
+        F.broadcast(shortlist.join(queries, "query_id")), "vec_id"
+    ).select("query_id", "vec_id", d2.alias("d2"))
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "d2", "rank")
+    )
+
+
+def _l2_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer squared-L2 top-k (the ground truth PQ
+    approximates): broadcast the query vectors, fold the distance
+    in-row, per-query heap. d2 is bounded by DIM·(2·max|q|)² ≈ 4e9 —
+    BIGINT-exact at any corpus size."""
+    from pyspark.sql import Window
+
+    base = _quantized(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("q", "qv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "vec_id", "adist2", "rank")
+        .select("query_id", "vec_id")
+    )
+
+
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall of the PQ top-k against the exact squared-L2
+    top-k — the quality gate every compressed index ships with (PQ
+    approximates L2, so L2 brute force is its ground truth, not the
+    cosine ranking ann_recall_eval uses for LSH). Same two-small-
+    result-sets join shape as ann_recall_eval; integer percentage."""
+    exact = _l2_topk_brute(spark, sf_dir)
+    pq = ann_topk_pq(spark, sf_dir).select("query_id", "vec_id")
+    hits = exact.join(pq, ["query_id", "vec_id"], "left_semi")
+    per_q = exact.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hit_q = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    return (
+        per_q.join(hit_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .selectExpr(
+            "query_id", "n_exact", "n_hit", "(n_hit * 100) div n_exact AS recall_pct"
+        )
     )
 
 
@@ -673,6 +750,7 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "knn_label_vote": knn_label_vote,
     "ann_topk_pq": ann_topk_pq,
+    "ann_pq_recall_eval": ann_pq_recall_eval,
     "embedding_outliers": embedding_outliers,
 }
 
@@ -886,13 +964,55 @@ ORACLE["ann_topk_pq"] = f"""
       FROM codes k
       JOIN enc t ON k.m = t.m AND k.code = t.cid
       WHERE t.vec_id < {N_QUERIES} AND k.vec_id <> t.vec_id
-      GROUP BY 1, 2)
-    SELECT query_id, vec_id, adist2, rank FROM (
-      SELECT query_id, vec_id, adist2,
+      GROUP BY 1, 2),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist2, vec_id) AS srank
+        FROM adist)
+      WHERE srank <= {PQ_SHORTLIST}),
+    rerank AS (
+      SELECT s.query_id, s.vec_id,
+             CAST(list_sum(list_transform(range(1, {DIM} + 1),
+               i -> (a.q[i] - q2.q[i]) * (a.q[i] - q2.q[i]))) AS BIGINT) AS d2
+      FROM shortlist s
+      JOIN base a ON a.vec_id = s.vec_id
+      JOIN base q2 ON q2.vec_id = s.query_id)
+    SELECT query_id, vec_id, d2, rank FROM (
+      SELECT query_id, vec_id, d2,
              ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY adist2, vec_id) AS rank
-      FROM adist)
+                                ORDER BY d2, vec_id) AS rank
+      FROM rerank)
     WHERE rank <= {TOP_K}
+"""
+
+_D2_SQL = (
+    f"CAST(list_sum(list_transform(range(1, {DIM} + 1), "
+    "i -> (a.q[i] - q2.q[i]) * (a.q[i] - q2.q[i]))) AS BIGINT)"
+)
+
+# d2 <= DIM*(2*max|q|)^2 ~ 4e9 < 2^53, so the DOUBLE list_sum is exact
+ORACLE["ann_pq_recall_eval"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    l2 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q2.vec_id AS query_id, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q2.vec_id
+                                  ORDER BY {_D2_SQL}, a.vec_id) AS rank
+        FROM base a JOIN base q2 ON q2.vec_id < {N_QUERIES}
+        WHERE a.vec_id <> q2.vec_id)
+      WHERE rank <= {TOP_K}),
+    pq AS (SELECT query_id, vec_id FROM ({ORACLE["ann_topk_pq"]})),
+    hits AS (
+      SELECT e.query_id, e.vec_id FROM l2 e
+      JOIN pq p ON e.query_id = p.query_id AND e.vec_id = p.vec_id),
+    per_q AS (SELECT query_id, COUNT(*) AS n_exact FROM l2 GROUP BY 1),
+    hit_q AS (SELECT query_id, COUNT(*) AS n_hit FROM hits GROUP BY 1)
+    SELECT p.query_id, p.n_exact,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           (CAST(COALESCE(h.n_hit, 0) AS BIGINT) * 100) // p.n_exact AS recall_pct
+    FROM per_q p LEFT JOIN hit_q h ON p.query_id = h.query_id
 """
 
 ORACLE["ann_topk_lsh_banded"] = f"""

@@ -45,6 +45,7 @@ _PRIORITY_KEYS = (
     # --- new in round 4 (appended as implemented) ---
     "dedup_substring",
     "ann_topk_pq",
+    "ann_pq_recall_eval",
     "embedding_outliers",
     "bpe_pair_counts",
     "doc_length_survival",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "ann_topk_lsh",
     "ann_topk_lsh_banded",
     "ann_topk_ivf",
-    "ann_recall_eval",
 )
 
 

@@ -163,6 +163,19 @@ def test_ann_recall_floors_vs_brute(spark, sf_dir):
     assert len(ivf & brute) / len(brute) >= 0.35
 
 
+def test_pq_rerank_recall_floor(spark, sf_dir):
+    """The PQ funnel (ADC shortlist -> exact rerank) must hold its
+    measured mean recall floor against exact L2 top-k. The untrained
+    subset codebook on near-orthogonal synthetic vectors IS the floor
+    case — a trained codebook only improves it — so a dip below means
+    the encode/ADC/rerank plumbing broke, not the data."""
+    from flinkproj_spark.operators.similarity import ann_pq_recall_eval
+
+    rows = ann_pq_recall_eval(spark, sf_dir).collect()
+    mean = sum(r.recall_pct for r in rows) / len(rows)
+    assert mean >= 55, f"PQ rerank mean recall regressed: {mean}"
+
+
 def test_repetition_flags_planted_repetitive_doc(spark, tmp_path):
     """A doc that is one trigram stamped over and over must flag; a
     diverse doc must not; a doc below 3 words is excluded."""
