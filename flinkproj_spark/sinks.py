@@ -27,16 +27,38 @@ UPSERT_HASH_BUCKETS = 16
 def upsert_keyed(batch: DataFrame, result_dir: str, key: str = "doc_id") -> None:
     """Idempotent keyed upsert without a table format: rows are
     partitioned by a stable hash prefix of the key and only the
-    partitions present in this batch are overwritten (dynamic partition
-    overwrite = poor-man's MERGE). Re-writing the same keys converges to
-    one value — the reference's ES doc-id semantics (K3)."""
+    partitions present in this batch are rewritten (dynamic partition
+    overwrite = poor-man's MERGE). Re-writing the same keys converges
+    to one value — the reference's ES doc-id semantics (K3).
+
+    A rewritten bucket carries batch rows PLUS the surviving existing
+    rows of that bucket (anti-joined on the key): overwriting with
+    batch rows alone would silently delete every previously-upserted
+    key that hash-shares a bucket with any batch key. The survivor
+    read is statically partition-pruned to the touched buckets (a
+    bounded isin list), and localCheckpoint truncates its lineage so
+    Spark permits writing the path it was read from — at 100 TB swap
+    this store for Delta/Iceberg MERGE INTO and keep the call sites."""
     if batch.isEmpty():
         return
     spark_b = batch.sparkSession
     spark_b.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    batch.withColumn("kb", F.abs(F.hash(key)) % UPSERT_HASH_BUCKETS).write.mode(
-        "overwrite"
-    ).partitionBy("kb").parquet(result_dir)
+    staged = batch.withColumn("kb", F.abs(F.hash(key)) % UPSERT_HASH_BUCKETS)
+    try:
+        existing = spark_b.read.parquet(result_dir)
+    except Exception:
+        existing = None
+    if existing is not None and "kb" in existing.columns:
+        touched = [
+            r.kb for r in staged.select("kb").distinct().collect()
+        ]  # <= UPSERT_HASH_BUCKETS values — a bounded driver list
+        survivors = (
+            existing.filter(F.col("kb").isin(touched))
+            .join(staged.select(key).distinct(), key, "left_anti")
+            .select(*staged.columns)
+        )
+        staged = staged.unionByName(survivors.localCheckpoint(eager=True))
+    staged.write.mode("overwrite").partitionBy("kb").parquet(result_dir)
 
 
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:

@@ -354,16 +354,41 @@ def test_sliding_window_is_inrow_expand_plus_one_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_upsert_keyed_converges(spark, tmp_path):
-    from flinkproj_spark.sinks import upsert_keyed
+def test_upsert_keyed_converges_and_keeps_cobucket_keys(spark, tmp_path):
+    """Re-fired keys converge to the latest value AND keys that share a
+    hash bucket with a re-fired key survive the bucket rewrite — the
+    failure mode of a naive dynamic-partition overwrite is silently
+    deleting every co-bucketed key absent from the batch."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.sinks import UPSERT_HASH_BUCKETS, upsert_keyed
 
     out = str(tmp_path / "upsert")
-    v1 = spark.createDataFrame([("k1", 1), ("k2", 1)], "doc_id string, count int")
-    v2 = spark.createDataFrame([("k1", 2)], "doc_id string, count int")
+    # find two keys that land in the SAME bucket, plus one in another
+    cand = spark.createDataFrame(
+        [(f"k{i}",) for i in range(64)], "doc_id string"
+    ).select(
+        "doc_id", (F.abs(F.hash("doc_id")) % UPSERT_HASH_BUCKETS).alias("kb")
+    ).collect()
+    by_bucket = {}
+    for r in cand:
+        by_bucket.setdefault(r.kb, []).append(r.doc_id)
+    same = next(v for v in by_bucket.values() if len(v) >= 2)
+    other = next(
+        v[0] for b, v in by_bucket.items()
+        if v[0] not in same
+    )
+    a, b = same[0], same[1]
+
+    v1 = spark.createDataFrame([(a, 1), (b, 1), (other, 1)], "doc_id string, count int")
+    v2 = spark.createDataFrame([(a, 2)], "doc_id string, count int")
     upsert_keyed(v1, out)
-    upsert_keyed(v2, out)  # k1 overwritten, k2 (other partition) kept iff hash differs
-    rows = {r.doc_id: r['count'] for r in spark.read.parquet(out).collect()}
-    assert rows["k1"] == 2  # re-fired key converged to the latest value
+    upsert_keyed(v2, out)
+    rows = {r.doc_id: r["count"] for r in spark.read.parquet(out).collect()}
+    assert rows[a] == 2        # re-fired key converged to the latest value
+    assert rows[b] == 1        # co-bucketed key survived the rewrite
+    assert rows[other] == 1    # untouched bucket untouched
+    assert len(rows) == 3
 
 
 def test_global_topk_is_heap_not_full_sort(spark, sf_dir):
