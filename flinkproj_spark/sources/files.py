@@ -243,3 +243,41 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = (),
+) -> int:
+    """Lake maintenance: rewrite a parquet directory's many small files
+    into ~target-size files, returning the file count written. Small
+    files are the silent scan killer at 100 TB — per-file open/footer
+    costs dominate, and a 1000-executor stage over 10-KB files spends
+    its time in scheduling, not IO.
+
+    The file count comes from the directory's actual byte size (what a
+    table format tracks in metadata), so the rewrite is one
+    repartition — round-robin for pure compaction, or range+local-sort
+    when sort_cols are given (preserving a z-order/clustered layout
+    through compaction). Idempotent overwrite; readers see old files
+    until the new commit lands (same caveat as every direct-parquet
+    writer here: a production lake does this under Delta/Iceberg
+    snapshot isolation)."""
+    import math
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -243,3 +243,41 @@ def test_zorder_write_shrinks_per_file_extents(spark, sf_dir, tmp_path):
     # round-robin files each span ~the full rectangle; z-order files
     # tile it — demand at least a 2× total shrink (observed ≫ that)
     assert z_area < rr_area / 2, (z_area, rr_area)
+
+
+def test_compact_small_files_shrinks_file_count(spark, sf_dir, tmp_path):
+    """128 tiny files compact to the byte-derived target count with
+    identical rows; the sorted variant keeps the clustered layout
+    (per-file key ranges stay disjoint-ish, not round-robin)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.sources.files import compact_small_files
+    from flinkproj_spark.sources.tables import load_table
+
+    src = str(tmp_path / "shattered")
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    events.repartition(128).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 128
+
+    out = str(tmp_path / "compacted")
+    n = compact_small_files(spark, src, out, target_file_bytes=1 << 20)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n and n < 16
+    back = spark.read.parquet(out)
+    assert back.count() == events.count()
+    assert {r.event_id for r in back.collect()} == {r.event_id for r in events.collect()}
+
+    out2 = str(tmp_path / "compacted_sorted")
+    compact_small_files(spark, src, out2, target_file_bytes=1 << 20,
+                        sort_cols=("user_id",))
+    per_file = (
+        spark.read.parquet(out2)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (  _, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert lo_next >= hi_prev  # range-partitioned: files don't interleave
