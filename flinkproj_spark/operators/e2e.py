@@ -171,11 +171,38 @@ def pipeline_curate_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data funnel: pipeline_curate_v2 (gate → exact
+    dedup → semantically-confirmed near-dup removal) plus the
+    DECONTAMINATION stage — any doc sharing a word 3-shingle with the
+    held-out eval set (operators/dedup.py::decontaminate) is dropped,
+    so benchmark text cannot leak into training shards. This is the
+    stage every eval-honest pipeline runs last, after dedup has
+    already shrunk the corpus.
+
+    Scale shape: the contaminated-id set is corpus-proportional in the
+    worst case, so it joins as a plain hash anti join on doc_id — same
+    no-broadcast rule as every drop-set in this funnel; the
+    decontaminate stage itself broadcasts only the eval shingle set
+    (tiny by construction)."""
+    from flinkproj_spark.operators.dedup import decontaminate
+
+    contaminated = (
+        decontaminate(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    return pipeline_curate_v2(spark, sf_dir).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+
 QUERIES = {
     "pipeline_clean": pipeline_clean,
     "pipeline_report": pipeline_report,
     "pipeline_curate": pipeline_curate,
     "pipeline_curate_v2": pipeline_curate_v2,
+    "pipeline_curate_v3": pipeline_curate_v3,
 }
 
 _DIM_SQL = """(VALUES ('US','AREA_US'), ('TW','AREA_CT'), ('HK','AREA_CT'),
@@ -268,5 +295,17 @@ def _curate_v2_oracle() -> str:
     )
 
 
+def _curate_v3_oracle() -> str:
+    from flinkproj_spark.operators.dedup import ORACLE as _DEDUP_ORACLE
+
+    decon = _DEDUP_ORACLE["decontaminate"]
+    return f"""
+        SELECT * FROM ({_curate_v2_oracle()})
+        WHERE doc_id NOT IN (
+          SELECT doc_id FROM ({decon}) WHERE contaminated)
+    """
+
+
 ORACLE["pipeline_curate"] = _curate_oracle()
 ORACLE["pipeline_curate_v2"] = _curate_v2_oracle()
+ORACLE["pipeline_curate_v3"] = _curate_v3_oracle()
