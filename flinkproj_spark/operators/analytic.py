@@ -564,6 +564,70 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_COLS = ("user_id", "event_type", "value", "props")
+
+
+def schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot column-profile drift: for every payload
+    column of the events table, compare the old half (ts < T0) with
+    the new half — row counts, null-rate ppm, and exact distinct
+    counts — one row per column. This is the ingest monitor that
+    catches "the upstream started sending nulls" or "cardinality
+    exploded" before a downstream join melts; the ppm deltas are what
+    an alert thresholds on.
+
+    Shape: ONE scan computes every profile in a single global
+    aggregate using conditional aggregation (FILTER-style CASE inside
+    count/count_distinct) — no per-column scan, no join between the
+    halves; the per-column rows are then unpivoted from the one
+    aggregate row with an in-row stack. Exact count_distinct is the
+    honest default at audit cadence; swap approx_count_distinct for
+    per-minute monitoring. Integer ppm arithmetic both engines."""
+    events = load_table(spark, sf_dir, "events")
+    old = F.col("ts") < F.lit(_IVM_T0)
+    aggs = [
+        F.sum(old.cast("long")).alias("n_old"),
+        F.sum((~old).cast("long")).alias("n_new"),
+    ]
+    for c in _DRIFT_COLS:
+        col = F.col(c)
+        aggs += [
+            F.sum((old & col.isNull()).cast("long")).alias(f"{c}__nulls_old"),
+            F.sum(((~old) & col.isNull()).cast("long")).alias(f"{c}__nulls_new"),
+            F.count_distinct(F.when(old, col)).alias(f"{c}__dist_old"),
+            F.count_distinct(F.when(~old, col)).alias(f"{c}__dist_new"),
+        ]
+    one = events.agg(*aggs)
+    per_col = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"{c}__nulls_old").alias("nulls_old"),
+                    F.col(f"{c}__nulls_new").alias("nulls_new"),
+                    F.col(f"{c}__dist_old").alias("dist_old"),
+                    F.col(f"{c}__dist_new").alias("dist_new"),
+                )
+                for c in _DRIFT_COLS
+            ]
+        )
+    )
+    return (
+        one.select("n_old", "n_new", per_col.alias("p"))
+        .select("p.column", "n_old", "n_new", "p.nulls_old", "p.nulls_new",
+                "p.dist_old", "p.dist_new")
+        .selectExpr(
+            "column",
+            "n_old",
+            "n_new",
+            "(nulls_old * 1000000) div n_old AS null_ppm_old",
+            "(nulls_new * 1000000) div n_new AS null_ppm_new",
+            "dist_old",
+            "dist_new",
+        )
+    )
+
+
 _IVM_T0 = "2024-01-02 00:00:00"  # base-rollup / delta-batch boundary
 
 
@@ -646,6 +710,7 @@ QUERIES = {
     "chi2_lang_source": chi2_lang_source,
     "zorder_layout": zorder_layout,
     "incremental_rollup_merge": incremental_rollup_merge,
+    "schema_drift_report": schema_drift_report,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
@@ -902,4 +967,50 @@ ORACLE["incremental_rollup_merge"] = """
            CAST(MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
              / 100.0 AS value_max
     FROM events GROUP BY 1, 2
+"""
+
+
+ORACLE["schema_drift_report"] = f"""
+    WITH e AS (SELECT *, ts < TIMESTAMP '{_IVM_T0}' AS old FROM events),
+    a AS (
+      SELECT CAST(SUM(CASE WHEN old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+             CAST(SUM(CASE WHEN NOT old THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        CAST(SUM(CASE WHEN old AND user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id__nulls_old,
+        CAST(SUM(CASE WHEN NOT old AND user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id__nulls_new,
+        COUNT(DISTINCT CASE WHEN old THEN user_id END) AS user_id__dist_old,
+        COUNT(DISTINCT CASE WHEN NOT old THEN user_id END) AS user_id__dist_new,
+        CAST(SUM(CASE WHEN old AND event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type__nulls_old,
+        CAST(SUM(CASE WHEN NOT old AND event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type__nulls_new,
+        COUNT(DISTINCT CASE WHEN old THEN event_type END) AS event_type__dist_old,
+        COUNT(DISTINCT CASE WHEN NOT old THEN event_type END) AS event_type__dist_new,
+        CAST(SUM(CASE WHEN old AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value__nulls_old,
+        CAST(SUM(CASE WHEN NOT old AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value__nulls_new,
+        COUNT(DISTINCT CASE WHEN old THEN value END) AS value__dist_old,
+        COUNT(DISTINCT CASE WHEN NOT old THEN value END) AS value__dist_new,
+        CAST(SUM(CASE WHEN old AND props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props__nulls_old,
+        CAST(SUM(CASE WHEN NOT old AND props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props__nulls_new,
+        COUNT(DISTINCT CASE WHEN old THEN props END) AS props__dist_old,
+        COUNT(DISTINCT CASE WHEN NOT old THEN props END) AS props__dist_new
+      FROM e)
+    
+      SELECT 'user_id' AS "column", n_old, n_new,
+             (user_id__nulls_old * 1000000) // n_old AS null_ppm_old,
+             (user_id__nulls_new * 1000000) // n_new AS null_ppm_new,
+             user_id__dist_old AS dist_old, user_id__dist_new AS dist_new
+      FROM a UNION ALL 
+      SELECT 'event_type' AS "column", n_old, n_new,
+             (event_type__nulls_old * 1000000) // n_old AS null_ppm_old,
+             (event_type__nulls_new * 1000000) // n_new AS null_ppm_new,
+             event_type__dist_old AS dist_old, event_type__dist_new AS dist_new
+      FROM a UNION ALL 
+      SELECT 'value' AS "column", n_old, n_new,
+             (value__nulls_old * 1000000) // n_old AS null_ppm_old,
+             (value__nulls_new * 1000000) // n_new AS null_ppm_new,
+             value__dist_old AS dist_old, value__dist_new AS dist_new
+      FROM a UNION ALL 
+      SELECT 'props' AS "column", n_old, n_new,
+             (props__nulls_old * 1000000) // n_old AS null_ppm_old,
+             (props__nulls_new * 1000000) // n_new AS null_ppm_new,
+             props__dist_old AS dist_old, props__dist_new AS dist_new
+      FROM a
 """

@@ -50,6 +50,7 @@ _PRIORITY_KEYS = (
     "bpe_pair_counts",
     "doc_length_survival",
     "pipeline_curate_v3",
+    "schema_drift_report",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "decontaminate",
     "ann_topk_brute",
     "ann_topk_lsh",
-    "ann_topk_lsh_banded",
 )
 
 
