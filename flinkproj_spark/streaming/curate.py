@@ -83,3 +83,41 @@ def stream_snapshot_dedup(
     return fresh.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
         ["content_fp"]
     )
+
+
+def stream_contamination_flags(
+    new_docs: DataFrame, eval_docs: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of operators/dedup.py::decontaminate — the
+    quarantine channel: every incoming doc that shares a word
+    3-shingle with the (static) eval set is emitted exactly once, to
+    be routed away from training shards. Anti-join-at-doc-level needs
+    corpus-wide state, so the streaming side emits the FLAGGED docs
+    (stateless stream-static semi join on the shingle hash +
+    dropDuplicatesWithinWatermark to collapse multi-shingle matches);
+    the batch sweep owns the survivors, exactly like the near-dup
+    split in stream_curate's module docstring.
+
+    Scale shape: the eval shingle set is tiny by construction and
+    re-resolves per micro-batch; shingle hashes are md5s computed
+    in-row; state is one doc_id per flagged doc per horizon. Input
+    stream needs (doc_id, ts, text)."""
+    ew = fx.tokenize_ws()
+    eval_hashes = (
+        eval_docs.filter(F.size(ew) >= 3)
+        .select(F.explode(fx.shingles(ew, 3)).alias("s"))
+        .select(F.md5("s").alias("h"))
+        .distinct()
+    )
+    words = fx.tokenize_ws()
+    exploded = (
+        new_docs.filter(F.size(words) >= 3)
+        .select("doc_id", "ts", F.explode(fx.shingles(words, 3)).alias("s"))
+        .select("doc_id", "ts", F.md5("s").alias("h"))
+    )
+    flagged = exploded.join(F.broadcast(eval_hashes), "h", "left_semi")
+    return (
+        flagged.withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark(["doc_id"])
+        .select("doc_id", "ts")
+    )

@@ -292,3 +292,47 @@ class TestStreamWarehouse:
         got = {tuple(r) for r in scd2_view(spark, store).collect()}
         expected = {tuple(r) for r in scd2_history(spark, sf_dir).collect()}
         assert got == expected
+
+
+class TestStreamDecontaminate:
+    def test_flags_converge_to_batch_decontaminate(self, spark, sf_dir, tmp_path):
+        """The streaming quarantine channel must flag exactly the docs
+        the batch decontaminate marks contaminated, across a two-batch
+        split, each exactly once."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.dedup import EVAL_MOD, decontaminate
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.curate import stream_contamination_flags
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        docs = load_table(spark, sf_dir, "documents")
+        eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+            "doc_id",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            "text",
+        )
+        half = [train.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+        schema = "doc_id bigint, ts timestamp, text string"
+        for chunk in half:
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            q = (
+                stream_contamination_flags(
+                    spark.readStream.schema(schema).parquet(src), eval_docs
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        flagged = [r.doc_id for r in spark.read.parquet(out).collect()]
+        assert len(flagged) == len(set(flagged))  # exactly once per doc
+        expected = {
+            r.doc_id
+            for r in decontaminate(spark, sf_dir).filter("contaminated").collect()
+        }
+        assert set(flagged) == expected and expected
