@@ -317,6 +317,31 @@ N_CENTROIDS = 16       # IVF cells; centroid ids N_QUERIES..N_QUERIES+15
 N_PROBE = 6            # cells each query searches (6/16: recall ~0.5 vs brute)
 
 
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index-build step as a reusable frame: every vector's
+    nearest-centroid cell — (vec_id, label, cell). Broadcast-centroid
+    map-side argmax (max_by over a lexicographic struct), one
+    map-side-combined shuffle on vec_id; the corpus never cross-joins.
+    Materialize with sources/files.py::write_ivf_index so probes
+    become partition-pruned scans (pinned by tests/test_plans.py)."""
+    base = _quantized(spark, sf_dir)
+    cent = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "cid",
+        (_dot("q", "cv").cast("double") / (F.col("norm") * F.col("cnorm"))).alias("csim"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).cast("double"))).alias("cell"),
+        F.first("label").alias("label"),
+    )
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN top-k: the corpus is partitioned into
     cells by nearest centroid; each query searches only its N_PROBE

@@ -281,3 +281,14 @@ def compact_small_files(
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def write_ivf_index(assignments: DataFrame, out_path: str) -> None:
+    """Materialize an IVF index layout: the nearest-centroid cell
+    (operators/similarity.py::ivf_assignments) becomes a hive
+    partition column, so an N_PROBE-cell query is a partition-pruned
+    scan — only the probed directories are even opened. The write-time
+    analog of ann_topk_ivf's equi-join: at 100 TB the cell column is
+    free metadata and the probe cost drops from full-scan to
+    cells-touched."""
+    assignments.write.mode("overwrite").partitionBy("cell").parquet(out_path)

@@ -442,35 +442,16 @@ def test_sample_exact_k_single_shuffle_on_group_key(spark, sf_dir):
 
 def test_ivf_cells_as_partition_column_prune_probes(spark, sf_dir, tmp_path):
     # The IVF docstring's 100 TB claim, pinned: materialize the cell
-    # assignment as a partition column, then a probe of N_PROBE cells
-    # must be a partition-pruned scan (only the probed directories read).
+    # assignment as a partition column (the library's index-build +
+    # writer pair), then a probe of N_PROBE cells must be a
+    # partition-pruned scan (only the probed directories read).
     import pyspark.sql.functions as F
 
-    from flinkproj_spark.operators.similarity import (
-        N_CENTROIDS,
-        N_QUERIES,
-        _quantized,
-        _dot,
-    )
+    from flinkproj_spark.operators.similarity import ivf_assignments
+    from flinkproj_spark.sources.files import write_ivf_index
 
-    base = _quantized(spark, sf_dir)
-    cent = base.filter(
-        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
-    ).select(F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("norm").alias("cnorm"))
-    assign = (
-        base.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "label", "q", "cid",
-            (_dot("q", "cv").cast("double") / (F.col("norm") * F.col("cnorm"))).alias("csim"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).cast("double"))).alias("cell"),
-            F.first("label").alias("label"),
-        )
-    )
     out = str(tmp_path / "ivf_index")
-    assign.write.partitionBy("cell").parquet(out)
+    write_ivf_index(ivf_assignments(spark, sf_dir), out)
 
     probed = spark.read.parquet(out).filter(F.col("cell").isin(8, 9, 10, 11))
     plan = _formatted(probed)
@@ -705,6 +686,32 @@ def test_bloom_bitmap_has_no_false_negatives(spark):
     )
     fp_rate = bloom_maybe_contains(absent, "fp", bloom).count() / 20_000
     assert fp_rate < 0.01, f"false-positive rate {fp_rate} — bloom not pruning"
+
+
+def test_dedup_substring_never_shuffles_text(spark, sf_dir):
+    # Grams travel as md5s + positions; no exchange may carry the text
+    # or tokenized-words columns, and the gram join must stay a shuffle
+    # join (both sides corpus-proportional — broadcast caps scale).
+    from flinkproj_spark.operators.dedup import dedup_substring
+
+    plan = _plan(dedup_substring(spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line and "ws" not in line, line.strip()[:140]
+
+
+def test_pq_corpus_shuffles_codes_not_vectors(spark, sf_dir):
+    # After encoding, corpus-side exchanges carry (vec_id, m, code/d2)
+    # narrow rows — never the 64-dim quantized vector q. The codebook,
+    # distance tables, and rerank shortlist all broadcast.
+    from flinkproj_spark.operators.similarity import ann_topk_pq
+
+    plan = _plan(ann_topk_pq(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert " q#" not in line and "embedding" not in line, line.strip()[:140]
 
 
 def test_unigram_lm_skew_join_actually_fires(spark, tmp_path):
