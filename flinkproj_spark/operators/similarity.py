@@ -513,6 +513,15 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     base = _quantized(spark, sf_dir)
+    scored = _pq_adc_scores(base)
+    return _pq_shortlist_rerank(base, scored, PQ_SHORTLIST)
+
+
+def _pq_enc(base: DataFrame) -> DataFrame:
+    """(vec_id, m, cid, d2): squared-L2 of every vector's m-th
+    subvector to every codeword — the shared input of both the code
+    assignment (argmin per (vec, m)) and the per-query ADC distance
+    tables. Broadcast-codebook map-side; PQ_M·PQ_K rows per vector."""
     sub_arr = F.array(
         *[F.slice("q", m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
     )
@@ -527,13 +536,20 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    enc = (
+    return (
         base.select("vec_id", F.posexplode(sub_arr).alias("m", "sub"))
         .join(F.broadcast(cb), "m")
         .select("vec_id", "m", "cid", d2.alias("d2"))
     )
-    codes = (
-        enc.groupBy("vec_id", "m")
+
+
+def pq_codes(base: DataFrame) -> DataFrame:
+    """(vec_id, codes): each vector's PQ_M nearest-codeword ids in
+    subspace order — the 8-byte compressed representation a write path
+    stores beside (or instead of) the payload."""
+    return (
+        _pq_enc(base)
+        .groupBy("vec_id", "m")
         .agg(F.min_by("cid", F.struct("d2", "cid")).alias("code"))
         .groupBy("vec_id")
         .agg(
@@ -543,8 +559,15 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("codes")
         )
     )
-    qt = (
-        enc.filter(F.col("vec_id") < N_QUERIES)
+
+
+def _pq_qtables(base: DataFrame) -> DataFrame:
+    """(query_id, dtq): per-query flattened ADC lookup table —
+    dtq[m·PQ_K + cid + 1] = squared-L2 of the query's m-th subvector
+    to codeword cid. PQ_M·PQ_K longs per query, broadcastable."""
+    return (
+        _pq_enc(base)
+        .filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             (F.col("m") * PQ_K + F.col("cid")).alias("idx"),
@@ -558,6 +581,12 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dtq")
         )
     )
+
+
+def _pq_adc_scores(base: DataFrame, codes: DataFrame | None = None) -> DataFrame:
+    """(query_id, vec_id, adist2): asymmetric distance of every
+    (query, candidate) pair — PQ_M table lookups per pair, computed
+    where the codes live (the broadcast query tables come to them)."""
     adist = F.aggregate(
         F.zip_with(
             F.sequence(F.lit(0), F.lit(PQ_M - 1)),
@@ -567,15 +596,28 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    scored = (
-        codes.crossJoin(F.broadcast(qt))
+    if codes is None:
+        codes = pq_codes(base)
+    return (
+        codes.crossJoin(F.broadcast(_pq_qtables(base)))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", adist.alias("adist2"))
     )
+
+
+def _pq_shortlist_rerank(
+    base: DataFrame, scored: DataFrame, shortlist_n: int
+) -> DataFrame:
+    """ADC shortlist (top shortlist_n by approximate distance) → exact
+    integer-L2 rerank on the full vectors → top-k. The rerank fetches
+    |Q|·shortlist_n full vectors via a broadcast join; the corpus side
+    never shuffles."""
+    from pyspark.sql import Window
+
     ws = Window.partitionBy("query_id").orderBy("adist2", "vec_id")
     shortlist = (
         scored.withColumn("srank", F.row_number().over(ws))
-        .filter(F.col("srank") <= PQ_SHORTLIST)
+        .filter(F.col("srank") <= shortlist_n)
         .select("query_id", "vec_id")
     )
     queries = base.filter(F.col("vec_id") < N_QUERIES).select(
@@ -595,6 +637,68 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "d2", "rank")
     )
+
+
+IVFPQ_SHORTLIST = 50   # per-query ADC shortlist within the probed cells
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF+PQ ANN (the FAISS IndexIVFPQ shape, composed from
+    this module's index primitives): coarse quantizer prunes the
+    search to each query's N_PROBE nearest cells (ivf_assignments /
+    the partition-pruned layout of files.write_ivf_index), the PQ
+    codes of ONLY those cells are ADC-scanned (PQ_M table lookups per
+    candidate), and the shortlist reranks with exact integer L2 —
+    cells × codes × rerank, each stage cutting the next stage's input
+    by orders of magnitude.
+
+    Scale shape: cell assignment and codes are write-time columns;
+    the probe list (|Q|·N_PROBE rows), distance tables, and rerank
+    shortlist all broadcast, so the corpus-side plan is a
+    partition-prunable scan + in-row lookups — no corpus shuffle
+    anywhere. All distances integer; DuckDB twin hash-matches."""
+    base = _quantized(spark, sf_dir)
+    cent = base.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    from pyspark.sql import Window
+
+    qw = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        base.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            (_dot("q", "cv").cast("double") / (F.col("norm") * F.col("cnorm"))).alias("csim"),
+        )
+        .withColumn("prank", F.row_number().over(qw))
+        .filter(F.col("prank") <= N_PROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    coded = pq_codes(base).join(
+        ivf_assignments(spark, sf_dir).select("vec_id", "cell"), "vec_id"
+    )
+    cands = (
+        coded.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "codes")
+    )
+    adist = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            F.col("codes"),
+            lambda m, c: F.element_at("dtq", (m * PQ_K + c + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cands.join(F.broadcast(_pq_qtables(base)), "query_id").select(
+        "query_id", "vec_id", adist.alias("adist2")
+    )
+    return _pq_shortlist_rerank(base, scored, IVFPQ_SHORTLIST)
 
 
 def _l2_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +880,7 @@ QUERIES = {
     "knn_label_vote": knn_label_vote,
     "ann_topk_pq": ann_topk_pq,
     "ann_pq_recall_eval": ann_pq_recall_eval,
+    "ivf_pq_topk": ivf_pq_topk,
     "embedding_outliers": embedding_outliers,
 }
 
@@ -962,8 +1067,7 @@ ORACLE["embedding_outliers"] = f"""
     FROM d JOIN st USING (label)
 """
 
-ORACLE["ann_topk_pq"] = f"""
-    WITH base AS ({_BASE_SQL}),
+_PQ_CTES = f"""
     ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
     cb AS (
       SELECT b.vec_id - {N_QUERIES} AS cid, ms.m,
@@ -982,7 +1086,11 @@ ORACLE["ann_topk_pq"] = f"""
                ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                   ORDER BY d2, cid) AS rn
         FROM enc)
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+
+ORACLE["ann_topk_pq"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    {_PQ_CTES},
     -- ADC as a join: each (query, vec) pair sums its PQ_M table cells
     adist AS (
       SELECT t.vec_id AS query_id, k.vec_id, CAST(SUM(t.d2) AS BIGINT) AS adist2
@@ -1038,6 +1146,62 @@ ORACLE["ann_pq_recall_eval"] = f"""
            CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
            (CAST(COALESCE(h.n_hit, 0) AS BIGINT) * 100) // p.n_exact AS recall_pct
     FROM per_q p LEFT JOIN hit_q h ON p.query_id = h.query_id
+"""
+
+ORACLE["ivf_pq_topk"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    {_PQ_CTES},
+    cent AS (
+      SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+    scored_cells AS (
+      SELECT b.vec_id, c.cid,
+             CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim
+      FROM base b CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS arn
+        FROM scored_cells)
+      WHERE arn = 1),
+    probes AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT vec_id AS query_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS prank
+        FROM scored_cells WHERE vec_id < {N_QUERIES})
+      WHERE prank <= {N_PROBE}),
+    cands AS (
+      SELECT p.query_id, a.vec_id
+      FROM assign a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    adist AS (
+      SELECT c.query_id, c.vec_id, CAST(SUM(t.d2) AS BIGINT) AS adist2
+      FROM cands c
+      JOIN codes k ON k.vec_id = c.vec_id
+      JOIN enc t ON t.vec_id = c.query_id AND t.m = k.m AND t.cid = k.code
+      GROUP BY 1, 2),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist2, vec_id) AS srank
+        FROM adist)
+      WHERE srank <= {IVFPQ_SHORTLIST}),
+    rerank AS (
+      SELECT s.query_id, s.vec_id,
+             CAST(list_sum(list_transform(range(1, {DIM} + 1),
+               i -> (a.q[i] - q2.q[i]) * (a.q[i] - q2.q[i]))) AS BIGINT) AS d2
+      FROM shortlist s
+      JOIN base a ON a.vec_id = s.vec_id
+      JOIN base q2 ON q2.vec_id = s.query_id)
+    SELECT query_id, vec_id, d2, rank FROM (
+      SELECT query_id, vec_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2, vec_id) AS rank
+      FROM rerank)
+    WHERE rank <= {TOP_K}
 """
 
 ORACLE["ann_topk_lsh_banded"] = f"""

@@ -46,6 +46,7 @@ _PRIORITY_KEYS = (
     "dedup_substring",
     "ann_topk_pq",
     "ann_pq_recall_eval",
+    "ivf_pq_topk",
     "embedding_outliers",
     "bpe_pair_counts",
     "doc_length_survival",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "dedup_ngram_jaccard",
     "decontaminate",
     "ann_topk_brute",
-    "ann_topk_lsh",
 )
 
 
