@@ -121,3 +121,47 @@ def stream_contamination_flags(
         .dropDuplicatesWithinWatermark(["doc_id"])
         .select("doc_id", "ts")
     )
+
+
+def stream_ivf_assign(new_vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Streaming twin of the IVF index build (operators/similarity.py::
+    ivf_assignments): continuously assign incoming embeddings to their
+    nearest-centroid cell so the index ingests without a batch rebuild.
+    Stateless — the (static) centroid frame collapses to ONE row
+    carrying the whole codebook array, broadcast-joined to the stream,
+    and the argmax is an in-row fold (no streaming aggregation, no
+    state store). Route the output through foreachBatch with a
+    cell-partitioned append to land directly in the
+    files.write_ivf_index layout.
+
+    Input stream needs (vec_id, ts, embedding); centroids is the
+    static frame (cid, cv, cnorm) with quantized vectors as in the
+    batch operator. The fold tiebreaks like the batch argmax: higher
+    cosine wins, then the SMALLER cid."""
+    cent_row = centroids.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("cid", "cv", "cnorm"))
+        ).alias("_cents")
+    )
+    q = fx.quantize_embedding(F.col("embedding"))
+    staged = new_vectors.withColumn("_q", q).withColumn(
+        "_norm", F.sqrt(fx.dot(F.col("_q"), F.col("_q")).cast("double"))
+    )
+    best = F.aggregate(
+        "_cents",
+        F.struct(
+            F.lit(-2.0).alias("csim"), F.lit(-1).cast("long").alias("cell")
+        ),
+        lambda acc, c: F.when(
+            (fx.dot(c["cv"], F.col("_q")).cast("double")
+             / (c["cnorm"] * F.col("_norm"))) > acc["csim"],
+            F.struct(
+                (fx.dot(c["cv"], F.col("_q")).cast("double")
+                 / (c["cnorm"] * F.col("_norm"))).alias("csim"),
+                c["cid"].cast("long").alias("cell"),
+            ),
+        ).otherwise(acc),
+    )
+    return staged.join(F.broadcast(cent_row)).select(
+        "vec_id", "ts", best["cell"].alias("cell")
+    )

@@ -273,6 +273,15 @@ class TestStreamWarehouse:
         }
         assert got == expected
 
+        # replay: re-delivering an already-merged chunk must be a no-op
+        # (last-writer-wins over identical events is idempotent)
+        second.coalesce(1).write.mode("append").parquet(src)
+        q = stream_cdc_merge(
+            spark.readStream.schema(schema).parquet(src), state, ckpt
+        )
+        q.awaitTermination(180)
+        assert {tuple(r) for r in cdc_state_view(spark, state).collect()} == expected
+
     def test_scd2_converges_to_batch_history(self, spark, sf_dir, tmp_path):
         from flinkproj_spark.operators.relational import scd2_history
         from flinkproj_spark.streaming.warehouse import scd2_view, stream_scd2
@@ -336,3 +345,54 @@ class TestStreamDecontaminate:
             for r in decontaminate(spark, sf_dir).filter("contaminated").collect()
         }
         assert set(flagged) == expected and expected
+
+
+class TestStreamIvfAssign:
+    def test_converges_to_batch_assignments(self, spark, sf_dir, tmp_path):
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.similarity import (
+            N_CENTROIDS,
+            N_QUERIES,
+            _quantized,
+            ivf_assignments,
+        )
+        from flinkproj_spark.streaming.curate import stream_ivf_assign
+        from flinkproj_spark.sources.tables import load_table
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            "embedding",
+        )
+        cent = _quantized(spark, sf_dir).filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+        ).select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+        schema = "vec_id bigint, ts timestamp, embedding array<float>"
+        for i in (0, 1):
+            emb.filter(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                stream_ivf_assign(
+                    spark.readStream.schema(schema).parquet(src), cent
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        got = {(r.vec_id, r.cell) for r in spark.read.parquet(out).collect()}
+        expected = {
+            (r.vec_id, r.cell) for r in ivf_assignments(spark, sf_dir).collect()
+        }
+        assert got == expected
