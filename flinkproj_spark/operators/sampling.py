@@ -334,7 +334,50 @@ def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_BUDGET = 1000  # total docs the tempered mixture allocates
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language reweighting (the multilingual-
+    training mix: sample probability ∝ n_lang^α with α = 0.5, so
+    low-resource languages are upsampled relative to their corpus
+    share): per language, the α-tempered weight and the integer doc
+    budget it earns out of TEMP_BUDGET.
+
+    Determinism: sqrt is IEEE correctly-rounded in both engines, and
+    the weight SUM is an in-row left fold over the langs sorted
+    ascending — language cardinality is bounded (dozens), so the whole
+    weight table fits one row and the double accumulation order is
+    identical everywhere; no float aggregate whose order the engine
+    chooses. Shape: one map-side-combined count by lang, then a 1-row
+    broadcast back — corpus scanned once, nothing corpus-proportional
+    moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total_w = counts.groupBy().agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "n_docs"))),
+            F.lit(0.0),
+            lambda acc, s: acc + F.sqrt(s["n_docs"].cast("double")),
+        ).alias("w_sum")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total_w))
+        .select(
+            "lang",
+            "n_docs",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6).cast("long").alias("weight_e6"),
+            F.floor(
+                F.lit(float(TEMP_BUDGET))
+                * F.sqrt(F.col("n_docs").cast("double"))
+                / F.col("w_sum")
+            ).cast("long").alias("target_docs"),
+        )
+    )
+
+
 QUERIES = {
+    "temperature_mix": temperature_mix,
     "stratified_sample": stratified_sample,
     "importance_sample": importance_sample,
     "domain_mix": domain_mix,
@@ -353,6 +396,23 @@ _MIX_CASE = "CASE lang " + " ".join(
 ) + " ELSE NULL END"
 
 ORACLE = {
+    "temperature_mix": f"""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        w AS (
+          -- left fold over langs sorted ascending: the double
+          -- accumulation order matches the Spark in-row fold exactly
+          SELECT list_sum(list_transform(
+                   list(n_docs ORDER BY lang), n -> sqrt(CAST(n AS DOUBLE))))
+                 AS w_sum
+          FROM c)
+        SELECT c.lang, c.n_docs,
+               CAST(FLOOR(sqrt(CAST(c.n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+                 AS weight_e6,
+               CAST(FLOOR({float(TEMP_BUDGET)} * sqrt(CAST(c.n_docs AS DOUBLE))
+                          / w.w_sum) AS BIGINT) AS target_docs
+        FROM c CROSS JOIN w
+    """,
     "domain_mix": f"""
         WITH c AS (
           SELECT lang, COUNT(*) AS c, {_MIX_CASE} AS p

@@ -52,6 +52,7 @@ _PRIORITY_KEYS = (
     "doc_length_survival",
     "pipeline_curate_v3",
     "schema_drift_report",
+    "temperature_mix",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "decontaminate",
-    "ann_topk_brute",
 )
 
 
