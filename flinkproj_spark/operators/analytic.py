@@ -564,6 +564,43 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median of the event value per event_type: each
+    event judged against the interpolated p50 of its 20 predecessors —
+    the robust-baseline twin of anomaly_rolling_z (median shrugs off
+    the outliers that inflate a rolling mean). Emitted with the same
+    ≥10-history gate.
+
+    Exactness: inputs are integer cents; `percentile` interpolates
+    between two integers with one multiply-add, and both engines
+    (Spark percentile, DuckDB quantile_cont) implement the same
+    definition over the same ROWS frame and (ts, event_id) order, so
+    the doubles agree bit-for-bit. One shuffle on event_type; the
+    frame is ROWS-bounded so window state is O(1) per key."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ROLL_WIN, -1)
+    )
+    base = events.select(
+        "event_id",
+        "event_type",
+        _cents("value").alias("v_c"),
+        F.count("*").over(w).alias("n"),
+        F.percentile(_cents("value"), F.lit(0.5)).over(w).alias("_med_c"),
+    )
+    return base.filter(F.col("n") >= _ROLL_MIN).select(
+        "event_id",
+        "event_type",
+        "v_c",
+        "n",
+        F.round(F.col("_med_c") / F.lit(100.0), 6).alias("rolling_median"),
+        (F.col("v_c").cast("double") > F.lit(2.0) * F.col("_med_c"))
+        .cast("int").alias("above_2x_median"),
+    )
+
+
 _DRIFT_COLS = ("user_id", "event_type", "value", "props")
 
 
@@ -711,6 +748,7 @@ QUERIES = {
     "zorder_layout": zorder_layout,
     "incremental_rollup_merge": incremental_rollup_merge,
     "schema_drift_report": schema_drift_report,
+    "rolling_median": rolling_median,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
@@ -1013,4 +1051,22 @@ ORACLE["schema_drift_report"] = f"""
              (props__nulls_new * 1000000) // n_new AS null_ppm_new,
              props__dist_old AS dist_old, props__dist_new AS dist_new
       FROM a
+"""
+
+ORACLE["rolling_median"] = f"""
+    WITH v AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_c
+      FROM events),
+    st AS (
+      SELECT event_id, event_type, v_c,
+             COUNT(*) OVER w AS n,
+             quantile_cont(v_c, 0.5) OVER w AS med_c
+      FROM v
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN {_ROLL_WIN} PRECEDING AND 1 PRECEDING))
+    SELECT event_id, event_type, v_c, n,
+           ROUND(med_c / 100.0, 6) AS rolling_median,
+           CAST(CAST(v_c AS DOUBLE) > 2.0 * med_c AS INT) AS above_2x_median
+    FROM st WHERE n >= {_ROLL_MIN}
 """

@@ -53,6 +53,7 @@ _PRIORITY_KEYS = (
     "pipeline_curate_v3",
     "schema_drift_report",
     "temperature_mix",
+    "rolling_median",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "dedup_cluster",
     "dedup_simhash",
     "dedup_ngram_jaccard",
-    "decontaminate",
 )
 
 
