@@ -597,10 +597,62 @@ def doc_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# quality_classifier_linear: fixed integer weights over the per-doc
+# ratio features (ppm-scaled), standing in for a trained fastText-style
+# quality classifier the way the subset codebooks stand in for k-means.
+QC_WEIGHTS = {
+    "stop_ppm": 3,       # stopword evidence up-weights (fluent prose)
+    "alpha_ppm": 2,      # alphabetic-token ratio up-weights
+    "len_penalty": -1,   # |mean word length - 5| in e6, penalized
+}
+QC_BIAS = -1_500_000
+QC_THRESHOLD = 0  # keep when score_e6 > 0
+
+
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier (the trained-classifier stage of a
+    curation funnel, with deterministic stand-in weights): per doc, a
+    logit-style integer score over ppm-scaled ratio features — stopword
+    rate, alphabetic rate, and a mean-word-length penalty — plus a keep
+    verdict at score > 0. Unlike gopher_quality_filter's hard rules,
+    the score is GRADED, so downstream can threshold-sweep or
+    temperature-sample by quality band without recomputing features.
+
+    Exactness: every feature is an integer ppm via `div` (no float
+    ratios), the dot product is BIGINT, and the verdict is an integer
+    comparison — bit-identical across engines and partitionings.
+    Shape: the one exploded-token pass shared with the Gopher
+    consumers (gopher_stat_aggs), one map-side-combined groupBy, zero
+    joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_words()).alias("w"))
+    base = tok.groupBy("doc_id").agg(*gopher_stat_aggs())
+    stop_ppm = F.expr("stop_hits * 1000000 div n_words")
+    alpha_ppm = F.expr("alpha_words * 1000000 div n_words")
+    # |mean word length - 5| in e6: abs(word_chars*1e6 div n_words - 5e6)
+    len_pen = F.abs(F.expr("word_chars * 1000000 div n_words") - F.lit(5_000_000))
+    score = (
+        F.lit(QC_WEIGHTS["stop_ppm"]) * stop_ppm
+        + F.lit(QC_WEIGHTS["alpha_ppm"]) * alpha_ppm
+        + F.lit(QC_WEIGHTS["len_penalty"]) * len_pen
+        + F.lit(QC_BIAS)
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        stop_ppm.alias("stop_ppm"),
+        alpha_ppm.alias("alpha_ppm"),
+        len_pen.alias("len_penalty_e6"),
+        score.alias("score_e6"),
+        (score > QC_THRESHOLD).cast("int").alias("keep"),
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
     "bpe_pair_counts": bpe_pair_counts,
     "doc_length_survival": doc_length_survival,
+    "quality_classifier_linear": quality_classifier_linear,
     "text_repetition": text_repetition,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
@@ -774,6 +826,36 @@ ORACLE = {
         SELECT doc_id, unnest(fps) AS fp FROM f
     """,
 }
+
+ORACLE["quality_classifier_linear"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+    base AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             CAST(SUM(len(w)) AS BIGINT) AS word_chars,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+             CAST(SUM(CASE WHEN lower(w) IN ({_STOP_SQL})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+      FROM tok GROUP BY 1),
+    feat AS (
+      SELECT doc_id, n_words,
+             stop_hits * 1000000 // n_words AS stop_ppm,
+             alpha_words * 1000000 // n_words AS alpha_ppm,
+             ABS(word_chars * 1000000 // n_words - 5000000) AS len_penalty_e6
+      FROM base)
+    SELECT doc_id, n_words, stop_ppm, alpha_ppm, len_penalty_e6,
+           CAST({QC_WEIGHTS['stop_ppm']} * stop_ppm
+                + {QC_WEIGHTS['alpha_ppm']} * alpha_ppm
+                + {QC_WEIGHTS['len_penalty']} * len_penalty_e6
+                + {QC_BIAS} AS BIGINT) AS score_e6,
+           CAST({QC_WEIGHTS['stop_ppm']} * stop_ppm
+                + {QC_WEIGHTS['alpha_ppm']} * alpha_ppm
+                + {QC_WEIGHTS['len_penalty']} * len_penalty_e6
+                + {QC_BIAS} > {QC_THRESHOLD} AS INT) AS keep
+    FROM feat
+"""
 
 ORACLE["bpe_pair_counts"] = f"""
     WITH tok AS (

@@ -54,6 +54,7 @@ _PRIORITY_KEYS = (
     "schema_drift_report",
     "temperature_mix",
     "rolling_median",
+    "quality_classifier_linear",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "dedup_minhash_lsh",
     "dedup_cluster",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
 )
 
 
