@@ -176,3 +176,72 @@ def stream_rolling_anomaly(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- rolling-median stream (the stateful twin of operators/
+# analytic.rolling_median) ----------------------------------------------
+
+MED_OUTPUT_SCHEMA = (
+    "event_id long, event_type string, v_c long, n long, med2_c long, "
+    "above_2x_median int"
+)
+MED_STATE_SCHEMA = "vals array<long>"
+
+
+def _median_for_key(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Replay this key's events in (ts, event_id) order against the
+    ring buffer, emitting 2×median in integer cents (med2_c = the sum
+    of the two middle elements — exact, no float interpolation) and
+    the same above-2×-median verdict as the batch operator: since
+    2·median = med2_c exactly, the flag is the integer comparison
+    v_c > med2_c."""
+    import math
+
+    (etype,) = key
+    buf: list[int] = list(state.get[0]) if state.exists else []
+    rows: list[tuple[int, int, int, int, int]] = []
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for ev, val in zip(pdf["event_id"].astype("int64"), pdf["value"]):
+        v = int(math.floor(float(val) * 100 + 0.5))  # relational._cents
+        n = len(buf)
+        if n >= ANOM_MIN:
+            srt = sorted(buf)
+            med2 = 2 * srt[n // 2] if n % 2 else srt[n // 2 - 1] + srt[n // 2]
+            rows.append((int(ev), v, n, med2, int(v > med2)))
+        buf.append(v)
+        if len(buf) > ANOM_WIN:
+            buf = buf[-ANOM_WIN:]
+    state.update((buf,))
+    if rows:
+        yield pd.DataFrame(
+            {
+                "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "event_type": pd.Series([etype] * len(rows)),
+                "v_c": pd.Series([r[1] for r in rows], dtype="int64"),
+                "n": pd.Series([r[2] for r in rows], dtype="int64"),
+                "med2_c": pd.Series([r[3] for r in rows], dtype="int64"),
+                "above_2x_median": pd.Series([r[4] for r in rows], dtype="int32"),
+            }
+        )
+
+
+def stream_rolling_median(events: DataFrame) -> DataFrame:
+    """events(event_id, ts, event_type, value) stream → per-event
+    rolling-median baseline against each key's 20 predecessors. Same
+    state bound (≤ 20 longs/key), ordering contract, and watermark
+    tradeoff as stream_rolling_anomaly; converges to the batch
+    rolling_median operator (med2_c = 2×median in cents avoids any
+    float interpolation in the comparison)."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _median_for_key,
+            outputStructType=MED_OUTPUT_SCHEMA,
+            stateStructType=MED_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -396,3 +396,54 @@ class TestStreamIvfAssign:
             (r.vec_id, r.cell) for r in ivf_assignments(spark, sf_dir).collect()
         }
         assert got == expected
+
+
+class TestStreamRollingMedian:
+    def test_converges_to_batch_rolling_median(self, spark, sf_dir, tmp_path):
+        """Ring-buffer median stream across micro-batch boundaries must
+        equal the batch rolling_median rows; med2_c = 2x median cents
+        makes the comparison integer-exact (batch emits the rounded
+        double, reconstructed via round(x*200))."""
+        from flinkproj_spark.operators.analytic import rolling_median
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.stateful import stream_rolling_median
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "event_type", "value")
+            .orderBy("ts", "event_id")
+        )
+        n = ev.count()
+        pdf = ev.toPandas()
+        for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+            chunk = pdf.iloc[lo : lo + (n + 2) // 3]
+            spark.createDataFrame(chunk).coalesce(1).write.parquet(
+                f"{src}/b{i}", mode="overwrite"
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream_rolling_median(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got = {
+            (r.event_id, r.v_c, r.n, r.med2_c, r.above_2x_median)
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            (r.event_id, r.v_c, r.n, round(r.rolling_median * 200), r.above_2x_median)
+            for r in rolling_median(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
