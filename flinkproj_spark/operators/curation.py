@@ -204,6 +204,49 @@ def bloom_maybe_contains(
     )
 
 
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document: the mean
+    corpus conditional probability q(w2|w1) = C(w1 w2)·1e9 div C(w1)
+    over the doc's bigrams — one order more context than
+    unigram_lm_score (a doc of common words in UNCOMMON order now
+    scores low, the signal unigrams cannot see). Integer end to end,
+    so bit-identical across engines and aggregation orders.
+
+    Shape: the exploded doc-bigram frame feeds BOTH the corpus bigram
+    vocabulary (map-side-combined) and the scoring join, exactly like
+    the unigram operator; the conditional table attaches the w1
+    unigram count with one narrow vocab⋈vocab merge join. All joins
+    merge-pinned (corpus-proportional sides); bigram keys are far less
+    Zipf-concentrated than unigrams, and residual skew is AQE's."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = F.transform(fx.tokenize_ws(), lambda w: F.lower(w))
+    m = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, m), F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tok_bg = docs.filter(F.size(words) >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    )
+    c_bg = tok_bg.groupBy("bg").agg(F.count("*").alias("c_ab"))
+    c_uni = (
+        docs.select(F.explode(words).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_a"))
+    )
+    q = (
+        c_bg.withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(c_uni.hint("merge"), "w1")
+        .selectExpr("bg", f"(c_ab * {LM_SCALE}) div c_a AS q")
+    )
+    return (
+        tok_bg.join(q.hint("merge"), "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("q").alias("_sum_q"))
+        .selectExpr("doc_id", "n_bigrams", "_sum_q div n_bigrams AS mean_cond_e9")
+    )
+
+
 def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: documents from the incoming snapshot
     (source ∈ NEW_SOURCES) survive only if their content hash appears
@@ -446,6 +489,7 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "paragraph_dedup": paragraph_dedup,
     "unigram_lm_score": unigram_lm_score,
+    "bigram_lm_score": bigram_lm_score,
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "embedding_quantize": embedding_quantize,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
@@ -492,6 +536,28 @@ ORACLE = {
                COUNT(*) AS n_tokens,
                CAST(SUM(q.q) // COUNT(*) AS BIGINT) AS mean_freq_e9
         FROM tok t JOIN q ON t.w = q.w
+        GROUP BY t.doc_id
+    """,
+    "bigram_lm_score": f"""
+        WITH d AS (
+          SELECT doc_id, list_transform({_WORDS_SQL}, w -> lower(w)) AS ws
+          FROM documents WHERE len({_WORDS_SQL}) >= 2),
+        tb AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS bg
+          FROM d),
+        cb AS (SELECT bg, COUNT(*) AS c_ab FROM tb GROUP BY 1),
+        cu AS (
+          SELECT lower(unnest({_WORDS_SQL})) AS w1 FROM documents),
+        cuc AS (SELECT w1, COUNT(*) AS c_a FROM cu GROUP BY 1),
+        q AS (
+          SELECT cb.bg, (cb.c_ab * {LM_SCALE}) // cuc.c_a AS q
+          FROM cb JOIN cuc ON string_split(cb.bg, ' ')[1] = cuc.w1)
+        SELECT t.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(q.q) // COUNT(*) AS BIGINT) AS mean_cond_e9
+        FROM tb t JOIN q ON t.bg = q.bg
         GROUP BY t.doc_id
     """,
     "cross_snapshot_dedup": f"""
