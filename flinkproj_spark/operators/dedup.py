@@ -316,6 +316,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weights.select("doc_id", fingerprint.alias("simhash"))
 
 
+WINNOW_MIN_SHARED = 2  # pair evidence: >= 2 shared winnow fingerprints
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup pairs from winnowing fingerprints: documents
+    sharing ≥ WINNOW_MIN_SHARED selected fingerprints
+    (text.doc_winnow_fingerprints — guaranteed to catch any exact
+    overlap of ≥ w+k-1 words) become candidate pairs with their shared
+    count as evidence strength. The third pair-generation strategy in
+    the family, complementing MinHash-LSH (probabilistic whole-doc
+    similarity) and exact n-gram blocking: winnowing is position-
+    robust LOCAL overlap detection, MOSS's plagiarism primitive.
+
+    Shape: the same capped bucket-expand as the LSH family — one
+    shuffle on the fingerprint, in-row ordered pair expansion, then a
+    map-side-combined count per pair. A fingerprint held by > CAP docs
+    is EXCLUDED by design, exactly as MOSS discards over-common
+    fingerprints: ubiquity is boilerplate evidence, not match
+    evidence (unlike the LSH bands, where the star-pair fallback
+    preserves clustering connectivity)."""
+    from flinkproj_spark.operators.text import doc_winnow_fingerprints
+
+    fps = doc_winnow_fingerprints(spark, sf_dir)
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, BUCKET_CAP))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
 SUB_L = 8  # exact-substring dedup: minimum repeated run, in tokens
 
 
@@ -483,6 +529,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_substring": dedup_substring,
+    "winnow_overlap_pairs": winnow_overlap_pairs,
     "decontaminate": decontaminate,
 }
 
@@ -600,6 +647,36 @@ ORACLE = {
                              ELSE LEAST({SUB_L}, np - p) END) * 1000000
                     // MIN(n_tokens) AS BIGINT) AS dup_ratio_e6
         FROM iv GROUP BY doc_id
+    """,
+    "winnow_overlap_pairs": f"""
+        -- fingerprint CTEs mirror text.py's doc_winnow_fingerprints
+        -- oracle with _WINNOW_W = 4 inlined (range bound len-3,
+        -- 4-element window slices, len >= 4)
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, GREATEST(len(words) - 2, 0) + 1),
+                   i -> ('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8))::BIGINT
+                 ) AS hashes
+          FROM w),
+        f AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, len(hashes) - 2),
+                   i -> list_min(hashes[i:i+3]))) AS fps
+          FROM h WHERE len(hashes) >= 4),
+        fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        ok AS (
+          SELECT fp FROM fp GROUP BY fp
+          HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {BUCKET_CAP})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN ok ON a.fp = ok.fp
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     """,
     "decontaminate": f"""
         WITH sh AS (

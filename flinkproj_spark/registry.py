@@ -56,6 +56,7 @@ _PRIORITY_KEYS = (
     "rolling_median",
     "quality_classifier_linear",
     "bigram_lm_score",
+    "winnow_overlap_pairs",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "dedup_exact",
     "dedup_keyed_latest",
     "dedup_minhash_lsh",
-    "dedup_cluster",
 )
 
 
