@@ -284,6 +284,23 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components: how many
+    clusters have exactly k members — the one-page answer to "how
+    duplicated is this corpus" and the alert surface for dedup drift
+    (a sudden mass of large clusters means an ingest loop or a
+    boilerplate explosion). Two map-side-combined aggregates over
+    dedup_cluster's (doc_id, cluster_id) output; the heavy lifting is
+    the clustering itself."""
+    clusters = dedup_cluster(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprint (32-bit): token md5 → per-bit ±1 weights
     summed over the doc; bit j of the fingerprint is sign(weight_j).
@@ -530,6 +547,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_substring": dedup_substring,
     "winnow_overlap_pairs": winnow_overlap_pairs,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "decontaminate": decontaminate,
 }
 
@@ -588,6 +606,24 @@ ORACLE = {
         WHERE rn = 1
     """,
     "dedup_minhash_lsh": _MINHASH_PAIRS_SQL,
+    "dedup_cluster_sizes": f"""
+        WITH RECURSIVE sym AS (
+          SELECT doc_a AS src, doc_b AS dst FROM ({_MINHASH_PAIRS_SQL})
+          UNION
+          SELECT doc_b AS src, doc_a AS dst FROM ({_MINHASH_PAIRS_SQL})),
+        reach AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        labels AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        sizes AS (
+          SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM labels GROUP BY 1)
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM sizes GROUP BY 1
+    """,
     "dedup_cluster": f"""
         WITH RECURSIVE sym AS (
           SELECT doc_a AS src, doc_b AS dst FROM ({_MINHASH_PAIRS_SQL})

