@@ -601,6 +601,62 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift between event types: for every ordered pair
+    (a < b), how many users did both, and the lift
+    n_ab·N·10⁶ div (n_a·n_b) — >1e6 means the behaviors attract,
+    <1e6 they repel. The cross-sell/affinity primitive over the
+    behavioral log.
+
+    Shape: one groupBy(user) collect_set of types (bounded by type
+    cardinality, so the agg buffer is tiny and map-side combined),
+    in-row ordered-pair expansion of the sorted set, a pair count,
+    and the per-type marginals re-attached by broadcast (the type
+    vocabulary is small by nature). Integer lift — DECIMAL casts keep
+    n_ab·N·10⁶ exact at any user count."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "types",
+            lambda x, i: F.transform(
+                F.slice(F.col("types"), i + F.lit(2), F.size("types")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair_counts = (
+        per_user.select(F.explode(pair_arr).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    marg = per_user.select(F.explode("types").alias("t")).groupBy("t").agg(
+        F.count("*").alias("n_t")
+    )
+    n_users = per_user.agg(F.count("*").alias("n_users"))
+    return (
+        pair_counts.join(
+            F.broadcast(marg.select(F.col("t").alias("a"), F.col("n_t").alias("n_a"))), "a"
+        )
+        .join(
+            F.broadcast(marg.select(F.col("t").alias("b"), F.col("n_t").alias("n_b"))), "b"
+        )
+        .crossJoin(F.broadcast(n_users))
+        .selectExpr(
+            "a",
+            "b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_users",
+            "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_users * 1000000)"
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT) AS lift_e6",
+        )
+    )
+
+
 _DRIFT_COLS = ("user_id", "event_type", "value", "props")
 
 
@@ -749,6 +805,7 @@ QUERIES = {
     "incremental_rollup_merge": incremental_rollup_merge,
     "schema_drift_report": schema_drift_report,
     "rolling_median": rolling_median,
+    "event_cooccurrence_lift": event_cooccurrence_lift,
 }
 # approx_percentile_stats: intentionally no ORACLE entry — rows-only
 # check (sketch implementations differ across engines); accuracy vs the
@@ -1069,4 +1126,24 @@ ORACLE["rolling_median"] = f"""
            ROUND(med_c / 100.0, 6) AS rolling_median,
            CAST(CAST(v_c AS DOUBLE) > 2.0 * med_c AS INT) AS above_2x_median
     FROM st WHERE n >= {_ROLL_MIN}
+"""
+
+ORACLE["event_cooccurrence_lift"] = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    m AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY 1),
+    p AS (
+      SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_ab
+      FROM ut x JOIN ut y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2)
+    SELECT p.a, p.b, p.n_ab,
+           ma.n_t AS n_a, mb.n_t AS n_b,
+           CAST(n.n_users AS BIGINT) AS n_users,
+           CAST((CAST(p.n_ab AS HUGEINT) * n.n_users * 1000000)
+                // (CAST(ma.n_t AS HUGEINT) * mb.n_t) AS BIGINT) AS lift_e6
+    FROM p
+    JOIN m ma ON p.a = ma.event_type
+    JOIN m mb ON p.b = mb.event_type
+    CROSS JOIN n
 """

@@ -447,6 +447,50 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-evaluation of the three near-dup pair strategies — MinHash
+    LSH, blocked n-gram Jaccard, and winnowing overlap: one row per
+    strategy with its pair count and how many of its pairs each other
+    strategy also found. The completeness critic for the dedup layer:
+    a strategy whose pairs nobody corroborates is either finding
+    something unique or broken, and this table says which way to look.
+
+    Shape: three small pair frames (each already shuffle-bounded by
+    its own blocking), compared pairwise — a 1-row count per frame
+    plus a semi-join count per combination, assembled with broadcast
+    1-row cross joins. O(pairs), never touching documents again."""
+    frames = {
+        "minhash_lsh": dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        "ngram_jaccard": dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
+        "winnow": winnow_overlap_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+    }
+    names = list(frames)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            shared = (
+                frames[a]
+                .join(frames[b], ["doc_a", "doc_b"], "left_semi")
+                .agg(F.count("*").alias("n_shared"))
+            )
+            rows.append(
+                frames[a].agg(F.count("*").alias("n_pairs_a"))
+                .crossJoin(F.broadcast(frames[b].agg(F.count("*").alias("n_pairs_b"))))
+                .crossJoin(F.broadcast(shared))
+                .select(
+                    F.lit(a).alias("strategy_a"),
+                    F.lit(b).alias("strategy_b"),
+                    "n_pairs_a",
+                    "n_pairs_b",
+                    "n_shared",
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 EVAL_MOD = 97  # doc_id % 97 == 0 defines the held-out "benchmark" set
 
 
@@ -548,6 +592,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "pair_strategy_agreement": pair_strategy_agreement,
     "decontaminate": decontaminate,
 }
 
@@ -751,3 +796,30 @@ ORACLE = {
         WHERE jaccard >= 0.5
     """,
 }
+
+
+def _agreement_oracle() -> str:
+    combos = [
+        ("minhash_lsh", "lshp", "ngram_jaccard", "ngp"),
+        ("minhash_lsh", "lshp", "winnow", "wnp"),
+        ("ngram_jaccard", "ngp", "winnow", "wnp"),
+    ]
+    selects = []
+    for name_a, cte_a, name_b, cte_b in combos:
+        selects.append(f"""
+        SELECT '{name_a}' AS strategy_a, '{name_b}' AS strategy_b,
+               (SELECT COUNT(*) FROM {cte_a}) AS n_pairs_a,
+               (SELECT COUNT(*) FROM {cte_b}) AS n_pairs_b,
+               (SELECT COUNT(*) FROM {cte_a} x
+                WHERE EXISTS (SELECT 1 FROM {cte_b} y
+                              WHERE y.doc_a = x.doc_a AND y.doc_b = x.doc_b))
+                 AS n_shared""")
+    return f"""
+        WITH lshp AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+        ngp AS (SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard"]})),
+        wnp AS (SELECT doc_a, doc_b FROM ({ORACLE["winnow_overlap_pairs"]}))
+        {" UNION ALL ".join(selects)}
+    """
+
+
+ORACLE["pair_strategy_agreement"] = _agreement_oracle()

@@ -648,8 +648,45 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution concentration per document — the Gini/
+    Simpson index Σ(c_i/n)², ppm-scaled: the float-free stand-in for
+    character entropy (keyboard mashing, run-length spam, and
+    single-char padding concentrate; natural prose sits low). Chosen
+    over Shannon entropy deliberately: log() is not bit-identical
+    across libm implementations, while Σc_i²·1e6 div n² is integer
+    arithmetic both engines agree on at any scale.
+
+    Shape: one in-row explode of characters, a map-side-combined
+    (doc, char) count, and a per-doc rollup — two narrow shuffles,
+    text dropped at the explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars_tok"),
+            F.count("*").alias("n_distinct_chars"),
+            F.sum(F.col("c") * F.col("c")).alias("_sum_c2"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chars_tok",
+            "n_distinct_chars",
+            # DECIMAL casts: sum_c2·1e6 tops BIGINT around 10-MB docs
+            "CAST((CAST(_sum_c2 AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(n_chars_tok AS DECIMAL(38,0)) * n_chars_tok)"
+            " AS BIGINT) AS gini_ppm",
+        )
+    )
+
+
 QUERIES = {
     "text_token_count": text_token_count,
+    "char_gini_concentration": char_gini_concentration,
     "bpe_pair_counts": bpe_pair_counts,
     "doc_length_survival": doc_length_survival,
     "quality_classifier_linear": quality_classifier_linear,
@@ -826,6 +863,23 @@ ORACLE = {
         SELECT doc_id, unnest(fps) AS fp FROM f
     """,
 }
+
+ORACLE["char_gini_concentration"] = """
+    WITH ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(text) + 1),
+                    i -> text[i:i])) AS ch
+      FROM documents),
+    pc AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM ch
+      WHERE ch <> '' GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_chars_tok,
+           COUNT(*) AS n_distinct_chars,
+           CAST((SUM(CAST(c AS HUGEINT) * c) * 1000000)
+                // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS gini_ppm
+    FROM pc GROUP BY doc_id
+"""
 
 ORACLE["quality_classifier_linear"] = f"""
     WITH tok AS (

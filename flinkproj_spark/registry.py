@@ -58,6 +58,9 @@ _PRIORITY_KEYS = (
     "bigram_lm_score",
     "winnow_overlap_pairs",
     "dedup_cluster_sizes",
+    "char_gini_concentration",
+    "event_cooccurrence_lift",
+    "pair_strategy_agreement",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -90,9 +93,6 @@ _PRIORITY_KEYS = (
     "pivot_counts",
     "asof_join",
     "distinct_counts",
-    "salted_skew_join",
-    "dedup_exact",
-    "dedup_keyed_latest",
 )
 
 
