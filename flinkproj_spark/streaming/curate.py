@@ -165,3 +165,56 @@ def stream_ivf_assign(new_vectors: DataFrame, centroids: DataFrame) -> DataFrame
     return staged.join(F.broadcast(cent_row)).select(
         "vec_id", "ts", best["cell"].alias("cell")
     )
+
+
+def stream_quality_scores(new_docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/text.py::quality_classifier_linear:
+    score every incoming doc with the same integer-ppm linear model at
+    ingest time, so the quarantine/keep routing happens before storage
+    instead of in a batch sweep. Entirely stateless — the features are
+    per-document aggregates computed IN-ROW over the token array (no
+    exploded groupBy, which would need streaming aggregation state),
+    arithmetically identical to the batch operator's exploded
+    formulation. Input stream needs (doc_id, ts, text)."""
+    from flinkproj_spark.operators.text import (
+        QC_BIAS,
+        QC_THRESHOLD,
+        QC_WEIGHTS,
+        _STOPWORDS,
+    )
+
+    words = fx.tokenize_ws()
+    lower = F.transform(words, lambda w: F.lower(w))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n = F.size(words)
+    word_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stops = F.size(F.filter(lower, lambda w: F.array_contains(stop_arr, w)))
+    staged = new_docs.filter(n >= 1).select(
+        "doc_id",
+        "ts",
+        n.cast("long").alias("n_words"),
+        (stops.cast("long") * 1000000).alias("_stop_n"),
+        (alpha.cast("long") * 1000000).alias("_alpha_n"),
+        word_chars.alias("_wc"),
+    )
+    stop_ppm = F.expr("_stop_n div n_words")
+    alpha_ppm = F.expr("_alpha_n div n_words")
+    len_pen = F.abs(F.expr("_wc * 1000000 div n_words") - F.lit(5_000_000))
+    score = (
+        F.lit(QC_WEIGHTS["stop_ppm"]) * stop_ppm
+        + F.lit(QC_WEIGHTS["alpha_ppm"]) * alpha_ppm
+        + F.lit(QC_WEIGHTS["len_penalty"]) * len_pen
+        + F.lit(QC_BIAS)
+    )
+    return staged.select(
+        "doc_id",
+        "ts",
+        "n_words",
+        score.alias("score_e6"),
+        (score > QC_THRESHOLD).cast("int").alias("keep"),
+    )

@@ -159,3 +159,33 @@ def test_paragraph_spans_match_python_reference(spark):
                 (si, hashlib.md5(" ".join(chunk).encode()).hexdigest(), len(chunk))
             )
         assert sorted(got[i]) == expect, f"doc {i} ({len(pywords)} words)"
+
+
+def test_morton2_matches_python_reference(spark):
+    """morton2's bit interleave must equal an independent Python
+    reference for random coordinate pairs, including values exceeding
+    the masked bit width (high bits must be ignored, not leak)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark import functions as fx
+
+    rng = random.Random(42)
+    rows = [
+        (rng.randrange(0, 1 << 20), rng.randrange(0, 1 << 20))
+        for _ in range(200)
+    ]
+
+    def ref(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(rows, "x long, y long").select(
+        "x", "y", fx.morton2(F.col("x"), F.col("y")).alias("z")
+    )
+    for r in df.collect():
+        assert r.z == ref(r.x, r.y), (r.x, r.y)

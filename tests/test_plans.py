@@ -776,3 +776,24 @@ def test_quantile_bucketize_heavy_pass_is_combined(spark, sf_dir):
     plan = executed_plan(quantile_bucketize(spark, sf_dir))
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_char_gini_text_never_shuffles(spark, sf_dir):
+    # chars explode in-row; exchanges carry (doc_id, ch, partial count)
+    # — never the text column
+    from flinkproj_spark.operators.text import char_gini_concentration
+
+    plan = _plan(char_gini_concentration(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line.strip()[:140]
+
+
+def test_cooccurrence_marginals_broadcast(spark, sf_dir):
+    # the type marginals and user total must reach the pair counts as
+    # broadcasts; the only hash exchanges key on user_id or the pair
+    from flinkproj_spark.operators.analytic import event_cooccurrence_lift
+
+    plan = _plan(event_cooccurrence_lift(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

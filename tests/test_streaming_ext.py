@@ -447,3 +447,48 @@ class TestStreamRollingMedian:
             for r in rolling_median(spark, sf_dir).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamQualityScores:
+    def test_converges_to_batch_classifier(self, spark, sf_dir, tmp_path):
+        """The in-row streaming formulation must score every doc
+        identically to the batch exploded-groupBy operator (same
+        integer features, same weights), across a two-batch feed."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.text import quality_classifier_linear
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.curate import stream_quality_scores
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            "text",
+        )
+        schema = "doc_id bigint, ts timestamp, text string"
+        for i in (0, 1):
+            docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                stream_quality_scores(
+                    spark.readStream.schema(schema).parquet(src)
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        got = {
+            (r.doc_id, r.n_words, r.score_e6, r.keep)
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            (r.doc_id, r.n_words, r.score_e6, r.keep)
+            for r in quality_classifier_linear(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
