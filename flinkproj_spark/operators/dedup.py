@@ -491,6 +491,90 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of dedup_substring: actually REMOVE every
+    token covered by a corpus-duplicated SUB_L-gram and emit the
+    cleaned document's size and content hash — the transform a
+    training pipeline applies, where dedup_substring is the report it
+    reads. Docs shorter than SUB_L have no grams and pass through
+    whole.
+
+    Coverage without an O(tokens·spans) join: token positions and
+    dup-gram start events merge into ONE per-doc ordered stream
+    (gram starts sort before the token at the same position), and a
+    running max of cover-end (p + SUB_L − 1) over that stream decides
+    each token in O(1) — the classic interval-stabbing sweep as a
+    single window. Shuffles: the gram frequency count, the gram⋈freq
+    merge join, and the per-doc sweep/rollup; the cleaned text is
+    reassembled only at the final per-doc aggregate (buffer bounded
+    by the doc itself). md5 of the retained tokens makes the result
+    hash-verifiable."""
+    from pyspark.sql import Window
+
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = _words()
+    staged = docs.filter(F.size(words) >= 1).select(
+        "doc_id", words.alias("ws"), F.monotonically_increasing_id().alias("_nc")
+    )
+    n = F.size("ws")
+    grams = staged.filter(n >= SUB_L).select(
+        "doc_id",
+        F.col("ws"),
+        F.explode(F.sequence(F.lit(1), n - SUB_L + 1)).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.array_join(F.slice("ws", F.col("p"), SUB_L), " ")).alias("h"),
+    )
+    freq = grams.groupBy("h").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
+    dup = grams.join(freq.hint("merge"), "h").select(
+        "doc_id",
+        F.col("p").alias("pos"),
+        F.lit(0).alias("kind"),
+        (F.col("p") + SUB_L - 1).alias("cover_end"),
+        F.lit(None).cast("string").alias("w"),
+    )
+    tokens = staged.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "w")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("int").alias("cover_end"),
+        "w",
+    )
+    stream = dup.unionByName(tokens)
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos", "kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = stream.withColumn("_cov", F.max("cover_end").over(win))
+    tok = swept.filter(F.col("kind") == 1).withColumn(
+        "_kept", F.col("_cov").isNull() | (F.col("_cov") < F.col("pos"))
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("_kept").cast("long")).alias("kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("_kept"), F.struct("pos", "w"))
+                            )
+                        ),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_fp"),
+        )
+    )
+
+
 EVAL_MOD = 97  # doc_id % 97 == 0 defines the held-out "benchmark" set
 
 
@@ -593,6 +677,7 @@ QUERIES = {
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "pair_strategy_agreement": pair_strategy_agreement,
+    "substring_dedup_clean": substring_dedup_clean,
     "decontaminate": decontaminate,
 }
 
@@ -758,6 +843,39 @@ ORACLE = {
         JOIN ok ON a.fp = ok.fp
         GROUP BY 1, 2
         HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    "substring_dedup_clean": f"""
+        WITH d AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+          WHERE len({_WORDS_SQL}) >= 1),
+        pos AS (
+          SELECT doc_id, ws,
+                 unnest(range(1, len(ws) - {SUB_L} + 2)) AS p
+          FROM d WHERE len(ws) >= {SUB_L}),
+        gr AS (
+          SELECT doc_id, p,
+                 md5(array_to_string(ws[p : p + {SUB_L} - 1], ' ')) AS h
+          FROM pos),
+        freq AS (SELECT h FROM gr GROUP BY h HAVING COUNT(*) >= 2),
+        dupp AS (SELECT gr.doc_id, gr.p FROM gr JOIN freq USING (h)),
+        tw AS (
+          SELECT doc_id, tpos, ws[tpos] AS w FROM (
+            SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS tpos
+            FROM d)),
+        cov AS (
+          SELECT t.doc_id, t.tpos, t.w,
+                 EXISTS (SELECT 1 FROM dupp dp
+                         WHERE dp.doc_id = t.doc_id
+                           AND dp.p <= t.tpos
+                           AND t.tpos <= dp.p + {SUB_L} - 1) AS covered
+          FROM tw t)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN NOT covered THEN 1 ELSE 0 END) AS BIGINT)
+                 AS kept_tokens,
+               md5(COALESCE(string_agg(CASE WHEN NOT covered THEN w END,
+                                       ' ' ORDER BY tpos), '')) AS cleaned_fp
+        FROM cov GROUP BY doc_id
     """,
     "decontaminate": f"""
         WITH sh AS (

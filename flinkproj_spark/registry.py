@@ -61,6 +61,7 @@ _PRIORITY_KEYS = (
     "char_gini_concentration",
     "event_cooccurrence_lift",
     "pair_strategy_agreement",
+    "substring_dedup_clean",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "cube_counts",
     "pivot_counts",
     "asof_join",
-    "distinct_counts",
 )
 
 

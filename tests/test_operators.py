@@ -557,3 +557,32 @@ def test_incremental_merge_equals_full_recompute(spark, sf_dir):
         F.date_trunc("minute", "ts"), "event_type"
     ).distinct().count()
     assert got.filter(F.col("n") <= 0).count() == 0
+
+
+def test_substring_clean_matches_report_coverage(spark, sf_dir):
+    """The transform and the report must agree: for every doc the
+    report flags, tokens_removed == dup_tokens (the interval-union
+    length dedup_substring computed), and unflagged docs keep every
+    token. Two independent formulations (LEAD interval-union vs
+    running-max sweep) meeting on the same number is a strong check
+    both are right."""
+    from flinkproj_spark.operators.dedup import (
+        dedup_substring,
+        substring_dedup_clean,
+    )
+
+    report = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in dedup_substring(spark, sf_dir).collect()
+    }
+    cleaned = {
+        r.doc_id: (r.n_tokens, r.n_tokens - r.kept_tokens)
+        for r in substring_dedup_clean(spark, sf_dir).collect()
+    }
+    assert set(report) <= set(cleaned)
+    for doc_id, (n, dup) in report.items():
+        assert cleaned[doc_id] == (n, dup), doc_id
+    for doc_id, (n, removed) in cleaned.items():
+        if doc_id not in report:
+            assert removed == 0, doc_id
+    assert any(removed > 0 for _, removed in cleaned.values())
