@@ -252,7 +252,56 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("tfidf_cos").desc(), "doc_id").limit(TOP_N)
 
 
+PRF_DOCS = 10   # pseudo-relevant feedback set: BM25 top-10
+EXP_TERMS = 10  # expansion terms returned
+
+
+def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM-style):
+    take the BM25 top-PRF_DOCS as assumed-relevant, score every term
+    they contain by feedback-frequency × corpus rarity —
+    (occurrences-in-feedback · 10⁶) div corpus-document-frequency —
+    and return the top EXP_TERMS new terms (original query terms and
+    stopwords excluded). The retrieval loop's second pass starts from
+    these.
+
+    Shape: the feedback ids (a 10-row frame) BROADCAST into the token
+    scan to collect candidate counts; the corpus df vocabulary is the
+    big side, so the candidates broadcast INTO it for the df lookup;
+    the final top-k is TakeOrderedAndProject. Integer scoring — no
+    float drift."""
+    from flinkproj_spark.operators.text import _STOPWORDS
+
+    fb_ids = bm25_topk(spark, sf_dir).limit(PRF_DOCS).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(fx.tokenize_ws()).alias("w")).select(
+        "doc_id", F.lower("w").alias("w")
+    )
+    excluded = set(QUERY_TERMS) | set(_STOPWORDS)
+    cands = (
+        tok.join(F.broadcast(fb_ids), "doc_id")
+        .filter(~F.col("w").isin(*sorted(excluded)))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_feedback"))
+    )
+    df_corpus = tok.select("doc_id", "w").distinct().groupBy("w").agg(
+        F.count("*").alias("df_corpus")
+    )
+    return (
+        df_corpus.join(F.broadcast(cands), "w")
+        .selectExpr(
+            "w AS term",
+            "n_feedback",
+            "df_corpus",
+            "(n_feedback * 1000000) div df_corpus AS prf_score_e6",
+        )
+        .orderBy(F.col("prf_score_e6").desc(), "term")
+        .limit(EXP_TERMS)
+    )
+
+
 QUERIES = {
+    "query_expansion_prf": query_expansion_prf,
     "bm25_topk": bm25_topk,
     "corpus_stats": corpus_stats,
     "corpus_health_report": corpus_health_report,
@@ -372,3 +421,32 @@ ORACLE["tfidf_topk"] = f"""
     WHERE p.num IS NOT NULL
     ORDER BY tfidf_cos DESC, p.doc_id LIMIT {TOP_N}
 """
+
+
+def _prf_oracle() -> str:
+    from flinkproj_spark.operators.text import _STOP_SQL
+
+    excluded = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+        WITH fb AS (
+          SELECT doc_id FROM ({ORACLE["bm25_topk"]}) LIMIT {PRF_DOCS}),
+        tok AS (
+          SELECT doc_id, lower(unnest(list_filter(string_split(text, ' '),
+                 w -> w != ''))) AS w
+          FROM documents),
+        cands AS (
+          SELECT t.w, COUNT(*) AS n_feedback
+          FROM tok t JOIN fb USING (doc_id)
+          WHERE t.w NOT IN ({excluded}) AND t.w NOT IN ({_STOP_SQL})
+          GROUP BY 1),
+        dfc AS (
+          SELECT w, COUNT(*) AS df_corpus
+          FROM (SELECT DISTINCT doc_id, w FROM tok) GROUP BY 1)
+        SELECT c.w AS term, c.n_feedback, d.df_corpus,
+               (c.n_feedback * 1000000) // d.df_corpus AS prf_score_e6
+        FROM cands c JOIN dfc d ON c.w = d.w
+        ORDER BY prf_score_e6 DESC, term LIMIT {EXP_TERMS}
+    """
+
+
+ORACLE["query_expansion_prf"] = _prf_oracle()

@@ -62,6 +62,7 @@ _PRIORITY_KEYS = (
     "event_cooccurrence_lift",
     "pair_strategy_agreement",
     "substring_dedup_clean",
+    "query_expansion_prf",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -92,7 +93,6 @@ _PRIORITY_KEYS = (
     "rollup_counts",
     "cube_counts",
     "pivot_counts",
-    "asof_join",
 )
 
 
