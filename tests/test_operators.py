@@ -586,3 +586,54 @@ def test_substring_clean_matches_report_coverage(spark, sf_dir):
         if doc_id not in report:
             assert removed == 0, doc_id
     assert any(removed > 0 for _, removed in cleaned.values())
+
+
+def test_substring_dedup_hand_computed_fixture(spark, tmp_path):
+    """Absolute semantics on a crafted corpus (not just two
+    implementations agreeing): doc 1 and doc 2 share an 8-token run;
+    doc 3 contains the same run twice internally (overlapping
+    coverage); doc 4 is clean; doc 5 is too short for any gram."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.dedup import (
+        dedup_substring,
+        substring_dedup_clean,
+    )
+
+    run = "a b c d e f g h"           # the duplicated 8-token run
+    rows = [
+        (1, f"{run} tail1 tail2"),     # 10 tokens, run at pos 1
+        (2, f"lead1 lead2 {run}"),     # 10 tokens, run at pos 3
+        (3, f"{run} {run}"),           # 16 tokens, fully covered
+        (4, "q r s t u v w x y z"),    # clean 10 tokens
+        (5, "short doc"),              # 2 tokens, no grams
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rep = {r.doc_id: (r.n_tokens, r.n_dup_grams, r.dup_tokens)
+           for r in dedup_substring(spark, str(tmp_path)).collect()}
+    # doc 3's grams: positions 1..9; pos 1 ("a..h") and pos 9 ("a..h"
+    # again) duplicate pos-1/pos-9 content; also cross-doc with 1 and 2.
+    # every doc-1/2 gram at its run start duplicates across docs.
+    assert set(rep) == {1, 2, 3}
+    assert rep[1] == (10, 1, 8)        # one dup gram at pos 1, covers 8
+    assert rep[2] == (10, 1, 8)        # one dup gram at pos 3, covers 8
+    n3, g3, d3 = rep[3]
+    assert n3 == 16 and d3 == 16       # overlapping runs cover everything
+    assert g3 >= 2                     # at least both run starts flagged
+
+    cln = {r.doc_id: (r.n_tokens, r.kept_tokens)
+           for r in substring_dedup_clean(spark, str(tmp_path)).collect()}
+    assert cln[1] == (10, 2) and cln[2] == (10, 2)
+    assert cln[3] == (16, 0)
+    assert cln[4] == (10, 10) and cln[5] == (2, 2)
+    import hashlib
+
+    got_fp = {r.doc_id: r.cleaned_fp
+              for r in substring_dedup_clean(spark, str(tmp_path)).collect()}
+    assert got_fp[1] == hashlib.md5(b"tail1 tail2").hexdigest()
+    assert got_fp[2] == hashlib.md5(b"lead1 lead2").hexdigest()
+    assert got_fp[3] == hashlib.md5(b"").hexdigest()
