@@ -172,6 +172,27 @@ def stream_scd2(events: DataFrame, store_dir: str, checkpoint_dir: str):
         rows = batch.select("user_id", "ts", "event_type", "event_id")
         cur = _read_version(spark_b, open_store, _latest_before(open_store, epoch_id))
         if cur is not None:
+            # Open-run guard: drop batch events at or before the key's
+            # open run start — re-deliveries of already-applied events
+            # (at-least-once sources) would otherwise re-enter the run
+            # computation and mint duplicate intervals; genuinely late
+            # events that old are the documented not-retracted case.
+            # This makes the sink idempotent under replay (pinned by
+            # the convergence test's re-feed pass).
+            guard = cur.select(
+                "user_id",
+                F.col("valid_from").alias("_vf"),
+                F.col("event_id").alias("_ve"),
+            )
+            rows = (
+                rows.join(guard, "user_id", "left")
+                .filter(
+                    F.col("_vf").isNull()
+                    | (F.col("ts") > F.col("_vf"))
+                    | ((F.col("ts") == F.col("_vf")) & (F.col("event_id") > F.col("_ve")))
+                )
+                .drop("_vf", "_ve")
+            )
             rows = rows.unionByName(
                 cur.select(
                     "user_id",

@@ -302,6 +302,16 @@ class TestStreamWarehouse:
         expected = {tuple(r) for r in scd2_history(spark, sf_dir).collect()}
         assert got == expected
 
+        # replay: re-delivering already-applied events must not create
+        # new intervals (each run's pseudo-event absorbs same-type
+        # re-deliveries; distinct types re-collapse identically)
+        second.coalesce(1).write.mode("append").parquet(src)
+        q = stream_scd2(
+            spark.readStream.schema(schema).parquet(src), store, ckpt
+        )
+        q.awaitTermination(180)
+        assert {tuple(r) for r in scd2_view(spark, store).collect()} == expected
+
 
 class TestStreamDecontaminate:
     def test_flags_converge_to_batch_decontaminate(self, spark, sf_dir, tmp_path):
