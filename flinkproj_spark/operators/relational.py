@@ -264,43 +264,73 @@ def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (no native Spark operator): for each order, the latest
-    event of its user bucket at-or-before the order date.
-
-    Implemented as the union+window trick — tag both sides, union, one
-    window pass per key ordered by time carrying the last event forward.
-    This is shuffle-minimal (single exchange on the key) and needs no
-    range-duplication; `pd.merge_asof` inside applyInPandas would be the
-    fallback for semantics this trick can't express."""
+def _asof_carried(spark: SparkSession, sf_dir: str):
+    """Shared core of the as-of family: for every 'purchase' event,
+    carry forward the user's latest preceding non-purchase touchpoint
+    (id + timestamp) via the union+window trick — tag both sides,
+    union, ONE window pass per user ordered by time. Shuffle-minimal
+    (single exchange on the key), no range-duplication;
+    `pd.merge_asof` inside applyInPandas is the fallback for
+    semantics this trick can't express."""
     events = load_table(spark, sf_dir, "events")
-    orders = load_table(spark, sf_dir, "orders")
-    left = orders.select(
-        (F.col("o_custkey") % 20).alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.col("o_orderkey"),
-        F.lit(None).cast("long").alias("ev_id"),
-        F.lit(1).alias("is_order"),
-    )
-    right = events.select(
+    is_probe = (F.col("event_type") == "purchase").cast("int")
+    tagged = events.select(
         F.col("user_id").alias("k"),
         F.col("ts").alias("t"),
-        F.lit(None).cast("long").alias("o_orderkey"),
-        F.col("event_id").alias("ev_id"),
-        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        is_probe.alias("is_probe"),
     )
-    # Events sort before orders at identical t (is_order ASC) so an event
-    # exactly at the order time is visible to it ("at-or-before").
-    u = left.unionByName(right)
+    # touchpoints sort before a probe at identical t (is_probe ASC), so
+    # a touch exactly at purchase time is visible ("at-or-before")
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "is_order", "ev_id")
+        .orderBy("t", "is_probe", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = u.withColumn("last_ev", F.last("ev_id", ignorenulls=True).over(w))
+    touch_id = F.when(F.col("is_probe") == 0, F.col("event_id"))
+    touch_t = F.when(F.col("is_probe") == 0, F.col("t"))
     return (
-        carried.filter(F.col("is_order") == 1)
-        .select("o_orderkey", F.col("last_ev").alias("event_id"))
+        tagged.withColumn("last_touch", F.last(touch_id, ignorenulls=True).over(w))
+        .withColumn("last_touch_t", F.last(touch_t, ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+    )
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark operator): attribute every purchase
+    to the same user's latest at-or-before touchpoint event — the
+    last-touch attribution shape. See _asof_carried for the
+    union+window formulation and its scale properties."""
+    return _asof_carried(spark, sf_dir).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("last_touch").alias("touch_id"),
+    )
+
+
+ASOF_TOL_HOURS = 24  # max attribution staleness for a valid match
+
+
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (the feature-store freshness
+    rule / attribution window): same last-touch match as asof_join,
+    but a touchpoint older than ASOF_TOL_HOURS is rejected — crediting
+    a day-stale touch is worse than crediting none. Emits the match,
+    its staleness in whole hours, and the freshness verdict. The
+    matched timestamp rides the same single window pass, so the
+    tolerance check is one in-row time diff — no second join."""
+    carried = _asof_carried(spark, sf_dir)
+    # microsecond-exact integers on BOTH engines: unix_timestamp would
+    # truncate sub-second parts that DuckDB's epoch() keeps, flipping
+    # hour-boundary verdicts
+    staleness = F.expr(
+        "(unix_micros(t) - unix_micros(last_touch_t)) div 3600000000"
+    )
+    fresh = staleness <= ASOF_TOL_HOURS
+    return carried.select(
+        F.col("event_id").alias("purchase_id"),
+        F.when(fresh, F.col("last_touch")).alias("touch_id"),
+        F.when(F.col("last_touch").isNotNull(), staleness).alias("staleness_hours"),
+        (F.col("last_touch").isNotNull() & fresh).cast("int").alias("is_fresh"),
     )
 
 
@@ -493,6 +523,7 @@ QUERIES = {
     "cube_counts": cube_counts,
     "pivot_counts": pivot_counts,
     "asof_join": asof_join,
+    "asof_join_tolerance": asof_join_tolerance,
     "distinct_counts": distinct_counts,
     "approx_distinct_counts": approx_distinct_counts,
     "salted_skew_join": salted_skew_join,
@@ -668,10 +699,31 @@ ORACLE = {
         FROM events GROUP BY user_id
     """,
     "asof_join": """
-        SELECT o.o_orderkey, e.event_id
-        FROM (SELECT o_orderkey, o_custkey % 20 AS k, o_orderdate FROM orders) o
-        ASOF LEFT JOIN events e
-          ON o.k = e.user_id AND e.ts <= o.o_orderdate
+        SELECT p.event_id AS purchase_id, t.event_id AS touch_id
+        FROM (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                        WHERE event_type <> 'purchase') t
+          ON p.user_id = t.user_id AND t.ts <= p.ts
+    """,
+    "asof_join_tolerance": f"""
+        WITH m AS (
+          SELECT p.event_id AS purchase_id, t.event_id AS touch,
+                 (epoch_us(p.ts) - epoch_us(t.ts)) // 3600000000
+                   AS staleness_hours
+          FROM (SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+                          WHERE event_type <> 'purchase') t
+            ON p.user_id = t.user_id AND t.ts <= p.ts)
+        SELECT purchase_id,
+               CASE WHEN staleness_hours <= {ASOF_TOL_HOURS} THEN touch END
+                 AS touch_id,
+               CASE WHEN touch IS NOT NULL THEN staleness_hours END
+                 AS staleness_hours,
+               CAST(touch IS NOT NULL AND staleness_hours <= {ASOF_TOL_HOURS}
+                    AS INT) AS is_fresh
+        FROM m
     """,
     "distinct_counts": """
         SELECT event_type,

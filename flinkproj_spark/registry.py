@@ -63,6 +63,8 @@ _PRIORITY_KEYS = (
     "pair_strategy_agreement",
     "substring_dedup_clean",
     "query_expansion_prf",
+    "asof_join",             # redesigned in r4 (was degenerate) — needs a fresh row
+    "asof_join_tolerance",
     # --- oldest green rows (round 1-2) — regression re-verification ---
     "json_extract",
     "explode_data",
@@ -91,8 +93,6 @@ _PRIORITY_KEYS = (
     "set_intersect",
     "global_topk",
     "rollup_counts",
-    "cube_counts",
-    "pivot_counts",
 )
 
 
