@@ -409,7 +409,14 @@ def neardup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice (merge-pinned — both sides corpus-proportional), with the
     quantized vector + precomputed norm as the only payload. Cosine is
     the integer-exact fold shared with the similarity family, so the
-    verdict hashes identically in DuckDB."""
+    verdict hashes identically in DuckDB.
+
+    On the driver's synthetic corpus `confirmed` is 0 for every pair —
+    CORRECT, not a dead gate: its embeddings are independent of the
+    text, so the semantic check rightly refuses to corroborate lexical
+    candidates (exactly the protection pipeline_curate_v2 exists for).
+    A planted pair with agreeing embeddings confirms — pinned by
+    tests/test_operators.py::test_semantic_verify_confirms_planted_agreeing_pair."""
     from flinkproj_spark.operators.dedup import lsh_candidate_pairs
     from flinkproj_spark.operators.similarity import _quantized
 

@@ -637,3 +637,75 @@ def test_substring_dedup_hand_computed_fixture(spark, tmp_path):
     assert got_fp[1] == hashlib.md5(b"tail1 tail2").hexdigest()
     assert got_fp[2] == hashlib.md5(b"lead1 lead2").hexdigest()
     assert got_fp[3] == hashlib.md5(b"").hexdigest()
+
+
+def test_embedding_outliers_flags_planted_corruption(spark, tmp_path):
+    """On the synthetic Gaussian corpus is_outlier is 0 everywhere —
+    correct (no outliers exist; high-dim distances concentrate). Prove
+    the gate is LIVE, not dead: plant one corrupted vector (10x
+    magnitude) per label and it must flag while the clean ones stay
+    dark."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.similarity import DIM, embedding_outliers
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    for label in (0, 1):
+        for i in range(30):
+            rows.append((vid, [rng.gauss(0, 1) for _ in range(DIM)], label))
+            vid += 1
+        rows.append((vid, [rng.gauss(0, 10) for _ in range(DIM)], label))
+        corrupted = vid
+        vid += 1
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.vec_id: r.is_outlier for r in embedding_outliers(spark, str(tmp_path)).collect()}
+    flagged = {v for v, f in out.items() if f == 1}
+    assert flagged == {30, 61}, flagged  # exactly the two planted vectors
+
+
+def test_semantic_verify_confirms_planted_agreeing_pair(spark, tmp_path):
+    """On the synthetic corpus `confirmed` is 0 everywhere — correct
+    (embeddings are independent of text, so the gate rightly refuses
+    to corroborate lexical candidates; that refusal is v2's design
+    point). Prove the gate is LIVE: a planted near-dup text pair whose
+    embeddings are near-identical must come back confirmed=1."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.curation import neardup_semantic_verify
+    from flinkproj_spark.operators.similarity import DIM
+
+    rng = random.Random(11)
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base_text + " one"),
+        (2, base_text + " two"),            # near-dup of 1 (shares shingles)
+        (3, "completely different words with no overlap at all here now"),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    v = [rng.gauss(0, 1) for _ in range(DIM)]
+    emb = [
+        (1, v, 0),
+        (2, [x + rng.gauss(0, 0.01) for x in v], 0),  # ~same direction
+        (3, [rng.gauss(0, 1) for _ in range(DIM)], 1),
+    ]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    rows = {(r.doc_a, r.doc_b): (r.cos, r.confirmed)
+            for r in neardup_semantic_verify(spark, str(tmp_path)).collect()}
+    assert (1, 2) in rows, rows
+    cos, confirmed = rows[(1, 2)]
+    assert cos > 0.9 and confirmed == 1
