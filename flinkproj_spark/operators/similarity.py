@@ -429,7 +429,12 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny) that BROADCASTS back onto the corpus; the distance is an
     in-row zip_with fold; pass 2's label stats are another tiny
     aggregate that broadcasts back. The corpus is scanned twice and
-    shuffles never carry vectors."""
+    shuffles never carry vectors.
+
+    On the driver's clean Gaussian corpus no vector flags — CORRECT
+    (high-dimensional distances concentrate; there are no outliers to
+    find). The gate fires on genuinely corrupted vectors — pinned by
+    tests/test_operators.py::test_embedding_outliers_flags_planted_corruption."""
     emb = fan_out(spark, sf_dir, "embeddings", load_table(spark, sf_dir, "embeddings"))
     q = emb.select("vec_id", "label", _quant(F.col("embedding")).alias("q"))
     sums = (
