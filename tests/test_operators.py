@@ -709,3 +709,64 @@ def test_semantic_verify_confirms_planted_agreeing_pair(spark, tmp_path):
     assert (1, 2) in rows, rows
     cos, confirmed = rows[(1, 2)]
     assert cos > 0.9 and confirmed == 1
+
+
+def test_substring_clean_matches_python_reference_randomized(spark, tmp_path):
+    """Seeded random corpora with heavy planted repetition, checked
+    against an independent pure-Python implementation of the
+    exact-substring semantics (gram counting + interval union) —
+    catches boundary bugs the hand fixture can't enumerate."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.dedup import SUB_L, substring_dedup_clean
+
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(12)]
+    runs = [  # shared runs long enough to contain 8-grams
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(8, 14)))
+        for _ in range(4)
+    ]
+    docs = []
+    for doc_id in range(40):
+        parts = [" ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12)))]
+        if rng.random() < 0.6:  # plant 0-2 shared runs at random offsets
+            parts.insert(rng.randrange(len(parts) + 1), rng.choice(runs))
+        if rng.random() < 0.3:
+            parts.insert(rng.randrange(len(parts) + 1), rng.choice(runs))
+        docs.append((doc_id, " ".join(parts)))
+
+    spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("s").alias("source"), F.length("text").alias("n_chars"),
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # independent reference
+    toks = {d: t.split() for d, t in docs}
+    from collections import Counter
+
+    gram_count = Counter()
+    for d, ws in toks.items():
+        for p in range(len(ws) - SUB_L + 1):
+            gram_count[" ".join(ws[p : p + SUB_L])] += 1
+    expected = {}
+    for d, ws in toks.items():
+        covered = set()
+        for p in range(len(ws) - SUB_L + 1):
+            if gram_count[" ".join(ws[p : p + SUB_L])] >= 2:
+                covered.update(range(p, p + SUB_L))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        expected[d] = (len(ws), len(kept), " ".join(kept))
+
+    import hashlib
+
+    got = {r.doc_id: (r.n_tokens, r.kept_tokens, r.cleaned_fp)
+           for r in substring_dedup_clean(spark, str(tmp_path)).collect()}
+    assert set(got) == set(expected)
+    n_with_removal = 0
+    for d, (n, kept, text) in expected.items():
+        fp = hashlib.md5(text.encode()).hexdigest()
+        assert got[d] == (n, kept, fp), (d, got[d], (n, kept, text))
+        n_with_removal += kept < n
+    assert n_with_removal > 5  # the fixture genuinely exercises removal
