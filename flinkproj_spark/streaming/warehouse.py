@@ -29,7 +29,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -37,32 +36,60 @@ from pyspark.sql import functions as F
 _KEEP_VERSIONS = 2
 
 
-def _versions(store: str) -> list[int]:
-    try:
-        names = os.listdir(store)
-    except OSError:
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jvm_path.getFileSystem(spark._jsc.hadoopConfiguration()), jvm_path
+
+
+def _list_success_dirs(spark: SparkSession, store: str, pattern: str) -> list[str]:
+    """Names of child dirs of `store` matching `pattern` that carry a
+    _SUCCESS marker, via the Hadoop FS API so state discovery works on
+    HDFS/S3, not just the local FS. A missing store dir means "no state
+    yet" (first epoch); ANY OTHER listing failure propagates — a
+    transient FS error must surface as an error, not be mistaken for an
+    empty store (which would silently rebuild state from the current
+    batch alone)."""
+    fs, jvm_store = _fs_and_path(spark, store)
+    if not fs.exists(jvm_store):
         return []
     out = []
-    for n in names:
-        m = re.fullmatch(r"v(\d+)", n)
-        if m and os.path.exists(os.path.join(store, n, "_SUCCESS")):
-            out.append(int(m.group(1)))
-    return sorted(out)
+    for st in fs.listStatus(jvm_store):
+        name = st.getPath().getName()
+        if st.isDirectory() and re.fullmatch(pattern, name) and fs.exists(
+            spark._jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")
+        ):
+            out.append(name)
+    return out
 
 
-def _latest_before(store: str, epoch: int | None = None) -> int | None:
-    vs = [v for v in _versions(store) if epoch is None or v < epoch]
+def _versions(spark: SparkSession, store: str) -> list[int]:
+    return sorted(
+        int(n[1:]) for n in _list_success_dirs(spark, store, r"v\d+")
+    )
+
+
+def _latest_before(
+    spark: SparkSession, store: str, epoch: int | None = None
+) -> int | None:
+    vs = [v for v in _versions(spark, store) if epoch is None or v < epoch]
     return vs[-1] if vs else None
 
 
 def _commit_version(df: DataFrame, store: str, epoch: int) -> None:
+    spark = df.sparkSession
     df.write.mode("overwrite").parquet(os.path.join(store, f"v{epoch}"))
-    # best-effort local prune of superseded versions (keep a safety one);
-    # on HDFS/S3 a janitor job does this via the Hadoop FS API
-    for v in _versions(store)[:-_KEEP_VERSIONS]:
+    # best-effort prune of superseded versions (keep a safety one); a
+    # prune failure never fails the commit — the next epoch retries
+    fs, _ = _fs_and_path(spark, store)
+    for v in _versions(spark, store)[:-_KEEP_VERSIONS]:
         try:
-            shutil.rmtree(os.path.join(store, f"v{v}"))
-        except OSError:
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(store, f"v{v}")
+                ),
+                True,
+            )
+        except Exception:
             pass
 
 
@@ -106,7 +133,9 @@ def stream_cdc_merge(
             return
         spark_b = batch.sparkSession
         latest_b = _cdc_latest(batch)
-        cur = _read_version(spark_b, state_dir, _latest_before(state_dir, epoch_id))
+        cur = _read_version(
+            spark_b, state_dir, _latest_before(spark_b, state_dir, epoch_id)
+        )
         merged = latest_b if cur is None else _cdc_latest(cur.unionByName(latest_b))
         _commit_version(merged, state_dir, epoch_id)
 
@@ -121,7 +150,7 @@ def stream_cdc_merge(
 def cdc_state_view(spark: SparkSession, state_dir: str) -> DataFrame:
     """Reader view over the CDC state: tombstones filtered, columns
     matching operators/relational.py::cdc_merge_latest."""
-    cur = _read_version(spark, state_dir, _latest_before(state_dir))
+    cur = _read_version(spark, state_dir, _latest_before(spark, state_dir))
     if cur is None:
         return spark.createDataFrame([], _CDC_STATE_SCHEMA).select(
             "user_id",
@@ -170,7 +199,9 @@ def stream_scd2(events: DataFrame, store_dir: str, checkpoint_dir: str):
             return
         spark_b = batch.sparkSession
         rows = batch.select("user_id", "ts", "event_type", "event_id")
-        cur = _read_version(spark_b, open_store, _latest_before(open_store, epoch_id))
+        cur = _read_version(
+            spark_b, open_store, _latest_before(spark_b, open_store, epoch_id)
+        )
         if cur is not None:
             # Open-run guard: drop batch events at or before the key's
             # open run start — re-deliveries of already-applied events
@@ -229,14 +260,19 @@ def scd2_view(spark: SparkSession, store_dir: str) -> DataFrame:
     run per key — columns matching operators/relational.py::
     scd2_history."""
     open_store = os.path.join(store_dir, "open")
-    cur = _read_version(spark, open_store, _latest_before(open_store))
-    closed_glob = os.path.join(store_dir, "closed")
+    cur = _read_version(spark, open_store, _latest_before(spark, open_store))
+    closed_dir = os.path.join(store_dir, "closed")
+    # Closed epochs are _SUCCESS-gated like the open store's versions:
+    # mode('overwrite') deletes an epoch dir before rewriting it, so a
+    # reader concurrent with a crash/replay must skip the uncommitted
+    # dir rather than observe a partial file set.
+    closed_epochs = _list_success_dirs(spark, closed_dir, r"epoch=\d+")
     parts = []
-    if os.path.isdir(closed_glob) and os.listdir(closed_glob):
+    if closed_epochs:
         parts.append(
-            spark.read.parquet(closed_glob).select(
-                "user_id", "event_type", "valid_from", "valid_to"
-            )
+            spark.read.parquet(
+                *(os.path.join(closed_dir, e) for e in closed_epochs)
+            ).select("user_id", "event_type", "valid_from", "valid_to")
         )
     if cur is not None:
         parts.append(

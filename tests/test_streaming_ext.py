@@ -312,6 +312,48 @@ class TestStreamWarehouse:
         q.awaitTermination(180)
         assert {tuple(r) for r in scd2_view(spark, store).collect()} == expected
 
+    def test_state_discovery_gating(self, spark, tmp_path):
+        """The version store's failure semantics (ADVICE r4): a missing
+        store dir means 'first epoch' (empty), but an UNCOMMITTED dir —
+        no _SUCCESS, e.g. a crashed overwrite — must be skipped by both
+        the open-store version resolution and the closed-epoch reader,
+        never surfaced as partial state."""
+        import os
+
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.streaming.warehouse import (
+            _latest_before,
+            _versions,
+            scd2_view,
+        )
+
+        store = str(tmp_path / "nope")
+        assert _versions(spark, store) == []
+        assert _latest_before(spark, store) is None
+
+        # committed v1, uncommitted (crashed) v2 -> v1 is the latest
+        open_store = str(tmp_path / "s" / "open")
+        one = (
+            spark.createDataFrame([(1, "a")], "user_id bigint, event_type string")
+            .withColumn("valid_from", F.lit("2024-01-01").cast("timestamp"))
+            .withColumn("event_id", F.lit(1).cast("bigint"))
+        )
+        one.write.parquet(os.path.join(open_store, "v1"))
+        one.write.parquet(os.path.join(open_store, "v2"))
+        os.remove(os.path.join(open_store, "v2", "_SUCCESS"))
+        assert _versions(spark, open_store) == [1]
+
+        # closed epoch without _SUCCESS is invisible to scd2_view
+        closed = str(tmp_path / "s" / "closed")
+        one.select(
+            "user_id", "event_type", "valid_from",
+            one.valid_from.alias("valid_to"),
+        ).write.parquet(os.path.join(closed, "epoch=7"))
+        os.remove(os.path.join(closed, "epoch=7", "_SUCCESS"))
+        hist = scd2_view(spark, str(tmp_path / "s")).collect()
+        assert all(r.is_current == 1 for r in hist)  # only the open run
+
 
 class TestStreamDecontaminate:
     def test_flags_converge_to_batch_decontaminate(self, spark, sf_dir, tmp_path):
