@@ -666,6 +666,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_fp_oracle() -> str:
+    """text.py's doc_winnow_fingerprints oracle, composed verbatim so
+    the pair oracle below can never drift from the fingerprint
+    definition (ADVICE r4). Lazy import: text does not import dedup,
+    but keeping it function-local avoids ever creating the cycle."""
+    from flinkproj_spark.operators import text
+
+    return text.ORACLE["doc_winnow_fingerprints"]
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_keyed_latest": dedup_keyed_latest,
@@ -815,25 +825,12 @@ ORACLE = {
         FROM iv GROUP BY doc_id
     """,
     "winnow_overlap_pairs": f"""
-        -- fingerprint CTEs mirror text.py's doc_winnow_fingerprints
-        -- oracle with _WINNOW_W = 4 inlined (range bound len-3,
-        -- 4-element window slices, len >= 4)
-        WITH w AS (
-          SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
-        h AS (
-          SELECT doc_id,
-                 list_transform(
-                   range(1, GREATEST(len(words) - 2, 0) + 1),
-                   i -> ('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8))::BIGINT
-                 ) AS hashes
-          FROM w),
-        f AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   range(1, len(hashes) - 2),
-                   i -> list_min(hashes[i:i+3]))) AS fps
-          FROM h WHERE len(hashes) >= 4),
-        fp AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        -- fingerprints come verbatim from text.py's
+        -- doc_winnow_fingerprints oracle (composed, not re-inlined, so
+        -- a change to _WINNOW_W or the shingle width there can never
+        -- desynchronize this oracle from the operator)
+        WITH fp AS (
+          SELECT doc_id, fp FROM ({_winnow_fp_oracle()})),
         ok AS (
           SELECT fp FROM fp GROUP BY fp
           HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {BUCKET_CAP})

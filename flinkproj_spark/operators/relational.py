@@ -698,13 +698,20 @@ ORACLE = {
                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         FROM events GROUP BY user_id
     """,
+    # Explicit tie-break (ADVICE r4): DuckDB's ASOF JOIN leaves the pick
+    # among equal-max-ts touches unspecified, while the Spark window
+    # deterministically takes the max event_id at that ts — so the
+    # oracle spells the same (ts DESC, event_id DESC) top-1 out as a
+    # lateral instead of relying on ASOF.
     "asof_join": """
         SELECT p.event_id AS purchase_id, t.event_id AS touch_id
         FROM (SELECT user_id, ts, event_id FROM events
               WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
-                        WHERE event_type <> 'purchase') t
-          ON p.user_id = t.user_id AND t.ts <= p.ts
+        LEFT JOIN LATERAL (
+          SELECT event_id FROM events e
+          WHERE e.event_type <> 'purchase'
+            AND e.user_id = p.user_id AND e.ts <= p.ts
+          ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) t ON TRUE
     """,
     "asof_join_tolerance": f"""
         WITH m AS (
@@ -713,9 +720,11 @@ ORACLE = {
                    AS staleness_hours
           FROM (SELECT user_id, ts, event_id FROM events
                 WHERE event_type = 'purchase') p
-          ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
-                          WHERE event_type <> 'purchase') t
-            ON p.user_id = t.user_id AND t.ts <= p.ts)
+          LEFT JOIN LATERAL (
+            SELECT event_id, ts FROM events e
+            WHERE e.event_type <> 'purchase'
+              AND e.user_id = p.user_id AND e.ts <= p.ts
+            ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) t ON TRUE)
         SELECT purchase_id,
                CASE WHEN staleness_hours <= {ASOF_TOL_HOURS} THEN touch END
                  AS touch_id,
