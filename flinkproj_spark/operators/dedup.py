@@ -115,6 +115,27 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def minhash_sigs_from_hashes(staged: DataFrame) -> DataFrame:
+    """Signatures from a pre-built positional shingle-hash array
+    (text.positional_shingle_hashes): sig_i = in-row affine minimum
+    over hs. Equal to minhash_signatures by construction — the min
+    over the positional multiset is the min over the distinct shingle
+    set — but with NO explode and NO groupBy shuffle, so a caller that
+    already owns a (doc_id, hs) frame (pair_strategy_agreement's
+    shared scan) gets signatures for one codegen'd projection."""
+    return staged.filter(F.size("hs") >= 1).select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    "hs", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+                )
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ],
+    )
+
+
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     """Band the signature frame and expand each bucket into ordered
     candidate pairs. Shared by dedup_minhash_lsh and the
@@ -355,7 +376,13 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserves clustering connectivity)."""
     from flinkproj_spark.operators.text import doc_winnow_fingerprints
 
-    fps = doc_winnow_fingerprints(spark, sf_dir)
+    return _winnow_pairs(doc_winnow_fingerprints(spark, sf_dir))
+
+
+def _winnow_pairs(fps: DataFrame) -> DataFrame:
+    """Bucket-expand a (doc_id, fp) fingerprint frame into counted
+    overlap pairs — the strategy's pair stage, shared between the
+    standalone key and pair_strategy_agreement's common-scan path."""
     buckets = (
         fps.groupBy("fp")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -455,14 +482,57 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     a strategy whose pairs nobody corroborates is either finding
     something unique or broken, and this table says which way to look.
 
-    Shape: three small pair frames (each already shuffle-bounded by
-    its own blocking), compared pairwise — a 1-row count per frame
-    plus a semi-join count per combination, assembled with broadcast
-    1-row cross joins. O(pairs), never touching documents again."""
+    Shape: ONE shared document scan feeds all three strategies — the
+    persisted base frame carries (doc_id, lang, words, positional
+    shingle hashes), from which MinHash signatures are in-row affine
+    minima (minhash_sigs_from_hashes: no explode, no groupBy), winnow
+    fingerprints are in-row window minima, and the Jaccard blocks read
+    the token array directly. Measured honestly: at sf0.1 this is only
+    ~12% faster than the three-scan shape (interleaved A/B, r5) —
+    Spark's exchange reuse was already deduplicating the identical
+    subtrees within the one assembled plan, and the pair stages
+    dominate at small SF. The win the refactor buys is structural: ONE
+    corpus scan+tokenize instead of three at 100 TB (where the scan
+    dominates), and persistence the optimizer is CONTRACTUALLY bound
+    to — ReusedExchange is best-effort and AQE-sensitive, a persist is
+    not. Each derived pair frame is also persisted: the comparison
+    below references each up to three times (its count + two
+    semi-joins), and a cache is the only reuse guarantee that survives
+    plan changes upstream.
+
+    Cache contract: both cache tiers stay persisted after the result
+    materializes (unpersisting here would evict the blocks before the
+    caller's action runs — same contract as minhash_jaccard_estimate,
+    curation.py). Long-lived callers own the cache lifetime: call
+    spark.catalog.clearCache() after consuming the result, as bench.py
+    and tests/oracle_check.py do. The _psa marker keeps the cached
+    plans unique to this operator so the standalone strategy keys'
+    scans are never hijacked into cache reads behind their backs."""
+    from pyspark.storagelevel import StorageLevel
+
+    from flinkproj_spark.operators.text import (
+        positional_shingle_hashes,
+        winnow_fps_from_hashes,
+    )
+
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = _words()
+    base = docs.select(
+        "doc_id",
+        "lang",
+        words.alias("ws"),
+        positional_shingle_hashes(words).alias("hs"),
+        F.lit(1).alias("_psa"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     frames = {
-        "minhash_lsh": dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
-        "ngram_jaccard": dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"),
-        "winnow": winnow_overlap_pairs(spark, sf_dir).select("doc_a", "doc_b"),
+        "minhash_lsh": lsh_candidate_pairs(minhash_sigs_from_hashes(base))
+        .select("doc_a", "doc_b"),
+        "ngram_jaccard": _ngram_jaccard_pairs(base).select("doc_a", "doc_b"),
+        "winnow": _winnow_pairs(winnow_fps_from_hashes(base))
+        .select("doc_a", "doc_b"),
+    }
+    frames = {
+        k: v.persist(StorageLevel.MEMORY_AND_DISK) for k, v in frames.items()
     }
     names = list(frames)
     rows = []
@@ -629,8 +699,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is hard-bounded: an over-full block is mass-duplicated
     boilerplate, the upstream exact-dedup filter's job, not blocking's."""
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
-    words = _words()
-    keyed = docs.filter(F.size(words) >= 2).select(
+    return _ngram_jaccard_pairs(
+        docs.select("doc_id", "lang", _words().alias("ws"))
+    )
+
+
+def _ngram_jaccard_pairs(tok: DataFrame) -> DataFrame:
+    """Blocked Jaccard pair stage over a pre-tokenized (doc_id, lang,
+    ws) frame — shared between the standalone key and
+    pair_strategy_agreement's common-scan path."""
+    words = F.col("ws")
+    keyed = tok.filter(F.size(words) >= 2).select(
         "doc_id",
         F.concat("lang", F.lit("|"), F.element_at(words, 1), F.lit(" "), F.element_at(words, 2)).alias("bkey"),
         F.array_distinct(words).alias("wset"),

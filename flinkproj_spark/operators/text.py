@@ -221,6 +221,47 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_W = 4  # winnowing window: guarantee one fingerprint per 4 shingles
 
 
+def positional_shingle_hashes(words: Column) -> Column:
+    """Positional (order-preserving, non-distinct) word 3-shingle hash
+    array: the 32-bit md5 prefix per shingle, the same per-shingle hash
+    the whole dedup family uses. Winnowing windows over it directly;
+    MinHash signatures are affine minima over it (min over the
+    positional multiset == min over the distinct set), which is what
+    lets one shared scan feed both strategies."""
+    n = F.size(words)
+    m = F.greatest(n - F.lit(2), F.lit(0))
+    pairs = F.zip_with(
+        F.slice(words, 1, m), F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    sh = F.zip_with(
+        pairs, F.slice(words, 3, m),
+        lambda ab, c: F.concat(ab, F.lit(" "), c),
+    )
+    return F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def winnow_fps_from_hashes(staged: DataFrame) -> DataFrame:
+    """Winnowing selection over a pre-staged (doc_id, hs) frame — hs a
+    positional_shingle_hashes array that is already materialized (via
+    persist or a nondeterministic barrier column), so the per-window
+    slices below re-read an array value instead of re-evaluating the
+    tokenize pipeline O(n²) per doc."""
+    n_sh = F.size(F.col("hs"))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh - F.lit(_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        )
+    )
+    return (
+        staged.filter(n_sh >= _WINNOW_W)
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
     positional word 3-shingle (rolling k-gram hash), slide a window of
@@ -233,21 +274,6 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n·w) per doc with w=4. The per-shingle hash is the same 32-bit
     md5 prefix the dedup family uses — engine-identical."""
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
-    words = _words()
-    n = F.size(words)
-    m = F.greatest(n - F.lit(2), F.lit(0))
-    # positional (non-distinct) 3-shingles: order matters for the window
-    pairs = F.zip_with(
-        F.slice(words, 1, m), F.slice(words, 2, m),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    sh = F.zip_with(
-        pairs, F.slice(words, 3, m),
-        lambda ab, c: F.concat(ab, F.lit(" "), c),
-    )
-    hashes = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-    )
     # Materialize the hash array ONCE per row. Without the barrier,
     # CollapseProject inlines the whole tokenize→shingle→md5 expression
     # into the per-window lambda below and every window position
@@ -255,19 +281,11 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nondeterministic column in the lower projection legally blocks the
     # collapse; the column itself is never read.
     staged = docs.select(
-        "doc_id", hashes.alias("hs"), F.monotonically_increasing_id().alias("_nc")
+        "doc_id",
+        positional_shingle_hashes(_words()).alias("hs"),
+        F.monotonically_increasing_id().alias("_nc"),
     )
-    n_sh = F.size(F.col("hs"))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh - F.lit(_WINNOW_W - 1)),
-            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
-        )
-    )
-    return (
-        staged.filter(n_sh >= _WINNOW_W)
-        .select("doc_id", F.explode(fps).alias("fp"))
-    )
+    return winnow_fps_from_hashes(staged)
 
 
 # Gopher-style repetition thresholds (Rae et al. 2021 §A1.1 use 0.20
