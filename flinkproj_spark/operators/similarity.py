@@ -407,6 +407,76 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_MIN_COS = 0.35  # within-cell prune threshold (SemDeDup tau)
+
+
+def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster dedup (SemDeDup, Abbas et al. 2023): cluster
+    the embedding space, then inside each cluster drop every vector
+    that is cosine-similar (≥ SEMDEDUP_MIN_COS) to a kept one — the
+    standard embedding-dedup mode, where LSH pair mining
+    (embedding_neardup) is the recall-oriented complement. Keep rule is
+    the deterministic greedy: within a cell, a vector is dropped iff
+    some SMALLER-id cell-mate sits above the threshold, so the minimum
+    id of every similar group survives and verdicts need no iterative
+    closure. Emits one row per vector — cell, how many kept-side
+    neighbors condemned it, the strongest such similarity, and the
+    verdict — so the drop rate and its evidence are auditable.
+
+    Shape (the 100 TB formulation): cell assignment is the shared IVF
+    broadcast-argmax (ivf_assignments — corpus never cross-joins);
+    pair generation is an EQUI-JOIN on cell (merge-pinned: both sides
+    are corpus-proportional, broadcast would cap scale; pinned by
+    tests/test_plans.py), so pair cost is Σ cell²— bounded by cell
+    size, never corpus². At real scale you size the codebook so cells
+    average √N, and the verdict aggregation is a map-side-combined
+    groupBy on the larger id. Only (id, cell, quantized vec, norm)
+    rows ever move."""
+    base = _quantized(spark, sf_dir)
+    corpus = base.join(
+        ivf_assignments(spark, sf_dir).select("vec_id", "cell"), "vec_id"
+    )
+    left = corpus.select(
+        F.col("cell"),
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+    )
+    right = corpus.select(
+        F.col("cell"),
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    pairs = (
+        left.hint("merge")
+        .join(right, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "vb",
+            F.round(
+                _dot("qa", "qb").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_MIN_COS)
+    )
+    condemned = pairs.groupBy(F.col("vb").alias("vec_id")).agg(
+        F.count("*").alias("n_similar_prior"),
+        F.max("cos").alias("max_prior_cos"),
+    )
+    return (
+        corpus.select("vec_id", "cell")
+        .join(condemned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_similar_prior", F.lit(0)).alias("n_similar_prior"),
+            "max_prior_cos",
+            F.col("max_prior_cos").isNotNull().cast("int").alias("is_dropped"),
+        )
+    )
+
+
 OUT_FACTOR = 4  # outlier: squared distance > 4× the label mean
 
 
@@ -887,6 +957,7 @@ QUERIES = {
     "ann_pq_recall_eval": ann_pq_recall_eval,
     "ivf_pq_topk": ivf_pq_topk,
     "embedding_outliers": embedding_outliers,
+    "semdedup_cells": semdedup_cells,
 }
 
 
@@ -1294,4 +1365,39 @@ ORACLE["knn_label_vote"] = f"""
         PARTITION BY query_id ORDER BY votes DESC, nb_label) AS vrank
       FROM votes)
     WHERE vrank = 1
+"""
+
+ORACLE["semdedup_cells"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    cent AS (
+      SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+    scored_cells AS (
+      SELECT b.vec_id, c.cid,
+             CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim
+      FROM base b CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS arn
+        FROM scored_cells)
+      WHERE arn = 1),
+    pairs AS (
+      SELECT b.vec_id AS vb,
+             ROUND(CAST({_dot_sql('ba.q', 'bb.q')} AS DOUBLE)
+                   / (ba.norm * bb.norm), 6) AS cos
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN base ba ON ba.vec_id = a.vec_id
+      JOIN base bb ON bb.vec_id = b.vec_id),
+    condemned AS (
+      SELECT vb AS vec_id, COUNT(*) AS n_similar_prior,
+             MAX(cos) AS max_prior_cos
+      FROM pairs WHERE cos >= {SEMDEDUP_MIN_COS} GROUP BY 1)
+    SELECT a.vec_id, a.cell,
+           COALESCE(c.n_similar_prior, 0) AS n_similar_prior,
+           c.max_prior_cos,
+           CAST(c.max_prior_cos IS NOT NULL AS INT) AS is_dropped
+    FROM assign a LEFT JOIN condemned c ON a.vec_id = c.vec_id
 """

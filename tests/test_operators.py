@@ -770,3 +770,32 @@ def test_substring_clean_matches_python_reference_randomized(spark, tmp_path):
         assert got[d] == (n, kept, fp), (d, got[d], (n, kept, text))
         n_with_removal += kept < n
     assert n_with_removal > 5  # the fixture genuinely exercises removal
+
+
+def test_semdedup_drops_planted_twin_keeps_min_ids(spark, tmp_path):
+    """Greedy SemDeDup semantics: a planted near-identical pair in one
+    cell loses its larger id; the smaller survives; and — the rule's
+    structural invariant — the minimum vec_id of every cell can never
+    be dropped (it has no smaller cell-mate to condemn it)."""
+    import random
+
+    from flinkproj_spark.operators.similarity import DIM, semdedup_cells
+
+    rng = random.Random(13)
+    rows = [(vid, [rng.gauss(0, 1) for _ in range(DIM)], 0) for vid in range(40)]
+    twin_src = rows[25][1]
+    rows[30] = (30, [x + rng.gauss(0, 0.01) for x in twin_src], 0)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.vec_id: r for r in semdedup_cells(spark, str(tmp_path)).collect()}
+    assert out[30].is_dropped == 1 and out[30].max_prior_cos > 0.9
+    assert len(out) == 40
+    assert sum(r.is_dropped for r in out.values()) < 40  # not all-dark inverse
+    cells = {}
+    for r in out.values():
+        cells.setdefault(r.cell, []).append(r)
+    for members in cells.values():
+        keeper = min(members, key=lambda r: r.vec_id)
+        assert keeper.is_dropped == 0, keeper

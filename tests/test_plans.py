@@ -797,3 +797,18 @@ def test_cooccurrence_marginals_broadcast(spark, sf_dir):
     plan = _plan(event_cooccurrence_lift(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_pairs_is_equi_join_on_cell(spark, sf_dir):
+    # SemDeDup's defining scale property: within-cell pair generation
+    # is an EQUI-join on the cell id — Σ cell² cost, never corpus² —
+    # and both pair sides are corpus-proportional, so the join must be
+    # sort-merge (a broadcast would cap scale at executor memory).
+    from flinkproj_spark.operators.similarity import semdedup_cells
+
+    plan = _plan(semdedup_cells(spark, sf_dir))
+    smj = [
+        ln for ln in plan.splitlines()
+        if "SortMergeJoin" in ln and "cell" in ln
+    ]
+    assert smj, plan
