@@ -587,6 +587,80 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed BPE merge table (priority order, chained: 'ers' and 'the' build
+# on earlier merges) — the top pairs bpe_pair_counts ranks on this
+# corpus, frozen as the deployed tokenizer artifact. The id vocabulary
+# drops the rarest letters (j q v x z) so the OOV fallback path is live.
+BPE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("er", "s"), ("t", "h"), ("th", "e"), ("a", "t"),
+]
+BPE_VOCAB = list("abcdefghiklmnoprstuwy") + [a + b for a, b in BPE_MERGES]
+
+
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the fixed BPE merge table — the tokenize step a training
+    pipeline actually runs, where bpe_pair_counts is the induction
+    scan. Each document is encoded to token ids against BPE_VOCAB
+    (unknown symbols fall back to id -1, the byte-fallback stand-in)
+    and reports its token count, OOV count/rate, and an order-exact
+    fingerprint of the id sequence, so the oracle proves the encoding
+    itself, not just the counts.
+
+    Merge semantics (deterministic contract): each rule is applied
+    corpus-wide in priority order, one full greedy left-to-right pass
+    per rule, word-internal only; a later rule's output can feed an
+    earlier-listed rule only if that rule appears again later (single
+    pass — the streaming-encoder approximation of HuggingFace-style
+    re-scanning BPE, which revisits earlier ranks).
+
+    Shape: everything is ONE in-row expression chain inside whole-stage
+    codegen — no explode, no shuffle, no Python. The word's symbol
+    stream is encoded as a '||'-delimited string ('||#||' between
+    words; the corpus alphabet is a-z so both sentinels are safe), and
+    each merge rule is ONE replace() of '|a||b|' with '|ab|': because
+    the pattern consumes only the INNER halves of the doubled
+    delimiters, adjacent matches never steal each other's boundary,
+    and replace()'s left-to-right non-overlapping scan IS canonical
+    greedy BPE pair merging — identical semantics in Spark and DuckDB,
+    no regex, no lookaround. At 100 TB this is a pure map stage:
+    scales with scan bandwidth, zero exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = fx.tokenize_ws(F.lower(F.col("text")))
+    word_syms = F.transform(
+        words, lambda w: F.array_join(F.split(w, "(?!^)"), "||")
+    )
+    s = F.concat(F.lit("||"), F.array_join(word_syms, "||#||"), F.lit("||"))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a + b}|"))
+    syms = F.filter(
+        F.split(s, "\\|\\|"), lambda x: (x != "") & (x != "#")
+    )
+    vocab = F.array(*[F.lit(v) for v in BPE_VOCAB])
+    ids = F.transform(
+        syms, lambda t: (F.array_position(vocab, t) - 1).cast("long")
+    )
+    staged = docs.select(
+        "doc_id",
+        ids.alias("ids"),
+        # barrier: one materialization of the id array per row (the
+        # winnowing trick) — without it each consumer below re-runs
+        # the whole split/replace chain
+        F.monotonically_increasing_id().alias("_nc"),
+    )
+    counted = staged.select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.size(F.filter("ids", lambda i: i < 0)).cast("long").alias("n_oov"),
+        F.md5(
+            F.array_join(F.transform("ids", lambda i: i.cast("string")), ",")
+        ).alias("ids_fp"),
+    )
+    return counted.withColumn(
+        "oov_ppm", F.expr("n_oov * 1000000 div greatest(n_tokens, 1)")
+    )
+
+
 def doc_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survival curve over document token counts: for every distinct
     length, how many documents have AT LEAST that many tokens — the
@@ -706,6 +780,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "char_gini_concentration": char_gini_concentration,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_apply": bpe_apply,
     "doc_length_survival": doc_length_survival,
     "quality_classifier_linear": quality_classifier_linear,
     "text_repetition": text_repetition,
@@ -940,6 +1015,39 @@ ORACLE["bpe_pair_counts"] = f"""
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
 """
+
+def _bpe_apply_oracle() -> str:
+    """Generated nested-replace oracle: the same one-replace-per-rule
+    merge chain as the operator, literals derived from BPE_MERGES and
+    BPE_VOCAB so the oracle can never desynchronize from the table."""
+    s = (
+        "'||' || array_to_string(list_transform({words}, "
+        "w -> array_to_string(list_transform(range(1, len(w) + 1), "
+        "i -> w[i:i]), '||')), '||#||') || '||'"
+    ).format(words=f"list_filter(string_split(lower(text), ' '), w -> w != '')")
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, '|{a}||{b}|', '|{a + b}|')"
+    vocab = "[" + ", ".join(f"'{v}'" for v in BPE_VOCAB) + "]"
+    return f"""
+        WITH enc AS (
+          SELECT doc_id,
+                 list_transform(
+                   list_filter(string_split({s}, '||'),
+                               x -> x <> '' AND x <> '#'),
+                   t -> CAST(COALESCE(list_position({vocab}, t), 0) - 1
+                             AS BIGINT)) AS ids
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(ids) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(ids, i -> i < 0)) AS BIGINT) AS n_oov,
+               md5(array_to_string(ids, ',')) AS ids_fp,
+               CAST(len(list_filter(ids, i -> i < 0)) * 1000000
+                    // GREATEST(len(ids), 1) AS BIGINT) AS oov_ppm
+        FROM enc
+    """
+
+
+ORACLE["bpe_apply"] = _bpe_apply_oracle()
 
 ORACLE["doc_length_survival"] = f"""
     WITH c AS (

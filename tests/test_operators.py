@@ -799,3 +799,35 @@ def test_semdedup_drops_planted_twin_keeps_min_ids(spark, tmp_path):
     for members in cells.values():
         keeper = min(members, key=lambda r: r.vec_id)
         assert keeper.is_dropped == 0, keeper
+
+
+def test_bpe_apply_hand_computed_encoding(spark, tmp_path):
+    """Exact BPE semantics on a hand-worked fixture: chained merges
+    (t,h)->(th,e) collapse 'the' to one id; greedy LTR merging of
+    'starts' takes (s,t) at position 0 only; letters outside BPE_VOCAB
+    (j, z, q) fall back to id -1 and count as OOV."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.text import BPE_VOCAB, bpe_apply
+
+    vid = {v: i for i, v in enumerate(BPE_VOCAB)}
+    docs = [(1, "the tree starts now"), (2, "jazz quiz")]
+    spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("src0").alias("source"), F.length("text").alias("n_chars"),
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in bpe_apply(spark, str(tmp_path)).collect()}
+    ids1 = [vid["the"], vid["t"], vid["r"], vid["e"], vid["e"],
+            vid["st"], vid["a"], vid["r"], vid["t"], vid["s"],
+            vid["n"], vid["ow"]]
+    assert out[1].n_tokens == 12 and out[1].n_oov == 0
+    assert out[1].ids_fp == hashlib.md5(
+        ",".join(map(str, ids1)).encode()).hexdigest()
+    ids2 = [-1, vid["a"], -1, -1, -1, vid["u"], vid["i"], -1]
+    assert out[2].n_tokens == 8 and out[2].n_oov == 5
+    assert out[2].oov_ppm == 5 * 1000000 // 8
+    assert out[2].ids_fp == hashlib.md5(
+        ",".join(map(str, ids2)).encode()).hexdigest()

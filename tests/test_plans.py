@@ -812,3 +812,14 @@ def test_semdedup_pairs_is_equi_join_on_cell(spark, sf_dir):
         if "SortMergeJoin" in ln and "cell" in ln
     ]
     assert smj, plan
+
+
+def test_bpe_apply_is_pure_map_stage(spark, sf_dir):
+    # The tokenize step must scale with scan bandwidth alone: the whole
+    # split → merge-replace chain → id lookup is in-row expression
+    # work — no shuffle, no Python worker, nothing but scan+project.
+    from flinkproj_spark.operators.text import bpe_apply
+
+    plan = _plan(bpe_apply(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
