@@ -375,6 +375,124 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star.unionAll(near)
 
 
+MM_IMG_TOKENS = 32   # fixed per-image token budget (placeholder patches)
+MM_CHUNK = 64        # text chunk size, in words
+MM_PACK_CAP = 256    # training-row capacity, in tokens
+
+
+def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal sequence packing — the layout multimodal
+    training actually consumes: each document becomes an ordered item
+    stream of image placeholders (fixed MM_IMG_TOKENS budget each) and
+    MM_CHUNK-word text chunks, and the streams are packed
+    greedy-contiguously into MM_PACK_CAP-token training rows per
+    source, preserving document order within a pack (sequence_pack's
+    windowed-offset formulation, sampling.py). Image count per doc is
+    metadata-derived (doc_id % 3, the _payloads convention): one image
+    leads the doc; a second, when present, splits the text at its
+    midpoint — deterministic interleaving, not image-always-first.
+    An item belongs to the pack where it starts (the same straddle
+    accounting as sequence_pack).
+
+    Shape: the item stream is built and offset IN-ROW (struct arrays +
+    an O(items²) prefix fold over ≤ a dozen items/doc); ONE hash
+    exchange on source feeds the window cumsum, and the final
+    groupBy(source, pack_id) reuses that partitioning (subset key) —
+    single-exchange end to end, plan-pinned. Per-pack doc counts avoid
+    count_distinct (which would re-partition): an item opens a doc's
+    run in a pack iff it is the doc's first item or its predecessor
+    landed in an earlier pack."""
+    from pyspark.sql import Window
+
+    from flinkproj_spark import functions as fx
+
+    docs = load_table(spark, sf_dir, "documents")
+    nw = F.size(fx.tokenize_ws())
+    base = docs.select(
+        "doc_id",
+        "source",
+        nw.alias("nw"),
+        (F.col("doc_id") % 3).cast("int").alias("n_imgs"),
+    ).withColumn("nc", F.ceil(F.col("nw") / F.lit(MM_CHUNK)).cast("int"))
+    item_t = "array<struct<kind:string,tokens:bigint>>"
+    chunks = F.when(
+        F.col("nc") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.col("nc")),
+            lambda i: F.struct(
+                F.lit("txt").alias("kind"),
+                F.least(
+                    F.lit(MM_CHUNK), F.col("nw") - (i - 1) * MM_CHUNK
+                ).cast("long").alias("tokens"),
+            ),
+        ),
+    ).otherwise(F.expr(f"CAST(array() AS {item_t})"))
+    img = F.array(
+        F.struct(
+            F.lit("img").alias("kind"),
+            F.lit(MM_IMG_TOKENS).cast("long").alias("tokens"),
+        )
+    )
+    h = F.ceil(F.col("nc") / F.lit(2)).cast("int")
+    staged = base.withColumn("chunks", chunks).withColumn(
+        "items",
+        F.when(F.col("n_imgs") == 0, F.col("chunks"))
+        .when(F.col("n_imgs") == 1, F.concat(img, F.col("chunks")))
+        .otherwise(
+            F.concat(
+                img,
+                F.slice("chunks", 1, h),
+                img,
+                F.slice("chunks", h + 1, F.greatest(F.col("nc") - h, F.lit(0))),
+            )
+        ),
+    )
+    doc_tokens = F.aggregate(
+        "items", F.lit(0).cast("long"), lambda acc, x: acc + x["tokens"]
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = staged.select(
+        "doc_id",
+        "source",
+        "items",
+        (F.sum(doc_tokens).over(w) - doc_tokens).alias("doc_start"),
+    )
+    expl = offs.select(
+        "doc_id",
+        "source",
+        "doc_start",
+        "items",
+        F.posexplode("items").alias("pos", "item"),
+    ).withColumn(
+        "offset",
+        F.col("doc_start")
+        + F.aggregate(
+            F.slice("items", 1, F.col("pos")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x["tokens"],
+        ),
+    ).withColumn(
+        "pack_id", F.expr(f"offset div {MM_PACK_CAP}")
+    ).withColumn(
+        "opens_doc_run",
+        (F.col("pos") == 0)
+        | (
+            F.expr(f"(offset - items[pos - 1].tokens) div {MM_PACK_CAP}")
+            < F.col("pack_id")
+        ),
+    )
+    return expl.groupBy("source", "pack_id").agg(
+        F.sum(F.col("opens_doc_run").cast("long")).alias("n_docs"),
+        F.sum((F.col("item.kind") == "img").cast("long")).alias("n_images"),
+        F.sum((F.col("item.kind") == "txt").cast("long")).alias("n_chunks"),
+        F.sum("item.tokens").alias("n_tokens"),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_decode": multimodal_decode,
@@ -383,6 +501,7 @@ QUERIES = {
     "multimodal_pcm_stats": multimodal_pcm_stats,
     "multimodal_phash_buckets": multimodal_phash_buckets,
     "dedup_phash_hamming": dedup_phash_hamming,
+    "multimodal_pack": multimodal_pack,
 }
 
 ORACLE = {
@@ -514,4 +633,71 @@ ORACLE["dedup_phash_hamming"] = f"""
            CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
     FROM rep a JOIN rep b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+ORACLE["multimodal_pack"] = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), w -> w != '')) AS nw,
+             CAST(doc_id % 3 AS INT) AS n_imgs
+      FROM documents),
+    sized AS (
+      SELECT *, CAST(CEIL(nw / {MM_CHUNK}.0) AS INT) AS nc,
+             CAST(CEIL(CAST(CEIL(nw / {MM_CHUNK}.0) AS INT) / 2.0) AS INT) AS h
+      FROM base),
+    built AS (
+      SELECT doc_id, source,
+             CASE WHEN nc > 0
+                  THEN list_transform(range(1, nc + 1),
+                       i -> struct_pack(kind := 'txt',
+                            tokens := CAST(LEAST({MM_CHUNK}, nw - (i - 1) * {MM_CHUNK}) AS BIGINT)))
+                  ELSE [] END AS chunks
+             , n_imgs, nc, h
+      FROM sized),
+    itemed AS (
+      SELECT doc_id, source,
+             CASE
+               WHEN n_imgs = 0 THEN chunks
+               WHEN n_imgs = 1 THEN list_concat(
+                 [struct_pack(kind := 'img', tokens := CAST({MM_IMG_TOKENS} AS BIGINT))], chunks)
+               ELSE list_concat(list_concat(list_concat(
+                 [struct_pack(kind := 'img', tokens := CAST({MM_IMG_TOKENS} AS BIGINT))],
+                 chunks[1:h]),
+                 [struct_pack(kind := 'img', tokens := CAST({MM_IMG_TOKENS} AS BIGINT))]),
+                 chunks[h+1:])
+             END AS items
+      FROM built),
+    offs AS (
+      SELECT doc_id, source, items,
+             CAST(COALESCE(SUM(COALESCE(list_sum(list_transform(items, x -> x.tokens)), 0))
+                    OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                  - COALESCE(list_sum(list_transform(items, x -> x.tokens)), 0)
+                  AS BIGINT) AS doc_start
+      FROM itemed),
+    expl AS (
+      SELECT doc_id, source, items, doc_start,
+             unnest(range(1, len(items) + 1)) AS pos1,
+             unnest(items) AS item
+      FROM offs),
+    placed AS (
+      SELECT doc_id, source, items, pos1, item,
+             doc_start + CAST(COALESCE(list_sum(
+               list_transform(items[1:pos1 - 1], x -> x.tokens)), 0) AS BIGINT)
+               AS "offset"
+      FROM expl),
+    packed AS (
+      SELECT source, item, pos1, items,
+             "offset" // {MM_PACK_CAP} AS pack_id,
+             CASE WHEN pos1 = 1
+                       OR ("offset" - items[pos1 - 1].tokens) // {MM_PACK_CAP}
+                          < "offset" // {MM_PACK_CAP}
+                  THEN 1 ELSE 0 END AS opens_doc_run
+      FROM placed)
+    SELECT source, pack_id,
+           CAST(SUM(opens_doc_run) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN item.kind = 'img' THEN 1 ELSE 0 END) AS BIGINT) AS n_images,
+           CAST(SUM(CASE WHEN item.kind = 'txt' THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks,
+           CAST(SUM(item.tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY 1, 2
 """

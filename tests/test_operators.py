@@ -831,3 +831,35 @@ def test_bpe_apply_hand_computed_encoding(spark, tmp_path):
     assert out[2].oov_ppm == 5 * 1000000 // 8
     assert out[2].ids_fp == hashlib.md5(
         ",".join(map(str, ids2)).encode()).hexdigest()
+
+
+def test_multimodal_pack_hand_computed_layout(spark, tmp_path):
+    """Hand-worked packing: chunking, image interleaving (0/1/2 images
+    by doc_id % 3, second image at the text midpoint), straddle
+    accounting (an item belongs to the pack where it starts), and
+    doc-run counting across a pack boundary (doc 9 spans packs 2→3 and
+    counts once in each)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.multimodal import multimodal_pack
+
+    sizes = {3: 130, 4: 100, 5: 150, 6: 40, 9: 300}
+    docs = [(d, " ".join(["x"] * n)) for d, n in sizes.items()]
+    spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("s").alias("source"), F.length("text").alias("n_chars"),
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.pack_id: (r.n_docs, r.n_images, r.n_chunks, r.n_tokens)
+        for r in multimodal_pack(spark, str(tmp_path)).collect()
+    }
+    # doc3 (no img): 64+64+2 @0; doc4 (1 img): 32+64+36 @130 -> pack0
+    # doc5 (2 img, h=2): 32+64+64+32+22 @262 -> pack1; doc6: 40 @476
+    # doc9: 5 chunks @516,580,644,708 (pack2) + @772 (pack3)
+    assert got == {
+        0: (2, 1, 5, 262),
+        1: (2, 2, 4, 254),
+        2: (1, 0, 4, 256),
+        3: (1, 0, 1, 44),
+    }, got

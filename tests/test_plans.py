@@ -823,3 +823,14 @@ def test_bpe_apply_is_pure_map_stage(spark, sf_dir):
     plan = _plan(bpe_apply(spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_multimodal_pack_single_shuffle_inrow_expansion(spark, sf_dir):
+    # The interleaved item stream is built and offset in-row; one hash
+    # exchange on `source` feeds the window cumsum and the final
+    # groupBy(source, pack_id) reuses that partitioning (subset key).
+    from flinkproj_spark.operators.multimodal import multimodal_pack
+
+    plan = _plan(multimodal_pack(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
