@@ -89,15 +89,13 @@ def pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report_aggregate(report_parse(raw))
 
 
-def _curate_gated_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared funnel head: language-evidence filter → length/quality
-    filter → exact dedup (keep min doc_id per content hash). The two
-    filters fuse into the scan (one codegen'd pass) and the map-heavy
-    lang/quality stage is fanned out; the content md5 is projected
-    BEFORE the dedup window's exchange so document bodies never travel
-    through a shuffle."""
-    from pyspark.sql import Window
-
+def _curate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's gate stage alone: language-evidence filter →
+    length/quality filter, emitting (doc_id, lang, n_words, _fp). The
+    two filters fuse into the scan (one codegen'd pass) and the
+    map-heavy lang/quality stage is fanned out; the content md5 is
+    projected here — BEFORE any dedup exchange — so document bodies
+    never travel through a shuffle."""
     from flinkproj_spark.operators.text import _LANG_MARKERS, _LANG_ORDER, _STOPWORDS
 
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
@@ -115,13 +113,25 @@ def _curate_gated_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0))
         * (F.lit(1.0) - n_stop.cast("double") / n_words.cast("double"))
     )
-    kept = (
+    return (
         docs.select("doc_id", "lang", "text", n_words.alias("n_words"))
         .filter((marker_hits > 0) & (n_words >= 20) & (quality >= 0.3))
         .select("doc_id", "lang", "n_words", F.md5("text").alias("_fp"))
     )
+
+
+def _exact_dedup(kept: DataFrame) -> DataFrame:
+    """Exact dedup over a gated frame: keep min doc_id per content
+    hash — one window exchange on the 16-byte fingerprint."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("_fp").orderBy("doc_id")
     return kept.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+
+def _curate_gated_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared funnel head: gate (_curate_gate) → exact dedup."""
+    return _exact_dedup(_curate_gate(spark, sf_dir))
 
 
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,12 +207,71 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def filter_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-wide observability for the v3 curation pipeline: ONE row
+    counting survivors at every cumulative stage — total → gate
+    (language+length+quality) → exact dedup → LSH near-dup removal
+    (= pipeline_curate's output) → semantically-confirmed removal
+    (= pipeline_curate_v2's) → decontamination (= pipeline_curate_v3's).
+    The per-stage counts are CONTRACTUALLY equal to the pipeline keys'
+    own output row counts (pinned by tests/test_contract.py) — the
+    observability twin of incremental_rollup_merge's
+    merge-equals-recompute pin: the report can never drift from the
+    pipeline it reports on.
+
+    Shape: stage survivors are 1-row aggregates assembled with
+    broadcast cross joins (the filter_funnel_report idiom). The
+    gated+deduped frame feeds four counters, so it is persisted (the
+    _ffv marker keeps the cached plan unique to this key; callers own
+    the cache lifetime via clearCache, the minhash_jaccard_estimate
+    contract). Drop sets stay un-broadcast anti joins — each is
+    corpus-proportional in the worst case."""
+    from pyspark.storagelevel import StorageLevel
+
+    from flinkproj_spark.operators.curation import neardup_semantic_verify
+    from flinkproj_spark.operators.dedup import decontaminate, dedup_minhash_lsh
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = _curate_gate(spark, sf_dir)
+    deduped = (
+        _exact_dedup(gate)
+        .withColumn("_ffv", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    younger = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
+    confirmed = (
+        neardup_semantic_verify(spark, sf_dir)
+        .filter(F.col("confirmed") == 1)
+        .select("doc_b")
+        .distinct()
+    )
+    contaminated = (
+        decontaminate(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    s1 = deduped.join(younger, deduped.doc_id == younger.doc_b, "left_anti")
+    s2 = deduped.join(confirmed, deduped.doc_id == confirmed.doc_b, "left_anti")
+    s3 = s2.join(contaminated, "doc_id", "left_anti")
+    out = docs.agg(F.count("*").alias("n_total"))
+    for name, frame in (
+        ("n_gated", gate),
+        ("n_exact", deduped),
+        ("n_after_neardup", s1),
+        ("n_after_semantic", s2),
+        ("n_after_decontam", s3),
+    ):
+        out = out.crossJoin(F.broadcast(frame.agg(F.count("*").alias(name))))
+    return out
+
+
 QUERIES = {
     "pipeline_clean": pipeline_clean,
     "pipeline_report": pipeline_report,
     "pipeline_curate": pipeline_curate,
     "pipeline_curate_v2": pipeline_curate_v2,
     "pipeline_curate_v3": pipeline_curate_v3,
+    "filter_funnel_v3": filter_funnel_v3,
 }
 
 _DIM_SQL = """(VALUES ('US','AREA_US'), ('TW','AREA_CT'), ('HK','AREA_CT'),
@@ -249,8 +318,10 @@ ORACLE = {
 }
 
 
-def _curate_oracle(drop_set_sql: str | None = None) -> str:
-    from flinkproj_spark.operators.dedup import _MINHASH_PAIRS_SQL
+def _gate_sql() -> str:
+    """Standalone SELECT for the gate stage (kept docs, pre-dedup) —
+    the single source the pipeline oracles AND the funnel report's
+    oracle compose from, so the stages can never desynchronize."""
     from flinkproj_spark.operators.text import (
         _BEST,
         _LANG_SCORES,
@@ -258,30 +329,40 @@ def _curate_oracle(drop_set_sql: str | None = None) -> str:
         _WORDS_SQL,
     )
 
-    if drop_set_sql is None:
-        drop_set_sql = f"SELECT doc_b FROM ({_MINHASH_PAIRS_SQL})"
     return f"""
-        WITH s AS (
+        SELECT doc_id, lang, text, n_words FROM (
           SELECT doc_id, lang, text,
                  len({_WORDS_SQL}) AS n_words,
                  len(list_filter({_WORDS_SQL},
                      w -> list_contains([{_STOP_SQL}], lower(w)))) AS n_stop,
                  {_LANG_SCORES}
-          FROM documents),
-        kept AS (
-          SELECT doc_id, lang, text, n_words FROM s
-          WHERE {_BEST} > 0
-            AND n_words >= 20
-            AND LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
-                * (1.0 - CAST(n_stop AS DOUBLE) / n_words) >= 0.3),
-        deduped AS (
-          SELECT doc_id, lang, n_words FROM (
-            SELECT doc_id, lang, n_words,
-                   ROW_NUMBER() OVER (PARTITION BY md5(text)
-                                      ORDER BY doc_id) AS rn
-            FROM kept)
-          WHERE rn = 1)
-        SELECT doc_id, lang, n_words FROM deduped
+          FROM documents)
+        WHERE {_BEST} > 0
+          AND n_words >= 20
+          AND LEAST(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+              * (1.0 - CAST(n_stop AS DOUBLE) / n_words) >= 0.3
+    """
+
+
+def _deduped_sql() -> str:
+    """Gate stage + exact dedup (keep min doc_id per content hash)."""
+    return f"""
+        SELECT doc_id, lang, n_words FROM (
+          SELECT doc_id, lang, n_words,
+                 ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+          FROM ({_gate_sql()}))
+        WHERE rn = 1
+    """
+
+
+def _curate_oracle(drop_set_sql: str | None = None) -> str:
+    from flinkproj_spark.operators.dedup import _MINHASH_PAIRS_SQL
+
+    if drop_set_sql is None:
+        drop_set_sql = f"SELECT doc_b FROM ({_MINHASH_PAIRS_SQL})"
+    return f"""
+        SELECT doc_id, lang, n_words FROM ({_deduped_sql()})
         WHERE doc_id NOT IN ({drop_set_sql})
     """
 
@@ -309,3 +390,17 @@ def _curate_v3_oracle() -> str:
 ORACLE["pipeline_curate"] = _curate_oracle()
 ORACLE["pipeline_curate_v2"] = _curate_v2_oracle()
 ORACLE["pipeline_curate_v3"] = _curate_v3_oracle()
+
+# Funnel report composed from the SAME stage SQL the pipeline oracles
+# use — scalar-subquery counts, so the report's invariant (stage N
+# equals pipeline key N's row count) holds in the oracle by
+# construction, exactly as the contract test pins it on the Spark side.
+ORACLE["filter_funnel_v3"] = f"""
+    SELECT
+      (SELECT COUNT(*) FROM documents) AS n_total,
+      (SELECT COUNT(*) FROM ({_gate_sql()})) AS n_gated,
+      (SELECT COUNT(*) FROM ({_deduped_sql()})) AS n_exact,
+      (SELECT COUNT(*) FROM ({_curate_oracle()})) AS n_after_neardup,
+      (SELECT COUNT(*) FROM ({_curate_v2_oracle()})) AS n_after_semantic,
+      (SELECT COUNT(*) FROM ({_curate_v3_oracle()})) AS n_after_decontam
+"""

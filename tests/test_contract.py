@@ -70,3 +70,28 @@ def test_query_count_matches_readme():
     assert int(m.group(1)) == len(registry.queries()), (
         "README key count drifted from registry — update the Coverage section"
     )
+
+
+def test_funnel_v3_counts_equal_pipeline_outputs(spark, sf_dir):
+    """The funnel-wide invariant (observability twin of the rollup
+    merge-equals-recompute pin): filter_funnel_v3's stage counts must
+    equal the pipeline keys' own output row counts — if the report
+    and the pipelines ever computed different funnels, this breaks."""
+    from flinkproj_spark.operators.e2e import (
+        filter_funnel_v3,
+        pipeline_curate,
+        pipeline_curate_v2,
+        pipeline_curate_v3,
+    )
+
+    row = filter_funnel_v3(spark, sf_dir).collect()[0]
+    spark.catalog.clearCache()
+    assert row.n_after_neardup == pipeline_curate(spark, sf_dir).count()
+    assert row.n_after_semantic == pipeline_curate_v2(spark, sf_dir).count()
+    assert row.n_after_decontam == pipeline_curate_v3(spark, sf_dir).count()
+    # the funnel is monotone by construction; prove the stages are live
+    assert row.n_total >= row.n_gated >= row.n_exact >= row.n_after_neardup
+    assert row.n_after_neardup >= row.n_after_decontam
+    assert row.n_gated < row.n_total
+    assert row.n_after_decontam > 0
+    spark.catalog.clearCache()
