@@ -544,3 +544,41 @@ class TestStreamQualityScores:
             for r in quality_classifier_linear(spark, sf_dir).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamMultimodalDecode:
+    def test_converges_to_batch_decode(self, spark, sf_dir, tmp_path):
+        """The streaming Arrow decode must produce exactly the batch
+        operator's feature rows across a two-batch split, each doc
+        exactly once — the continuous-ingest path of the multimodal
+        family."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.multimodal import (
+            _pgm_payloads,
+            multimodal_decode,
+        )
+        from flinkproj_spark.streaming.multimodal import stream_multimodal_decode
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        payloads = _pgm_payloads(spark, sf_dir)
+        for i in (0, 1):
+            payloads.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                stream_multimodal_decode(
+                    spark.readStream.schema("doc_id bigint, payload binary")
+                    .parquet(src)
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in multimodal_decode(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
