@@ -745,6 +745,29 @@ def _ngram_jaccard_pairs(tok: DataFrame) -> DataFrame:
     )
 
 
+def dedup_pair_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash-LSH candidate-pair graph: how
+    many documents have exactly k near-dup partners. The hub alarm the
+    cluster-size histogram can't give: dedup_cluster_sizes reports
+    components AFTER closure, where one boilerplate hub and its
+    thousand satellites are a single number; the degree distribution
+    shows the hub itself (one doc at degree 1000), which is what tells
+    an operator to fix the upstream exact-dedup or boilerplate filter
+    rather than distrust the clustering.
+
+    Shape: both pair endpoints explode IN-ROW (one subtree — a
+    two-branch union would evaluate the whole LSH pipeline twice),
+    then two map-side-combined counts: per-doc degree (keys = docs
+    with ≥1 pair), then per-degree doc count (keys ≤ max degree,
+    bounded by BUCKET_CAP-capped bucket expansion)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    ends = pairs.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc")
+    )
+    deg = ends.groupBy("doc").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
 def _winnow_fp_oracle() -> str:
     """text.py's doc_winnow_fingerprints oracle, composed verbatim so
     the pair oracle below can never drift from the fingerprint
@@ -765,6 +788,7 @@ QUERIES = {
     "dedup_substring": dedup_substring,
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "dedup_cluster_sizes": dedup_cluster_sizes,
+    "dedup_pair_degree_hist": dedup_pair_degree_hist,
     "pair_strategy_agreement": pair_strategy_agreement,
     "substring_dedup_clean": substring_dedup_clean,
     "decontaminate": decontaminate,
@@ -825,6 +849,12 @@ ORACLE = {
         WHERE rn = 1
     """,
     "dedup_minhash_lsh": _MINHASH_PAIRS_SQL,
+    "dedup_pair_degree_hist": f"""
+        WITH p AS ({_MINHASH_PAIRS_SQL}),
+        ends AS (SELECT unnest([doc_a, doc_b]) AS doc FROM p),
+        deg AS (SELECT doc, COUNT(*) AS degree FROM ends GROUP BY 1)
+        SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1
+    """,
     "dedup_cluster_sizes": f"""
         WITH RECURSIVE sym AS (
           SELECT doc_a AS src, doc_b AS dst FROM ({_MINHASH_PAIRS_SQL})

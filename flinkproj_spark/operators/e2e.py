@@ -207,6 +207,32 @@ def pipeline_curate_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_curate_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with the semantic-cluster dedup stage appended:
+    pipeline_curate_v3 (gate → exact dedup → confirmed near-dup
+    removal → decontamination) minus every doc whose EMBEDDING
+    semdedup_cells prunes (doc_id ↔ vec_id share the id space in this
+    corpus, the neardup_semantic_verify convention). LSH near-dup
+    removal catches lexical copies; SemDeDup catches semantic
+    duplicates that share no shingles — paraphrases, translations,
+    templated rewrites — which is why production funnels run both.
+
+    Scale shape: the semantic drop set is corpus-proportional, so it
+    joins as a plain hash anti join on doc_id, the same no-broadcast
+    rule as every drop-set in this funnel; semdedup's own pair cost is
+    cell-bounded (see similarity.semdedup_cells)."""
+    from flinkproj_spark.operators.similarity import semdedup_cells
+
+    sem_dropped = (
+        semdedup_cells(spark, sf_dir)
+        .filter(F.col("is_dropped") == 1)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return pipeline_curate_v3(spark, sf_dir).join(
+        sem_dropped, "doc_id", "left_anti"
+    )
+
+
 def filter_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel-wide observability for the v3 curation pipeline: ONE row
     counting survivors at every cumulative stage — total → gate
@@ -271,6 +297,7 @@ QUERIES = {
     "pipeline_curate": pipeline_curate,
     "pipeline_curate_v2": pipeline_curate_v2,
     "pipeline_curate_v3": pipeline_curate_v3,
+    "pipeline_curate_v4": pipeline_curate_v4,
     "filter_funnel_v3": filter_funnel_v3,
 }
 
@@ -387,9 +414,21 @@ def _curate_v3_oracle() -> str:
     """
 
 
+def _curate_v4_oracle() -> str:
+    from flinkproj_spark.operators.similarity import ORACLE as _SIM_ORACLE
+
+    sem = _SIM_ORACLE["semdedup_cells"]
+    return f"""
+        SELECT * FROM ({_curate_v3_oracle()})
+        WHERE doc_id NOT IN (
+          SELECT vec_id FROM ({sem}) WHERE is_dropped = 1)
+    """
+
+
 ORACLE["pipeline_curate"] = _curate_oracle()
 ORACLE["pipeline_curate_v2"] = _curate_v2_oracle()
 ORACLE["pipeline_curate_v3"] = _curate_v3_oracle()
+ORACLE["pipeline_curate_v4"] = _curate_v4_oracle()
 
 # Funnel report composed from the SAME stage SQL the pipeline oracles
 # use — scalar-subquery counts, so the report's invariant (stage N

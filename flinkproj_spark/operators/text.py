@@ -598,6 +598,35 @@ BPE_MERGES = [
 BPE_VOCAB = list("abcdefghiklmnoprstuwy") + [a + b for a, b in BPE_MERGES]
 
 
+def _bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared encode stage: (doc_id, ids) per document — the merge
+    chain + vocabulary lookup described in bpe_apply, consumed by both
+    the per-doc report and the corpus-wide token-usage audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = fx.tokenize_ws(F.lower(F.col("text")))
+    word_syms = F.transform(
+        words, lambda w: F.array_join(F.split(w, "(?!^)"), "||")
+    )
+    s = F.concat(F.lit("||"), F.array_join(word_syms, "||#||"), F.lit("||"))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a + b}|"))
+    syms = F.filter(
+        F.split(s, "\\|\\|"), lambda x: (x != "") & (x != "#")
+    )
+    vocab = F.array(*[F.lit(v) for v in BPE_VOCAB])
+    ids = F.transform(
+        syms, lambda t: (F.array_position(vocab, t) - 1).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        ids.alias("ids"),
+        # barrier: one materialization of the id array per row (the
+        # winnowing trick) — without it each consumer re-runs the
+        # whole split/replace chain per reference
+        F.monotonically_increasing_id().alias("_nc"),
+    )
+
+
 def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the fixed BPE merge table — the tokenize step a training
     pipeline actually runs, where bpe_pair_counts is the induction
@@ -625,30 +654,7 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     greedy BPE pair merging — identical semantics in Spark and DuckDB,
     no regex, no lookaround. At 100 TB this is a pure map stage:
     scales with scan bandwidth, zero exchange."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = fx.tokenize_ws(F.lower(F.col("text")))
-    word_syms = F.transform(
-        words, lambda w: F.array_join(F.split(w, "(?!^)"), "||")
-    )
-    s = F.concat(F.lit("||"), F.array_join(word_syms, "||#||"), F.lit("||"))
-    for a, b in BPE_MERGES:
-        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a + b}|"))
-    syms = F.filter(
-        F.split(s, "\\|\\|"), lambda x: (x != "") & (x != "#")
-    )
-    vocab = F.array(*[F.lit(v) for v in BPE_VOCAB])
-    ids = F.transform(
-        syms, lambda t: (F.array_position(vocab, t) - 1).cast("long")
-    )
-    staged = docs.select(
-        "doc_id",
-        ids.alias("ids"),
-        # barrier: one materialization of the id array per row (the
-        # winnowing trick) — without it each consumer below re-runs
-        # the whole split/replace chain
-        F.monotonically_increasing_id().alias("_nc"),
-    )
-    counted = staged.select(
+    counted = _bpe_ids(spark, sf_dir).select(
         "doc_id",
         F.size("ids").cast("long").alias("n_tokens"),
         F.size(F.filter("ids", lambda i: i < 0)).cast("long").alias("n_oov"),
@@ -658,6 +664,50 @@ def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return counted.withColumn(
         "oov_ppm", F.expr("n_oov * 1000000 div greatest(n_tokens, 1)")
+    )
+
+
+BPE_USAGE_TOP = 30
+
+
+def bpe_token_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-usage audit after applying the merge table —
+    the third leg of the tokenizer loop (bpe_pair_counts induces,
+    bpe_apply encodes, this audits): the BPE_USAGE_TOP most-used token
+    ids with their surface form, use count, corpus share, and rank.
+    A merge whose token never ranks is dead weight; an <unk> (-1)
+    share creeping up the ranks means the vocabulary no longer fits
+    the corpus — the drift alarms a tokenizer owner watches.
+
+    Shape: in-row encode (the shared _bpe_ids stage) → explode to ids
+    → map-side-combined count on a ≤ |vocab|+1 key space →
+    TakeOrderedAndProject for the top-k; the corpus total rides along
+    as a broadcast 1-row aggregate, so share_ppm needs no second
+    pass over the counts."""
+    from pyspark.sql import Window
+
+    staged = _bpe_ids(spark, sf_dir)
+    counts = (
+        staged.select(F.explode("ids").alias("tid"))
+        .groupBy("tid")
+        .agg(F.count("*").alias("n_uses"))
+    )
+    total = counts.agg(F.sum("n_uses").alias("_total"))
+    vocab = F.array(*[F.lit(v) for v in BPE_VOCAB])
+    w = Window.orderBy(F.col("n_uses").desc(), F.col("tid"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_uses").desc(), "tid")
+        .limit(BPE_USAGE_TOP)
+        .select(
+            "tid",
+            F.when(F.col("tid") >= 0, F.element_at(vocab, F.col("tid").cast("int") + 1))
+            .otherwise(F.lit("<unk>"))
+            .alias("token"),
+            "n_uses",
+            F.expr("n_uses * 1000000 div _total").alias("share_ppm"),
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
     )
 
 
@@ -781,6 +831,7 @@ QUERIES = {
     "char_gini_concentration": char_gini_concentration,
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_apply": bpe_apply,
+    "bpe_token_usage": bpe_token_usage,
     "doc_length_survival": doc_length_survival,
     "quality_classifier_linear": quality_classifier_linear,
     "text_repetition": text_repetition,
@@ -1016,10 +1067,15 @@ ORACLE["bpe_pair_counts"] = f"""
     ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
 """
 
-def _bpe_apply_oracle() -> str:
-    """Generated nested-replace oracle: the same one-replace-per-rule
-    merge chain as the operator, literals derived from BPE_MERGES and
-    BPE_VOCAB so the oracle can never desynchronize from the table."""
+def _bpe_vocab_sql() -> str:
+    return "[" + ", ".join(f"'{v}'" for v in BPE_VOCAB) + "]"
+
+
+def _bpe_enc_sql() -> str:
+    """Standalone SELECT (doc_id, ids): the generated nested-replace
+    encode, literals derived from BPE_MERGES and BPE_VOCAB so the
+    oracles can never desynchronize from the table. Shared by the
+    bpe_apply and bpe_token_usage oracles."""
     s = (
         "'||' || array_to_string(list_transform({words}, "
         "w -> array_to_string(list_transform(range(1, len(w) + 1), "
@@ -1027,16 +1083,20 @@ def _bpe_apply_oracle() -> str:
     ).format(words=f"list_filter(string_split(lower(text), ' '), w -> w != '')")
     for a, b in BPE_MERGES:
         s = f"replace({s}, '|{a}||{b}|', '|{a + b}|')"
-    vocab = "[" + ", ".join(f"'{v}'" for v in BPE_VOCAB) + "]"
     return f"""
-        WITH enc AS (
-          SELECT doc_id,
-                 list_transform(
-                   list_filter(string_split({s}, '||'),
-                               x -> x <> '' AND x <> '#'),
-                   t -> CAST(COALESCE(list_position({vocab}, t), 0) - 1
-                             AS BIGINT)) AS ids
-          FROM documents)
+        SELECT doc_id,
+               list_transform(
+                 list_filter(string_split({s}, '||'),
+                             x -> x <> '' AND x <> '#'),
+                 t -> CAST(COALESCE(list_position({_bpe_vocab_sql()}, t), 0) - 1
+                           AS BIGINT)) AS ids
+        FROM documents
+    """
+
+
+def _bpe_apply_oracle() -> str:
+    return f"""
+        WITH enc AS ({_bpe_enc_sql()})
         SELECT doc_id,
                CAST(len(ids) AS BIGINT) AS n_tokens,
                CAST(len(list_filter(ids, i -> i < 0)) AS BIGINT) AS n_oov,
@@ -1048,6 +1108,29 @@ def _bpe_apply_oracle() -> str:
 
 
 ORACLE["bpe_apply"] = _bpe_apply_oracle()
+
+
+def _bpe_usage_oracle() -> str:
+    return f"""
+        WITH enc AS ({_bpe_enc_sql()}),
+        used AS (SELECT unnest(ids) AS tid FROM enc),
+        counts AS (SELECT tid, COUNT(*) AS n_uses FROM used GROUP BY 1),
+        total AS (SELECT CAST(SUM(n_uses) AS BIGINT) AS t FROM counts),
+        top AS (
+          SELECT tid, n_uses FROM counts
+          ORDER BY n_uses DESC, tid LIMIT {BPE_USAGE_TOP})
+        SELECT tid,
+               CASE WHEN tid >= 0
+                    THEN ({_bpe_vocab_sql()})[CAST(tid AS INT) + 1]
+                    ELSE '<unk>' END AS token,
+               n_uses,
+               CAST(n_uses * 1000000 // t AS BIGINT) AS share_ppm,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_uses DESC, tid) AS INT) AS rank
+        FROM top CROSS JOIN total
+    """
+
+
+ORACLE["bpe_token_usage"] = _bpe_usage_oracle()
 
 ORACLE["doc_length_survival"] = f"""
     WITH c AS (

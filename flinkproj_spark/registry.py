@@ -32,67 +32,70 @@ _EXTENSION_MODULES = (
 )
 
 # Key order == driver check order, and the driver's per-round
-# correctness budget covers only the FIRST ~50 keys. After round 3,
-# every key has a driver-green row EXCEPT incremental_rollup_merge
-# (committed after the r3 check ran), so round 4's window leads with
-# it plus every key NEW this round; the remaining budget re-verifies
-# the LONGEST-AGO-green families (the §2/relational/TPC-H keys, green
-# since rounds 1-2) as a regression sweep. The r3-verified 50 rotate
-# to the tail in module order.
+# correctness budget covers only the FIRST ~50 keys. Round-5 window:
+# the 7 keys NEW this round lead; the remaining budget re-verifies 43
+# of the 44 keys whose latest driver-green row dates to rounds 1-2
+# (the round-4 verdict's staleness list — all 18 TPC-H tails plus the
+# relational/dedup/ANN/text keys below; dedup_minhash_lsh yields its
+# slot, see inline note). The r3/r4-verified keys rotate to the tail
+# in module order.
 _PRIORITY_KEYS = (
-    # never driver-verified (added after the r3 window ran)
-    "incremental_rollup_merge",
-    # --- new in round 4 (appended as implemented) ---
-    "dedup_substring",
-    "ann_topk_pq",
-    "ann_pq_recall_eval",
-    "ivf_pq_topk",
-    "embedding_outliers",
-    "bpe_pair_counts",
-    "doc_length_survival",
-    "pipeline_curate_v3",
-    "schema_drift_report",
-    "temperature_mix",
-    "rolling_median",
-    "quality_classifier_linear",
-    "bigram_lm_score",
-    "winnow_overlap_pairs",
-    "dedup_cluster_sizes",
-    "char_gini_concentration",
-    "event_cooccurrence_lift",
-    "pair_strategy_agreement",
-    "substring_dedup_clean",
-    "query_expansion_prf",
-    "asof_join",             # redesigned in r4 (was degenerate) — needs a fresh row
-    "asof_join_tolerance",
-    # --- oldest green rows (round 1-2) — regression re-verification ---
-    "json_extract",
-    "explode_data",
-    "dim_join",
-    "enrich_serialize",
-    "ts_parse",
-    "filter_valid",
-    "format_tsv",
-    "window_count",
-    "late_split",
-    "paragraph_dedup",
-    "unigram_lm_score",
-    "cross_snapshot_dedup",
-    "embedding_quantize",
-    "minhash_jaccard_estimate",
-    "neardup_semantic_verify",
-    "sessionize",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "top_k_per_group",
-    "window_functions",
-    "session_window_agg",
-    "set_except",
-    "set_intersect",
-    "global_topk",
-    "rollup_counts",
+    # --- new in round 5 (appended as implemented) ---
+    "semdedup_cells",
+    "bpe_apply",
+    "multimodal_pack",
+    "filter_funnel_v3",
+    "pipeline_curate_v4",
+    "bpe_token_usage",
+    "dedup_pair_degree_hist",
+    # --- stalest green rows (round 1-2) — regression re-verification ---
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "grouping_sets_counts",
+    "time_rollup_multires",
+    "interval_join_pairs",
+    "percentile_stats",
+    "histogram_value",
+    "cube_counts",
+    "pivot_counts",
+    "distinct_counts",
+    "salted_skew_join",
+    "dedup_exact",
+    "dedup_keyed_latest",
+    # dedup_minhash_lsh itself rotates to the tail this round to keep
+    # the window at 50: its exact pair pipeline is transitively
+    # hash-verified by dedup_pair_degree_hist above (whose oracle
+    # embeds _MINHASH_PAIRS_SQL) and consumed by dedup_cluster below.
+    "dedup_cluster",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "decontaminate",
+    "ann_topk_brute",
+    "ann_topk_lsh",
+    "ann_topk_lsh_banded",
+    "ann_topk_ivf",
+    "ann_recall_eval",
+    "embedding_neardup",
+    "embedding_centroids",
+    "text_token_count",
+    "text_repetition",
+    "text_quality",
 )
 
 

