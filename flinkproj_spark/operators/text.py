@@ -598,12 +598,14 @@ BPE_MERGES = [
 BPE_VOCAB = list("abcdefghiklmnoprstuwy") + [a + b for a, b in BPE_MERGES]
 
 
-def _bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared encode stage: (doc_id, ids) per document — the merge
-    chain + vocabulary lookup described in bpe_apply, consumed by both
-    the per-doc report and the corpus-wide token-usage audit."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = fx.tokenize_ws(F.lower(F.col("text")))
+def bpe_id_expr(text: Column | str = "text") -> Column:
+    """The whole encode as ONE in-row Column: lowercase → word/char
+    symbol string → the BPE_MERGES replace chain → BPE_VOCAB id lookup
+    (-1 = OOV). Shared by the batch stage (_bpe_ids) and the streaming
+    twin (streaming/curate.py::stream_bpe_encode) so the two can never
+    drift."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = fx.tokenize_ws(F.lower(c))
     word_syms = F.transform(
         words, lambda w: F.array_join(F.split(w, "(?!^)"), "||")
     )
@@ -614,9 +616,17 @@ def _bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(s, "\\|\\|"), lambda x: (x != "") & (x != "#")
     )
     vocab = F.array(*[F.lit(v) for v in BPE_VOCAB])
-    ids = F.transform(
+    return F.transform(
         syms, lambda t: (F.array_position(vocab, t) - 1).cast("long")
     )
+
+
+def _bpe_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared encode stage: (doc_id, ids) per document — the merge
+    chain + vocabulary lookup described in bpe_apply, consumed by both
+    the per-doc report and the corpus-wide token-usage audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = bpe_id_expr()
     return docs.select(
         "doc_id",
         ids.alias("ids"),

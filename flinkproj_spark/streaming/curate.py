@@ -218,3 +218,29 @@ def stream_quality_scores(new_docs: DataFrame) -> DataFrame:
         score.alias("score_e6"),
         (score > QC_THRESHOLD).cast("int").alias("keep"),
     )
+
+
+def stream_bpe_encode(new_docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/text.py::bpe_apply: encode each
+    incoming document against the fixed broadcast merge table at
+    ingest time — tokenize-on-arrival, the layout a continuous shard
+    writer consumes. Entirely stateless (the merge table is a plan
+    literal; the whole replace-chain encode is in-row), so it composes
+    with readStream unchanged and needs no watermark or state store.
+    Input stream needs (doc_id, ts, text); output is the batch
+    operator's row shape plus the event time."""
+    from flinkproj_spark.operators.text import bpe_id_expr
+
+    staged = new_docs.select("doc_id", "ts", bpe_id_expr().alias("ids"))
+    counted = staged.select(
+        "doc_id",
+        "ts",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.size(F.filter("ids", lambda i: i < 0)).cast("long").alias("n_oov"),
+        F.md5(
+            F.array_join(F.transform("ids", lambda i: i.cast("string")), ",")
+        ).alias("ids_fp"),
+    )
+    return counted.withColumn(
+        "oov_ppm", F.expr("n_oov * 1000000 div greatest(n_tokens, 1)")
+    )

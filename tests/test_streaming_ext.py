@@ -582,3 +582,45 @@ class TestStreamMultimodalDecode:
         got = {tuple(r) for r in spark.read.parquet(out).collect()}
         want = {tuple(r) for r in multimodal_decode(spark, sf_dir).collect()}
         assert got == want and len(got) > 0
+
+
+class TestStreamBpeEncode:
+    def test_converges_to_batch_encoding(self, spark, sf_dir, tmp_path):
+        """The ingest-time encoder must produce exactly the batch
+        bpe_apply rows across a two-batch split, each doc once."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.text import bpe_apply
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.curate import stream_bpe_encode
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            "text",
+        )
+        schema = "doc_id bigint, ts timestamp, text string"
+        for i in (0, 1):
+            docs.filter(F.col("doc_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = (
+                stream_bpe_encode(spark.readStream.schema(schema).parquet(src))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        got = {
+            (r.doc_id, r.n_tokens, r.n_oov, r.ids_fp, r.oov_ppm)
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            (r.doc_id, r.n_tokens, r.n_oov, r.ids_fp, r.oov_ppm)
+            for r in bpe_apply(spark, sf_dir).collect()
+        }
+        assert got == want and len(got) > 0
