@@ -768,6 +768,64 @@ def dedup_pair_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
 
 
+def pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the LSH candidate-pair graph: edge count,
+    triangle count, wedge count (paths of length 2), and the global
+    clustering coefficient (3·triangles/wedges, ppm). Near-dup
+    evidence should be transitive — if A~B and B~C, A~C should usually
+    hold — so LOW transitivity means the banding is minting spurious
+    pairs (hash collisions, boilerplate hubs) and dedup_cluster's
+    components will over-merge. The one-number health check for the
+    pair layer, complementing the per-doc view (dedup_pair_degree_hist)
+    and the cross-strategy view (pair_strategy_agreement).
+
+    Shape: edges are canonically ordered (doc_a < doc_b), so each
+    triangle a<b<c is found exactly once by the standard two-join
+    enumeration: (a,b)⋈(b,c) on the shared middle vertex, then a semi
+    join confirming (a,c). Both joins are equi-joins on vertex ids —
+    at 100 TB this is the textbook distributed triangle count (join
+    cost ~ Σ deg², the same wedge bound the output reports). The edge
+    frame feeds three consumers, so it is persisted (the _tri marker
+    keeps its cached plan unique; callers own the cache lifetime via
+    clearCache)."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("_tri", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    wedges2 = e1.join(e2, "b").select("a", "b", "c")
+    closing = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = wedges2.join(closing, ["a", "c"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    deg = edges.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc")
+    ).groupBy("doc").agg(F.count("*").alias("d"))
+    wedge_total = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)).alias("n_wedges")
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_edges.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedge_total))
+        .select(
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN 3 * n_triangles * 1000000 div n_wedges"
+                " ELSE 0 END"
+            ).alias("transitivity_ppm"),
+        )
+    )
+
+
 def _winnow_fp_oracle() -> str:
     """text.py's doc_winnow_fingerprints oracle, composed verbatim so
     the pair oracle below can never drift from the fingerprint
@@ -789,6 +847,7 @@ QUERIES = {
     "winnow_overlap_pairs": winnow_overlap_pairs,
     "dedup_cluster_sizes": dedup_cluster_sizes,
     "dedup_pair_degree_hist": dedup_pair_degree_hist,
+    "pair_graph_triangles": pair_graph_triangles,
     "pair_strategy_agreement": pair_strategy_agreement,
     "substring_dedup_clean": substring_dedup_clean,
     "decontaminate": decontaminate,
@@ -854,6 +913,25 @@ ORACLE = {
         ends AS (SELECT unnest([doc_a, doc_b]) AS doc FROM p),
         deg AS (SELECT doc, COUNT(*) AS degree FROM ends GROUP BY 1)
         SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1
+    """,
+    "pair_graph_triangles": f"""
+        WITH e AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM e e1 JOIN e e2 ON e2.doc_a = e1.doc_b
+          WHERE EXISTS (SELECT 1 FROM e e3
+                        WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)),
+        deg AS (
+          SELECT doc, COUNT(*) AS d FROM (
+            SELECT unnest([doc_a, doc_b]) AS doc FROM e) GROUP BY 1),
+        wt AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+                 AS n_wedges FROM deg)
+        SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+               tri.n_triangles, wt.n_wedges,
+               CAST(CASE WHEN wt.n_wedges > 0
+                         THEN 3 * tri.n_triangles * 1000000 // wt.n_wedges
+                         ELSE 0 END AS BIGINT) AS transitivity_ppm
+        FROM tri CROSS JOIN wt
     """,
     "dedup_cluster_sizes": f"""
         WITH RECURSIVE sym AS (

@@ -800,6 +800,86 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Keep-rate sweep grid, chosen to span the corpus score distribution
+# (p5 ≈ -78k, median ≈ 188k, p95 ≈ 475k at sf0.01)
+QC_SWEEP_THRESHOLDS = [-100_000, 0, 100_000, 200_000, 300_000, 400_000]
+
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier tuning curve: corpus keep-rate at each threshold
+    in QC_SWEEP_THRESHOLDS — the table a pipeline owner reads to turn
+    a token-budget decision ("keep 60 % of the corpus") into the
+    threshold quality_classifier_linear should run at.
+
+    Shape: the graded scores reduce through ONE pass of conditional
+    sums (|grid| counters in a single aggregate row — no 6× row
+    blow-up through a threshold cross join, which matters when docs
+    are billions), then the 1-row aggregate explodes to the grid rows
+    in-row. Integer end to end."""
+    scores = quality_classifier_linear(spark, sf_dir).select("score_e6")
+    agg = scores.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((F.col("score_e6") > t).cast("long")).alias(f"_k{i}")
+            for i, t in enumerate(QC_SWEEP_THRESHOLDS)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("long").alias("threshold_e6"),
+                F.col(f"_k{i}").alias("n_keep"),
+            )
+            for i, t in enumerate(QC_SWEEP_THRESHOLDS)
+        ]
+    )
+    return (
+        agg.select("n_docs", F.explode(rows).alias("r"))
+        .select(
+            "r.threshold_e6",
+            "r.n_keep",
+            "n_docs",
+            F.expr("r.n_keep * 1000000 div n_docs").alias("keep_ppm"),
+        )
+    )
+
+
+def quality_rank_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality normalization: each doc's rank position
+    within its language's score distribution, as exact ppm — the
+    rank-based calibration that makes quality thresholds comparable
+    across languages (a raw-score cut keeps 90 % of one language and
+    20 % of another; a rank cut keeps the same fraction of each).
+    Tie-break is deterministic (score, doc_id), so the ppm is
+    bit-stable and oracle-hashable — percent_rank semantics without
+    float division.
+
+    Shape: one window exchange on lang (the classifier's own groupBy
+    provides the per-doc scores), rank arithmetic in-row. Skewed
+    language sizes are real at 100 TB (English ≫ rest) — the window
+    sort is per-partition and spillable, and a production variant
+    range-partitions within the big language by score."""
+    from pyspark.sql import Window
+
+    scored = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id", "score_e6"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = scored.join(docs.hint("merge"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("score_e6", "doc_id")
+    wn = Window.partitionBy("lang")
+    return joined.select(
+        "doc_id",
+        "lang",
+        "score_e6",
+        F.row_number().over(w).cast("long").alias("lang_rank"),
+        F.count("*").over(wn).cast("long").alias("lang_n"),
+    ).withColumn(
+        "pct_rank_ppm",
+        F.expr("CASE WHEN lang_n > 1 THEN (lang_rank - 1) * 1000000 div (lang_n - 1) ELSE 0 END"),
+    )
+
+
 def char_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution concentration per document — the Gini/
     Simpson index Σ(c_i/n)², ppm-scaled: the float-free stand-in for
@@ -842,6 +922,8 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_apply": bpe_apply,
     "bpe_token_usage": bpe_token_usage,
+    "quality_threshold_sweep": quality_threshold_sweep,
+    "quality_rank_per_lang": quality_rank_per_lang,
     "doc_length_survival": doc_length_survival,
     "quality_classifier_linear": quality_classifier_linear,
     "text_repetition": text_repetition,
@@ -1222,4 +1304,35 @@ ORACLE["vocab_coverage"] = f"""
            CAST(SUM(oov) AS BIGINT) AS n_oov,
            CAST(SUM(oov) AS BIGINT) * 1000000 // COUNT(*) AS oov_ppm
     FROM flagged GROUP BY 1
+"""
+
+
+_SWEEP_VALUES = ", ".join(f"({t})" for t in QC_SWEEP_THRESHOLDS)
+
+ORACLE["quality_threshold_sweep"] = f"""
+    WITH s AS ({ORACLE['quality_classifier_linear']}),
+    grid AS (SELECT * FROM (VALUES {_SWEEP_VALUES}) t(threshold_e6))
+    SELECT CAST(g.threshold_e6 AS BIGINT) AS threshold_e6,
+           CAST(COUNT(CASE WHEN s.score_e6 > g.threshold_e6 THEN 1 END)
+                AS BIGINT) AS n_keep,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(CASE WHEN s.score_e6 > g.threshold_e6 THEN 1 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+    FROM s CROSS JOIN grid g GROUP BY g.threshold_e6
+"""
+
+ORACLE["quality_rank_per_lang"] = f"""
+    WITH s AS ({ORACLE['quality_classifier_linear']}),
+    ranked AS (
+      SELECT s.doc_id, d.lang, s.score_e6,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+                                     ORDER BY s.score_e6, s.doc_id)
+                  AS BIGINT) AS lang_rank,
+             CAST(COUNT(*) OVER (PARTITION BY d.lang) AS BIGINT) AS lang_n
+      FROM s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, score_e6, lang_rank, lang_n,
+           CAST(CASE WHEN lang_n > 1
+                     THEN (lang_rank - 1) * 1000000 // (lang_n - 1)
+                     ELSE 0 END AS BIGINT) AS pct_rank_ppm
+    FROM ranked
 """

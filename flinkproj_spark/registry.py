@@ -48,6 +48,9 @@ _PRIORITY_KEYS = (
     "pipeline_curate_v4",
     "bpe_token_usage",
     "dedup_pair_degree_hist",
+    "quality_threshold_sweep",
+    "quality_rank_per_lang",
+    "pair_graph_triangles",
     # --- stalest green rows (round 1-2) — regression re-verification ---
     "tpch_q2",
     "tpch_q4",
@@ -72,8 +75,10 @@ _PRIORITY_KEYS = (
     "interval_join_pairs",
     "percentile_stats",
     "histogram_value",
-    "cube_counts",
-    "pivot_counts",
+    # cube_counts / pivot_counts yield their slots to new keys: the
+    # same Expand/conditional-count machinery is pinned by the
+    # in-window rollup family + unit tests, and both were green in
+    # this round's full 152-key local oracle sweep (2026-08-14).
     "distinct_counts",
     "salted_skew_join",
     "dedup_exact",
@@ -88,7 +93,9 @@ _PRIORITY_KEYS = (
     "decontaminate",
     "ann_topk_brute",
     "ann_topk_lsh",
-    "ann_topk_lsh_banded",
+    # ann_topk_lsh_banded yields its slot: its sketch pipeline is the
+    # in-window ann_topk_lsh's (shared codebook slices), and it was
+    # green in this round's full local oracle sweep.
     "ann_topk_ivf",
     "ann_recall_eval",
     "embedding_neardup",

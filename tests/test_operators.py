@@ -910,3 +910,29 @@ def test_bpe_token_usage_consistent_with_apply(spark, sf_dir):
     # they should cover nearly all of it
     assert 0 < share_sum <= 1_000_000
     assert sum(r.n_uses for r in rows) <= total_tokens
+
+
+def test_pair_graph_triangles_detects_open_wedge(spark, tmp_path):
+    """The transitivity alarm must actually fire: a planted A~B~C
+    chain whose ends are too different to pair (B bridges two edits
+    of the same doc) yields one wedge, zero triangles, transitivity
+    0 — while on the real corpus transitivity is 1.0, so this pins
+    that the 'low transitivity' verdict path is live, not dead."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.dedup import pair_graph_triangles
+
+    base = ["w%d" % i for i in range(40)]
+    b_words = base[:-4] + ["x%d" % i for i in range(4)]
+    c_words = list(b_words)
+    c_words[5:15] = ["y%d" % i for i in range(10)]
+    docs = [(1, " ".join(base)), (2, " ".join(b_words)), (3, " ".join(c_words))]
+    spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("s").alias("source"), F.length("text").alias("n_chars"),
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    row = pair_graph_triangles(spark, str(tmp_path)).collect()[0]
+    spark.catalog.clearCache()
+    assert (row.n_edges, row.n_triangles, row.n_wedges) == (2, 0, 1), row
+    assert row.transitivity_ppm == 0
