@@ -251,7 +251,11 @@ def filter_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ffv marker keeps the cached plan unique to this key; callers own
     the cache lifetime via clearCache, the minhash_jaccard_estimate
     contract). Drop sets stay un-broadcast anti joins — each is
-    corpus-proportional in the worst case."""
+    corpus-proportional in the worst case — and are deliberately NOT
+    persisted: all six counters assemble into ONE plan where the
+    shared subtrees are exchange-reused, and an r5 A/B measured the
+    persisted variant ~25% SLOWER at sf0.1 (persist barriers break
+    the cross-branch reuse)."""
     from pyspark.storagelevel import StorageLevel
 
     from flinkproj_spark.operators.curation import neardup_semantic_verify
