@@ -936,3 +936,35 @@ def test_pair_graph_triangles_detects_open_wedge(spark, tmp_path):
     spark.catalog.clearCache()
     assert (row.n_edges, row.n_triangles, row.n_wedges) == (2, 0, 1), row
     assert row.transitivity_ppm == 0
+
+
+def test_round5_ops_survive_empty_inputs(spark, tmp_path):
+    """Round-5 operators must execute (not crash) on structurally
+    valid but EMPTY tables — same first-micro-batch contract as the
+    round-3 sweep above."""
+    from flinkproj_spark import registry
+
+    schemas = {
+        "documents": "doc_id long, text string, lang string, source string, n_chars long",
+        "embeddings": "vec_id long, embedding array<float>, label int",
+    }
+    for name, schema in schemas.items():
+        spark.createDataFrame([], schema).write.parquet(
+            str(tmp_path / f"{name}.parquet"), mode="overwrite"
+        )
+    keys = [
+        "semdedup_cells", "bpe_apply", "bpe_token_usage", "multimodal_pack",
+        "filter_funnel_v3", "pipeline_curate_v4", "dedup_pair_degree_hist",
+        "pair_graph_triangles", "quality_threshold_sweep",
+        "quality_rank_per_lang",
+    ]
+    q = registry.queries()
+    failures = {}
+    for key in keys:
+        try:
+            q[key](spark, str(tmp_path)).count()
+        except Exception as e:  # noqa: BLE001 — collecting all failures
+            failures[key] = repr(e)[:160]
+        finally:
+            spark.catalog.clearCache()
+    assert not failures, failures
