@@ -136,7 +136,7 @@ def minhash_sigs_from_hashes(staged: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
     """Band the signature frame and expand each bucket into ordered
     candidate pairs. Shared by dedup_minhash_lsh and the
     Jaccard-estimate verifier (which passes the SAME sig object so the
@@ -160,12 +160,12 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     computed once and reused — pinned by tests/test_plans.py)."""
     from pyspark.sql import Window
 
-    n_bands = N_HASHES // BAND_ROWS
+    n_bands = N_HASHES // band_rows
     band_key = [
         F.concat_ws(
             "|",
             F.lit(str(bnd)),
-            *[F.col(f"s{bnd * BAND_ROWS + r}").cast("string") for r in range(BAND_ROWS)],
+            *[F.col(f"s{bnd * band_rows + r}").cast("string") for r in range(band_rows)],
         )
         for bnd in range(n_bands)
     ]
@@ -768,6 +768,76 @@ def dedup_pair_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
 
 
+#: (bands, rows_per_band) grid for the banding sensitivity sweep —
+#: r·b = N_HASHES throughout: max-recall (every hash its own band),
+#: the production config, and max-precision (one 9-row band).
+MB_CONFIGS = [(9, 1), (3, 3), (1, 9)]
+
+
+def minhash_banding_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning curve — the banding analogue of
+    quality_threshold_sweep: candidate-pair count, strong-pair count
+    (signature-estimated Jaccard ≥ 0.5), and mean estimated Jaccard
+    for each (bands, rows-per-band) split of the same N_HASHES
+    signature. The S-curve tradeoff made measurable: 9×1 banding
+    shows the recall ceiling and its false-positive cost, 1×9 the
+    precision floor, and the production 3×3 sits between — the table
+    an operator reads before moving BAND_ROWS.
+
+    Shape: ONE signature build (persisted — three band configs and
+    both sides of every agreement join consume it; the _mbs marker
+    keeps the cached plan operator-unique), then per config the same
+    capped bucket-expand as production (lsh_candidate_pairs with
+    band_rows overridden) and an O(pairs) agreement join. Integer
+    end to end."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    sig = (
+        minhash_signatures(docs)
+        .withColumn("_mbs", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(N_HASHES)
+    )
+    out = None
+    for bands, rws in MB_CONFIGS:
+        pairs = lsh_candidate_pairs(sig, band_rows=rws)
+        matched = (
+            pairs.join(a.hint("merge"), "doc_a")
+            .join(b.hint("merge"), "doc_b")
+            .select(n_match.alias("nm"))
+        )
+        row = matched.agg(
+            F.count("*").alias("n_pairs"),
+            F.coalesce(
+                F.sum((F.col("nm") * 2 >= N_HASHES).cast("long")), F.lit(0)
+            ).alias("n_strong_pairs"),
+            F.coalesce(F.sum("nm"), F.lit(0)).alias("_nm_sum"),
+        ).select(
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(rws).cast("int").alias("rows_per_band"),
+            "n_pairs",
+            "n_strong_pairs",
+            F.expr(
+                f"CASE WHEN n_pairs > 0"
+                f" THEN _nm_sum * 1000000 div ({N_HASHES} * n_pairs)"
+                f" ELSE 0 END"
+            ).alias("mean_est_jaccard_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitivity audit of the LSH candidate-pair graph: edge count,
     triangle count, wedge count (paths of length 2), and the global
@@ -1125,3 +1195,81 @@ def _agreement_oracle() -> str:
 
 
 ORACLE["pair_strategy_agreement"] = _agreement_oracle()
+
+
+def _banding_sensitivity_oracle() -> str:
+    """Generated DuckDB twin of minhash_banding_sensitivity: one
+    shared shingle+signature build, then per MB_CONFIGS entry the same
+    capped bucket-expand (full pairs under BUCKET_CAP, star pairs
+    above) and signature-agreement aggregate. Literals all derive from
+    the module constants, so the oracle tracks the operator."""
+    sig_cols = ", ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    ctes = [
+        f"""x AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(unnest({_SHINGLES_SQL})), 1, 8))::BIGINT AS x
+          FROM documents WHERE len({_WORDS_SQL}) >= 3)""",
+        f"sig AS (SELECT doc_id, {sig_cols} FROM x GROUP BY doc_id)",
+    ]
+    selects = []
+    nm = " + ".join(
+        f"CAST(sa.s{i} = sb.s{i} AS BIGINT)" for i in range(N_HASHES)
+    )
+    for bands, rws in MB_CONFIGS:
+        n_b = N_HASHES // rws
+        band_list = ", ".join(
+            "'" + str(bnd) + "|' || "
+            + " || '|' || ".join(
+                f"CAST(s{bnd * rws + r} AS VARCHAR)" for r in range(rws)
+            )
+            for bnd in range(n_b)
+        )
+        tag = f"{bands}x{rws}"
+        ctes.append(
+            f"bands_{tag} AS (SELECT doc_id, unnest([{band_list}]) AS band_key FROM sig)"
+        )
+        ctes.append(
+            f"""bsz_{tag} AS (
+              SELECT band_key, COUNT(DISTINCT doc_id) AS k, MIN(doc_id) AS rep
+              FROM bands_{tag} GROUP BY band_key)"""
+        )
+        ctes.append(
+            f"""pairs_{tag} AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands_{tag} a JOIN bands_{tag} b
+                ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+              JOIN bsz_{tag} ON a.band_key = bsz_{tag}.band_key
+                AND bsz_{tag}.k BETWEEN 2 AND {BUCKET_CAP}
+              UNION
+              SELECT DISTINCT bsz_{tag}.rep AS doc_a, a.doc_id AS doc_b
+              FROM bands_{tag} a JOIN bsz_{tag} ON a.band_key = bsz_{tag}.band_key
+              WHERE bsz_{tag}.k > {BUCKET_CAP} AND a.doc_id <> bsz_{tag}.rep)"""
+        )
+        ctes.append(
+            f"""m_{tag} AS (
+              SELECT ({nm}) AS nm
+              FROM pairs_{tag} p
+              JOIN sig sa ON sa.doc_id = p.doc_a
+              JOIN sig sb ON sb.doc_id = p.doc_b)"""
+        )
+        selects.append(
+            f"""SELECT CAST({bands} AS INT) AS bands,
+                   CAST({rws} AS INT) AS rows_per_band,
+                   COUNT(*) AS n_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN nm * 2 >= {N_HASHES}
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_strong_pairs,
+                   CAST(CASE WHEN COUNT(*) > 0
+                             THEN COALESCE(SUM(nm), 0) * 1000000
+                                  // ({N_HASHES} * COUNT(*))
+                             ELSE 0 END AS BIGINT) AS mean_est_jaccard_ppm
+            FROM m_{tag}"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+QUERIES["minhash_banding_sensitivity"] = minhash_banding_sensitivity
+ORACLE["minhash_banding_sensitivity"] = _banding_sensitivity_oracle()

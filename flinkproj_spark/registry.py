@@ -51,6 +51,11 @@ _PRIORITY_KEYS = (
     "quality_threshold_sweep",
     "quality_rank_per_lang",
     "pair_graph_triangles",
+    # minhash_banding_sensitivity (also new in r5) DEFERS to the r6
+    # window — the 50-key budget is spent on the 10 new keys above
+    # plus the stalest regression set; it is oracle-green in this
+    # round's local sf0.01+sf0.1 sweeps (the incremental_rollup_merge
+    # precedent from r3).
     # --- stalest green rows (round 1-2) — regression re-verification ---
     "tpch_q2",
     "tpch_q4",

@@ -968,3 +968,21 @@ def test_round5_ops_survive_empty_inputs(spark, tmp_path):
         finally:
             spark.catalog.clearCache()
     assert not failures, failures
+
+
+def test_banding_sensitivity_follows_s_curve(spark, sf_dir):
+    """The sweep must exhibit the LSH tradeoff it exists to measure:
+    fewer rows per band -> more candidates with lower mean estimated
+    Jaccard; more rows -> fewer, purer candidates. Production 3x3
+    sits strictly between the extremes on this corpus."""
+    from flinkproj_spark.operators.dedup import minhash_banding_sensitivity
+
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in minhash_banding_sensitivity(spark, sf_dir).collect()
+    }
+    spark.catalog.clearCache()
+    hi, mid, lo = rows[(9, 1)], rows[(3, 3)], rows[(1, 9)]
+    assert hi.n_pairs > mid.n_pairs > lo.n_pairs
+    assert hi.mean_est_jaccard_ppm < mid.mean_est_jaccard_ppm <= lo.mean_est_jaccard_ppm
+    assert lo.n_strong_pairs == lo.n_pairs  # 9/9 agreement pairs are all strong
