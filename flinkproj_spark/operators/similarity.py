@@ -850,6 +850,89 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_MEAN_Q = 100  # alarm when a dim's mean shifts > 0.1 (100 e3-units)
+
+
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift between two corpus snapshots (the
+    vec_id-parity split stands in for old/new ingest batches): exact
+    integer sums and counts per side, the mean shift in quantized
+    (e3) units, and a drift verdict at |shift| > DRIFT_MEAN_Q — the
+    regression check a pipeline runs when the upstream embedding model
+    is swapped, before mixing incompatible vectors into one index.
+
+    Exactness: the shift compares cross-multiplied integer sums
+    (sum_new·n_old − sum_old·n_new), so the verdict never touches a
+    float; magnitudes stay < 2⁶³ by corpus construction. Shape: one
+    posexplode + ONE map-side-combined groupBy(dim) with conditional
+    sums per side — DIM output groups, shuffle size independent of
+    corpus size (embedding_dim_stats' shape, one pass for both
+    snapshots). On the synthetic corpus both halves draw from the
+    same distribution so every verdict is 0 — correct, not dead: the
+    planted-shift fixture test proves the alarm fires."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = fx.quantize_embedding(F.col("embedding"))
+    is_new = (F.col("vec_id") % 2 == 1).cast("long")
+    expl = emb.select(
+        is_new.alias("is_new"), F.posexplode(q).alias("pos0", "qv")
+    )
+    per_dim = expl.groupBy((F.col("pos0") + 1).alias("dim")).agg(
+        F.sum(1 - F.col("is_new")).alias("n_old"),
+        F.sum("is_new").alias("n_new"),
+        F.sum(F.col("qv") * (1 - F.col("is_new"))).alias("sum_old"),
+        F.sum(F.col("qv") * F.col("is_new")).alias("sum_new"),
+    )
+    shift_num = F.col("sum_new") * F.col("n_old") - F.col("sum_old") * F.col("n_new")
+    denom = F.col("n_old") * F.col("n_new")
+    return per_dim.select(
+        "dim",
+        "n_old",
+        "n_new",
+        "sum_old",
+        "sum_new",
+        # |shift| and sign separately: nonnegative integer division
+        # agrees between engines; signed division rounding would not
+        F.when(
+            denom > 0,
+            F.expr("abs(sum_new * n_old - sum_old * n_new) div (n_old * n_new)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("abs_shift_q"),
+        F.signum(shift_num).cast("int").alias("shift_sign"),
+        F.when(
+            denom > 0,
+            (F.abs(shift_num) > F.lit(DRIFT_MEAN_Q) * denom).cast("int"),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_drifted"),
+    )
+
+
+def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health: per-cell population and corpus share — the
+    skew audit an index maintainer watches, because at 100 TB a cell
+    is a storage partition and an over-full cell is both a hot probe
+    (every query touching it scans it all) and a straggler task. When
+    the report shows imbalance, the fix is re-training the codebook
+    or splitting the hot cell, and this table says which one.
+
+    Shape: the shared broadcast-argmax assignment (ivf_assignments)
+    → ONE map-side-combined count per cell (N_CENTROIDS groups) with
+    the corpus total as a broadcast 1-row aggregate."""
+    assign = ivf_assignments(spark, sf_dir)
+    sizes = assign.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    total = sizes.agg(F.sum("n_vecs").alias("_t"))
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr("n_vecs * 1000000 div _t").alias("share_ppm"),
+        )
+    )
+
+
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension corpus statistics over the embedding column —
     count, exact quantized mean, min/max, and spread — the calibration
@@ -958,6 +1041,8 @@ QUERIES = {
     "ivf_pq_topk": ivf_pq_topk,
     "embedding_outliers": embedding_outliers,
     "semdedup_cells": semdedup_cells,
+    "embedding_drift_report": embedding_drift_report,
+    "ivf_cell_balance_report": ivf_cell_balance_report,
 }
 
 
@@ -1400,4 +1485,53 @@ ORACLE["semdedup_cells"] = f"""
            c.max_prior_cos,
            CAST(c.max_prior_cos IS NOT NULL AS INT) AS is_dropped
     FROM assign a LEFT JOIN condemned c ON a.vec_id = c.vec_id
+"""
+
+ORACLE["embedding_drift_report"] = f"""
+    WITH expl AS (
+      SELECT CAST(vec_id % 2 AS BIGINT) AS is_new,
+             unnest(range(1, {DIM} + 1)) AS dim,
+             unnest({_QUANT_SQL}) AS qv
+      FROM embeddings),
+    per_dim AS (
+      SELECT dim,
+             CAST(SUM(1 - is_new) AS BIGINT) AS n_old,
+             CAST(SUM(is_new) AS BIGINT) AS n_new,
+             CAST(SUM(qv * (1 - is_new)) AS BIGINT) AS sum_old,
+             CAST(SUM(qv * is_new) AS BIGINT) AS sum_new
+      FROM expl GROUP BY 1)
+    SELECT dim, n_old, n_new, sum_old, sum_new,
+           CAST(CASE WHEN n_old * n_new > 0
+                     THEN abs(sum_new * n_old - sum_old * n_new)
+                          // (n_old * n_new)
+                     ELSE 0 END AS BIGINT) AS abs_shift_q,
+           CAST(sign(sum_new * n_old - sum_old * n_new) AS INT) AS shift_sign,
+           CAST(CASE WHEN n_old * n_new > 0
+                     THEN abs(sum_new * n_old - sum_old * n_new)
+                          > {DRIFT_MEAN_Q} * n_old * n_new
+                     ELSE FALSE END AS INT) AS is_drifted
+    FROM per_dim
+"""
+
+ORACLE["ivf_cell_balance_report"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    cent AS (
+      SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+    scored_cells AS (
+      SELECT b.vec_id, c.cid,
+             CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim
+      FROM base b CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS arn
+        FROM scored_cells)
+      WHERE arn = 1),
+    sizes AS (SELECT cell, COUNT(*) AS n_vecs FROM assign GROUP BY 1),
+    total AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS t FROM sizes)
+    SELECT cell, n_vecs,
+           CAST(n_vecs * 1000000 // t AS BIGINT) AS share_ppm
+    FROM sizes CROSS JOIN total
 """

@@ -986,3 +986,35 @@ def test_banding_sensitivity_follows_s_curve(spark, sf_dir):
     assert hi.n_pairs > mid.n_pairs > lo.n_pairs
     assert hi.mean_est_jaccard_ppm < mid.mean_est_jaccard_ppm <= lo.mean_est_jaccard_ppm
     assert lo.n_strong_pairs == lo.n_pairs  # 9/9 agreement pairs are all strong
+
+
+def test_embedding_drift_flags_planted_shift(spark, tmp_path):
+    """On the synthetic corpus both snapshot halves share one
+    distribution, so is_drifted is 0 everywhere — correct, not dead.
+    Plant a +0.5 mean shift on one dimension of the NEW half (odd
+    vec_ids) and that dim must flag with the right sign while the
+    others stay dark."""
+    import random
+
+    from flinkproj_spark.operators.similarity import DIM, embedding_drift_report
+
+    rng = random.Random(21)
+    rows = []
+    # sigma/n sized so the per-dim mean-difference standard error
+    # (sigma*sqrt(2/n) = 0.014 in quantized units: 14) sits far below
+    # the 100-unit alarm line — undrifted dims stay dark w.p. ~1
+    for vid in range(400):
+        v = [rng.gauss(0, 0.2) for _ in range(DIM)]
+        if vid % 2 == 1:
+            v[4] += 0.5  # dim 5 (1-based) shifts in the new snapshot
+        rows.append((vid, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.dim: r for r in embedding_drift_report(spark, str(tmp_path)).collect()}
+    assert len(out) == DIM
+    assert out[5].is_drifted == 1 and out[5].shift_sign == 1
+    assert out[5].abs_shift_q > 300
+    dark = [d for d, r in out.items() if d != 5 and r.is_drifted == 0]
+    assert len(dark) == DIM - 1
