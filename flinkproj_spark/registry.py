@@ -51,11 +51,12 @@ _PRIORITY_KEYS = (
     "quality_threshold_sweep",
     "quality_rank_per_lang",
     "pair_graph_triangles",
-    # minhash_banding_sensitivity (also new in r5) DEFERS to the r6
-    # window — the 50-key budget is spent on the 10 new keys above
-    # plus the stalest regression set; it is oracle-green in this
+    # Also new in r5 but DEFERRING to the r6 window (the 50-key budget
+    # is spent on the 10 new keys above plus the stalest regression
+    # set): minhash_banding_sensitivity, embedding_drift_report,
+    # ivf_cell_balance_report. All three are oracle-green in this
     # round's local sf0.01+sf0.1 sweeps (the incremental_rollup_merge
-    # precedent from r3).
+    # precedent from r3). They MUST lead the r6 rotation.
     # --- stalest green rows (round 1-2) — regression re-verification ---
     "tpch_q2",
     "tpch_q4",
