@@ -882,6 +882,29 @@ def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qv") * (1 - F.col("is_new"))).alias("sum_old"),
         F.sum(F.col("qv") * F.col("is_new")).alias("sum_new"),
     )
+    return drift_verdicts(per_dim)
+
+
+def dim_moments(vecs: DataFrame, prefix: str) -> DataFrame:
+    """Per-dimension (n_<prefix>, sum_<prefix>) integer moments of an
+    embedding frame — the decomposable state both the batch report and
+    the streaming monitor accumulate (sums and counts merge across
+    batches without loss, the IVM property)."""
+    q = fx.quantize_embedding(F.col("embedding"))
+    return (
+        vecs.select(F.posexplode(q).alias("pos0", "qv"))
+        .groupBy((F.col("pos0") + 1).alias("dim"))
+        .agg(
+            F.count("*").alias(f"n_{prefix}"),
+            F.sum("qv").alias(f"sum_{prefix}"),
+        )
+    )
+
+
+def drift_verdicts(per_dim: DataFrame) -> DataFrame:
+    """The report tail shared by embedding_drift_report and the
+    streaming monitor's view: exact cross-multiplied shift + verdict
+    over a (dim, n_old, n_new, sum_old, sum_new) frame."""
     shift_num = F.col("sum_new") * F.col("n_old") - F.col("sum_old") * F.col("n_new")
     denom = F.col("n_old") * F.col("n_new")
     return per_dim.select(

@@ -624,3 +624,45 @@ class TestStreamBpeEncode:
             for r in bpe_apply(spark, sf_dir).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestStreamDriftMonitor:
+    def test_converges_to_batch_drift_report(self, spark, sf_dir, tmp_path):
+        """Stream the NEW snapshot (odd vec_ids) in two micro-batches
+        against the static baseline (even vec_ids): after the stream
+        drains, drift_view must equal embedding_drift_report row for
+        row — same integer moments, same verdicts."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.similarity import embedding_drift_report
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import (
+            drift_view,
+            stream_drift_monitor,
+        )
+
+        src, state, ckpt = (str(tmp_path / d) for d in ("src", "state", "ckpt"))
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        new = emb.filter(F.col("vec_id") % 2 == 1)
+        schema = "vec_id bigint, embedding array<float>"
+        for i in (0, 1):
+            new.filter(F.expr("vec_id div 2") % 2 == i).select(
+                "vec_id", "embedding"
+            ).coalesce(1).write.mode("append").parquet(src)
+            q = stream_drift_monitor(
+                spark.readStream.schema(schema).parquet(src), state, ckpt
+            )
+            q.awaitTermination(180)
+
+        got = {tuple(r) for r in drift_view(spark, state, base).collect()}
+        want = {tuple(r) for r in embedding_drift_report(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
+
+        # replay idempotency: re-running with no new files must not
+        # double-count the accumulated moments
+        q = stream_drift_monitor(
+            spark.readStream.schema(schema).parquet(src), state, ckpt
+        )
+        q.awaitTermination(180)
+        assert {tuple(r) for r in drift_view(spark, state, base).collect()} == want
