@@ -300,8 +300,48 @@ def query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two rankers: each doc scores
+    Σ 1/(RRF_K + rank) over the lists that retrieved it — the
+    standard zero-tuning way to combine lexical (BM25) and
+    vector-space (TF-IDF) evidence, robust to their incomparable score
+    scales because only RANKS enter. Contributions are exact integers
+    (1e9 div (K + rank)), so the fused ordering is bit-stable and
+    oracle-hashable — no float-sum ambiguity.
+
+    Shape: both input rankings are already TakeOrderedAndProject
+    top-20 frames, so the rank windows and the full-outer merge run on
+    k rows per query — at scale this is per-query driver-free work
+    bounded by k·|rankers|, downstream of corpus-sized scans the
+    rankers own."""
+    from pyspark.sql import Window
+
+    def ranked(df: DataFrame, score_col: str, name: str) -> DataFrame:
+        w = Window.orderBy(F.col(score_col).desc(), "doc_id")
+        return df.select(
+            "doc_id", F.row_number().over(w).cast("long").alias(f"{name}_rank")
+        )
+
+    a = ranked(bm25_topk(spark, sf_dir), "bm25", "bm25")
+    b = ranked(tfidf_topk(spark, sf_dir), "tfidf_cos", "tfidf")
+    both = a.join(b, "doc_id", "full_outer")
+    contrib = (
+        F.coalesce(F.expr(f"1000000000 div ({RRF_K} + bm25_rank)"), F.lit(0))
+        + F.coalesce(F.expr(f"1000000000 div ({RRF_K} + tfidf_rank)"), F.lit(0))
+    )
+    w = Window.orderBy(F.col("rrf_e9").desc(), "doc_id")
+    return (
+        both.select("doc_id", "bm25_rank", "tfidf_rank", contrib.alias("rrf_e9"))
+        .withColumn("fused_rank", F.row_number().over(w).cast("int"))
+    )
+
+
 QUERIES = {
     "query_expansion_prf": query_expansion_prf,
+    "rrf_fusion": rrf_fusion,
     "bm25_topk": bm25_topk,
     "corpus_stats": corpus_stats,
     "corpus_health_report": corpus_health_report,
@@ -450,3 +490,27 @@ def _prf_oracle() -> str:
 
 
 ORACLE["query_expansion_prf"] = _prf_oracle()
+
+ORACLE["rrf_fusion"] = f"""
+    WITH a AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS bm25_rank
+      FROM ({ORACLE["bm25_topk"]})),
+    b AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY tfidf_cos DESC, doc_id) AS BIGINT)
+               AS tfidf_rank
+      FROM ({ORACLE["tfidf_topk"]})),
+    merged AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             a.bm25_rank, b.tfidf_rank,
+             CAST(COALESCE(1000000000 // ({RRF_K} + a.bm25_rank), 0)
+                  + COALESCE(1000000000 // ({RRF_K} + b.tfidf_rank), 0)
+                  AS BIGINT) AS rrf_e9
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT doc_id, bm25_rank, tfidf_rank, rrf_e9,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_e9 DESC, doc_id) AS INT)
+             AS fused_rank
+    FROM merged
+"""
