@@ -54,9 +54,10 @@ _PRIORITY_KEYS = (
     # Also new in r5 but DEFERRING to the r6 window (the 50-key budget
     # is spent on the 10 new keys above plus the stalest regression
     # set): minhash_banding_sensitivity, embedding_drift_report,
-    # ivf_cell_balance_report. All three are oracle-green in this
-    # round's local sf0.01+sf0.1 sweeps (the incremental_rollup_merge
-    # precedent from r3). They MUST lead the r6 rotation.
+    # ivf_cell_balance_report, rrf_fusion. All four are oracle-green in
+    # this round's local sf0.01+sf0.1 sweeps (the
+    # incremental_rollup_merge precedent from r3). They MUST lead the
+    # r6 rotation.
     # --- stalest green rows (round 1-2) — regression re-verification ---
     "tpch_q2",
     "tpch_q4",
