@@ -334,6 +334,58 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-model attribution in one pass: for every purchase, the
+    user's FIRST at-or-before touchpoint (first-touch model), the
+    LATEST (last-touch — asof_join's model), and the prior-touch count
+    (the denominator linear attribution credits 1/n by). Emitting all
+    three from one frame is the point: marketing analytics compares
+    models on the same events, and computing each with its own scan
+    would triple the cost and risk skew between them.
+
+    Shape: the asof family's union+window trick (one exchange on
+    user_id, touchpoints sorting before probes at equal timestamps),
+    with first/last/count as THREE window aggregates over the SAME
+    ordered frame — Spark evaluates them in one window operator, so
+    the marginal models are free. No range join, no duplication."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    is_probe = (F.col("event_type") == "purchase").cast("int")
+    tagged = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.col("event_id"),
+        is_probe.alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_id = F.when(F.col("is_probe") == 0, F.col("event_id"))
+    return (
+        tagged.withColumn("first_touch_id", F.first(touch_id, ignorenulls=True).over(w))
+        .withColumn("last_touch_id", F.last(touch_id, ignorenulls=True).over(w))
+        .withColumn(
+            "n_prior_touches",
+            F.sum((F.col("is_probe") == 0).cast("long")).over(w),
+        )
+        .filter(F.col("is_probe") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("k").alias("user_id"),
+            "first_touch_id",
+            "last_touch_id",
+            "n_prior_touches",
+            (
+                F.col("first_touch_id").isNotNull()
+                & (F.col("first_touch_id") == F.col("last_touch_id"))
+            ).cast("int").alias("single_touch"),
+        )
+    )
+
+
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation: users and days per event type.
     Spark expands count_distinct into a two-phase partial-dedup agg —
@@ -523,6 +575,7 @@ QUERIES = {
     "cube_counts": cube_counts,
     "pivot_counts": pivot_counts,
     "asof_join": asof_join,
+    "attribution_first_last": attribution_first_last,
     "asof_join_tolerance": asof_join_tolerance,
     "distinct_counts": distinct_counts,
     "approx_distinct_counts": approx_distinct_counts,
@@ -697,6 +750,26 @@ ORACLE = {
                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
         FROM events GROUP BY user_id
+    """,
+    "attribution_first_last": """
+        WITH tagged AS (
+          SELECT user_id AS k, ts AS t, event_id,
+                 CAST(event_type = 'purchase' AS INT) AS is_probe,
+                 CASE WHEN event_type <> 'purchase' THEN event_id END AS touch
+          FROM events),
+        marked AS (
+          SELECT k, event_id, is_probe,
+                 FIRST_VALUE(touch IGNORE NULLS) OVER w AS first_touch_id,
+                 LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch_id,
+                 CAST(SUM(1 - is_probe) OVER w AS BIGINT) AS n_prior_touches
+          FROM tagged
+          WINDOW w AS (PARTITION BY k ORDER BY t, is_probe, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id AS purchase_id, k AS user_id,
+               first_touch_id, last_touch_id, n_prior_touches,
+               CAST(first_touch_id IS NOT NULL
+                    AND first_touch_id = last_touch_id AS INT) AS single_touch
+        FROM marked WHERE is_probe = 1
     """,
     # Explicit tie-break (ADVICE r4): DuckDB's ASOF JOIN leaves the pick
     # among equal-max-ts touches unspecified, while the Spark window

@@ -95,3 +95,17 @@ def test_funnel_v3_counts_equal_pipeline_outputs(spark, sf_dir):
     assert row.n_gated < row.n_total
     assert row.n_after_decontam > 0
     spark.catalog.clearCache()
+
+
+def test_attribution_last_touch_equals_asof_join(spark, sf_dir):
+    """Cross-key invariant: the last-touch column of the multi-model
+    attribution key must equal asof_join's match for every purchase —
+    two formulations of one model can never drift."""
+    from flinkproj_spark.operators.relational import asof_join, attribution_first_last
+
+    last = {
+        r.purchase_id: r.last_touch_id
+        for r in attribution_first_last(spark, sf_dir).collect()
+    }
+    asof = {r.purchase_id: r.touch_id for r in asof_join(spark, sf_dir).collect()}
+    assert last == asof and len(last) > 0

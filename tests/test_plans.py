@@ -834,3 +834,13 @@ def test_multimodal_pack_single_shuffle_inrow_expansion(spark, sf_dir):
     plan = _plan(multimodal_pack(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_attribution_single_window_pass(spark, sf_dir):
+    # Three attribution models from ONE window operator: a single hash
+    # exchange on the user key, no join, no second window sort.
+    from flinkproj_spark.operators.relational import attribution_first_last
+
+    plan = _plan(attribution_first_last(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
