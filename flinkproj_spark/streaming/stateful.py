@@ -245,3 +245,78 @@ def stream_rolling_median(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- streaming attribution (the stateful twin of operators/
+# relational.attribution_first_last) ------------------------------------
+
+ATTR_OUTPUT_SCHEMA = (
+    "purchase_id long, user_id long, first_touch_id long, last_touch_id long, "
+    "n_prior_touches long, single_touch int"
+)
+# (first_touch, last_touch, n_touches) per user — 3 longs, forever-live
+# by design (attribution never forgets a user's first touch); a real
+# deployment bounds the key space with a TTL timeout on inactive users.
+ATTR_STATE_SCHEMA = "first long, last long, n long"
+
+
+def _attr_for_key(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Replay this user's events in the batch operator's exact order —
+    (ts, touch-before-purchase, event_id) — against the carried
+    (first, last, n) touch state, emitting one attribution row per
+    purchase the moment it arrives."""
+    (user_id,) = key
+    rows: list[tuple[int, int, int]] = []  # (ts_us, is_probe, event_id)
+    for pdf in pdfs:
+        probes = (pdf["event_type"] == "purchase").astype("int64")
+        for t, p, e in zip(
+            pdf["ts"].astype("int64") // 1000, probes, pdf["event_id"]
+        ):
+            rows.append((int(t), int(p), int(e)))
+    rows.sort()
+
+    first, last, n = state.get if state.exists else (None, None, 0)
+    out: list[tuple[int, Any, Any, int, int]] = []
+    for _t, is_probe, event_id in rows:
+        if is_probe:
+            single = int(first is not None and first == last)
+            out.append((event_id, first, last, n, single))
+        else:
+            first = event_id if first is None else first
+            last, n = event_id, n + 1
+    if n:  # never store an all-null state for touchless users
+        state.update((first, last, n))
+    if out:
+        yield pd.DataFrame(
+            {
+                "purchase_id": pd.Series([r[0] for r in out], dtype="int64"),
+                "user_id": pd.Series([user_id] * len(out), dtype="int64"),
+                "first_touch_id": pd.Series([r[1] for r in out], dtype="Int64"),
+                "last_touch_id": pd.Series([r[2] for r in out], dtype="Int64"),
+                "n_prior_touches": pd.Series([r[3] for r in out], dtype="int64"),
+                "single_touch": pd.Series([r[4] for r in out], dtype="int32"),
+            }
+        )
+
+
+def stream_attribution(events: DataFrame) -> DataFrame:
+    """events(user_id, ts, event_type, event_id) stream → one
+    attribution row per purchase AT INGEST TIME (first/last touch +
+    linear-model denominator), converging to the batch
+    attribution_first_last on an in-order replay — the reference's
+    keyed-state idiom (Flink ValueState per user) expressed as
+    applyInPandasWithState. State is three longs per user; Arrow
+    batches carry each user's rows into Python once per micro-batch."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _attr_for_key,
+            outputStructType=ATTR_OUTPUT_SCHEMA,
+            stateStructType=ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

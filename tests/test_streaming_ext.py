@@ -666,3 +666,41 @@ class TestStreamDriftMonitor:
         )
         q.awaitTermination(180)
         assert {tuple(r) for r in drift_view(spark, state, base).collect()} == want
+
+
+class TestStreamAttribution:
+    def test_converges_to_batch_attribution(self, spark, sf_dir, tmp_path):
+        """Replay events in event-time order across two micro-batches;
+        the per-purchase attribution rows must equal the batch
+        attribution_first_last output exactly (state carries first/
+        last/count across the batch boundary)."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.relational import attribution_first_last
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.stateful import stream_attribution
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", "event_id"
+        )
+        cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").collect()[0].c
+        schema = "user_id bigint, ts timestamp, event_type string, event_id bigint"
+        for cond in (
+            F.expr(f"unix_micros(ts) <= {int(cut)}"),
+            F.expr(f"unix_micros(ts) > {int(cut)}"),
+        ):
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+            q = (
+                stream_attribution(spark.readStream.schema(schema).parquet(src))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in attribution_first_last(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
