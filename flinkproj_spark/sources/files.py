@@ -203,6 +203,22 @@ def write_training_shards(
     )
 
 
+def write_tokenized_shards(
+    spark, sf_dir: str, out_path: str, n_shards: int = 8
+) -> None:
+    """The training pipeline's last mile: encode every document with
+    the fixed BPE merge table (operators/text.py::bpe_apply's shared
+    stage) and write the (doc_id, ids) rows through the deterministic
+    shard-shuffle layout — what a trainer actually mounts: uniformly
+    shuffled token-id sequences, one file per shard, no text. Same
+    scale shape as write_training_shards (the encode itself is a pure
+    map stage, so the only exchange is the shard hash)."""
+    from flinkproj_spark.operators.text import _bpe_ids
+
+    ids = _bpe_ids(spark, sf_dir).drop("_nc")
+    write_training_shards(ids, out_path, n_shards)
+
+
 def write_zorder_layout(
     df: DataFrame,
     out_path: str,

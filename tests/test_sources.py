@@ -281,3 +281,26 @@ def test_compact_small_files_shrinks_file_count(spark, sf_dir, tmp_path):
     spans = sorted((r.lo, r.hi) for r in per_file)
     for (  _, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert lo_next >= hi_prev  # range-partitioned: files don't interleave
+
+
+def test_tokenized_shards_roundtrip_to_bpe_apply(spark, sf_dir, tmp_path):
+    """The tokenized shard layout must carry exactly the encoder's
+    output: reading every shard back and fingerprinting each doc's id
+    sequence reproduces bpe_apply's ids_fp for the whole corpus (no
+    doc lost, none duplicated, no id reordered inside a doc)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.text import bpe_apply
+    from flinkproj_spark.sources.files import write_tokenized_shards
+
+    out = str(tmp_path / "tok_shards")
+    write_tokenized_shards(spark, sf_dir, out)
+    back = spark.read.parquet(out).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.transform("ids", lambda i: i.cast("string")), ",")
+        ).alias("ids_fp"),
+    )
+    got = {(r.doc_id, r.ids_fp) for r in back.collect()}
+    want = {(r.doc_id, r.ids_fp) for r in bpe_apply(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
