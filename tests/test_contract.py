@@ -109,3 +109,16 @@ def test_attribution_last_touch_equals_asof_join(spark, sf_dir):
     }
     asof = {r.purchase_id: r.touch_id for r in asof_join(spark, sf_dir).collect()}
     assert last == asof and len(last) > 0
+
+
+def test_catalog_is_current():
+    """CATALOG.md must list exactly the registered keys — regenerate
+    with tools/gen_catalog.py after adding operators."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "CATALOG.md").read_text()
+    listed = set(re.findall(r"^\| `([a-z0-9_]+)` \|", text, re.M))
+    assert listed == set(registry.queries()), (
+        sorted(listed ^ set(registry.queries()))
+    )
