@@ -48,6 +48,33 @@ def stream_stream_join(
     ).select(imp["ad_id"], "imp_ts", "click_ts")
 
 
+def stream_stream_left_join(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER variant of the attribution join: every impression
+    emits — matched rows as soon as the click arrives, UNMATCHED ones
+    with a null click_ts once the watermark proves no click can still
+    come (impression state is held exactly until imp_ts + max_delay
+    passes the watermark, then emitted-null and evicted). The
+    unattributed channel is the half a funnel dashboard actually
+    monitors; an inner join silently drops it.
+
+    Same state bound as the inner join — the outer behavior changes
+    only WHEN unmatched rows leave the store, not how much state is
+    held. Inputs need (ad_id, imp_ts) and (ad_id, click_ts)."""
+    imp = impressions.withWatermark("imp_ts", max_delay)
+    clk = clicks.withWatermark("click_ts", max_delay)
+    return imp.join(
+        clk,
+        (imp["ad_id"] == clk["ad_id"])
+        & (clk["click_ts"] >= imp["imp_ts"])
+        & (clk["click_ts"] <= imp["imp_ts"] + F.expr(f"INTERVAL {max_delay}")),
+        "left_outer",
+    ).select(imp["ad_id"], "imp_ts", "click_ts")
+
+
 def stream_dedup(events: DataFrame, horizon: str = "40 seconds") -> DataFrame:
     """Streaming exact deduplication on event_id: keeps the first
     arrival of each id, drops re-deliveries within the watermark

@@ -704,3 +704,44 @@ class TestStreamAttribution:
         got = {tuple(r) for r in spark.read.parquet(out).collect()}
         want = {tuple(r) for r in attribution_first_last(spark, sf_dir).collect()}
         assert got == want and len(got) > 0
+
+
+class TestStreamStreamLeftJoin:
+    def test_unmatched_impressions_emit_null_click(self, spark, tmp_path):
+        """Ad 1 converts in-window; ad 2's click lands outside the
+        delay; ad 4 never clicks. The left join must emit ALL of ads
+        1/2/4 — the unattributed ones with a null click_ts once a
+        later event advances the watermark past their horizon."""
+        from flinkproj_spark.streaming.joins import stream_stream_left_join
+
+        imp_src, clk_src, out, ckpt = (
+            str(tmp_path / d) for d in ("imp", "clk", "out", "ckpt")
+        )
+        _feed(
+            spark, imp_src,
+            [(1, _sec(0)), (2, _sec(0)), (4, _sec(0)),
+             # far-future impression pushes the watermark so the
+             # earlier horizons close and unmatched rows emit
+             (9, _sec(7200))],
+            "ad_id long, imp_ts timestamp",
+        )
+        _feed(
+            spark, clk_src,
+            [(1, _sec(120)), (2, _sec(1200)), (3, _sec(60)),
+             (9, _sec(10800))],
+            "ad_id long, click_ts timestamp",
+        )
+        imp = spark.readStream.schema("ad_id long, imp_ts timestamp").parquet(imp_src)
+        clk = spark.readStream.schema("ad_id long, click_ts timestamp").parquet(clk_src)
+        _run(stream_stream_left_join(imp, clk), out, ckpt)
+
+        got = {
+            (r.ad_id, r.imp_ts, r.click_ts)
+            for r in spark.read.parquet(out).collect()
+            if r.ad_id != 9
+        }
+        assert got == {
+            (1, _sec(0), _sec(120)),
+            (2, _sec(0), None),
+            (4, _sec(0), None),
+        }
