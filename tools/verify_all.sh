@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# Full verification gauntlet — the four oracle-parity modes plus the
+# test suite. Everything here is what the per-round claims in README.md
+# rest on; run after any operator change.
+#
+#   bash tools/verify_all.sh [sf_dir_small] [sf_dir_big]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SMALL="${1:-/root/testdata/sf0.01}"
+BIG="${2:-/root/testdata/sf0.1}"
+
+echo "== 1/5 oracle parity @ ${SMALL} (driver scale)"
+python tests/oracle_check.py "$SMALL" | grep -v '^OK ' || true
+
+echo "== 2/5 oracle parity @ ${BIG} (10x driver scale)"
+python tests/oracle_check.py "$BIG" | grep -v '^OK ' || true
+
+echo "== 3/5 oracle parity @ ${SMALL} under a shifted host timezone"
+TZ=America/New_York python tests/oracle_check.py "$SMALL" | grep -v '^OK ' || true
+
+echo "== 4/5 odd-partitioning parity (5 cores, 7 shuffle partitions)"
+python - "$SMALL" <<'EOF'
+import sys
+import duckdb
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+from oracle_check import _canon
+from flinkproj_spark import registry
+from flinkproj_spark.session import build_session
+sf_dir = sys.argv[1]
+spark = build_session("oddpart", cpus=5,
+                      extra_conf={"spark.sql.shuffle.partitions": "7"})
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+qs, oracles = registry.queries(), registry.oracle_sql()
+bad = []
+for k, fn in qs.items():
+    if k not in oracles:
+        continue
+    sdf = fn(spark, sf_dir).toPandas()
+    spark.catalog.clearCache()
+    if _canon(sdf) != _canon(con.execute(oracles[k]).df()):
+        bad.append(k)
+        print("MISMATCH", k)
+print("odd-partitioning mismatches:", bad if bad else "none")
+spark.stop()
+sys.exit(1 if bad else 0)
+EOF
+
+echo "== 5/5 test suite"
+python -m pytest tests/ -q
+
+echo "ALL VERIFICATION MODES CLEAN"
