@@ -684,6 +684,51 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination's reverse view: per EVAL document, how leaked it
+    is into the training corpus — distinct training docs sharing ≥ 1
+    of its word 3-shingles, distinct shingles of its own that appear
+    in training, and total (train doc, shingle) hits. `decontaminate`
+    answers "which training docs must go"; this answers "which
+    benchmark items are already compromised" — the report an eval
+    owner reads before trusting a score, since a leaked item measures
+    memorization, not capability.
+
+    Scale shape: same as decontaminate with the join direction's roles
+    swapped — the eval side is tiny BY CONSTRUCTION, so its
+    (shingle-hash, eval_doc) pairs broadcast into the exploded
+    training shingles; counting then aggregates on eval_doc_id (key
+    space = eval-set size). The training corpus still never self-joins
+    and never shuffles text."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    sh = docs.filter(F.size(words) >= 3).select(
+        "doc_id", F.explode(_shingles(words)).alias("s")
+    ).select("doc_id", F.md5("s").alias("h"))
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "h")
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = train.join(F.broadcast(eval_sh), "h")
+    per_eval = hits.groupBy("eval_doc_id").agg(
+        F.count_distinct("doc_id").alias("n_train_docs"),
+        F.count_distinct("h").alias("n_shingles_leaked"),
+        F.count("*").alias("n_hits"),
+    )
+    base = docs.filter(
+        (F.size(words) >= 3) & (F.col("doc_id") % EVAL_MOD == 0)
+    ).select(F.col("doc_id").alias("eval_doc_id"))
+    return base.join(per_eval, "eval_doc_id", "left").select(
+        "eval_doc_id",
+        F.coalesce("n_train_docs", F.lit(0)).alias("n_train_docs"),
+        F.coalesce("n_shingles_leaked", F.lit(0)).alias("n_shingles_leaked"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_train_docs", F.lit(0)) > 0).cast("int").alias("is_leaked"),
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked exact n-gram Jaccard: candidate pairs share a blocking key
     (lang + first two words — near-dups share their prefix), then exact
@@ -921,6 +966,7 @@ QUERIES = {
     "pair_strategy_agreement": pair_strategy_agreement,
     "substring_dedup_clean": substring_dedup_clean,
     "decontaminate": decontaminate,
+    "eval_leak_report": eval_leak_report,
 }
 
 _SHINGLES_SQL = f"""
@@ -1149,6 +1195,33 @@ ORACLE = {
         FROM (SELECT doc_id FROM documents
               WHERE len({_WORDS_SQL}) >= 3 AND doc_id % {EVAL_MOD} <> 0) b
         LEFT JOIN o ON b.doc_id = o.doc_id
+    """,
+    "eval_leak_report": f"""
+        WITH sh AS (
+          SELECT doc_id, md5(unnest({_SHINGLES_SQL})) AS h
+          FROM documents WHERE len({_WORDS_SQL}) >= 3),
+        ev AS (
+          SELECT DISTINCT doc_id AS eval_doc_id, h FROM sh
+          WHERE doc_id % {EVAL_MOD} = 0),
+        train AS (
+          SELECT doc_id, h FROM sh WHERE doc_id % {EVAL_MOD} <> 0),
+        hits AS (
+          SELECT ev.eval_doc_id, t.doc_id, t.h
+          FROM train t JOIN ev ON t.h = ev.h),
+        per_eval AS (
+          SELECT eval_doc_id,
+                 COUNT(DISTINCT doc_id) AS n_train_docs,
+                 COUNT(DISTINCT h) AS n_shingles_leaked,
+                 COUNT(*) AS n_hits
+          FROM hits GROUP BY 1)
+        SELECT b.eval_doc_id,
+               COALESCE(p.n_train_docs, 0) AS n_train_docs,
+               COALESCE(p.n_shingles_leaked, 0) AS n_shingles_leaked,
+               COALESCE(p.n_hits, 0) AS n_hits,
+               CAST(COALESCE(p.n_train_docs, 0) > 0 AS INT) AS is_leaked
+        FROM (SELECT doc_id AS eval_doc_id FROM documents
+              WHERE len({_WORDS_SQL}) >= 3 AND doc_id % {EVAL_MOD} = 0) b
+        LEFT JOIN per_eval p ON b.eval_doc_id = p.eval_doc_id
     """,
     "dedup_ngram_jaccard": f"""
         WITH k AS (

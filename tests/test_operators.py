@@ -1018,3 +1018,24 @@ def test_embedding_drift_flags_planted_shift(spark, tmp_path):
     assert out[5].abs_shift_q > 300
     dark = [d for d, r in out.items() if d != 5 and r.is_drifted == 0]
     assert len(dark) == DIM - 1
+
+
+def test_eval_leak_report_consistent_with_decontaminate(spark, sf_dir):
+    """The two directions of one join must agree: some training doc is
+    contaminated iff some eval doc is leaked, and the leak report
+    covers every eval doc with a verdict (live on this corpus: the
+    synthetic eval split shares shingles with training)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.dedup import decontaminate, eval_leak_report
+
+    n_contaminated = (
+        decontaminate(spark, sf_dir).filter(F.col("contaminated")).count()
+    )
+    report = eval_leak_report(spark, sf_dir).collect()
+    n_leaked = sum(r.is_leaked for r in report)
+    assert (n_contaminated > 0) == (n_leaked > 0)
+    assert 0 < n_leaked <= len(report)
+    for r in report:  # severity columns are mutually consistent
+        assert (r.n_train_docs > 0) == (r.is_leaked == 1)
+        assert r.n_hits >= max(r.n_train_docs, r.n_shingles_leaked)
