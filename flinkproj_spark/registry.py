@@ -54,8 +54,8 @@ _PRIORITY_KEYS = (
     # Also new in r5 but DEFERRING to the r6 window (the 50-key budget
     # is spent on the 10 new keys above plus the stalest regression
     # set): minhash_banding_sensitivity, embedding_drift_report,
-    # ivf_cell_balance_report, rrf_fusion, attribution_first_last.
-    # All are oracle-green in
+    # ivf_cell_balance_report, rrf_fusion, attribution_first_last,
+    # eval_leak_report. All are oracle-green in
     # this round's local sf0.01+sf0.1 sweeps (the
     # incremental_rollup_merge precedent from r3). They MUST lead the
     # r6 rotation.
