@@ -44,6 +44,7 @@ from flinkproj_spark.operators.dedup import (
     _MINHASH_PAIRS_SQL,
     _SHINGLES_SQL,
     _WORDS_SQL,
+    _shingles,
     minhash_signatures,
 )
 from flinkproj_spark.sources.tables import fan_out, load_table
@@ -450,6 +451,45 @@ def neardup_semantic_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_LANGS = ("en", "de", "es", "fr")
 
 
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    3-shingles that occur in NO other document (corpus doc-frequency
+    1) — the inverse-boilerplate signal diversity-weighted sampling
+    uses: a doc of globally unique phrasing is worth more epochs than
+    one assembled from corpus-common fragments, and a novelty collapse
+    across an ingest batch means the crawler started eating mirrors.
+
+    Shape: shingles are deduped IN-ROW per doc before exploding, so
+    the doc-frequency groupBy's count is df by construction (one
+    map-side-combined shuffle on the 16-byte hash); (doc_id, h)
+    rejoins the df frame MERGE-pinned — both sides corpus-proportional
+    — and a final map-side-combined groupBy(doc_id) folds the verdict.
+    Only hashes move; text never leaves the scan. Integer ppm."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = fx.tokenize_ws()
+    sh = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(_shingles(words)).alias("s"))
+        .select("doc_id", F.md5("s").alias("h"))
+        .distinct()
+    )
+    df_frame = sh.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df_frame.hint("merge"), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            "n_novel * 1000000 div n_shingles AS novelty_ppm",
+        )
+    )
+
+
 def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-funnel observability: one row counting how many
     documents survive each cumulative filter stage — total →
@@ -494,6 +534,7 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ngram_novelty_score": ngram_novelty_score,
     "paragraph_dedup": paragraph_dedup,
     "unigram_lm_score": unigram_lm_score,
     "bigram_lm_score": bigram_lm_score,
@@ -649,6 +690,20 @@ def _semantic_verify_oracle() -> str:
 
 
 ORACLE["neardup_semantic_verify"] = _semantic_verify_oracle()
+
+ORACLE["ngram_novelty_score"] = f"""
+    WITH s AS (
+      SELECT DISTINCT doc_id, md5(unnest({_SHINGLES_SQL})) AS h
+      FROM documents WHERE len({_WORDS_SQL}) >= 3),
+    dfreq AS (SELECT h, COUNT(*) AS df FROM s GROUP BY 1)
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM s JOIN dfreq USING (h)
+    GROUP BY doc_id
+"""
 
 
 def _funnel_oracle() -> str:

@@ -55,7 +55,7 @@ _PRIORITY_KEYS = (
     # is spent on the 10 new keys above plus the stalest regression
     # set): minhash_banding_sensitivity, embedding_drift_report,
     # ivf_cell_balance_report, rrf_fusion, attribution_first_last,
-    # eval_leak_report. All are oracle-green in
+    # eval_leak_report, ngram_novelty_score. All are oracle-green in
     # this round's local sf0.01+sf0.1 sweeps (the
     # incremental_rollup_merge precedent from r3). They MUST lead the
     # r6 rotation.
