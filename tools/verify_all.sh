@@ -3,6 +3,11 @@
 # test suite. Everything here is what the per-round claims in README.md
 # rest on; run after any operator change.
 #
+# Each oracle_check run's exit status (== failure count) is enforced:
+# a FAIL/MISMATCH row aborts the script. (Earlier revisions piped
+# through `grep || true`, which failed open — flagged in round-5
+# ADVICE.md and fixed here.)
+#
 #   bash tools/verify_all.sh [sf_dir_small] [sf_dir_big]
 set -euo pipefail
 cd "$(dirname "$0")/.."
@@ -10,14 +15,27 @@ cd "$(dirname "$0")/.."
 SMALL="${1:-/root/testdata/sf0.01}"
 BIG="${2:-/root/testdata/sf0.1}"
 
-echo "== 1/5 oracle parity @ ${SMALL} (driver scale)"
-python tests/oracle_check.py "$SMALL" | grep -v '^OK ' || true
+oracle_mode () {  # oracle_mode <label> <cmd...>
+  local label="$1"; shift
+  echo "== ${label}"
+  local out status=0
+  out=$("$@") || status=$?
+  # Show only the interesting lines (non-OK), but judge on the status.
+  printf '%s\n' "$out" | grep -v '^OK ' || true
+  if [ "$status" -ne 0 ]; then
+    echo "ORACLE PARITY FAILED (${status} key(s)) in mode: ${label}"
+    exit 1
+  fi
+}
 
-echo "== 2/5 oracle parity @ ${BIG} (10x driver scale)"
-python tests/oracle_check.py "$BIG" | grep -v '^OK ' || true
+oracle_mode "1/5 oracle parity @ ${SMALL} (driver scale)" \
+  python tests/oracle_check.py "$SMALL"
 
-echo "== 3/5 oracle parity @ ${SMALL} under a shifted host timezone"
-TZ=America/New_York python tests/oracle_check.py "$SMALL" | grep -v '^OK ' || true
+oracle_mode "2/5 oracle parity @ ${BIG} (10x driver scale)" \
+  python tests/oracle_check.py "$BIG"
+
+oracle_mode "3/5 oracle parity @ ${SMALL} under a shifted host timezone" \
+  env TZ=America/New_York python tests/oracle_check.py "$SMALL"
 
 echo "== 4/5 odd-partitioning parity (5 cores, 7 shuffle partitions)"
 python - "$SMALL" <<'EOF'
