@@ -32,85 +32,70 @@ _EXTENSION_MODULES = (
 )
 
 # Key order == driver check order, and the driver's per-round
-# correctness budget covers only the FIRST ~50 keys. Round-5 window:
-# the 7 keys NEW this round lead; the remaining budget re-verifies 43
-# of the 44 keys whose latest driver-green row dates to rounds 1-2
-# (the round-4 verdict's staleness list — all 18 TPC-H tails plus the
-# relational/dedup/ANN/text keys below; dedup_minhash_lsh yields its
-# slot, see inline note). The r3/r4-verified keys rotate to the tail
-# in module order.
+# correctness budget covers only the FIRST ~50 keys. Since round 6 the
+# window is MECHANICAL, not hand-curated: it must equal
+# tools/gen_catalog.expected_window() — never-driver-green keys first,
+# then the stalest-green keys (derived from the committed
+# CORRECTNESS_r*.json files), tie-broken by module order. Regenerate
+# with `python tools/gen_catalog.py --window` after adding keys or
+# after a new CORRECTNESS file lands;
+# tests/test_contract.py::test_priority_window_is_mechanical pins the
+# equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    # --- new in round 5 (appended as implemented) ---
-    "semdedup_cells",
-    "bpe_apply",
-    "multimodal_pack",
-    "filter_funnel_v3",
-    "pipeline_curate_v4",
-    "bpe_token_usage",
-    "dedup_pair_degree_hist",
-    "quality_threshold_sweep",
-    "quality_rank_per_lang",
-    "pair_graph_triangles",
-    # Also new in r5 but DEFERRING to the r6 window (the 50-key budget
-    # is spent on the 10 new keys above plus the stalest regression
-    # set): minhash_banding_sensitivity, embedding_drift_report,
-    # ivf_cell_balance_report, rrf_fusion, attribution_first_last,
-    # eval_leak_report, ngram_novelty_score. All are oracle-green in
-    # this round's local sf0.01+sf0.1 sweeps (the
-    # incremental_rollup_merge precedent from r3). They MUST lead the
-    # r6 rotation.
-    # --- stalest green rows (round 1-2) — regression re-verification ---
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "grouping_sets_counts",
-    "time_rollup_multires",
-    "interval_join_pairs",
-    "percentile_stats",
-    "histogram_value",
-    # cube_counts / pivot_counts yield their slots to new keys: the
-    # same Expand/conditional-count machinery is pinned by the
-    # in-window rollup family + unit tests, and both were green in
-    # this round's full 152-key local oracle sweep (2026-08-14).
-    "distinct_counts",
-    "salted_skew_join",
-    "dedup_exact",
-    "dedup_keyed_latest",
-    # dedup_minhash_lsh itself rotates to the tail this round to keep
-    # the window at 50: its exact pair pipeline is transitively
-    # hash-verified by dedup_pair_degree_hist above (whose oracle
-    # embeds _MINHASH_PAIRS_SQL) and consumed by dedup_cluster below.
-    "dedup_cluster",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "decontaminate",
-    "ann_topk_brute",
-    "ann_topk_lsh",
-    # ann_topk_lsh_banded yields its slot: its sketch pipeline is the
-    # in-window ann_topk_lsh's (shared codebook slices), and it was
-    # green in this round's full local oracle sweep.
-    "ann_topk_ivf",
-    "ann_recall_eval",
-    "embedding_neardup",
-    "embedding_centroids",
-    "text_token_count",
-    "text_repetition",
-    "text_quality",
+    # --- never driver-checked: the 7 late-r5 keys the r5 verdict
+    # --- queued, plus keys new in round 6 ---
+    "ngram_novelty_score",
+    "attribution_first_last",
+    "eval_leak_report",
+    "minhash_banding_sensitivity",
+    "embedding_drift_report",
+    "ivf_cell_balance_report",
+    "rrf_fusion",
+    # --- stalest greens: the r2 set displaced in r5 ---
+    "cube_counts",
+    "pivot_counts",
+    "approx_distinct_counts",
+    "dedup_minhash_lsh",
+    "ann_topk_lsh_banded",
+    # --- then the oldest r3 greens in module order ---
+    "filter_funnel_report",
+    "scd2_history",
+    "cdc_merge_latest",
+    "key_skew_profile",
+    "embedding_dim_stats",
+    "knn_label_vote",
+    "text_lang_id",
+    "doc_fingerprint",
+    "text_tf_top_terms",
+    "ngram_counts",
+    "text_pii_redact",
+    "doc_winnow_fingerprints",
+    "lang_id_eval",
+    "bigram_pmi_top",
+    "gopher_quality_filter",
+    "vocab_coverage",
+    "bm25_topk",
+    "corpus_stats",
+    "corpus_health_report",
+    "sample_exact_k",
+    "tfidf_topk",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "multimodal_pcm_stats",
+    "multimodal_phash_buckets",
+    "dedup_phash_hamming",
+    "stratified_sample",
+    "importance_sample",
+    "domain_mix",
+    "train_shard_shuffle",
+    "doc_chunking",
+    "sequence_pack",
+    "sliding_window_agg",
+    "quantile_bucketize",
+    "stratified_split",
+    "pipeline_clean",
 )
 
 
@@ -149,6 +134,16 @@ def broken() -> dict[str, str]:
     """Modules that failed to import, mapped to their tracebacks."""
     _modules()
     return dict(IMPORT_ERRORS)
+
+
+def raw_keys() -> tuple[str, ...]:
+    """Every registered key in plain module order, WITHOUT the
+    _PRIORITY_KEYS reorder — the stable tie-break ordering used by the
+    mechanized rotation ledger (tools/gen_catalog.py)."""
+    out: list[str] = []
+    for mod in _modules():
+        out.extend(getattr(mod, "QUERIES", {}).keys())
+    return tuple(out)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
