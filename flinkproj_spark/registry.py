@@ -42,60 +42,56 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    # --- never driver-checked: the 7 late-r5 keys the r5 verdict
-    # --- queued, plus keys new in round 6 ---
-    "ngram_novelty_score",
-    "attribution_first_last",
-    "eval_leak_report",
-    "minhash_banding_sensitivity",
-    "embedding_drift_report",
-    "ivf_cell_balance_report",
-    "rrf_fusion",
-    # --- stalest greens: the r2 set displaced in r5 ---
-    "cube_counts",
-    "pivot_counts",
-    "approx_distinct_counts",
-    "dedup_minhash_lsh",
-    "ann_topk_lsh_banded",
-    # --- then the oldest r3 greens in module order ---
-    "filter_funnel_report",
-    "scd2_history",
-    "cdc_merge_latest",
-    "key_skew_profile",
-    "embedding_dim_stats",
-    "knn_label_vote",
-    "text_lang_id",
-    "doc_fingerprint",
-    "text_tf_top_terms",
-    "ngram_counts",
-    "text_pii_redact",
-    "doc_winnow_fingerprints",
-    "lang_id_eval",
-    "bigram_pmi_top",
-    "gopher_quality_filter",
-    "vocab_coverage",
-    "bm25_topk",
-    "corpus_stats",
-    "corpus_health_report",
-    "sample_exact_k",
-    "tfidf_topk",
-    "multimodal_meta",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_pcm_stats",
-    "multimodal_phash_buckets",
-    "dedup_phash_hamming",
-    "stratified_sample",
-    "importance_sample",
-    "domain_mix",
-    "train_shard_shuffle",
-    "doc_chunking",
-    "sequence_pack",
-    "sliding_window_agg",
-    "quantile_bucketize",
-    "stratified_split",
-    "pipeline_clean",
+    "pipeline_report",  # last green r3
+    "pipeline_curate",  # last green r3
+    "pipeline_curate_v2",  # last green r3
+    "approx_percentile_stats",  # last green r3
+    "funnel_steps",  # last green r3
+    "retention_cohorts",  # last green r3
+    "outlier_zscore",  # last green r3
+    "event_path_topk",  # last green r3
+    "anomaly_rolling_z",  # last green r3
+    "pagerank_fixed",  # last green r3
+    "chi2_lang_source",  # last green r3
+    "zorder_layout",  # last green r3
+    "json_extract",  # last green r4
+    "explode_data",  # last green r4
+    "dim_join",  # last green r4
+    "enrich_serialize",  # last green r4
+    "ts_parse",  # last green r4
+    "filter_valid",  # last green r4
+    "format_tsv",  # last green r4
+    "window_count",  # last green r4
+    "late_split",  # last green r4
+    "paragraph_dedup",  # last green r4
+    "unigram_lm_score",  # last green r4
+    "bigram_lm_score",  # last green r4
+    "cross_snapshot_dedup",  # last green r4
+    "embedding_quantize",  # last green r4
+    "minhash_jaccard_estimate",  # last green r4
+    "neardup_semantic_verify",  # last green r4
+    "sessionize",  # last green r4
+    "tpch_q1",  # last green r4
+    "tpch_q3",  # last green r4
+    "tpch_q5",  # last green r4
+    "tpch_q6",  # last green r4
+    "top_k_per_group",  # last green r4
+    "window_functions",  # last green r4
+    "session_window_agg",  # last green r4
+    "set_except",  # last green r4
+    "set_intersect",  # last green r4
+    "global_topk",  # last green r4
+    "rollup_counts",  # last green r4
+    "asof_join",  # last green r4
+    "asof_join_tolerance",  # last green r4
+    "dedup_substring",  # last green r4
+    "winnow_overlap_pairs",  # last green r4
+    "dedup_cluster_sizes",  # last green r4
+    "pair_strategy_agreement",  # last green r4
+    "substring_dedup_clean",  # last green r4
+    "ann_topk_pq",  # last green r4
+    "ann_pq_recall_eval",  # last green r4
+    "ivf_pq_topk",  # last green r4
 )
 
 

@@ -86,7 +86,12 @@ def main() -> int:
         else:
             print(f"OK {key}: {sn} rows hash={sh}")
     spark.stop()
-    return failures
+    # Print the TRUE count; exit 1-if-any so the status can never wrap
+    # modulo 256 back to 0 (a 256-key failure would otherwise read as
+    # success), and so callers can tell "parity failed" (1, with the
+    # FAILURES line present) from a crash (traceback, no FAILURES line).
+    print(f"FAILURES {failures}")
+    return min(failures, 1)
 
 
 if __name__ == "__main__":

@@ -122,3 +122,24 @@ def test_catalog_is_current():
     assert listed == set(registry.queries()), (
         sorted(listed ^ set(registry.queries()))
     )
+    # pin the 5-column ledger format so a stale pre-ledger CATALOG.md
+    # (no "last green" column) fails even when the key set matches
+    assert "| key | module | check | last green | what |" in text
+
+
+def test_priority_window_is_mechanical():
+    """_PRIORITY_KEYS must equal tools/gen_catalog.expected_window():
+    never-driver-green keys first, then stalest-green, from the
+    git-tracked CORRECTNESS_r*.json ledger. A hand-stale copy (e.g.
+    after a new CORRECTNESS file lands or a key is added) fails here —
+    regenerate with `python tools/gen_catalog.py --window`."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import gen_catalog
+
+    assert tuple(registry._PRIORITY_KEYS) == gen_catalog.expected_window(), (
+        "stale _PRIORITY_KEYS — run `python tools/gen_catalog.py --window` "
+        "and paste the result into flinkproj_spark/registry.py"
+    )

@@ -3,10 +3,12 @@
 # test suite. Everything here is what the per-round claims in README.md
 # rest on; run after any operator change.
 #
-# Each oracle_check run's exit status (== failure count) is enforced:
-# a FAIL/MISMATCH row aborts the script. (Earlier revisions piped
-# through `grep || true`, which failed open — flagged in round-5
-# ADVICE.md and fixed here.)
+# Each oracle_check run is enforced: a FAIL/MISMATCH row aborts the
+# script. oracle_check.py exits 1-if-any-failure (never the raw count,
+# which would wrap modulo 256) and prints a final "FAILURES <n>" line;
+# a missing FAILURES line means the checker crashed, reported
+# distinctly. (Earlier revisions piped through `grep || true`, which
+# failed open — flagged in round-5 ADVICE.md and fixed here.)
 #
 #   bash tools/verify_all.sh [sf_dir_small] [sf_dir_big]
 set -euo pipefail
@@ -20,10 +22,17 @@ oracle_mode () {  # oracle_mode <label> <cmd...>
   echo "== ${label}"
   local out status=0
   out=$("$@") || status=$?
-  # Show only the interesting lines (non-OK), but judge on the status.
+  # Show only the interesting lines (non-OK), but judge on the status
+  # plus the checker's own FAILURES tally (absent => it crashed).
   printf '%s\n' "$out" | grep -v '^OK ' || true
-  if [ "$status" -ne 0 ]; then
-    echo "ORACLE PARITY FAILED (${status} key(s)) in mode: ${label}"
+  local tally
+  tally=$(printf '%s\n' "$out" | sed -n 's/^FAILURES \([0-9]*\)$/\1/p' | tail -1)
+  if [ -z "$tally" ]; then
+    echo "ORACLE CHECKER CRASHED (no FAILURES line, exit ${status}) in mode: ${label}"
+    exit 1
+  fi
+  if [ "$status" -ne 0 ] || [ "$tally" -ne 0 ]; then
+    echo "ORACLE PARITY FAILED (${tally} key(s)) in mode: ${label}"
     exit 1
   fi
 }
