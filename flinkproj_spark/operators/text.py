@@ -721,6 +721,68 @@ def bpe_token_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-side fidelity audit of the tokenizer — the inverse of
+    bpe_apply. Every document is encoded to ids (the shared
+    bpe_id_expr chain) and immediately decoded back: each id >= 0 maps
+    to its BPE_VOCAB surface, OOV (-1) to a '?' placeholder, and the
+    concatenation is compared against the canonical surface (lowercased
+    text with whitespace removed — exactly the character stream the
+    encoder consumed, since word boundaries are not carried by the id
+    stream). Emits per doc: token/OOV counts, OOV rate, an exact-match
+    flag, and the count of differing character positions. The invariant
+    a tokenizer owner ships on: decode(encode(x)) == x for every
+    OOV-free document (char_diff == 0), and for lossy docs the damage
+    is EXACTLY the OOV positions — any other nonzero cell means the
+    merge table and vocabulary disagree (pinned in
+    tests/test_contract.py::test_detokenize_roundtrip_fidelity).
+
+    Shape: pure in-row expression chain inside whole-stage codegen —
+    encode, decode, and the positional diff (zip_with over per-char
+    splits; a null from a length mismatch counts as a diff) all happen
+    in one map stage, zero exchange. At 100 TB this scales with scan
+    bandwidth like bpe_apply; nothing is collected or shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(v) for v in BPE_VOCAB])
+    staged = docs.select(
+        "doc_id",
+        bpe_id_expr().alias("ids"),
+        F.array_join(fx.tokenize_ws(F.lower("text")), "").alias("canon"),
+    ).select(
+        "doc_id",
+        F.size("ids").cast("long").alias("n_tokens"),
+        F.size(F.filter("ids", lambda i: i < 0)).cast("long").alias("n_oov"),
+        F.array_join(
+            F.transform(
+                "ids",
+                lambda i: F.when(
+                    i >= 0, F.element_at(vocab, i.cast("int") + 1)
+                ).otherwise(F.lit("?")),
+            ),
+            "",
+        ).alias("recon"),
+        "canon",
+    )
+    chars = lambda c: F.split(c, "(?!^)")  # noqa: E731 — per-char split
+    char_diff = F.aggregate(
+        F.zip_with(
+            chars(F.col("recon")),
+            chars(F.col("canon")),
+            lambda x, y: F.coalesce((x != y).cast("long"), F.lit(1).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("n_oov * 1000000 div greatest(n_tokens, 1)").alias("oov_ppm"),
+        (F.col("recon") == F.col("canon")).cast("int").alias("exact_match"),
+        char_diff.alias("char_diff"),
+    )
+
+
 def doc_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survival curve over document token counts: for every distinct
     length, how many documents have AT LEAST that many tokens — the
@@ -922,6 +984,7 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_apply": bpe_apply,
     "bpe_token_usage": bpe_token_usage,
+    "detokenize_roundtrip": detokenize_roundtrip,
     "quality_threshold_sweep": quality_threshold_sweep,
     "quality_rank_per_lang": quality_rank_per_lang,
     "doc_length_survival": doc_length_survival,
@@ -1223,6 +1286,43 @@ def _bpe_usage_oracle() -> str:
 
 
 ORACLE["bpe_token_usage"] = _bpe_usage_oracle()
+
+
+def _detok_oracle() -> str:
+    """Reverse replace-chain oracle: re-encode with the shared SQL
+    chain, decode ids via the vocabulary list, and diff against the
+    whitespace-stripped lowercased text position by position (out-of-
+    range slices compare as '' on exactly one side, matching Spark's
+    null-padded zip_with)."""
+    return f"""
+        WITH enc AS ({_bpe_enc_sql()}),
+        dec AS (
+          SELECT d.doc_id,
+                 CAST(len(e.ids) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(e.ids, i -> i < 0)) AS BIGINT) AS n_oov,
+                 array_to_string(list_transform(e.ids,
+                   i -> CASE WHEN i >= 0
+                             THEN ({_bpe_vocab_sql()})[CAST(i AS INT) + 1]
+                             ELSE '?' END), '') AS recon,
+                 array_to_string(
+                   list_filter(string_split(lower(d.text), ' '), w -> w != ''),
+                   '') AS canon
+          FROM documents d JOIN enc e USING (doc_id))
+        SELECT doc_id, n_tokens, n_oov,
+               CAST(n_oov * 1000000 // GREATEST(n_tokens, 1) AS BIGINT)
+                 AS oov_ppm,
+               CAST(CASE WHEN recon = canon THEN 1 ELSE 0 END AS INT)
+                 AS exact_match,
+               CAST(COALESCE(list_sum(list_transform(
+                     range(1, GREATEST(len(recon), len(canon)) + 1),
+                     i -> CASE WHEN recon[i:i] <> canon[i:i]
+                               THEN 1 ELSE 0 END)), 0) AS BIGINT)
+                 AS char_diff
+        FROM dec
+    """
+
+
+ORACLE["detokenize_roundtrip"] = _detok_oracle()
 
 ORACLE["doc_length_survival"] = f"""
     WITH c AS (

@@ -111,6 +111,21 @@ def test_attribution_last_touch_equals_asof_join(spark, sf_dir):
     assert last == asof and len(last) > 0
 
 
+def test_detokenize_roundtrip_fidelity(spark, sf_dir):
+    """The tokenizer's shipping invariant: decode(encode(x)) is EXACT
+    on every OOV-free document, and on lossy documents the damage never
+    exceeds the OOV positions (each OOV symbol is one character wide).
+    Both populations must be live or the audit proves nothing."""
+    from flinkproj_spark.operators.text import detokenize_roundtrip
+
+    rows = detokenize_roundtrip(spark, sf_dir).collect()
+    clean = [r for r in rows if r.n_oov == 0]
+    lossy = [r for r in rows if r.n_oov > 0]
+    assert clean and lossy, (len(clean), len(lossy))
+    assert all(r.exact_match == 1 and r.char_diff == 0 for r in clean)
+    assert all(r.exact_match == 0 and 0 < r.char_diff <= r.n_oov for r in lossy)
+
+
 def test_catalog_is_current():
     """CATALOG.md must list exactly the registered keys — regenerate
     with tools/gen_catalog.py after adding operators."""
