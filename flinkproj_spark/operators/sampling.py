@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flinkproj_spark import functions as fx
 from flinkproj_spark.sources.tables import load_table
+
+_TOKEN_RE = fx.TOKEN_RE
 
 # Per-language keep rate, expressed as an md5-hex-prefix ceiling: a doc
 # survives iff md5(doc_id || salt) starts below the ceiling. '28' ≈
@@ -376,8 +379,79 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EPOCH_BUDGET_X = 2  # training budget = X × corpus tokens
+
+
+def epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch allocation — the question the mixing family
+    could not answer until now: given a training budget of
+    EPOCH_BUDGET_X × the corpus's total tokens, how many PASSES
+    (epochs) over each source does the run take? Weights are
+    √-tempered on source token mass (the same α = 0.5 upsampling rule
+    as temperature_mix, applied to sources), so small curated sources
+    earn multiple epochs while the largest source trains under one
+    pass. Per source: token mass, tempered weight, its token
+    allocation, and the epoch count split into integer passes plus a
+    fractional remainder in ppm.
+
+    Determinism: the only float op is per-row sqrt (IEEE
+    correctly-rounded, identical in both engines) immediately floored
+    to BIGINT, so every SUM is integer-exact — no float aggregate
+    whose accumulation order the engine picks. Allocation products
+    route through DECIMAL(38,0): at 100 TB total_tokens ≈ 2.5e13 and
+    budget × weight overflows BIGINT. The budget invariant
+    0 ≤ B − Σ target_tokens < n_sources (one truncated token per
+    source, pinned in tests/test_operators.py) is what a training run
+    audits before launch.
+
+    Shape: one map-side-combined groupBy(source) over the scan (tiny
+    result), a 1-row broadcast of the two totals back over the
+    source table — nothing corpus-proportional ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.regexp_count("text", F.lit(_TOKEN_RE)))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+        )
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("_total_tokens"),
+        F.sum("weight").alias("_sum_w"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            f"CAST(CAST(_total_tokens AS DECIMAL(38,0)) * {EPOCH_BUDGET_X}"
+            " * weight div _sum_w AS BIGINT) AS target_tokens",
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            "target_tokens",
+            "target_tokens div n_tokens AS epochs",
+            "CAST(CAST(target_tokens % n_tokens AS DECIMAL(38,0)) * 1000000"
+            " div n_tokens AS BIGINT) AS epochs_frac_ppm",
+        )
+    )
+
+
 QUERIES = {
     "temperature_mix": temperature_mix,
+    "epoch_schedule": epoch_schedule,
     "stratified_sample": stratified_sample,
     "importance_sample": importance_sample,
     "domain_mix": domain_mix,
@@ -495,6 +569,29 @@ ORACLE = {
         GROUP BY 1, 2
     """,
 }
+
+ORACLE["epoch_schedule"] = f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_RE}')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+      FROM s WHERE n_tokens > 0),
+    t AS (SELECT SUM(n_tokens) AS total_tokens, SUM(weight) AS sum_w FROM w),
+    a AS (
+      SELECT source, n_docs, n_tokens, weight,
+             CAST(total_tokens * {EPOCH_BUDGET_X} * weight // sum_w
+                  AS BIGINT) AS target_tokens
+      FROM w CROSS JOIN t)
+    SELECT source, n_docs, n_tokens, weight, target_tokens,
+           CAST(target_tokens // n_tokens AS BIGINT) AS epochs,
+           CAST((target_tokens % n_tokens) * 1000000 // n_tokens
+                AS BIGINT) AS epochs_frac_ppm
+    FROM a
+"""
 
 ORACLE["importance_sample"] = f"""
     WITH s AS (

@@ -823,6 +823,24 @@ QC_BIAS = -1_500_000
 QC_THRESHOLD = 0  # keep when score_e6 > 0
 
 
+def _qc_score_exprs() -> tuple[Column, Column, Column, Column]:
+    """(stop_ppm, alpha_ppm, len_penalty_e6, score_e6) expressions over
+    a gopher_stat_aggs frame — shared by quality_classifier_linear and
+    quality_drift_by_source so the monitored score can never drift
+    from the deployed classifier's."""
+    stop_ppm = F.expr("stop_hits * 1000000 div n_words")
+    alpha_ppm = F.expr("alpha_words * 1000000 div n_words")
+    # |mean word length - 5| in e6: abs(word_chars*1e6 div n_words - 5e6)
+    len_pen = F.abs(F.expr("word_chars * 1000000 div n_words") - F.lit(5_000_000))
+    score = (
+        F.lit(QC_WEIGHTS["stop_ppm"]) * stop_ppm
+        + F.lit(QC_WEIGHTS["alpha_ppm"]) * alpha_ppm
+        + F.lit(QC_WEIGHTS["len_penalty"]) * len_pen
+        + F.lit(QC_BIAS)
+    )
+    return stop_ppm, alpha_ppm, len_pen, score
+
+
 def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear quality classifier (the trained-classifier stage of a
     curation funnel, with deterministic stand-in weights): per doc, a
@@ -841,16 +859,7 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_words()).alias("w"))
     base = tok.groupBy("doc_id").agg(*gopher_stat_aggs())
-    stop_ppm = F.expr("stop_hits * 1000000 div n_words")
-    alpha_ppm = F.expr("alpha_words * 1000000 div n_words")
-    # |mean word length - 5| in e6: abs(word_chars*1e6 div n_words - 5e6)
-    len_pen = F.abs(F.expr("word_chars * 1000000 div n_words") - F.lit(5_000_000))
-    score = (
-        F.lit(QC_WEIGHTS["stop_ppm"]) * stop_ppm
-        + F.lit(QC_WEIGHTS["alpha_ppm"]) * alpha_ppm
-        + F.lit(QC_WEIGHTS["len_penalty"]) * len_pen
-        + F.lit(QC_BIAS)
-    )
+    stop_ppm, alpha_ppm, len_pen, score = _qc_score_exprs()
     return base.select(
         "doc_id",
         "n_words",
@@ -916,30 +925,141 @@ def quality_rank_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-stable and oracle-hashable — percent_rank semantics without
     float division.
 
-    Shape: one window exchange on lang (the classifier's own groupBy
-    provides the per-doc scores), rank arithmetic in-row. Skewed
-    language sizes are real at 100 TB (English ≫ rest) — the window
-    sort is per-partition and spillable, and a production variant
-    range-partitions within the big language by score."""
+    Shape (skew-safe two-pass rank — the 100 TB fix for English ≫
+    rest): a naive Window.partitionBy(lang) sorts the dominant
+    language in ONE task. Instead the score axis is cut into fixed
+    integer ranges (_qbucket = score_e6 div 32768 — truncating div is
+    monotone, and ties share a score so they share a bucket, keeping
+    the (score, doc_id) tie-break bucket-local). Pass 1 groupBy
+    (lang, bucket) yields a tiny aggregate (languages × live buckets,
+    corpus-size-independent) whose running sum gives each bucket's
+    rank OFFSET and each language's total; pass 2 broadcast-joins the
+    offsets back and ranks WITHIN (lang, bucket) — many small sorts
+    instead of one giant one, so no task ever holds a whole language.
+    Output is bit-identical to the single-window formulation (oracle
+    hash unchanged); tests/test_plans.py pins that the doc-level
+    window partitions by (lang, _qbucket), never lang alone. A
+    production variant sizes the width from a quantile sketch; any
+    width is correct, width only tunes balance."""
     from pyspark.sql import Window
 
     scored = quality_classifier_linear(spark, sf_dir).select(
         "doc_id", "score_e6"
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    joined = scored.join(docs.hint("merge"), "doc_id")
-    w = Window.partitionBy("lang").orderBy("score_e6", "doc_id")
-    wn = Window.partitionBy("lang")
-    return joined.select(
-        "doc_id",
-        "lang",
-        "score_e6",
-        F.row_number().over(w).cast("long").alias("lang_rank"),
-        F.count("*").over(wn).cast("long").alias("lang_n"),
-    ).withColumn(
-        "pct_rank_ppm",
-        F.expr("CASE WHEN lang_n > 1 THEN (lang_rank - 1) * 1000000 div (lang_n - 1) ELSE 0 END"),
+    joined = scored.join(docs.hint("merge"), "doc_id").withColumn(
+        "_qbucket", F.expr("score_e6 div 32768")
     )
+    # pass 1: per-(lang, bucket) counts — tiny, map-side combined
+    bucket_counts = joined.groupBy("lang", "_qbucket").agg(
+        F.count("*").alias("_bn")
+    )
+    woff = (
+        Window.partitionBy("lang")
+        .orderBy("_qbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("lang")
+    offsets = bucket_counts.select(
+        "lang",
+        "_qbucket",
+        F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(wtot).cast("long").alias("lang_n"),
+    )
+    # pass 2: rank within the (lang, bucket) slice, add the offset
+    win = Window.partitionBy("lang", "_qbucket").orderBy("score_e6", "doc_id")
+    return (
+        joined.join(F.broadcast(offsets), ["lang", "_qbucket"])
+        .select(
+            "doc_id",
+            "lang",
+            "score_e6",
+            (F.row_number().over(win) + F.col("_off"))
+            .cast("long")
+            .alias("lang_rank"),
+            "lang_n",
+        )
+        .withColumn(
+            "pct_rank_ppm",
+            F.expr("CASE WHEN lang_n > 1 THEN (lang_rank - 1) * 1000000 div (lang_n - 1) ELSE 0 END"),
+        )
+    )
+
+
+#: Per-source mean-score drift alarm threshold, in score_e6 units.
+#: Sized ≈ 2× the worst natural old/new half-split shift observed on
+#: the synthetic corpus (sf0.01 AND sf0.1), so the alarm is quiet on a
+#: stationary corpus but a planted regression (see the fixture test)
+#: fires it decisively.
+QD_DRIFT_E6 = 250_000
+
+
+def _quality_drift_core(docs: DataFrame) -> DataFrame:
+    """The monitor over any (doc_id, source, text) frame — split out so
+    the planted-drift fixture test can feed a corpus whose trailing
+    window IS degraded and prove the alarm fires."""
+    mx = docs.agg(F.max("doc_id").alias("_max_id"))
+    tagged = docs.crossJoin(F.broadcast(mx)).withColumn(
+        "is_new", (F.col("doc_id") * 2 > F.col("_max_id")).cast("long")
+    )
+    tok = tagged.select(
+        "doc_id", "source", "is_new", F.explode(_words()).alias("w")
+    )
+    base = tok.groupBy("doc_id", "source", "is_new").agg(*gopher_stat_aggs())
+    *_, score = _qc_score_exprs()
+    per_src = (
+        base.select("source", "is_new", score.alias("score_e6"))
+        .groupBy("source")
+        .agg(
+            F.sum(1 - F.col("is_new")).alias("n_old"),
+            F.sum("is_new").alias("n_new"),
+            F.sum(F.col("score_e6") * (1 - F.col("is_new"))).alias("sum_old"),
+            F.sum(F.col("score_e6") * F.col("is_new")).alias("sum_new"),
+        )
+    )
+    # Cross-multiplied integer comparison (the embedding_drift_report
+    # technique: sum_new·n_old − sum_old·n_new vs threshold·n_old·n_new,
+    # no float means) — routed through DECIMAL(38,0): per-source sums
+    # of e6 scores times corpus-scale counts overflow BIGINT at 100 TB.
+    num = "CAST(sum_new AS DECIMAL(38,0)) * n_old - CAST(sum_old AS DECIMAL(38,0)) * n_new"
+    den = "CAST(n_old AS DECIMAL(38,0)) * n_new"
+    return per_src.selectExpr(
+        "source",
+        "CAST(n_old AS BIGINT) AS n_old",
+        "CAST(n_new AS BIGINT) AS n_new",
+        "CAST(sum_old AS BIGINT) AS sum_old",
+        "CAST(sum_new AS BIGINT) AS sum_new",
+        f"CAST(CASE WHEN n_old > 0 AND n_new > 0"
+        f" THEN abs({num}) div ({den}) ELSE 0 END AS BIGINT) AS abs_shift_e6",
+        f"CAST(sign({num}) AS INT) AS shift_sign",
+        f"CAST(CASE WHEN n_old > 0 AND n_new > 0"
+        f" THEN abs({num}) > {QD_DRIFT_E6} * ({den}) ELSE FALSE END AS INT)"
+        " AS is_drifted",
+    )
+
+
+def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed per-source quality monitoring: is the quality of
+    what a source ships TODAY still the quality we measured when it was
+    admitted to the mix? The ingest axis is doc_id order; the corpus
+    splits at its midpoint into a baseline and a trailing window, and
+    per source the mean classifier score (the SAME _qc_score_exprs the
+    deployed quality_classifier_linear runs — shared expression, can't
+    drift apart) is compared across the halves with the exact
+    cross-multiplied integer test from embedding_drift_report: alarm
+    iff |mean_new − mean_old| > QD_DRIFT_E6. On the stationary
+    synthetic corpus every verdict is 0 — correct, not dead: the
+    planted-drift fixture test feeds a corpus whose trailing window is
+    spam and proves the alarm fires for exactly that source.
+
+    Shape: one exploded-token pass (the shared Gopher aggregation),
+    one map-side-combined groupBy(doc) then groupBy(source) — output
+    rows = |sources|, shuffle bytes independent of corpus size; the
+    midpoint is a broadcast 1-row max. All integer/decimal arithmetic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return _quality_drift_core(docs)
 
 
 def char_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,6 +1107,7 @@ QUERIES = {
     "detokenize_roundtrip": detokenize_roundtrip,
     "quality_threshold_sweep": quality_threshold_sweep,
     "quality_rank_per_lang": quality_rank_per_lang,
+    "quality_drift_by_source": quality_drift_by_source,
     "doc_length_survival": doc_length_survival,
     "quality_classifier_linear": quality_classifier_linear,
     "text_repetition": text_repetition,
@@ -1435,4 +1556,33 @@ ORACLE["quality_rank_per_lang"] = f"""
                      THEN (lang_rank - 1) * 1000000 // (lang_n - 1)
                      ELSE 0 END AS BIGINT) AS pct_rank_ppm
     FROM ranked
+"""
+
+ORACLE["quality_drift_by_source"] = f"""
+    WITH s AS ({ORACLE['quality_classifier_linear']}),
+    m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+    j AS (
+      SELECT d.source, s.score_e6,
+             CASE WHEN s.doc_id * 2 > m.max_id THEN 1 ELSE 0 END AS is_new
+      FROM s JOIN documents d USING (doc_id) CROSS JOIN m),
+    p AS (
+      SELECT source,
+             SUM(1 - is_new) AS n_old, SUM(is_new) AS n_new,
+             SUM(score_e6 * (1 - is_new)) AS sum_old,
+             SUM(score_e6 * is_new) AS sum_new
+      FROM j GROUP BY 1)
+    SELECT source,
+           CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum_old AS BIGINT) AS sum_old,
+           CAST(sum_new AS BIGINT) AS sum_new,
+           CAST(CASE WHEN n_old > 0 AND n_new > 0
+                THEN abs(sum_new * n_old - sum_old * n_new) // (n_old * n_new)
+                ELSE 0 END AS BIGINT) AS abs_shift_e6,
+           CAST(sign(sum_new * n_old - sum_old * n_new) AS INT) AS shift_sign,
+           CAST(CASE WHEN n_old > 0 AND n_new > 0
+                THEN abs(sum_new * n_old - sum_old * n_new)
+                     > {QD_DRIFT_E6} * (n_old * n_new)
+                ELSE FALSE END AS INT) AS is_drifted
+    FROM p
 """

@@ -43,6 +43,8 @@ _EXTENSION_MODULES = (
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
     "detokenize_roundtrip",  # never checked
+    "quality_drift_by_source",  # never checked
+    "epoch_schedule",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "dedup_cluster_sizes",  # last green r4
     "pair_strategy_agreement",  # last green r4
     "substring_dedup_clean",  # last green r4
-    "ann_topk_pq",  # last green r4
-    "ann_pq_recall_eval",  # last green r4
 )
 
 

@@ -1039,3 +1039,51 @@ def test_eval_leak_report_consistent_with_decontaminate(spark, sf_dir):
     for r in report:  # severity columns are mutually consistent
         assert (r.n_train_docs > 0) == (r.is_leaked == 1)
         assert r.n_hits >= max(r.n_train_docs, r.n_shingles_leaked)
+
+
+def test_epoch_schedule_budget_invariant(spark, sf_dir):
+    """The allocation a training run audits before launch: per-source
+    targets decompose exactly into integer epochs plus a sub-epoch
+    remainder, and the total allocation equals the token budget
+    (EPOCH_BUDGET_X x corpus tokens) minus at most one truncated token
+    per source."""
+    from flinkproj_spark.operators.sampling import EPOCH_BUDGET_X, epoch_schedule
+
+    rows = epoch_schedule(spark, sf_dir).collect()
+    assert rows
+    budget = EPOCH_BUDGET_X * sum(r.n_tokens for r in rows)
+    allocated = sum(r.target_tokens for r in rows)
+    assert 0 <= budget - allocated < len(rows)
+    for r in rows:
+        rem = r.target_tokens - r.epochs * r.n_tokens
+        assert 0 <= rem < r.n_tokens
+        assert r.epochs_frac_ppm == rem * 1_000_000 // r.n_tokens
+        assert r.weight == int(r.n_tokens**0.5)
+    # sqrt tempering is live: smaller sources earn MORE epochs
+    by_size = sorted(rows, key=lambda r: r.n_tokens)
+    small, big = by_size[0], by_size[-1]
+    assert small.n_tokens < big.n_tokens
+    assert (small.epochs * small.n_tokens + small.n_tokens * small.epochs_frac_ppm / 1e6) / small.n_tokens >= (
+        big.epochs + big.epochs_frac_ppm / 1e6
+    )
+
+
+def test_quality_drift_alarm_fires_on_planted_regression(spark):
+    """Planted-drift fixture: two sources share a healthy baseline
+    half; in the trailing (newer doc_id) half one source degrades to
+    spam. The alarm must fire for exactly that source, with a negative
+    shift sign, and stay quiet for the stable one."""
+    from flinkproj_spark.operators.text import _quality_drift_core
+
+    good = "the cat and the dog are in the house with a friend of mine"
+    spam = "zxqwv jjjjjjjjjjjjqqqq xxxxxxxxxxzzzzz qqqqqqqqqqqqqqqwwww"
+    rows = []
+    for i in range(40):  # doc_ids 0..39: trailing window is 20..39
+        rows.append((i, "stable" if i % 2 == 0 else "regressed",
+                     spam if (i > 20 and i % 2 == 1) else good))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in _quality_drift_core(docs).collect()}
+    assert out["regressed"].is_drifted == 1
+    assert out["regressed"].shift_sign == -1
+    assert out["stable"].is_drifted == 0
+    assert out["stable"].abs_shift_e6 == 0

@@ -844,3 +844,25 @@ def test_attribution_single_window_pass(spark, sf_dir):
     plan = _plan(attribution_first_last(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quality_rank_window_is_bucket_partitioned(spark, sf_dir):
+    # The skew-safe two-pass rank: the doc-level row_number window must
+    # partition by (lang, _qbucket) — never lang alone, which would
+    # sort the dominant language in one task at 100 TB. The only
+    # lang-alone windows are over the tiny (lang, bucket) aggregate.
+    import re
+
+    from flinkproj_spark.operators.text import quality_rank_per_lang
+
+    plan = _plan(quality_rank_per_lang(spark, sf_dir))
+    rn = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn, plan
+    assert all("_qbucket" in l for l in rn), rn
+    # every Sort feeding a window that touches doc_id orders by the
+    # bucket too (no full-language sort anywhere)
+    doc_sorts = [
+        l for l in plan.splitlines()
+        if re.search(r"Sort \[lang#\d+ ASC", l) and "score_e6" in l
+    ]
+    assert doc_sorts and all("_qbucket" in l for l in doc_sorts), doc_sorts

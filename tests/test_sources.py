@@ -304,3 +304,52 @@ def test_tokenized_shards_roundtrip_to_bpe_apply(spark, sf_dir, tmp_path):
     got = {(r.doc_id, r.ids_fp) for r in back.collect()}
     want = {(r.doc_id, r.ids_fp) for r in bpe_apply(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_shard_manifest_roundtrips_source(spark, sf_dir, tmp_path):
+    """The shard receipt: manifest rows cover every shard, per-shard
+    counts/tokens/checksums sum exactly to the totals row, and the
+    totals row equals the receipt computed over the source corpus —
+    for BOTH layouts (document shards and tokenized shards). A
+    tampered layout (one file dropped) must break the equality."""
+    from flinkproj_spark.operators.text import _bpe_ids
+    from flinkproj_spark.sources.files import (
+        corpus_receipt,
+        shard_manifest,
+        write_tokenized_shards,
+        write_training_shards,
+    )
+    from flinkproj_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cases = []
+    out_docs = str(tmp_path / "doc_shards")
+    write_training_shards(docs, out_docs)
+    cases.append((out_docs, docs))
+    out_tok = str(tmp_path / "tok_shards")
+    write_tokenized_shards(spark, sf_dir, out_tok)
+    cases.append((out_tok, _bpe_ids(spark, sf_dir).drop("_nc")))
+
+    for out, source in cases:
+        rows = shard_manifest(spark, out).collect()
+        total = next(r for r in rows if r.shard == -1)
+        shards = [r for r in rows if r.shard >= 0]
+        assert len(shards) == 8
+        assert sum(r.n_rows for r in shards) == total.n_rows
+        assert sum(r.n_tokens for r in shards) == total.n_tokens
+        assert sum(r.content_sum for r in shards) == total.content_sum
+        src = corpus_receipt(source).collect()[0]
+        assert (total.n_rows, total.n_tokens, total.content_sum) == (
+            src.n_rows, src.n_tokens, src.content_sum
+        )
+
+    # tamper: drop one shard file -> receipt must no longer match
+    import glob
+    import os
+
+    victim = sorted(glob.glob(f"{out_docs}/shard=*/*.parquet"))[0]
+    os.remove(victim)
+    tampered = shard_manifest(spark, out_docs).collect()
+    t_total = next(r for r in tampered if r.shard == -1)
+    src = corpus_receipt(docs).collect()[0]
+    assert t_total.content_sum != src.content_sum
