@@ -17,9 +17,29 @@ into their own queries.
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def eager_report(
+    spark: SparkSession, report: DataFrame, caches: Sequence[DataFrame]
+) -> DataFrame:
+    """Deterministic cache lifetime for BOUNDED report operators: run
+    the report NOW, unpersist its cached inputs, and hand back the
+    result as a local relation. Only for reports whose output is a
+    handful of rows (funnel counters, sweep tables, graph health
+    one-liners) — the collect is O(rows_out), never corpus-shaped.
+    Replaces the old "caller owns the cache, call clearCache()"
+    contract for these keys: the cache can no longer outlive the one
+    plan it was built for, and a caller that never calls clearCache()
+    no longer accumulates executor storage round after round
+    (round-6 ADVICE)."""
+    rows = report.collect()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(rows, report.schema)
 
 # BPE-ish token regex: letter runs, digit runs, single punctuation.
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"

@@ -500,14 +500,13 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins), and a cache is the only reuse guarantee that survives
     plan changes upstream.
 
-    Cache contract: both cache tiers stay persisted after the result
-    materializes (unpersisting here would evict the blocks before the
-    caller's action runs — same contract as minhash_jaccard_estimate,
-    curation.py). Long-lived callers own the cache lifetime: call
-    spark.catalog.clearCache() after consuming the result, as bench.py
-    and tests/oracle_check.py do. The _psa marker keeps the cached
-    plans unique to this operator so the standalone strategy keys'
-    scans are never hijacked into cache reads behind their backs."""
+    Cache contract: the 3-row comparison table is materialized eagerly
+    (fx.eager_report) and every persisted tier is unpersisted before
+    returning — the cache's lifetime is exactly this call, so callers
+    that never clearCache() leak nothing (round-6 ADVICE). The _psa
+    marker keeps the cached plans unique to this operator so the
+    standalone strategy keys' scans are never hijacked into cache
+    reads behind their backs."""
     from pyspark.storagelevel import StorageLevel
 
     from flinkproj_spark.operators.text import (
@@ -558,7 +557,7 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out
+    return fx.eager_report(spark, out, [base, *frames.values()])
 
 
 def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,9 +828,11 @@ def minhash_banding_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision floor, and the production 3×3 sits between — the table
     an operator reads before moving BAND_ROWS.
 
-    Shape: ONE signature build (persisted — three band configs and
-    both sides of every agreement join consume it; the _mbs marker
-    keeps the cached plan operator-unique), then per config the same
+    Shape: ONE signature build (persisted for the run of this call —
+    three band configs and both sides of every agreement join consume
+    it; eager_report materializes the sweep table and unpersists
+    before returning; the _mbs marker keeps the cached plan
+    operator-unique), then per config the same
     capped bucket-expand as production (lsh_candidate_pairs with
     band_rows overridden) and an O(pairs) agreement join. Integer
     end to end."""
@@ -880,7 +881,7 @@ def minhash_banding_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_est_jaccard_ppm"),
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    return fx.eager_report(spark, out, [sig])
 
 
 def pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,9 +901,10 @@ def pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     join confirming (a,c). Both joins are equi-joins on vertex ids —
     at 100 TB this is the textbook distributed triangle count (join
     cost ~ Σ deg², the same wedge bound the output reports). The edge
-    frame feeds three consumers, so it is persisted (the _tri marker
-    keeps its cached plan unique; callers own the cache lifetime via
-    clearCache)."""
+    frame feeds three consumers, so it is persisted for the run of
+    this call — eager_report materializes the one-row report and
+    unpersists before returning (the _tri marker keeps its cached
+    plan unique)."""
     from pyspark.storagelevel import StorageLevel
 
     edges = (
@@ -925,7 +927,7 @@ def pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0)).alias("n_wedges")
     )
     n_edges = edges.agg(F.count("*").alias("n_edges"))
-    return (
+    report = (
         n_edges.crossJoin(F.broadcast(tri))
         .crossJoin(F.broadcast(wedge_total))
         .select(
@@ -939,6 +941,7 @@ def pair_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity_ppm"),
         )
     )
+    return fx.eager_report(spark, report, [edges])
 
 
 def _winnow_fp_oracle() -> str:

@@ -247,10 +247,10 @@ def filter_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: stage survivors are 1-row aggregates assembled with
     broadcast cross joins (the filter_funnel_report idiom). The
-    gated+deduped frame feeds four counters, so it is persisted (the
-    _ffv marker keeps the cached plan unique to this key; callers own
-    the cache lifetime via clearCache, the minhash_jaccard_estimate
-    contract). Drop sets stay un-broadcast anti joins — each is
+    gated+deduped frame feeds four counters, so it is persisted for
+    the run of this call — eager_report materializes the 1-row funnel
+    and unpersists before returning (the _ffv marker keeps the cached
+    plan unique to this key). Drop sets stay un-broadcast anti joins — each is
     corpus-proportional in the worst case — and are deliberately NOT
     persisted: all six counters assemble into ONE plan where the
     shared subtrees are exchange-reused, and an r5 A/B measured the
@@ -292,7 +292,7 @@ def filter_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_after_decontam", s3),
     ):
         out = out.crossJoin(F.broadcast(frame.agg(F.count("*").alias(name))))
-    return out
+    return fx.eager_report(spark, out, [deduped])
 
 
 QUERIES = {

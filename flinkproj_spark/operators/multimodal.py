@@ -478,9 +478,11 @@ def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "pack_id", F.expr(f"offset div {MM_PACK_CAP}")
     ).withColumn(
+        # CASE WHEN (not Or-short-circuit) so items[pos-1] is only ever
+        # evaluated with pos >= 1 — an Or's right side may still be
+        # evaluated under ANSI mode, where items[-1] throws
         "opens_doc_run",
-        (F.col("pos") == 0)
-        | (
+        F.when(F.col("pos") == 0, F.lit(True)).otherwise(
             F.expr(f"(offset - items[pos - 1].tokens) div {MM_PACK_CAP}")
             < F.col("pack_id")
         ),

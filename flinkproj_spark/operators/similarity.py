@@ -411,17 +411,25 @@ SEMDEDUP_MIN_COS = 0.35  # within-cell prune threshold (SemDeDup tau)
 
 
 def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic-cluster dedup (SemDeDup, Abbas et al. 2023): cluster
-    the embedding space, then inside each cluster drop every vector
-    that is cosine-similar (≥ SEMDEDUP_MIN_COS) to a kept one — the
-    standard embedding-dedup mode, where LSH pair mining
-    (embedding_neardup) is the recall-oriented complement. Keep rule is
-    the deterministic greedy: within a cell, a vector is dropped iff
-    some SMALLER-id cell-mate sits above the threshold, so the minimum
-    id of every similar group survives and verdicts need no iterative
-    closure. Emits one row per vector — cell, how many kept-side
-    neighbors condemned it, the strongest such similarity, and the
-    verdict — so the drop rate and its evidence are auditable.
+    """Semantic-cluster dedup in the SemDeDup mold (Abbas et al.
+    2023): cluster the embedding space, then inside each cluster drop
+    vectors that are cosine-similar (≥ SEMDEDUP_MIN_COS) to earlier
+    ones — the standard embedding-dedup mode, where LSH pair mining
+    (embedding_neardup) is the recall-oriented complement. Keep rule
+    here is the ANY-PRIOR-NEIGHBOR rule, deliberately NOT the paper's
+    sequential greedy: a vector is dropped iff ANY smaller-id
+    cell-mate sits above the threshold, whether or not that mate was
+    itself dropped. This is a strict superset of the greedy's drop set
+    (greedy condemns only on KEPT mates, and kept ⊆ prior), so on
+    similarity chains a–b–c it drops both b and c where the greedy
+    would resurrect c — conservative toward MORE dedup, and in
+    exchange the verdict is one join + one aggregate, no iterative
+    closure. The exact kept-set greedy is the separate
+    `semdedup_greedy_keep` key; `pipeline_curate_v4` uses this
+    conservative rule and documents that choice. Emits one row per
+    vector — cell, how many prior neighbors condemned it, the
+    strongest such similarity, and the verdict — so the drop rate and
+    its evidence are auditable.
 
     Shape (the 100 TB formulation): cell assignment is the shared IVF
     broadcast-argmax (ivf_assignments — corpus never cross-joins);
@@ -475,6 +483,131 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_prior_cos").isNotNull().cast("int").alias("is_dropped"),
         )
     )
+
+
+def _greedy_keep_from_edges(verts: DataFrame, edges: DataFrame) -> DataFrame:
+    """Exact sequential-greedy keep set over a DAG of (va < vb)
+    similarity edges, computed as a frontier loop: each round (1) drop
+    every undecided vertex with a KEPT earlier neighbor, (2) keep every
+    undecided vertex whose remaining earlier neighbors are all decided
+    (none kept — those were just dropped). The smallest undecided
+    vertex of every component is decided each round, so rounds ≤ the
+    longest similarity chain — single digits in practice; the loop's
+    per-round scalar count is the dedup_cluster convergence pattern.
+    Returns a (vec_id) frame of kept ids; inputs must be persisted by
+    the caller, intermediates are unpersisted here as they are
+    superseded."""
+    from pyspark.storagelevel import StorageLevel
+
+    und = verts.select("vec_id").persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+    kept: DataFrame | None = None
+    spent: list[DataFrame] = []
+    for _ in range(64):  # bound >> any real chain depth; break on empty
+        if kept is not None:
+            condemned = (
+                edges.join(
+                    kept.select(F.col("vec_id").alias("va")), "va"
+                )
+                .select(F.col("vb").alias("vec_id"))
+                .distinct()
+            )
+            live = und.join(condemned, "vec_id", "left_anti")
+        else:
+            live = und
+        blocked = (
+            edges.join(live.select(F.col("vec_id").alias("va")), "va")
+            .select(F.col("vb").alias("vec_id"))
+            .distinct()
+        )
+        new_kept = live.join(blocked, "vec_id", "left_anti")
+        kept = (
+            new_kept if kept is None else kept.unionByName(new_kept)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        next_und = live.join(new_kept, "vec_id", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        remaining = next_und.count()  # materializes kept's union too
+        spent.append(und)
+        und = next_und
+        if remaining == 0:
+            break
+    else:
+        raise RuntimeError("greedy keep did not converge in 64 rounds")
+    for f in spent:
+        f.unpersist()
+    und.unpersist()
+    return kept
+
+
+def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact kept-set greedy of SemDeDup (Abbas et al. 2023) —
+    the faithful companion to semdedup_cells' conservative
+    any-prior-neighbor rule: within each IVF cell, vectors are scanned
+    in ascending id order and a vector is dropped iff it is
+    cosine-similar (≥ SEMDEDUP_MIN_COS) to an already-KEPT cell-mate.
+    On similarity chains a–b–c (where a~b, b~c, a≁c) the greedy drops
+    only b and RESURRECTS c; semdedup_cells drops both. Emits
+    (vec_id, cell, is_kept) for every vector, so the two rules'
+    kept-set difference is directly queryable (pinned subset + chain
+    semantics in tests/test_operators.py).
+
+    Shape: pair generation is the same cell equi-join as
+    semdedup_cells (cost Σ cell², never corpus²; only ids cross the
+    shuffle after the cos filter). The sequential dependency is
+    resolved by a frontier loop (_greedy_keep_from_edges) whose round
+    count is the longest similarity chain, not the corpus — each round
+    is two equi-joins on the persisted edge list. The DuckDB oracle
+    replays the identical greedy as one ordered list_reduce. Caches:
+    the edge list is released before returning; the kept set and
+    vertex frame back the returned (lazy) result, so callers own
+    their lifetime via clearCache (the dedup_cluster contract)."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = _quantized(spark, sf_dir)
+    corpus = base.join(
+        ivf_assignments(spark, sf_dir).select("vec_id", "cell"), "vec_id"
+    )
+    left = corpus.select(
+        "cell",
+        F.col("vec_id").alias("va"),
+        F.col("q").alias("qa"),
+        F.col("norm").alias("na"),
+    )
+    right = corpus.select(
+        "cell",
+        F.col("vec_id").alias("vb"),
+        F.col("q").alias("qb"),
+        F.col("norm").alias("nb"),
+    )
+    edges = (
+        left.hint("merge")
+        .join(right, "cell")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                _dot("qa", "qb").cast("double") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_MIN_COS)
+        .select("va", "vb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = corpus.select("vec_id", "cell").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    kept = _greedy_keep_from_edges(verts, edges)
+    out = verts.join(
+        kept.withColumn("_k", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce("_k", F.lit(0)).cast("int").alias("is_kept"),
+    )
+    edges.unpersist()
+    return out
 
 
 OUT_FACTOR = 4  # outlier: squared distance > 4× the label mean
@@ -1064,6 +1197,7 @@ QUERIES = {
     "ivf_pq_topk": ivf_pq_topk,
     "embedding_outliers": embedding_outliers,
     "semdedup_cells": semdedup_cells,
+    "semdedup_greedy_keep": semdedup_greedy_keep,
     "embedding_drift_report": embedding_drift_report,
     "ivf_cell_balance_report": ivf_cell_balance_report,
 }
@@ -1508,6 +1642,63 @@ ORACLE["semdedup_cells"] = f"""
            c.max_prior_cos,
            CAST(c.max_prior_cos IS NOT NULL AS INT) AS is_dropped
     FROM assign a LEFT JOIN condemned c ON a.vec_id = c.vec_id
+"""
+
+# The greedy replayed sequentially: vertices in ascending id order fold
+# through ONE list_reduce whose accumulator is the kept-id list; each
+# element is the flat encoding [v, nbr1, nbr2, ...] (DuckDB 1.0's
+# list_reduce has no initial-value form and mangles list-typed struct
+# fields, so the accumulator IS the first element — sound because the
+# globally smallest id has no earlier neighbor, making its encoding
+# [v0] exactly the kept list after step one).
+ORACLE["semdedup_greedy_keep"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    cent AS (
+      SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+    scored_cells AS (
+      SELECT b.vec_id, c.cid,
+             CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim
+      FROM base b CROSS JOIN cent c),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS arn
+        FROM scored_cells)
+      WHERE arn = 1),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             ROUND(CAST({_dot_sql('ba.q', 'bb.q')} AS DOUBLE)
+                   / (ba.norm * bb.norm), 6) AS cos
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN base ba ON ba.vec_id = a.vec_id
+      JOIN base bb ON bb.vec_id = b.vec_id),
+    inn AS (
+      SELECT vb AS vec_id, list(va ORDER BY va) AS nbrs
+      FROM pairs WHERE cos >= {SEMDEDUP_MIN_COS} GROUP BY 1),
+    o AS (
+      SELECT a.vec_id, a.cell, COALESCE(i.nbrs, []) AS nbrs
+      FROM assign a LEFT JOIN inn i USING (vec_id)),
+    seq AS (
+      SELECT list(list_concat([vec_id], nbrs) ORDER BY vec_id) AS items
+      FROM o),
+    red AS (
+      -- always-append form: a lambda branch that returns acc unchanged
+      -- corrupts the accumulator in DuckDB 1.0, so dropped vertices
+      -- append NULL (invisible to list_intersect) and are filtered out
+      SELECT list_filter(
+               list_reduce(items, (acc, x) ->
+                 list_append(acc,
+                   CASE WHEN len(list_intersect(x[2:], acc)) = 0
+                        THEN x[1] ELSE NULL END)),
+               y -> y IS NOT NULL) AS kept
+      FROM seq)
+    SELECT o.vec_id, o.cell,
+           CAST(list_contains((SELECT kept FROM red), o.vec_id) AS INT)
+             AS is_kept
+    FROM o
 """
 
 ORACLE["embedding_drift_report"] = f"""

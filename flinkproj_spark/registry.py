@@ -42,6 +42,7 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
+    "semdedup_greedy_keep",  # never checked
     "detokenize_roundtrip",  # never checked
     "quality_drift_by_source",  # never checked
     "epoch_schedule",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "winnow_overlap_pairs",  # last green r4
     "dedup_cluster_sizes",  # last green r4
     "pair_strategy_agreement",  # last green r4
-    "substring_dedup_clean",  # last green r4
 )
 
 

@@ -1087,3 +1087,63 @@ def test_quality_drift_alarm_fires_on_planted_regression(spark):
     assert out["regressed"].shift_sign == -1
     assert out["stable"].is_drifted == 0
     assert out["stable"].abs_shift_e6 == 0
+
+
+def test_bounded_reports_release_their_caches(spark, sf_dir):
+    """The eager_report contract: the bounded-report operators persist
+    internally but must unpersist everything before returning — a
+    caller that never calls clearCache() accumulates nothing."""
+    from flinkproj_spark.operators.dedup import (
+        minhash_banding_sensitivity,
+        pair_graph_triangles,
+        pair_strategy_agreement,
+    )
+    from flinkproj_spark.operators.e2e import filter_funnel_v3
+
+    sc = spark.sparkContext
+    for fn in (
+        pair_strategy_agreement,
+        minhash_banding_sensitivity,
+        pair_graph_triangles,
+        filter_funnel_v3,
+    ):
+        assert len(fn(spark, sf_dir).collect()) > 0
+        n = sc._jsc.sc().getPersistentRDDs().size()
+        assert n == 0, f"{fn.__name__} leaked {n} persisted RDD(s)"
+
+
+def test_semdedup_greedy_vs_any_prior_rule(spark, sf_dir):
+    """The two SemDeDup rules' pinned relationship: the greedy's drop
+    set is a strict subset of the conservative any-prior rule's (kept
+    is a superset), and chain resurrection is LIVE on this corpus —
+    at least one vector the any-prior rule drops survives the greedy
+    (its only condemning neighbors were themselves dropped)."""
+    from flinkproj_spark.operators.similarity import (
+        semdedup_cells,
+        semdedup_greedy_keep,
+    )
+
+    prior = {r.vec_id: r.is_dropped for r in semdedup_cells(spark, sf_dir).collect()}
+    greedy = {r.vec_id: r.is_kept for r in semdedup_greedy_keep(spark, sf_dir).collect()}
+    assert set(prior) == set(greedy)
+    # greedy never drops what the any-prior rule keeps
+    assert not [v for v in prior if prior[v] == 0 and greedy[v] == 0]
+    resurrected = [v for v in prior if prior[v] == 1 and greedy[v] == 1]
+    assert resurrected, "no chain resurrection — corpus fixture is degenerate"
+    spark.catalog.clearCache()
+
+
+def test_greedy_keep_chain_semantics(spark):
+    """Exact greedy on a planted chain 1-2-3-4 plus an isolated pair
+    (5,6): keep 1, drop 2, resurrect 3, drop 4; keep 5, drop 6 —
+    the textbook sequential kept-set the frontier loop must replay."""
+    from flinkproj_spark.operators.similarity import _greedy_keep_from_edges
+
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], "vec_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "va long, vb long"
+    )
+    verts.persist(); edges.persist()
+    kept = sorted(r.vec_id for r in _greedy_keep_from_edges(verts, edges).collect())
+    assert kept == [1, 3, 5]
+    spark.catalog.clearCache()
