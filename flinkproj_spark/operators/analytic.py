@@ -473,6 +473,82 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ITERS = 3
+_LPA_TOP = 30
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, public) over the same customer–supplier trade graph
+    as pagerank_fixed: every node starts as its own label; each of 3
+    rounds, a node adopts the most frequent label among its neighbors
+    (ties → smallest label — the deterministic variant, so the result
+    is partitioning-independent and oracle-checkable, unlike the
+    random-order original). Output: the 30 largest communities with
+    member counts — the "which suppliers/customers trade in one
+    cluster" question a mixing or sharding owner asks of a 100 TB
+    order graph.
+
+    Exactness: labels are BIGINT node ids and votes are integer
+    counts end to end. Shape: per round, the persisted degree-free
+    edge list shuffles onto src to meet the label frame, then a
+    map-side-combined groupBy(dst, label) counts votes and a
+    row_number window over dst picks the argmax — the join exchange is
+    the irreducible synchronous-LPA cost, same as PageRank's; the
+    vote frame the window sorts is community-bounded (nodes × distinct
+    neighbor labels, collapsing every round), never corpus-shaped.
+    Cache contract: the edge frame persists (MEMORY_AND_DISK, read
+    once per round) and stays cached after the result materializes;
+    long-lived callers call spark.catalog.clearCache() after
+    consuming, as bench.py and tests/oracle_check.py do."""
+    from pyspark.storagelevel import StorageLevel
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        edges.select("src").distinct().select(F.col("src").alias("node"))
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    readable = F.when(
+        F.col("label") % 2 == 0,
+        F.concat(F.lit("c"), F.expr("label div 2")),
+    ).otherwise(F.concat(F.lit("s"), F.expr("(label - 1) div 2")))
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum((F.col("node") % 2 == 0).cast("long")).alias("n_customers"),
+            F.sum((F.col("node") % 2 == 1).cast("long")).alias("n_suppliers"),
+        )
+        .orderBy(F.col("n_members").desc(), "label")
+        .limit(_LPA_TOP)
+        .select(readable.alias("community"), "n_members", "n_customers", "n_suppliers")
+    )
+
+
 def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell χ² association table between document language and
     source — the drift detector for "did source X suddenly change its
@@ -800,6 +876,7 @@ QUERIES = {
     "event_path_topk": event_path_topk,
     "anomaly_rolling_z": anomaly_rolling_z,
     "pagerank_fixed": pagerank_fixed,
+    "label_propagation": label_propagation,
     "chi2_lang_source": chi2_lang_source,
     "zorder_layout": zorder_layout,
     "incremental_rollup_merge": incremental_rollup_merge,
@@ -1003,6 +1080,43 @@ ORACLE["pagerank_fixed"] = f"""
     FROM (
       SELECT node, rank FROM it{_PR_ITERS}
       ORDER BY rank DESC, node LIMIT {_PR_TOP})
+"""
+
+_LPA_ITER_SQL = "".join(
+    f""",
+    l{i + 1} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, r.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, r.label) AS rn
+        FROM edges e JOIN l{i} r ON e.src = r.node
+        GROUP BY e.dst, r.label)
+      WHERE rn = 1)"""
+    for i in range(_LPA_ITERS)
+)
+
+ORACLE["label_propagation"] = f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS MATERIALIZED (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM pairs),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM edges)
+    {_LPA_ITER_SQL}
+    SELECT CASE WHEN label % 2 = 0 THEN 'c' || CAST(label // 2 AS BIGINT)
+                ELSE 's' || CAST((label - 1) // 2 AS BIGINT) END AS community,
+           n_members, n_customers, n_suppliers
+    FROM (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_customers,
+             CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_suppliers
+      FROM l{_LPA_ITERS} GROUP BY 1
+      ORDER BY n_members DESC, label LIMIT {_LPA_TOP})
 """
 
 ORACLE["chi2_lang_source"] = """

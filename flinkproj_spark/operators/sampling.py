@@ -249,6 +249,69 @@ def train_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURR_STAGES = 4
+_CURR_SHARDS = 8
+_CURR_SALT = "curr0"
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (Bengio et al. 2009, public): stage
+    the corpus easy→hard by quality-classifier score quartile (stage 1
+    = top quartile, consumed first), then lay each stage out as a
+    deterministic shuffle-shard schedule — shard = md5 bucket, pos =
+    md5-rank within (stage, shard) — so a data loader reading stages
+    in order and shards round-robin gets a reproducible curriculum
+    with uniform within-stage mixing.
+
+    Stage assignment is the skew-safe two-pass rank (the
+    quality_rank_per_lang layout): per-score counts collapse to a
+    tiny distinct-score frame whose running sum gives each score's
+    global rank OFFSET (window over distinct scores only — bounded by
+    the feature grid, never corpus-shaped) plus the corpus total; docs
+    then rank WITHIN their score group and stage = ((rank−1)·4) div n
+    + 1. No single task ever sorts a quartile: the only doc-level
+    windows partition by (score) and by (stage, shard) — both bounded
+    groups. Integer end-to-end, bit-identical across engines; shares
+    train_shard_shuffle's md5 layout contract (exactness of the
+    written layout pinned there)."""
+    from flinkproj_spark.operators.text import quality_classifier_linear
+
+    scored = quality_classifier_linear(spark, sf_dir).select("doc_id", "score_e6")
+    per = scored.groupBy("score_e6").agg(F.count("*").alias("c"))
+    w_ofs = (
+        Window.orderBy(F.col("score_e6").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per.select(
+        "score_e6", F.coalesce(F.sum("c").over(w_ofs), F.lit(0)).alias("offset")
+    )
+    tot = per.agg(F.sum("c").alias("n"))
+    w_in = Window.partitionBy("score_e6").orderBy("doc_id")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_CURR_SALT)))
+    staged = (
+        scored.join(F.broadcast(offs), "score_e6")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.col("offset") + F.row_number().over(w_in))
+        .select(
+            "doc_id",
+            F.expr(f"cast(((rnk - 1) * {_CURR_STAGES}) div n + 1 as int)").alias(
+                "stage"
+            ),
+            key.alias("_k"),
+            (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % _CURR_SHARDS).alias(
+                "shard"
+            ),
+        )
+    )
+    w_pos = Window.partitionBy("stage", "shard").orderBy("_k", "doc_id")
+    return staged.select(
+        "doc_id",
+        "stage",
+        "shard",
+        F.row_number().over(w_pos).cast("long").alias("pos"),
+    )
+
+
 _N_BUCKETS = 10
 _SPLIT_SALT = "split0"
 # md5-hex-prefix ceilings: < 'cc' (204/256 ≈ 80%) → train,
@@ -456,6 +519,7 @@ QUERIES = {
     "importance_sample": importance_sample,
     "domain_mix": domain_mix,
     "train_shard_shuffle": train_shard_shuffle,
+    "curriculum_order": curriculum_order,
     "doc_chunking": doc_chunking,
     "sequence_pack": sequence_pack,
     "sliding_window_agg": sliding_window_agg,
@@ -646,3 +710,58 @@ ORACLE["stratified_split"] = f"""
            CAST(p.n_docs * 1000000 // t.lang_total AS BIGINT) AS share_ppm
     FROM per p JOIN tot t ON p.lang = t.lang
 """
+
+
+def _curriculum_oracle() -> str:
+    """Oracle replays the stage rank with ONE global window (the
+    oracle need not be skew-safe — only bit-identical); the score CTE
+    is built from the classifier's own weight constants so the staging
+    can never drift from the deployed scorer."""
+    from flinkproj_spark.operators.text import (
+        QC_BIAS,
+        QC_WEIGHTS,
+        _STOP_SQL,
+        _WORDS_SQL as _TEXT_WORDS_SQL,
+    )
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TEXT_WORDS_SQL}) AS w FROM documents),
+    base AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             CAST(SUM(len(w)) AS BIGINT) AS word_chars,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+             CAST(SUM(CASE WHEN lower(w) IN ({_STOP_SQL})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+      FROM tok GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             CAST({QC_WEIGHTS['stop_ppm']} * (stop_hits * 1000000 // n_words)
+                  + {QC_WEIGHTS['alpha_ppm']} * (alpha_words * 1000000 // n_words)
+                  + {QC_WEIGHTS['len_penalty']}
+                    * ABS(word_chars * 1000000 // n_words - 5000000)
+                  + {QC_BIAS} AS BIGINT) AS score_e6
+      FROM base),
+    r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM scored),
+    k AS (
+      SELECT doc_id,
+             CAST(((rnk - 1) * {_CURR_STAGES}) // n + 1 AS INT) AS stage,
+             md5(CAST(doc_id AS VARCHAR) || '{_CURR_SALT}') AS _k
+      FROM r)
+    SELECT doc_id, stage,
+           ('0x' || substr(_k, 1, 8))::BIGINT % {_CURR_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY stage,
+                          ('0x' || substr(_k, 1, 8))::BIGINT % {_CURR_SHARDS}
+             ORDER BY _k, doc_id) AS BIGINT) AS pos
+    FROM k
+"""
+
+
+ORACLE["curriculum_order"] = _curriculum_oracle()

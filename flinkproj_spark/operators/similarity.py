@@ -487,57 +487,67 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _greedy_keep_from_edges(verts: DataFrame, edges: DataFrame) -> DataFrame:
     """Exact sequential-greedy keep set over a DAG of (va < vb)
-    similarity edges, computed as a frontier loop: each round (1) drop
-    every undecided vertex with a KEPT earlier neighbor, (2) keep every
-    undecided vertex whose remaining earlier neighbors are all decided
-    (none kept — those were just dropped). The smallest undecided
-    vertex of every component is decided each round, so rounds ≤ the
-    longest similarity chain — single digits in practice; the loop's
-    per-round scalar count is the dedup_cluster convergence pattern.
-    Returns a (vec_id) frame of kept ids; inputs must be persisted by
-    the caller, intermediates are unpersisted here as they are
-    superseded."""
+    similarity edges. Vertices touching no edge are kept outright with
+    ZERO loop work — the loop's state is only the edge-touched
+    subgraph, so iteration cost scales with the PAIR list (the dedup
+    rate), never the corpus: at 100 TB the corpus-shaped work is one
+    anti join. Each round updates one flat (vec_id, st) status frame
+    (0 undecided / 1 kept / 2 dropped) with a single
+    edge-join + groupBy: a vertex with a kept earlier neighbor drops;
+    one with no undecided earlier neighbor (and none kept) keeps. The
+    smallest undecided vertex of every component is decided each
+    round, so rounds ≤ the longest similarity chain — single digits in
+    practice; the per-round scalar count is the dedup_cluster
+    convergence pattern, and the flat status frame (re-persisted,
+    predecessor unpersisted) keeps lineage depth constant. Returns a
+    (vec_id) frame of kept ids; inputs must be persisted by the
+    caller."""
     from pyspark.storagelevel import StorageLevel
 
-    und = verts.select("vec_id").persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
-    kept: DataFrame | None = None
-    spent: list[DataFrame] = []
-    for _ in range(64):  # bound >> any real chain depth; break on empty
-        if kept is not None:
-            condemned = (
-                edges.join(
-                    kept.select(F.col("vec_id").alias("va")), "va"
-                )
-                .select(F.col("vb").alias("vec_id"))
-                .distinct()
-            )
-            live = und.join(condemned, "vec_id", "left_anti")
-        else:
-            live = und
-        blocked = (
-            edges.join(live.select(F.col("vec_id").alias("va")), "va")
-            .select(F.col("vb").alias("vec_id"))
-            .distinct()
-        )
-        new_kept = live.join(blocked, "vec_id", "left_anti")
-        kept = (
-            new_kept if kept is None else kept.unionByName(new_kept)
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        next_und = live.join(new_kept, "vec_id", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        remaining = next_und.count()  # materializes kept's union too
-        spent.append(und)
-        und = next_und
-        if remaining == 0:
+    touched = (
+        edges.select(F.col("va").alias("vec_id"))
+        .unionByName(edges.select(F.col("vb").alias("vec_id")))
+        .distinct()
+    )
+    free = verts.select("vec_id").join(touched, "vec_id", "left_anti")
+    status = touched.withColumn("st", F.lit(0)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_und = status.count()
+    for _ in range(64):  # bound >> any real chain depth; break on done
+        if n_und == 0:
             break
+        live_src = status.filter(F.col("st") != 2).select(
+            F.col("vec_id").alias("va"), F.col("st").alias("st_src")
+        )
+        upd = (
+            edges.join(live_src, "va")
+            .groupBy(F.col("vb").alias("vec_id"))
+            .agg(
+                F.max((F.col("st_src") == 1).cast("int")).alias("kept_nbr"),
+                F.max((F.col("st_src") == 0).cast("int")).alias("und_nbr"),
+            )
+        )
+        new_status = (
+            status.join(upd, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.when(F.col("st") != 0, F.col("st"))
+                .when(F.coalesce("kept_nbr", F.lit(0)) == 1, F.lit(2))
+                .when(F.coalesce("und_nbr", F.lit(0)) == 0, F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("st"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_und = new_status.filter(F.col("st") == 0).count()
+        status.unpersist()
+        status = new_status
     else:
         raise RuntimeError("greedy keep did not converge in 64 rounds")
-    for f in spent:
-        f.unpersist()
-    und.unpersist()
-    return kept
+    return free.unionByName(
+        status.filter(F.col("st") == 1).select("vec_id")
+    )
 
 
 def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1182,6 +1192,68 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCENTER_K = 8
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    embedding-space core-set picker of Sener & Savarese 2018, public):
+    seed with the smallest vec_id, then 7 rounds of "add the point
+    farthest from its nearest chosen center" (squared L2 over the
+    shared millis-quantized integer vectors — BIGINT-exact, ties →
+    smallest vec_id). Output: the selection order with each center's
+    coverage radius² at pick time — the radius column IS the k-center
+    objective trace a curation owner reads to choose k.
+
+    Shape: the quantized corpus persists once; each round is one
+    in-row distance map against the 64 broadcast literals of the
+    newest center, a LEAST() fold into a flat (vec_id, q, mind2)
+    frame (re-persisted, predecessor unpersisted — constant lineage),
+    and a TakeOrderedAndProject argmax (per-partition heaps, no global
+    sort). The 1-row collect per round is the algorithm's own
+    synchronization point (center k+1 depends on center k), the
+    dedup_cluster driver-scalar contract. Nothing corpus-shaped ever
+    reaches the driver, and rounds scale with scan bandwidth — the
+    standard distributed k-center layout at 100 TB."""
+    from pyspark.storagelevel import StorageLevel
+
+    cur = (
+        _quantized(spark, sf_dir)
+        .select("vec_id", "q", F.lit(None).cast("long").alias("mind2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cur.count()
+    first = cur.orderBy("vec_id").limit(1).collect()[0]
+    chosen: list[tuple[int, int, int]] = [(1, first.vec_id, 0)]
+    last_q = first.q
+    try:
+        for rank in range(2, KCENTER_K + 1):
+            cq = F.array(*[F.lit(int(v)) for v in last_q])
+            d2 = F.aggregate(
+                F.zip_with("q", cq, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            nxt = cur.select(
+                "vec_id", "q", F.least(F.col("mind2"), d2).alias("mind2")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            far = (
+                nxt.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
+                .orderBy(F.col("mind2").desc(), "vec_id")
+                .limit(1)
+                .collect()[0]
+            )
+            cur.unpersist()
+            cur = nxt
+            chosen.append((rank, far.vec_id, far.mind2))
+            last_q = far.q
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        chosen, "center_rank int, vec_id bigint, radius2 bigint"
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
@@ -1200,6 +1272,7 @@ QUERIES = {
     "semdedup_greedy_keep": semdedup_greedy_keep,
     "embedding_drift_report": embedding_drift_report,
     "ivf_cell_balance_report": ivf_cell_balance_report,
+    "kcenter_coreset": kcenter_coreset,
 }
 
 
@@ -1749,3 +1822,49 @@ ORACLE["ivf_cell_balance_report"] = f"""
            CAST(n_vecs * 1000000 // t AS BIGINT) AS share_ppm
     FROM sizes CROSS JOIN total
 """
+
+
+def _kcenter_oracle() -> str:
+    """Chained-CTE replay of the greedy: round k's argmax is computed
+    from the min-distance frame that rounds 1..k-1 built, each center
+    a scalar subquery — the selection order is DERIVED in SQL, so a
+    drifting tie-break or distance overflow fails the hash. All CTEs
+    MATERIALIZED (each is referenced twice; default inlining would
+    re-expand the whole chain exponentially)."""
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (m.q[i] - c.q[i]) * (m.q[i] - c.q[i]))) AS BIGINT)"
+    ).format(dim=DIM)
+    parts = [
+        f"base AS MATERIALIZED (SELECT vec_id, {_QUANT_SQL} AS q, "
+        "CAST(NULL AS BIGINT) AS mind2 FROM embeddings)",
+        "c1 AS MATERIALIZED (SELECT vec_id, q, CAST(0 AS BIGINT) AS mind2 "
+        "FROM base ORDER BY vec_id LIMIT 1)",
+    ]
+    prev = "base"
+    for k in range(2, KCENTER_K + 1):
+        taken = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(1, k)
+        )
+        parts.append(
+            f"m{k - 1} AS MATERIALIZED (SELECT m.vec_id, m.q, "
+            f"LEAST(COALESCE(m.mind2, {d2}), {d2}) AS mind2 "
+            f"FROM {prev} m, c{k - 1} c)"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT vec_id, q, mind2 FROM m{k - 1} "
+            f"WHERE vec_id NOT IN ({taken}) "
+            f"ORDER BY mind2 DESC, vec_id LIMIT 1)"
+        )
+        prev = f"m{k - 1}"
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS center_rank, vec_id, mind2 AS radius2 FROM c{k}"
+        for k in range(1, KCENTER_K + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT center_rank, vec_id, radius2 FROM ({sel}) ORDER BY center_rank"
+    )
+
+
+ORACLE["kcenter_coreset"] = _kcenter_oracle()

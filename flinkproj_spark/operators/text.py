@@ -587,6 +587,82 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_LEARN_K = 8
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016, public): learn the
+    first 8 merge rules from the corpus itself. Each round counts every
+    adjacent symbol pair under the current segmentation, merges the
+    most frequent (ties → lexicographically smallest left, then right
+    symbol), and re-segments; the output is the learned merge table
+    (rank, lhs, rhs, pair count at selection time) — the artifact
+    BPE_MERGES freezes, now derived live instead of hand-carried.
+
+    Shape: the base '||'-delimited symbol string is built ONCE and
+    persisted (MEMORY_AND_DISK — corpus-shaped, read once per round);
+    round k re-applies the k-1 learned replaces in-row (the
+    delimiter-doubling trick makes one replace() per rule exactly
+    canonical greedy LTR pair merging) and runs one map-side-combined
+    groupBy(lhs, rhs) whose exchange carries symbol-pair keys + partial
+    counts — bounded by the live vocabulary², independent of corpus
+    size. The per-round argmax is a 1-row collect: the synchronization
+    point of BPE training itself (rule k+1 depends on rule k), same
+    driver-scalar contract as dedup_cluster's convergence count. The
+    returned frame is vocabulary-sized trainer metadata, never
+    corpus-shaped. At 100 TB each round is one scan of the persisted
+    segment strings + one tiny-key shuffle — the canonical distributed
+    BPE trainer layout."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    word_syms = F.transform(
+        fx.tokenize_ws(F.lower("text")),
+        lambda w: F.array_join(F.split(w, "(?!^)"), "||"),
+    )
+    s = F.concat(F.lit("||"), F.array_join(word_syms, "||#||"), F.lit("||"))
+    seg = docs.select(s.alias("s")).persist(StorageLevel.MEMORY_AND_DISK)
+    seg.count()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(BPE_LEARN_K):
+            cur: Column = F.col("s")
+            for a, b, _c in merges:
+                cur = F.replace(cur, F.lit(f"|{a}||{b}|"), F.lit(f"|{a + b}|"))
+            syms = F.filter(F.split(cur, "\\|\\|"), lambda x: x != "")
+            top = (
+                seg.select(syms.alias("syms"))
+                .filter(F.size("syms") >= 2)
+                .select(
+                    F.explode(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("syms") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("syms"), i).alias("lhs"),
+                                F.element_at(F.col("syms"), i + 1).alias("rhs"),
+                            ),
+                        )
+                    ).alias("p")
+                )
+                .select("p.lhs", "p.rhs")
+                .filter((F.col("lhs") != "#") & (F.col("rhs") != "#"))
+                .groupBy("lhs", "rhs")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            merges.append((top[0].lhs, top[0].rhs, top[0].cnt))
+    finally:
+        seg.unpersist()
+    return spark.createDataFrame(
+        [(k + 1, a, b, c) for k, (a, b, c) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string, cnt bigint",
+    )
+
+
 # Fixed BPE merge table (priority order, chained: 'ers' and 'the' build
 # on earlier merges) — the top pairs bpe_pair_counts ranks on this
 # corpus, frozen as the deployed tokenizer artifact. The id vocabulary
@@ -915,6 +991,47 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality–length Pareto frontier (the 2-D skyline): every document
+    no other document beats on BOTH classifier score and token count —
+    the undominated set a curation owner inspects when trading
+    "keep high quality" against "keep long documents" (frontier docs
+    are exactly the optimal threshold corners; everything else is
+    strictly worse than some frontier doc on both axes).
+
+    Dominance: e dominates d iff e.score ≥ d.score ∧ e.len ≥ d.len
+    with one strict. NOT computed by the quadratic all-pairs NOT
+    EXISTS (the textbook formulation — dead at 100 TB): a doc is
+    dominated iff (a) some STRICTLY higher score reaches its length
+    (running max over the score axis) or (b) its own score level has a
+    longer doc. So: groupBy(score) → max length (tiny aggregate, one
+    map-side-combined shuffle), a running-max window over the DISTINCT
+    scores only (the quantile_bucketize trick — the windowed frame is
+    feature-grid-bounded, never corpus-shaped), and one broadcast join
+    back. Integer end-to-end (score_e6 and n_words are BIGINTs from
+    the shared classifier stage), so the frontier is bit-identical
+    across engines."""
+    from pyspark.sql import Window
+
+    scored = quality_classifier_linear(spark, sf_dir).select(
+        "doc_id", "n_words", "score_e6"
+    )
+    perq = scored.groupBy("score_e6").agg(F.max("n_words").alias("maxlen"))
+    w = (
+        Window.orderBy(F.col("score_e6").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marks = perq.withColumn("m_above", F.max("maxlen").over(w))
+    return (
+        scored.join(F.broadcast(marks), "score_e6")
+        .filter(
+            (F.col("m_above").isNull() | (F.col("m_above") < F.col("n_words")))
+            & (F.col("maxlen") == F.col("n_words"))
+        )
+        .select("doc_id", "score_e6", "n_words")
+    )
+
+
 def quality_rank_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality normalization: each doc's rank position
     within its language's score distribution, as exact ppm — the
@@ -1102,11 +1219,13 @@ QUERIES = {
     "text_token_count": text_token_count,
     "char_gini_concentration": char_gini_concentration,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_learn_merges": bpe_learn_merges,
     "bpe_apply": bpe_apply,
     "bpe_token_usage": bpe_token_usage,
     "detokenize_roundtrip": detokenize_roundtrip,
     "quality_threshold_sweep": quality_threshold_sweep,
     "quality_rank_per_lang": quality_rank_per_lang,
+    "pareto_frontier": pareto_frontier,
     "quality_drift_by_source": quality_drift_by_source,
     "doc_length_survival": doc_length_survival,
     "quality_classifier_linear": quality_classifier_linear,
@@ -1331,6 +1450,39 @@ ORACLE["quality_classifier_linear"] = f"""
     FROM feat
 """
 
+ORACLE["pareto_frontier"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+    base AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             CAST(SUM(len(w)) AS BIGINT) AS word_chars,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+             CAST(SUM(CASE WHEN lower(w) IN ({_STOP_SQL})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+      FROM tok GROUP BY 1),
+    scored AS (
+      SELECT doc_id, n_words,
+             CAST({QC_WEIGHTS['stop_ppm']} * (stop_hits * 1000000 // n_words)
+                  + {QC_WEIGHTS['alpha_ppm']} * (alpha_words * 1000000 // n_words)
+                  + {QC_WEIGHTS['len_penalty']}
+                    * ABS(word_chars * 1000000 // n_words - 5000000)
+                  + {QC_BIAS} AS BIGINT) AS score_e6
+      FROM base),
+    perq AS (SELECT score_e6, MAX(n_words) AS maxlen FROM scored GROUP BY 1),
+    marks AS (
+      SELECT score_e6, maxlen,
+             MAX(maxlen) OVER (ORDER BY score_e6 DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS m_above
+      FROM perq)
+    SELECT s.doc_id, s.score_e6, CAST(s.n_words AS BIGINT) AS n_words
+    FROM scored s JOIN marks m USING (score_e6)
+    WHERE (m.m_above IS NULL OR m.m_above < s.n_words)
+      AND m.maxlen = s.n_words
+"""
+
 ORACLE["bpe_pair_counts"] = f"""
     WITH tok AS (
       SELECT lower(unnest({_WORDS_SQL})) AS w FROM documents),
@@ -1342,6 +1494,57 @@ ORACLE["bpe_pair_counts"] = f"""
     FROM pairs GROUP BY pair
     ORDER BY cnt DESC, pair LIMIT {BPE_TOP}
 """
+
+def _bpe_learn_oracle() -> str:
+    """Chained-CTE replay of the trainer: round k's pair counts come
+    from the segmentation produced by rounds 1..k-1, whose winning
+    pairs are scalar subqueries — the merge table is DERIVED inside the
+    SQL, never copied from the Spark side, so a drifting tie-break or
+    replace semantics difference fails the hash."""
+    base = (
+        "'||' || array_to_string(list_transform("
+        "list_filter(string_split(lower(text), ' '), w -> w != ''), "
+        "w -> array_to_string(list_transform(range(1, len(w) + 1), "
+        "i -> w[i:i]), '||')), '||#||') || '||'"
+    )
+    parts = [f"seg0 AS MATERIALIZED (SELECT {base} AS s FROM documents)"]
+    for k in range(1, BPE_LEARN_K + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+          SELECT syms[i] AS lhs, syms[i + 1] AS rhs, COUNT(*) AS cnt
+          FROM (
+            SELECT syms, unnest(range(1, len(syms))) AS i
+            FROM (SELECT list_filter(string_split(s, '||'), x -> x <> '')
+                    AS syms FROM seg{k - 1})
+            WHERE len(syms) >= 2)
+          WHERE syms[i] <> '#' AND syms[i + 1] <> '#'
+          GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p{k} "
+            f"ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+        )
+        if k < BPE_LEARN_K:
+            parts.append(
+                f"seg{k} AS MATERIALIZED (SELECT replace(s, "
+                f"'|' || (SELECT lhs FROM m{k}) || '||' || "
+                f"(SELECT rhs FROM m{k}) || '|', "
+                f"'|' || (SELECT lhs FROM m{k}) || "
+                f"(SELECT rhs FROM m{k}) || '|') AS s FROM seg{k - 1})"
+            )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, lhs, rhs, "
+        f"CAST(cnt AS BIGINT) AS cnt FROM m{k}"
+        for k in range(1, BPE_LEARN_K + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    SELECT merge_rank, lhs, rhs, cnt FROM ({sel}) ORDER BY merge_rank"
+    )
+
+
+ORACLE["bpe_learn_merges"] = _bpe_learn_oracle()
+
 
 def _bpe_vocab_sql() -> str:
     return "[" + ", ".join(f"'{v}'" for v in BPE_VOCAB) + "]"

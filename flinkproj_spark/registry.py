@@ -43,9 +43,14 @@ _EXTENSION_MODULES = (
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
     "semdedup_greedy_keep",  # never checked
+    "kcenter_coreset",  # never checked
+    "bpe_learn_merges",  # never checked
     "detokenize_roundtrip",  # never checked
+    "pareto_frontier",  # never checked
     "quality_drift_by_source",  # never checked
     "epoch_schedule",  # never checked
+    "curriculum_order",  # never checked
+    "label_propagation",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -87,11 +92,6 @@ _PRIORITY_KEYS = (
     "global_topk",  # last green r4
     "rollup_counts",  # last green r4
     "asof_join",  # last green r4
-    "asof_join_tolerance",  # last green r4
-    "dedup_substring",  # last green r4
-    "winnow_overlap_pairs",  # last green r4
-    "dedup_cluster_sizes",  # last green r4
-    "pair_strategy_agreement",  # last green r4
 )
 
 

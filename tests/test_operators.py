@@ -1147,3 +1147,121 @@ def test_greedy_keep_chain_semantics(spark):
     kept = sorted(r.vec_id for r in _greedy_keep_from_edges(verts, edges).collect())
     assert kept == [1, 3, 5]
     spark.catalog.clearCache()
+
+
+def test_bpe_learn_merges_invariants(spark, sf_dir):
+    """Trainer invariants: 8 learned rules; rule 1 equals the top pair
+    of the candidate scan (bpe_pair_counts); selection counts are
+    non-increasing (a merged symbol's pairs are sub-occurrences of
+    earlier pairs, so the max pair frequency can only fall); and no
+    rule pairs across the '#' word boundary."""
+    from flinkproj_spark.operators.text import (
+        BPE_LEARN_K,
+        bpe_learn_merges,
+        bpe_pair_counts,
+    )
+
+    rules = bpe_learn_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    assert len(rules) == BPE_LEARN_K
+    top = bpe_pair_counts(spark, sf_dir).limit(1).collect()[0]
+    assert rules[0].lhs + rules[0].rhs == top.pair
+    assert rules[0].cnt == top.cnt
+    cnts = [r.cnt for r in rules]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all("#" not in (r.lhs, r.rhs) for r in rules)
+
+
+def test_kcenter_coreset_invariants(spark, sf_dir):
+    """Greedy k-center invariants: 8 distinct centers led by the seed
+    (smallest vec_id); the coverage radius² trace is non-increasing
+    (each pick is the current farthest point, and adding centers can
+    only shrink every point's min distance); all radii positive after
+    the seed (the corpus has no 8-fold duplicate vector)."""
+    from flinkproj_spark.operators.similarity import KCENTER_K, kcenter_coreset
+
+    rows = kcenter_coreset(spark, sf_dir).orderBy("center_rank").collect()
+    assert len(rows) == KCENTER_K
+    assert len({r.vec_id for r in rows}) == KCENTER_K
+    assert rows[0].center_rank == 1 and rows[0].radius2 == 0
+    radii = [r.radius2 for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True)
+    assert all(r > 0 for r in radii)
+
+
+def test_label_propagation_partitions_graph(spark, sf_dir):
+    """LPA invariants: every community is non-empty, customer+supplier
+    splits sum to the member count, members across communities sum to
+    the full node population, and at least two communities survive
+    (the planted trade graph is not one blob at any SF)."""
+    from flinkproj_spark.operators.analytic import label_propagation
+    from flinkproj_spark.sources.tables import load_table
+
+    out = label_propagation(spark, sf_dir).collect()
+    assert len(out) >= 2
+    assert all(r.n_customers + r.n_suppliers == r.n_members for r in out)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    n_cust = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select("o_custkey").distinct().count()
+    n_supp = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).select("l_suppkey").distinct().count()
+    assert sum(r.n_members for r in out) == n_cust + n_supp
+    spark.catalog.clearCache()
+
+
+def test_pareto_frontier_is_undominated_and_complete(spark, sf_dir):
+    """Skyline ground truth by brute force at test scale: the operator's
+    frontier must equal the set of docs no other doc dominates on
+    (score_e6, n_words)."""
+    from flinkproj_spark.operators.text import (
+        pareto_frontier,
+        quality_classifier_linear,
+    )
+
+    all_docs = [
+        (r.doc_id, r.score_e6, r.n_words)
+        for r in quality_classifier_linear(spark, sf_dir)
+        .select("doc_id", "score_e6", "n_words")
+        .collect()
+    ]
+    expected = {
+        d
+        for d, q, l in all_docs
+        if not any(
+            (q2 >= q and l2 >= l and (q2 > q or l2 > l))
+            for _, q2, l2 in all_docs
+        )
+    }
+    got = {r.doc_id for r in pareto_frontier(spark, sf_dir).collect()}
+    assert got == expected and got
+
+
+def test_curriculum_order_stages_and_positions(spark, sf_dir):
+    """Curriculum invariants: stages partition the corpus into four
+    near-equal bands ordered by score (every stage-1 doc scores ≥ every
+    stage-4 doc); positions are dense 1..n within each (stage, shard);
+    the layout is a permutation of the corpus."""
+    from flinkproj_spark.operators.sampling import curriculum_order
+    from flinkproj_spark.operators.text import quality_classifier_linear
+
+    rows = curriculum_order(spark, sf_dir).collect()
+    score = {
+        r.doc_id: r.score_e6
+        for r in quality_classifier_linear(spark, sf_dir).collect()
+    }
+    assert len(rows) == len(score) and len({r.doc_id for r in rows}) == len(rows)
+    sizes = {}
+    for r in rows:
+        sizes[r.stage] = sizes.get(r.stage, 0) + 1
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert min(s for r in rows if r.stage == 1 for s in [score[r.doc_id]]) >= max(
+        s for r in rows if r.stage == 4 for s in [score[r.doc_id]]
+    )
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.stage, r.shard), []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
