@@ -533,8 +533,103 @@ def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 512
+DSIR_SALT = "dsir|"
+DSIR_SCALE = 1_000_000_000  # ppb fixed point
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public), integer-exact variant: score every document by how much
+    its hashed-unigram feature mass looks like the TARGET distribution
+    (here: the English subcorpus, standing in for a curated target
+    set) versus the RAW corpus. Features are md5-hashed word buckets
+    (B=512); per bucket, Laplace-smoothed target and raw frequencies
+    in ppb; per doc, the summed frequency difference over its tokens.
+    A positive sum means target-like — the keep side of DSIR's
+    resampling coin. (DSIR proper sums LOG ratios; the linear
+    difference keeps every operation in BIGINT so the score is
+    bit-identical across engines and aggregation orders — same
+    direction of evidence, float-free. The division by doc length is
+    deliberately NOT taken: Spark's `div` truncates toward zero while
+    DuckDB's `//` floors, and the sum can be negative — consumers
+    threshold the exact sum instead.)
+
+    Shape: ONE tokenize+hash pass feeds both sides — the bucket
+    histogram (groupBy on 512 integer keys, map-side combined, with
+    the target split as a conditional sum) collapses to a broadcast
+    frame; scoring re-joins it to the token stream in-map and one
+    groupBy(doc_id) sums. Text never shuffles; the exchanges carry
+    (bucket) and (doc_id, partial sums). At 100 TB the histogram is
+    still 512 rows — the whole selection model is a broadcast."""
+    docs = fan_out(
+        spark, sf_dir, "documents", load_table(spark, sf_dir, "documents")
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(fx.tokenize_ws()).alias("w0"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(DSIR_SALT), F.lower("w0"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bk"),
+    )
+    hist = tok.groupBy("bk").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("ct"),
+    )
+    tot = hist.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    # (count+1)·10⁹ tops BIGINT once a bucket holds >9.2e9 tokens —
+    # certain at 100 TB — so the scaled numerator routes through
+    # DECIMAL(38,0) (the pagerank_fixed one-operand-cast pattern);
+    # `div` on the decimal is an exact integer quotient ≤ 10⁹.
+    q = hist.crossJoin(F.broadcast(tot)).selectExpr(
+        "bk",
+        f"CAST(CAST(ct + 1 AS DECIMAL(38,0)) * {DSIR_SCALE}"
+        f" div (tt + {DSIR_BUCKETS}) AS BIGINT) AS qt",
+        f"CAST(CAST(cr + 1 AS DECIMAL(38,0)) * {DSIR_SCALE}"
+        f" div (tr + {DSIR_BUCKETS}) AS BIGINT) AS qr",
+    )
+    scored = (
+        tok.join(F.broadcast(q), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.col("qt") - F.col("qr")).alias("dsir_sum_ppb"),
+        )
+    )
+    # The verdict is RELATIVE (above the corpus-mean evidence), not a
+    # raw sign test: Laplace smoothing under Zipf bucket occupancy
+    # biases every sum negative (heavy buckets lose more target mass
+    # than light ones gain), so `> 0` would condemn ~everything. The
+    # comparison is cross-multiplied (sum·n_docs vs corpus total) —
+    # the embedding_drift_report integer pattern, no mean division.
+    corpus = scored.agg(
+        F.sum("dsir_sum_ppb").alias("s_all"), F.count("*").alias("n_docs")
+    )
+    return scored.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "n_words",
+        "dsir_sum_ppb",
+        (F.col("dsir_sum_ppb") * F.col("n_docs") > F.col("s_all"))
+        .cast("int")
+        .alias("target_like"),
+    )
+
+
 QUERIES = {
     "ngram_novelty_score": ngram_novelty_score,
+    "dsir_importance_weights": dsir_importance_weights,
     "paragraph_dedup": paragraph_dedup,
     "unigram_lm_score": unigram_lm_score,
     "bigram_lm_score": bigram_lm_score,
@@ -741,3 +836,36 @@ def _funnel_oracle() -> str:
 
 
 ORACLE["filter_funnel_report"] = _funnel_oracle()
+
+ORACLE["dsir_importance_weights"] = f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('{DSIR_SALT}' || lower(unnest({_WORDS_SQL}))),
+                             1, 8))::BIGINT % {DSIR_BUCKETS} AS bk
+      FROM documents),
+    hist AS (
+      SELECT bk, COUNT(*) AS cr,
+             SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct
+      FROM tok GROUP BY 1),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM hist),
+    q AS (
+      SELECT bk,
+             CAST(CAST(ct + 1 AS HUGEINT) * {DSIR_SCALE}
+                  // (tt + {DSIR_BUCKETS}) AS BIGINT) AS qt,
+             CAST(CAST(cr + 1 AS HUGEINT) * {DSIR_SCALE}
+                  // (tr + {DSIR_BUCKETS}) AS BIGINT) AS qr
+      FROM hist CROSS JOIN tot),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(q.qt - q.qr) AS BIGINT) AS dsir_sum_ppb
+      FROM tok t JOIN q USING (bk)
+      GROUP BY 1),
+    corpus AS (
+      SELECT CAST(SUM(dsir_sum_ppb) AS BIGINT) AS s_all,
+             COUNT(*) AS n_docs
+      FROM scored)
+    SELECT doc_id, n_words, dsir_sum_ppb,
+           CAST(dsir_sum_ppb * n_docs > s_all AS INT) AS target_like
+    FROM scored CROSS JOIN corpus
+"""

@@ -797,6 +797,116 @@ def bpe_token_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QCAL_BANDS = 10
+
+
+def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the linear quality classifier against the
+    Gopher rule-based filter: rank every document by classifier score,
+    cut the ranking into 10 equal-frequency bands, and report each
+    band's Gopher keep rate — if the classifier is calibrated, keep
+    rate rises monotonically with the band; a flat or inverted band is
+    the signal that the learned score and the deployed rules disagree
+    on a quality regime. (The standard score-vs-outcome calibration
+    audit, with the rule filter standing in for held-out labels.)
+
+    Both signals come from ONE gopher_stat_aggs pass (the shared
+    feature frame), so the curve can never drift from either deployed
+    scorer. Banding is the skew-safe two-pass rank (curriculum_order's
+    layout): distinct-score counts → running offsets (window over the
+    score grid only) → within-score row_number — no task ever sorts
+    the corpus; score groups straddling a band boundary split by
+    exact global rank, identical in both engines. Integer end-to-end."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_words()).alias("w"))
+    base = tok.groupBy("doc_id").agg(*gopher_stat_aggs())
+    *_, score = _qc_score_exprs()
+    scored = base.select(
+        "doc_id",
+        score.alias("score_e6"),
+        gopher_keep_col().cast("long").alias("keep"),
+    )
+    per = scored.groupBy("score_e6").agg(F.count("*").alias("c"))
+    w_ofs = (
+        Window.orderBy(F.col("score_e6").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per.select(
+        "score_e6", F.coalesce(F.sum("c").over(w_ofs), F.lit(0)).alias("offset")
+    )
+    tot = per.agg(F.sum("c").alias("n"))
+    w_in = Window.partitionBy("score_e6").orderBy("doc_id")
+    banded = (
+        scored.join(F.broadcast(offs), "score_e6")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.col("offset") + F.row_number().over(w_in))
+        .withColumn(
+            "band", F.expr(f"cast(((rnk - 1) * {QCAL_BANDS}) div n + 1 as int)")
+        )
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_keep"),
+            F.min("score_e6").alias("min_score_e6"),
+            F.max("score_e6").alias("max_score_e6"),
+        )
+        .selectExpr(
+            "band",
+            "n_docs",
+            "n_keep",
+            "n_keep * 1000000 div n_docs AS keep_ppm",
+            "min_score_e6",
+            "max_score_e6",
+        )
+    )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by language: tokens-per-word and OOV
+    rate of the deployed BPE (BPE_MERGES/BPE_VOCAB) per lang — THE
+    cross-lingual tokenizer-fairness table (a language whose fertility
+    is 2× pays twice the sequence length for the same text; the number
+    multilingual tokenizer papers report per language). Emits per
+    lang: token/word/OOV totals, fertility in ppm (tokens·10⁶ div
+    words), and OOV ppm.
+
+    Shape: the shared in-row encode chain (bpe_id_expr) plus word
+    count per row, then ONE map-side-combined groupBy(lang) — 5 rows
+    out, text projected away before the exchange. The scaled ratios
+    route through DECIMAL(38,0) (corpus token totals × 10⁶ top BIGINT
+    at 100 TB), floored with `div` — bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = bpe_id_expr()
+    per = docs.select(
+        "lang",
+        F.size(ids).cast("long").alias("t"),
+        F.size(F.filter(ids, lambda i: i < 0)).cast("long").alias("o"),
+        F.size(_words()).cast("long").alias("w"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("t").alias("n_tokens"),
+            F.sum("w").alias("n_words"),
+            F.sum("o").alias("n_oov"),
+        )
+        .selectExpr(
+            "lang",
+            "n_tokens",
+            "n_words",
+            "n_oov",
+            "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000"
+            " div greatest(n_words, 1) AS BIGINT) AS fertility_ppm",
+            "CAST(CAST(n_oov AS DECIMAL(38,0)) * 1000000"
+            " div greatest(n_tokens, 1) AS BIGINT) AS oov_ppm",
+        )
+    )
+
+
 def detokenize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-side fidelity audit of the tokenizer — the inverse of
     bpe_apply. Every document is encoded to ids (the shared
@@ -1222,6 +1332,8 @@ QUERIES = {
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_apply": bpe_apply,
     "bpe_token_usage": bpe_token_usage,
+    "quality_calibration_curve": quality_calibration_curve,
+    "tokenizer_fertility": tokenizer_fertility,
     "detokenize_roundtrip": detokenize_roundtrip,
     "quality_threshold_sweep": quality_threshold_sweep,
     "quality_rank_per_lang": quality_rank_per_lang,
@@ -1450,6 +1562,41 @@ ORACLE["quality_classifier_linear"] = f"""
     FROM feat
 """
 
+ORACLE["quality_calibration_curve"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+    base AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             CAST(SUM(len(w)) AS BIGINT) AS word_chars,
+             CAST(SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS alpha_words,
+             CAST(SUM(CASE WHEN lower(w) IN ({_STOP_SQL})
+                           THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+      FROM tok GROUP BY 1),
+    scored AS (
+      SELECT doc_id,
+             CAST({QC_WEIGHTS['stop_ppm']} * (stop_hits * 1000000 // n_words)
+                  + {QC_WEIGHTS['alpha_ppm']} * (alpha_words * 1000000 // n_words)
+                  + {QC_WEIGHTS['len_penalty']}
+                    * ABS(word_chars * 1000000 // n_words - 5000000)
+                  + {QC_BIAS} AS BIGINT) AS score_e6,
+             CAST({GOPHER_KEEP_SQL} AS BIGINT) AS keep
+      FROM base),
+    r AS (
+      SELECT score_e6, keep,
+             ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM scored)
+    SELECT CAST(((rnk - 1) * {QCAL_BANDS}) // n + 1 AS INT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_keep,
+           CAST(SUM(keep) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm,
+           MIN(score_e6) AS min_score_e6,
+           MAX(score_e6) AS max_score_e6
+    FROM r GROUP BY 1
+"""
+
 ORACLE["pareto_frontier"] = f"""
     WITH tok AS (
       SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
@@ -1647,6 +1794,25 @@ def _detok_oracle() -> str:
 
 
 ORACLE["detokenize_roundtrip"] = _detok_oracle()
+
+ORACLE["tokenizer_fertility"] = """
+    WITH enc AS ({ENC}),
+    j AS (
+      SELECT d.lang,
+             CAST(len(e.ids) AS BIGINT) AS t,
+             CAST(len(list_filter(e.ids, i -> i < 0)) AS BIGINT) AS o,
+             CAST(len({WORDS}) AS BIGINT) AS w
+      FROM documents d JOIN enc e USING (doc_id))
+    SELECT lang,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(o) AS BIGINT) AS n_oov,
+           CAST(CAST(SUM(t) AS HUGEINT) * 1000000
+                // GREATEST(SUM(w), 1) AS BIGINT) AS fertility_ppm,
+           CAST(CAST(SUM(o) AS HUGEINT) * 1000000
+                // GREATEST(SUM(t), 1) AS BIGINT) AS oov_ppm
+    FROM j GROUP BY 1
+""".replace("{ENC}", _bpe_enc_sql()).replace("{WORDS}", _WORDS_SQL)
 
 ORACLE["doc_length_survival"] = f"""
     WITH c AS (

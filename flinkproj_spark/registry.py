@@ -42,9 +42,12 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
+    "dsir_importance_weights",  # never checked
     "semdedup_greedy_keep",  # never checked
     "kcenter_coreset",  # never checked
     "bpe_learn_merges",  # never checked
+    "quality_calibration_curve",  # never checked
+    "tokenizer_fertility",  # never checked
     "detokenize_roundtrip",  # never checked
     "pareto_frontier",  # never checked
     "quality_drift_by_source",  # never checked
@@ -89,9 +92,6 @@ _PRIORITY_KEYS = (
     "session_window_agg",  # last green r4
     "set_except",  # last green r4
     "set_intersect",  # last green r4
-    "global_topk",  # last green r4
-    "rollup_counts",  # last green r4
-    "asof_join",  # last green r4
 )
 
 

@@ -1265,3 +1265,80 @@ def test_curriculum_order_stages_and_positions(spark, sf_dir):
         by_shard.setdefault((r.stage, r.shard), []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_dsir_weights_favor_target_language(spark, sf_dir):
+    """DSIR invariant: the target (English) subcorpus must be
+    target-like at a higher rate than every other language — the
+    direction of evidence DSIR resamples on — and the relative verdict
+    must split the corpus non-degenerately."""
+    from flinkproj_spark.operators.curation import dsir_importance_weights
+    from flinkproj_spark.sources.tables import load_table
+
+    out = dsir_importance_weights(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rates = {
+        r.lang: (r.n_like, r.n)
+        for r in out.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("target_like").alias("n_like"), F.count("*").alias("n")
+        )
+        .collect()
+    }
+    en_like, en_n = rates["en"]
+    assert 0 < en_like < en_n, "verdict degenerate for the target language"
+    for lang, (like, n) in rates.items():
+        if lang != "en":
+            assert en_like * n >= like * en_n, (
+                f"{lang} rated more target-like than the target itself"
+            )
+
+
+def test_tokenizer_fertility_consistency(spark, sf_dir):
+    """Fertility table totals must equal bpe_apply's per-doc totals, and
+    every language's fertility must be >= 1 token per word (BPE never
+    merges across the word boundary)."""
+    from flinkproj_spark.operators.text import bpe_apply, tokenizer_fertility
+
+    fert = tokenizer_fertility(spark, sf_dir).collect()
+    per_doc = bpe_apply(spark, sf_dir).agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_oov").alias("o")
+    ).collect()[0]
+    assert sum(r.n_tokens for r in fert) == per_doc.t
+    assert sum(r.n_oov for r in fert) == per_doc.o
+    assert all(r.fertility_ppm >= 1_000_000 for r in fert if r.n_words)
+
+
+def test_deploy_entrypoints_parse(tmp_path):
+    """The YARN driver mains are importable and their CLIs parse — the
+    deploy surface ships runnable, not as dead scripts."""
+    import subprocess
+    import sys
+
+    for script in ("deploy/run_clean.py", "deploy/run_report.py"):
+        r = subprocess.run(
+            [sys.executable, script, "--help"], capture_output=True
+        )
+        assert r.returncode == 0, r.stderr.decode()[:500]
+
+
+def test_quality_calibration_curve_bands(spark, sf_dir):
+    """Calibration audit invariants: all 10 bands present and
+    equal-frequency (±1 doc), keep_ppm arithmetically consistent, score
+    ranges non-overlapping in band order, and the worst band keeps
+    strictly fewer docs than the best band (the curve separates)."""
+    from flinkproj_spark.operators.text import quality_calibration_curve
+
+    rows = sorted(
+        quality_calibration_curve(spark, sf_dir).collect(), key=lambda r: r.band
+    )
+    assert [r.band for r in rows] == list(range(1, 11))
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert r.keep_ppm == r.n_keep * 1_000_000 // r.n_docs
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_score_e6 >= b.max_score_e6
+    rates = [r.n_keep * 1_000_000 // r.n_docs for r in rows]
+    assert rates[-1] < max(rates)
