@@ -564,14 +564,21 @@ def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: pair generation is the same cell equi-join as
     semdedup_cells (cost Σ cell², never corpus²; only ids cross the
-    shuffle after the cos filter). The sequential dependency is
-    resolved by a frontier loop (_greedy_keep_from_edges) whose round
-    count is the longest similarity chain, not the corpus — each round
-    is two equi-joins on the persisted edge list. The DuckDB oracle
-    replays the identical greedy as one ordered list_reduce. Caches:
-    the edge list is released before returning; the kept set and
-    vertex frame back the returned (lazy) result, so callers own
-    their lifetime via clearCache (the dedup_cluster contract)."""
+    shuffle after the cos filter). The sequential dependency never
+    leaves a cell (edges are cell-local by construction), so the
+    greedy runs as ONE grouped-map pass — groupBy(cell) →
+    applyInPandas replaying the ascending-id scan per cell — exactly
+    the per-cluster sequential dedup of the SemDeDup paper, one
+    shuffle of (cell, id-pair) rows and zero driver rounds. The Arrow
+    task holds a cell's EDGE list (dedup-rate-sized), not its vectors;
+    ivf_cell_balance_report monitors the cell-size bound, and the
+    generic frontier loop (_greedy_keep_from_edges, kept for graphs
+    with no cell structure) is the fallback if a pathological cell
+    ever outgrows a task. The DuckDB oracle replays the identical
+    greedy as one ordered list_reduce. Caches: the edge list is
+    released before returning; the vertex frame backs the returned
+    (lazy) result, so callers own its lifetime via clearCache (the
+    dedup_cluster contract)."""
     from pyspark.storagelevel import StorageLevel
 
     base = _quantized(spark, sf_dir)
@@ -595,6 +602,7 @@ def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(right, "cell")
         .filter(F.col("va") < F.col("vb"))
         .select(
+            "cell",
             "va",
             "vb",
             F.round(
@@ -602,19 +610,39 @@ def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
         .filter(F.col("cos") >= SEMDEDUP_MIN_COS)
-        .select("va", "vb")
+        .select("cell", "va", "vb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verts = corpus.select("vec_id", "cell").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    kept = _greedy_keep_from_edges(verts, edges)
-    out = verts.join(
-        kept.withColumn("_k", F.lit(1)), "vec_id", "left"
-    ).select(
+
+    def _cell_greedy(pdf):
+        import pandas as pd
+
+        pred: dict[int, list[int]] = {}
+        vs: set[int] = set()
+        for va, vb in zip(pdf["va"], pdf["vb"]):
+            pred.setdefault(int(vb), []).append(int(va))
+            vs.add(int(va))
+            vs.add(int(vb))
+        kept: set[int] = set()
+        for v in sorted(vs):
+            if all(u not in kept for u in pred.get(v, ())):
+                kept.add(v)
+        order = sorted(vs)
+        return pd.DataFrame(
+            {"vec_id": order, "is_kept": [1 if v in kept else 0 for v in order]}
+        )
+
+    decided = edges.groupBy("cell").applyInPandas(
+        _cell_greedy, "vec_id long, is_kept int"
+    )
+    out = verts.join(decided, "vec_id", "left").select(
         "vec_id",
         "cell",
-        F.coalesce("_k", F.lit(0)).cast("int").alias("is_kept"),
+        # edge-free vectors never reach the grouped map: kept outright.
+        F.coalesce("is_kept", F.lit(1)).cast("int").alias("is_kept"),
     )
     edges.unpersist()
     return out

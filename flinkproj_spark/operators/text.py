@@ -599,29 +599,35 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank, lhs, rhs, pair count at selection time) — the artifact
     BPE_MERGES freezes, now derived live instead of hand-carried.
 
-    Shape: the base '||'-delimited symbol string is built ONCE and
-    persisted (MEMORY_AND_DISK — corpus-shaped, read once per round);
+    Shape: the trainer iterates over the WORD-FREQUENCY TABLE, never
+    the token stream — one corpus-shaped groupBy(word) up front, then
+    every round touches only the distinct-word frame (vocabulary-
+    sized; at 100 TB that is millions of rows against trillions of
+    tokens — the layout every real BPE trainer uses). The persisted
+    frame holds each word's '||'-delimited symbol string + its count;
     round k re-applies the k-1 learned replaces in-row (the
     delimiter-doubling trick makes one replace() per rule exactly
     canonical greedy LTR pair merging) and runs one map-side-combined
-    groupBy(lhs, rhs) whose exchange carries symbol-pair keys + partial
-    counts — bounded by the live vocabulary², independent of corpus
-    size. The per-round argmax is a 1-row collect: the synchronization
-    point of BPE training itself (rule k+1 depends on rule k), same
-    driver-scalar contract as dedup_cluster's convergence count. The
-    returned frame is vocabulary-sized trainer metadata, never
-    corpus-shaped. At 100 TB each round is one scan of the persisted
-    segment strings + one tiny-key shuffle — the canonical distributed
-    BPE trainer layout."""
+    groupBy(lhs, rhs) summing word counts — the exchange is bounded by
+    the live vocabulary², independent of corpus size. The per-round
+    argmax is a 1-row collect: the synchronization point of BPE
+    training itself (rule k+1 depends on rule k), same driver-scalar
+    contract as dedup_cluster's convergence count. The returned frame
+    is vocabulary-sized trainer metadata, never corpus-shaped."""
     from pyspark.storagelevel import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    word_syms = F.transform(
-        fx.tokenize_ws(F.lower("text")),
-        lambda w: F.array_join(F.split(w, "(?!^)"), "||"),
+    wc = (
+        docs.select(F.explode(fx.tokenize_ws(F.lower("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
     )
-    s = F.concat(F.lit("||"), F.array_join(word_syms, "||#||"), F.lit("||"))
-    seg = docs.select(s.alias("s")).persist(StorageLevel.MEMORY_AND_DISK)
+    seg = wc.select(
+        F.concat(
+            F.lit("||"), F.array_join(F.split("w", "(?!^)"), "||"), F.lit("||")
+        ).alias("s"),
+        "cnt",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     seg.count()
     merges: list[tuple[str, str, int]] = []
     try:
@@ -631,7 +637,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cur = F.replace(cur, F.lit(f"|{a}||{b}|"), F.lit(f"|{a + b}|"))
             syms = F.filter(F.split(cur, "\\|\\|"), lambda x: x != "")
             top = (
-                seg.select(syms.alias("syms"))
+                seg.select(syms.alias("syms"), "cnt")
                 .filter(F.size("syms") >= 2)
                 .select(
                     F.explode(
@@ -642,12 +648,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.element_at(F.col("syms"), i + 1).alias("rhs"),
                             ),
                         )
-                    ).alias("p")
+                    ).alias("p"),
+                    "cnt",
                 )
-                .select("p.lhs", "p.rhs")
-                .filter((F.col("lhs") != "#") & (F.col("rhs") != "#"))
+                .select("p.lhs", "p.rhs", "cnt")
                 .groupBy("lhs", "rhs")
-                .agg(F.count("*").alias("cnt"))
+                .agg(F.sum("cnt").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), "lhs", "rhs")
                 .limit(1)
                 .collect()
@@ -1648,23 +1654,23 @@ def _bpe_learn_oracle() -> str:
     pairs are scalar subqueries — the merge table is DERIVED inside the
     SQL, never copied from the Spark side, so a drifting tie-break or
     replace semantics difference fails the hash."""
-    base = (
-        "'||' || array_to_string(list_transform("
-        "list_filter(string_split(lower(text), ' '), w -> w != ''), "
-        "w -> array_to_string(list_transform(range(1, len(w) + 1), "
-        "i -> w[i:i]), '||')), '||#||') || '||'"
-    )
-    parts = [f"seg0 AS MATERIALIZED (SELECT {base} AS s FROM documents)"]
+    parts = [
+        "wc AS MATERIALIZED (SELECT w, COUNT(*) AS cnt FROM ("
+        "SELECT lower(unnest(list_filter(string_split(text, ' '), "
+        "w -> w != ''))) AS w FROM documents) GROUP BY 1)",
+        "seg0 AS MATERIALIZED (SELECT '||' || array_to_string("
+        "list_transform(range(1, len(w) + 1), i -> w[i:i]), '||') || '||' "
+        "AS s, cnt FROM wc)",
+    ]
     for k in range(1, BPE_LEARN_K + 1):
         parts.append(
             f"""p{k} AS MATERIALIZED (
-          SELECT syms[i] AS lhs, syms[i + 1] AS rhs, COUNT(*) AS cnt
+          SELECT syms[i] AS lhs, syms[i + 1] AS rhs, SUM(cnt) AS cnt
           FROM (
-            SELECT syms, unnest(range(1, len(syms))) AS i
+            SELECT syms, cnt, unnest(range(1, len(syms))) AS i
             FROM (SELECT list_filter(string_split(s, '||'), x -> x <> '')
-                    AS syms FROM seg{k - 1})
+                    AS syms, cnt FROM seg{k - 1})
             WHERE len(syms) >= 2)
-          WHERE syms[i] <> '#' AND syms[i + 1] <> '#'
           GROUP BY 1, 2)"""
         )
         parts.append(
@@ -1677,7 +1683,7 @@ def _bpe_learn_oracle() -> str:
                 f"'|' || (SELECT lhs FROM m{k}) || '||' || "
                 f"(SELECT rhs FROM m{k}) || '|', "
                 f"'|' || (SELECT lhs FROM m{k}) || "
-                f"(SELECT rhs FROM m{k}) || '|') AS s FROM seg{k - 1})"
+                f"(SELECT rhs FROM m{k}) || '|') AS s, cnt FROM seg{k - 1})"
             )
     sel = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS merge_rank, lhs, rhs, "
