@@ -539,6 +539,55 @@ DSIR_SCALE = 1_000_000_000  # ppb fixed point
 DSIR_TARGET_LANG = "en"
 
 
+def _dsir_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared tokenize+hash stage: (doc_id, lang, bk) per token."""
+    docs = fan_out(
+        spark, sf_dir, "documents", load_table(spark, sf_dir, "documents")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.explode(fx.tokenize_ws()).alias("w0"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(DSIR_SALT), F.lower("w0"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bk"),
+    )
+
+
+def dsir_bucket_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained DSIR selection model as a frame: per hash bucket,
+    the Laplace-smoothed target/raw ppb frequencies and their diff.
+    Bounded by DSIR_BUCKETS rows at any corpus size — the broadcast
+    (or collected, for the streaming gate) deployment artifact."""
+    tok = _dsir_tok(spark, sf_dir)
+    hist = tok.groupBy("bk").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("ct"),
+    )
+    tot = hist.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    # (count+1)·10⁹ tops BIGINT once a bucket holds >9.2e9 tokens —
+    # certain at 100 TB — so the scaled numerator routes through
+    # DECIMAL(38,0) (the pagerank_fixed one-operand-cast pattern);
+    # `div` on the decimal is an exact integer quotient ≤ 10⁹.
+    return hist.crossJoin(F.broadcast(tot)).selectExpr(
+        "bk",
+        f"CAST(CAST(ct + 1 AS DECIMAL(38,0)) * {DSIR_SCALE}"
+        f" div (tt + {DSIR_BUCKETS}) AS BIGINT) AS qt",
+        f"CAST(CAST(cr + 1 AS DECIMAL(38,0)) * {DSIR_SCALE}"
+        f" div (tr + {DSIR_BUCKETS}) AS BIGINT) AS qr",
+    )
+
+
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023,
     public), integer-exact variant: score every document by how much
@@ -563,43 +612,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) sums. Text never shuffles; the exchanges carry
     (bucket) and (doc_id, partial sums). At 100 TB the histogram is
     still 512 rows — the whole selection model is a broadcast."""
-    docs = fan_out(
-        spark, sf_dir, "documents", load_table(spark, sf_dir, "documents")
-    )
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(fx.tokenize_ws()).alias("w0"),
-    ).select(
-        "doc_id",
-        "lang",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(DSIR_SALT), F.lower("w0"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % DSIR_BUCKETS
-        ).alias("bk"),
-    )
-    hist = tok.groupBy("bk").agg(
-        F.count("*").alias("cr"),
-        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("ct"),
-    )
-    tot = hist.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
-    # (count+1)·10⁹ tops BIGINT once a bucket holds >9.2e9 tokens —
-    # certain at 100 TB — so the scaled numerator routes through
-    # DECIMAL(38,0) (the pagerank_fixed one-operand-cast pattern);
-    # `div` on the decimal is an exact integer quotient ≤ 10⁹.
-    q = hist.crossJoin(F.broadcast(tot)).selectExpr(
-        "bk",
-        f"CAST(CAST(ct + 1 AS DECIMAL(38,0)) * {DSIR_SCALE}"
-        f" div (tt + {DSIR_BUCKETS}) AS BIGINT) AS qt",
-        f"CAST(CAST(cr + 1 AS DECIMAL(38,0)) * {DSIR_SCALE}"
-        f" div (tr + {DSIR_BUCKETS}) AS BIGINT) AS qr",
-    )
+    tok = _dsir_tok(spark, sf_dir)
+    q = dsir_bucket_model(spark, sf_dir)
     scored = (
         tok.join(F.broadcast(q), "bk")
         .groupBy("doc_id")

@@ -244,3 +244,83 @@ def stream_bpe_encode(new_docs: DataFrame) -> DataFrame:
     return counted.withColumn(
         "oov_ppm", F.expr("n_oov * 1000000 div greatest(n_tokens, 1)")
     )
+
+
+def build_dsir_model(spark, sf_dir: str) -> dict:
+    """Freeze the DSIR selection model from the base corpus for
+    streaming deployment: the per-bucket evidence diffs (qt − qr) plus
+    the corpus verdict threshold (total evidence, doc count) from the
+    batch scorer. Two driver collects of MODEL-sized frames (512 rows
+    + 1 row) at build time — the deployed-artifact contract, same as
+    stream_quality_scores freezing the classifier weights; nothing is
+    ever collected per record."""
+    from flinkproj_spark.operators.curation import (
+        DSIR_BUCKETS,
+        dsir_bucket_model,
+        dsir_importance_weights,
+    )
+
+    diffs = [0] * DSIR_BUCKETS
+    for r in dsir_bucket_model(spark, sf_dir).collect():
+        diffs[int(r.bk)] = int(r.qt - r.qr)
+    tot = (
+        dsir_importance_weights(spark, sf_dir)
+        .agg(
+            F.sum("dsir_sum_ppb").alias("s_all"),
+            F.count("*").alias("n_docs"),
+        )
+        .collect()[0]
+    )
+    return {"diffs": diffs, "s_all": int(tot.s_all), "n_docs": int(tot.n_docs)}
+
+
+def stream_dsir_gate(new_docs: DataFrame, model: dict) -> DataFrame:
+    """Streaming twin of operators/curation.py::dsir_importance_weights:
+    score every incoming document against the FROZEN DSIR model at
+    ingest time (build_dsir_model) — the target-likeness routing that
+    decides, before storage, whether a crawled doc joins the
+    target-like pool. Entirely stateless: the 512-bucket model and the
+    corpus threshold compile into codegen literals, the per-token
+    bucket lookup and evidence sum run IN-ROW over the token array (no
+    exploded groupBy state), arithmetically identical to the batch
+    operator per document. The verdict uses the threshold frozen at
+    model-build time — the deployed-model semantics (a drifting stream
+    mean would make admission non-deterministic). Input stream needs
+    (doc_id, ts, text)."""
+    from flinkproj_spark.operators.curation import DSIR_BUCKETS, DSIR_SALT
+
+    words = fx.tokenize_ws()
+    diff_arr = F.array(*[F.lit(int(d)) for d in model["diffs"]])
+    bks = F.transform(
+        words,
+        lambda w: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(DSIR_SALT), F.lower(w))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ),
+    )
+    ssum = F.aggregate(
+        bks,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.element_at(diff_arr, b.cast("int") + 1),
+    )
+    staged = new_docs.filter(F.size(words) >= 1).select(
+        "doc_id",
+        "ts",
+        F.size(words).cast("long").alias("n_words"),
+        ssum.alias("dsir_sum_ppb"),
+    )
+    return staged.select(
+        "doc_id",
+        "ts",
+        "n_words",
+        "dsir_sum_ppb",
+        (F.col("dsir_sum_ppb") * F.lit(model["n_docs"]) > F.lit(model["s_all"]))
+        .cast("int")
+        .alias("target_like"),
+    )

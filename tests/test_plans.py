@@ -866,3 +866,47 @@ def test_quality_rank_window_is_bucket_partitioned(spark, sf_dir):
         if re.search(r"Sort \[lang#\d+ ASC", l) and "score_e6" in l
     ]
     assert doc_sorts and all("_qbucket" in l for l in doc_sorts), doc_sorts
+
+
+def test_pareto_frontier_broadcasts_marks(spark, sf_dir):
+    # The skyline must join the tiny distinct-score marks frame by
+    # BROADCAST (never shuffle the scored corpus against it), and the
+    # only window in the plan runs over the distinct-score aggregate —
+    # no corpus-level global sort.
+    from flinkproj_spark.operators.text import pareto_frontier
+
+    plan = _plan(pareto_frontier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_curriculum_windows_are_bounded(spark, sf_dir):
+    # Two-pass rank contract: every doc-level row_number window
+    # partitions by a bounded key (the score group or the (stage,
+    # shard) cell) — a row_number whose Sort line names neither would
+    # be a corpus-wide single-task sort at 100 TB.
+    from flinkproj_spark.operators.sampling import curriculum_order
+
+    plan = _plan(curriculum_order(spark, sf_dir))
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_lines, plan
+    for l in rn_lines:
+        assert ("score_e6" in l) or ("shard" in l), l
+
+
+def test_bpe_trainer_is_deterministic_and_complete(spark, sf_dir):
+    # Trainer behavior contract: exactly K rules, bit-identical across
+    # two independent runs (argmax tie-break is total), and the chain
+    # property — every rule's symbols are single letters or
+    # concatenations produced by EARLIER rules, never unseen symbols.
+    from flinkproj_spark.operators.text import BPE_LEARN_K, bpe_learn_merges
+
+    a = [tuple(r) for r in bpe_learn_merges(spark, sf_dir).orderBy("merge_rank").collect()]
+    b = [tuple(r) for r in bpe_learn_merges(spark, sf_dir).orderBy("merge_rank").collect()]
+    assert a == b and len(a) == BPE_LEARN_K
+    produced = set()
+    for _, lhs, rhs, _c in a:
+        for sym in (lhs, rhs):
+            assert len(sym) == 1 or sym in produced, (sym, a)
+        produced.add(lhs + rhs)
+    spark.catalog.clearCache()

@@ -745,3 +745,43 @@ class TestStreamStreamLeftJoin:
             (2, _sec(0), None),
             (4, _sec(0), None),
         }
+
+
+class TestStreamDsirGate:
+    def test_converges_to_batch_scorer(self, spark, sf_dir, tmp_path):
+        """The frozen-model streaming gate must reproduce the batch
+        DSIR scorer bit-for-bit on the same corpus: identical per-doc
+        evidence sums and identical verdicts (the threshold is the one
+        frozen from the batch corpus)."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.curation import dsir_importance_weights
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.curate import (
+            build_dsir_model,
+            stream_dsir_gate,
+        )
+
+        model = build_dsir_model(spark, sf_dir)
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.timestamp_seconds(F.col("doc_id")).alias("ts"), "text"
+        )
+        docs.write.parquet(src)
+        schema = "doc_id long, ts timestamp, text string"
+        _run(
+            stream_dsir_gate(spark.readStream.schema(schema).parquet(src), model),
+            out,
+            ckpt,
+        )
+        got = {
+            r.doc_id: (r.n_words, r.dsir_sum_ppb, r.target_like)
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r.doc_id: (r.n_words, r.dsir_sum_ppb, r.target_like)
+            for r in dsir_importance_weights(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert any(v[2] == 1 for v in got.values())
+        assert any(v[2] == 0 for v in got.values())
