@@ -1349,3 +1349,76 @@ def _banding_sensitivity_oracle() -> str:
 
 QUERIES["minhash_banding_sensitivity"] = minhash_banding_sensitivity
 ORACLE["minhash_banding_sensitivity"] = _banding_sensitivity_oracle()
+
+
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup observability: for every source, how many docs
+    the exact stage would remove (non-minimal doc of a content group)
+    and how many the MinHash-LSH stage flags as near-dup candidates
+    (condemned = larger id of a candidate pair) — the table an ingest
+    owner reads to see WHICH feed is flooding the corpus with copies,
+    before deciding what to re-crawl or down-weight. Rates in ppm.
+
+    Shape: the exact side is one md5 groupBy + an equi-join of
+    (fp, winner) back onto (doc_id, source, fp) rows — text never
+    moves after the in-row hash; the near side reuses the banded LSH
+    pair list (dedup_minhash_lsh's plan — Σ band-bucket², never
+    corpus²) collapsed to a distinct condemned-id set, which joins on
+    doc_id. Final rollup is one map-side-combined groupBy(source) —
+    sources × 4 longs out. Integer ppm via `div`."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    winners = docs.groupBy("fp").agg(F.min("doc_id").alias("wid"))
+    condemned = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nr", F.lit(1))
+    )
+    flagged = (
+        docs.join(winners, "fp")
+        .join(condemned, "doc_id", "left")
+        .select(
+            "source",
+            (F.col("doc_id") > F.col("wid")).cast("long").alias("ex"),
+            F.coalesce("_nr", F.lit(0)).cast("long").alias("nr"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ex").alias("n_exact_dup"),
+            F.sum("nr").alias("n_near_flagged"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            "n_near_flagged",
+            "n_exact_dup * 1000000 div n_docs AS exact_ppm",
+            "n_near_flagged * 1000000 div n_docs AS near_ppm",
+        )
+    )
+
+
+QUERIES["dedup_impact_report"] = dedup_impact_report
+ORACLE["dedup_impact_report"] = f"""
+    WITH d AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+    w AS (SELECT fp, MIN(doc_id) AS wid FROM d GROUP BY 1),
+    p AS ({_MINHASH_PAIRS_SQL}),
+    c AS (SELECT DISTINCT doc_b AS doc_id FROM p),
+    f AS (
+      SELECT d.source,
+             CASE WHEN d.doc_id > w.wid THEN 1 ELSE 0 END AS ex,
+             CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nr
+      FROM d JOIN w USING (fp) LEFT JOIN c ON d.doc_id = c.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ex) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(nr) AS BIGINT) AS n_near_flagged,
+           CAST(SUM(ex) * 1000000 // COUNT(*) AS BIGINT) AS exact_ppm,
+           CAST(SUM(nr) * 1000000 // COUNT(*) AS BIGINT) AS near_ppm
+    FROM f GROUP BY 1
+"""

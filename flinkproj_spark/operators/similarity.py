@@ -1282,6 +1282,70 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PI_ROUNDS = 3
+PI_SCALE = 1000  # iterate vector held at max |component| = 1000
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the corpus embedding second-moment
+    matrix by POWER ITERATION (uncentered — the Gram/second-moment
+    eigenvector, stated plainly; mean-centering would only add a rank-1
+    correction): 3 rounds of v ← Σᵢ (qᵢ·v)·qᵢ over the millis-quantized
+    integer vectors, renormalized each round to max |component| =
+    1000 by integer division. The direction a drift monitor projects
+    onto, and the first axis a quantizer/IVF designer aligns cells to.
+
+    Exactness: qᵢ·v and the rescale are BIGINT (truncation toward zero
+    — identical in both engines, verified including negatives); the
+    64 per-dimension sums accumulate in DECIMAL(38,0) (at 100 TB
+    Σᵢ sᵢ·qᵢ reaches ~10²¹, past BIGINT — the pagerank one-operand-cast
+    pattern). Result is therefore partitioning- and order-independent.
+
+    Shape: the quantized frame persists once; each round is ONE scan
+    computing the per-row projection in-row plus 64 map-side-combined
+    decimal sums collapsing to a single driver row — the trainer
+    synchronization contract (round k+1's literals depend on round k);
+    nothing corpus-shaped moves. The matrix itself (64×64) is never
+    materialized: the matvec streams as scan + aggregate, which is the
+    whole point of power iteration at scale."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = (
+        _quantized(spark, sf_dir).select("q").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.count()
+    v = [PI_SCALE] * DIM
+    try:
+        for _ in range(PI_ROUNDS):
+            varr = F.array(*[F.lit(int(x)) for x in v])
+            s = F.aggregate(
+                F.zip_with("q", varr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            row = (
+                base.select(s.alias("s"), "q")
+                .agg(
+                    *[
+                        F.sum(
+                            F.element_at("q", d + 1).cast("decimal(38,0)")
+                            * F.col("s")
+                        ).alias(f"d{d}")
+                        for d in range(DIM)
+                    ]
+                )
+                .collect()[0]
+            )
+            u = [int(row[f"d{d}"]) for d in range(DIM)]
+            m = max(max(abs(x) for x in u), 1)
+            v = [x * PI_SCALE // m if x >= 0 else -((-x) * PI_SCALE // m) for x in u]
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        [(d, v[d]) for d in range(DIM)], "dim int, comp_e3 bigint"
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
@@ -1301,6 +1365,7 @@ QUERIES = {
     "embedding_drift_report": embedding_drift_report,
     "ivf_cell_balance_report": ivf_cell_balance_report,
     "kcenter_coreset": kcenter_coreset,
+    "embedding_top_component": embedding_top_component,
 }
 
 
@@ -1896,3 +1961,45 @@ def _kcenter_oracle() -> str:
 
 
 ORACLE["kcenter_coreset"] = _kcenter_oracle()
+
+
+def _power_iter_oracle() -> str:
+    """Chained-CTE replay of the power iteration: each round's rescaled
+    vector is a list aggregate (ordered by dimension) consumed by the
+    next round's projection — derived in SQL end to end, so a rescale
+    or accumulation-width drift fails the hash. HUGEINT sums mirror the
+    Spark side's DECIMAL(38,0); `//` truncates toward zero in both
+    engines (verified for negatives)."""
+    v0 = "[" + ", ".join([str(PI_SCALE)] * DIM) + "]"
+    parts = [
+        f"base AS MATERIALIZED (SELECT {_QUANT_SQL} AS q FROM embeddings)",
+        f"v0 AS MATERIALIZED (SELECT {v0} AS v)",
+    ]
+    for k in range(1, PI_ROUNDS + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT q, CAST(list_sum(list_transform("
+            f"range(1, {DIM} + 1), i -> q[i] * v[i])) AS BIGINT) AS s "
+            f"FROM base CROSS JOIN v{k - 1})"
+        )
+        parts.append(
+            f"u{k} AS MATERIALIZED (SELECT d, "
+            f"CAST(SUM(CAST(q[d] AS HUGEINT) * s) AS HUGEINT) AS u "
+            f"FROM s{k}, (SELECT unnest(range(1, {DIM} + 1)) AS d) "
+            f"GROUP BY d)"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u{k})"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT list(CAST(u * {PI_SCALE} // m AS BIGINT) "
+            f"ORDER BY d) AS v FROM u{k} CROSS JOIN m{k})"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(d - 1 AS INT) AS dim, CAST(v[d] AS BIGINT) AS comp_e3
+    FROM v{PI_ROUNDS}, (SELECT unnest(range(1, {DIM} + 1)) AS d)"""
+    )
+
+
+ORACLE["embedding_top_component"] = _power_iter_oracle()

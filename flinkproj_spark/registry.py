@@ -43,8 +43,10 @@ _EXTENSION_MODULES = (
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
     "dsir_importance_weights",  # never checked
+    "dedup_impact_report",  # never checked
     "semdedup_greedy_keep",  # never checked
     "kcenter_coreset",  # never checked
+    "embedding_top_component",  # never checked
     "bpe_learn_merges",  # never checked
     "quality_calibration_curve",  # never checked
     "tokenizer_fertility",  # never checked
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "top_k_per_group",  # last green r4
     "window_functions",  # last green r4
     "session_window_agg",  # last green r4
-    "set_except",  # last green r4
-    "set_intersect",  # last green r4
 )
 
 

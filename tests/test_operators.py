@@ -1342,3 +1342,57 @@ def test_quality_calibration_curve_bands(spark, sf_dir):
         assert a.min_score_e6 >= b.max_score_e6
     rates = [r.n_keep * 1_000_000 // r.n_docs for r in rows]
     assert rates[-1] < max(rates)
+
+
+def test_power_iteration_dominant_direction(spark, sf_dir):
+    """Power-iteration invariants: 64 dims, max |component| exactly at
+    the renormalization scale, and the returned direction is genuinely
+    dominant — projecting the corpus onto it captures more energy than
+    projecting onto each of three fixed control directions."""
+    from flinkproj_spark.operators.similarity import (
+        DIM,
+        PI_SCALE,
+        _quantized,
+        embedding_top_component,
+    )
+
+    comp = {r.dim: r.comp_e3 for r in embedding_top_component(spark, sf_dir).collect()}
+    assert len(comp) == DIM
+    assert max(abs(v) for v in comp.values()) == PI_SCALE
+    vecs = [list(r.q) for r in _quantized(spark, sf_dir).select("q").collect()]
+    v = [comp[d] for d in range(DIM)]
+
+    def energy(direction):
+        num = sum(sum(a * b for a, b in zip(q, direction)) ** 2 for q in vecs)
+        den = sum(b * b for b in direction)
+        return num / den
+
+    e_top = energy(v)
+    for axis in range(3):
+        control = [PI_SCALE if d == axis else 0 for d in range(DIM)]
+        assert e_top >= energy(control), f"axis {axis} beats the learned direction"
+    spark.catalog.clearCache()
+
+
+def test_dedup_impact_report_totals(spark, sf_dir):
+    """Observability cross-check: summed exact-dup counts equal the
+    corpus total implied by dedup_exact's copy counts, near-flag counts
+    equal the distinct condemned side of the LSH pair list, and ppm
+    cells are exact integer ratios."""
+    from flinkproj_spark.operators.dedup import (
+        dedup_exact,
+        dedup_impact_report,
+        dedup_minhash_lsh,
+    )
+
+    rows = dedup_impact_report(spark, sf_dir).collect()
+    total_exact = sum(r.n_exact_dup for r in rows)
+    want_exact = sum(
+        r.n_copies - 1 for r in dedup_exact(spark, sf_dir).collect()
+    )
+    assert total_exact == want_exact
+    condemned = {r.doc_b for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert sum(r.n_near_flagged for r in rows) == len(condemned)
+    for r in rows:
+        assert r.exact_ppm == r.n_exact_dup * 1_000_000 // r.n_docs
+        assert r.near_ppm == r.n_near_flagged * 1_000_000 // r.n_docs
