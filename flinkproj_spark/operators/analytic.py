@@ -473,6 +473,87 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_D = 4      # count-min sketch depth (hash rows)
+CMS_W = 1024   # counters per row
+CMS_TOP = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter audit (Cormode & Muthukrishnan
+    2005, public): build a 4×1024 CMS over event user_ids, then report
+    the sketch's estimate next to the exact count for the 20 heaviest
+    users — the overestimate table that tells a monitoring owner
+    whether this sketch geometry is tight enough before deploying it
+    where exact counting is unaffordable. The estimate is min over the
+    4 hashed counters, so est ≥ true always (pinned in tests);
+    over_ppm quantifies collision damage per user.
+
+    Unlike the HLL key (approx_distinct_counts, rows-only), a CMS is
+    DETERMINISTIC given its hash functions — md5-derived buckets make
+    the whole sketch bit-identical in both engines, so this key is
+    fully oracle-checked. Shape: the build is one map-side-combined
+    groupBy on (row, bucket) — the exchange carries ≤ 4·1024 counter
+    keys regardless of corpus size (sketches are mergeable: partial
+    counters combine associatively, the whole point at 100 TB); the
+    audit side joins the top-20 candidates' 4 hash rows against the
+    BROADCAST sketch and takes one min per user. Integer ppm via div."""
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    buckets = [
+        (
+            r,
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"cms{r}:"), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CMS_W
+            ),
+        )
+        for r in range(CMS_D)
+    ]
+    hashed = events.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), b.alias("b"))
+                    for r, b in buckets
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "h.r", "h.b")
+    sketch = hashed.groupBy("r", "b").agg(F.count("*").alias("counter"))
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "user_id")
+        .limit(CMS_TOP)
+    )
+    cand = top.select("user_id", "true_cnt").join(
+        hashed.select("user_id", "r", "b").distinct(), "user_id"
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id", "true_cnt")
+        .agg(F.min("counter").alias("est_cnt"))
+        .selectExpr(
+            "user_id",
+            "true_cnt",
+            "est_cnt",
+            "(est_cnt - true_cnt) * 1000000 div true_cnt AS over_ppm",
+        )
+    )
+
+
 _LPA_ITERS = 3
 _LPA_TOP = 30
 
@@ -877,6 +958,7 @@ QUERIES = {
     "anomaly_rolling_z": anomaly_rolling_z,
     "pagerank_fixed": pagerank_fixed,
     "label_propagation": label_propagation,
+    "cms_heavy_hitters": cms_heavy_hitters,
     "chi2_lang_source": chi2_lang_source,
     "zorder_layout": zorder_layout,
     "incremental_rollup_merge": incremental_rollup_merge,
@@ -1260,4 +1342,26 @@ ORACLE["event_cooccurrence_lift"] = """
     JOIN m ma ON p.a = ma.event_type
     JOIN m mb ON p.b = mb.event_type
     CROSS JOIN n
+"""
+
+_CMS_BK = " UNION ALL ".join(
+    f"SELECT user_id, {r} AS r, ('0x' || substr(md5('cms{r}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {CMS_W} AS b FROM events"
+    for r in range(CMS_D)
+)
+
+ORACLE["cms_heavy_hitters"] = f"""
+    WITH hashed AS MATERIALIZED ({_CMS_BK}),
+    sketch AS MATERIALIZED (
+      SELECT r, b, COUNT(*) AS counter FROM hashed GROUP BY 1, 2),
+    top AS MATERIALIZED (
+      SELECT user_id, COUNT(*) AS true_cnt FROM events
+      GROUP BY 1 ORDER BY true_cnt DESC, user_id LIMIT {CMS_TOP})
+    SELECT t.user_id, CAST(t.true_cnt AS BIGINT) AS true_cnt,
+           CAST(MIN(s.counter) AS BIGINT) AS est_cnt,
+           CAST((MIN(s.counter) - t.true_cnt) * 1000000 // t.true_cnt
+                AS BIGINT) AS over_ppm
+    FROM top t
+    JOIN (SELECT DISTINCT user_id, r, b FROM hashed) h USING (user_id)
+    JOIN sketch s USING (r, b)
+    GROUP BY t.user_id, t.true_cnt
 """

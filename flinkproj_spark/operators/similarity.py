@@ -1346,6 +1346,97 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_K = 8
+KM_ITERS = 3
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means codebook training by 3 Lloyd iterations over the
+    quantized embeddings (K=8, seeded with the vectors of vec_id 0..7
+    — the deterministic stand-in for random init): assign each vector
+    to its nearest centroid (squared L2, ties → smallest centroid id),
+    recompute centroids as per-dimension integer means, repeat. The
+    trainer behind every IVF/PQ codebook; embedding_centroids is its
+    single maximization step, this is the full alternation. Output:
+    (cid, dim, comp, n_members) — the trained codebook plus cluster
+    occupancy.
+
+    Exactness: distances are BIGINT; the assignment argmin is
+    array_min over (d², cid) structs (total order, no float); centroid
+    means are SUM div COUNT with the sum in DECIMAL(38,0) (corpus-sized
+    member counts × 4e3 components pass BIGINT at 100 TB) — truncating
+    division identical in both engines, so the trained codebook is
+    bit-stable under any partitioning. Shape: per iteration, ONE scan
+    computes all K in-row distances against centroid literals (the
+    codebook is driver-sized by definition), then one map-side-combined
+    groupBy(cid) with 64 decimal sums; the K-row collect per iteration
+    is the trainer synchronization contract."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = (
+        _quantized(spark, sf_dir)
+        .select("vec_id", "q")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.count()
+    cents = [
+        (int(r.vec_id), [int(x) for x in r.q])
+        for r in base.filter(F.col("vec_id") < KM_K).orderBy("vec_id").collect()
+    ]
+    cents = [(i, v) for i, (_, v) in enumerate(cents)]
+    counts: dict[int, int] = {}
+    try:
+        for _ in range(KM_ITERS):
+            choices = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                "q",
+                                F.array(*[F.lit(x) for x in v]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, x: acc + x,
+                        ).alias("d2"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, v in cents
+                ]
+            )
+            assigned = base.select(
+                "q", F.array_min(choices).getField("cid").alias("cid")
+            )
+            rows = (
+                assigned.groupBy("cid")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.expr(
+                            f"CAST(sum(CAST(element_at(q, {d + 1}) AS"
+                            f" DECIMAL(38,0))) div count(*) AS BIGINT)"
+                        ).alias(f"c{d}")
+                        for d in range(DIM)
+                    ],
+                )
+                .collect()
+            )
+            cents = sorted(
+                (int(r.cid), [int(r[f"c{d}"]) for d in range(DIM)]) for r in rows
+            )
+            counts = {int(r.cid): int(r.n) for r in rows}
+    finally:
+        base.unpersist()
+    out = [
+        (cid, d, v[d], counts[cid])
+        for cid, v in cents
+        for d in range(DIM)
+    ]
+    return spark.createDataFrame(
+        out, "cid int, dim int, comp bigint, n_members bigint"
+    )
+
+
 QUERIES = {
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
@@ -1366,6 +1457,7 @@ QUERIES = {
     "ivf_cell_balance_report": ivf_cell_balance_report,
     "kcenter_coreset": kcenter_coreset,
     "embedding_top_component": embedding_top_component,
+    "kmeans_lloyd": kmeans_lloyd,
 }
 
 
@@ -2003,3 +2095,50 @@ def _power_iter_oracle() -> str:
 
 
 ORACLE["embedding_top_component"] = _power_iter_oracle()
+
+
+def _kmeans_oracle() -> str:
+    """Chained-CTE replay of the Lloyd alternation: each iteration's
+    assignment is a row_number argmin over the centroid CTE, each
+    centroid recompute a per-dimension HUGEINT mean re-listed in
+    dimension order. Empty clusters drop out of the centroid CTE in
+    both engines (the shared convention). MATERIALIZED throughout —
+    every CTE is referenced twice."""
+    d2 = (
+        "list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (b.q[i] - c.c[i]) * (b.q[i] - c.c[i])))"
+    ).format(dim=DIM)
+    parts = [
+        f"base AS MATERIALIZED (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings)",
+        f"cent0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, q AS c "
+        f"FROM base WHERE vec_id < {KM_K})",
+    ]
+    for k in range(1, KM_ITERS + 1):
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+          SELECT vec_id, q, cid FROM (
+            SELECT b.vec_id, b.q, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {d2}, c.cid) AS rn
+            FROM base b CROSS JOIN cent{k - 1} c)
+          WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cent{k} AS MATERIALIZED (
+          SELECT cid, MAX(ncnt) AS n, list(comp ORDER BY d) AS c FROM (
+            SELECT cid, d, COUNT(*) AS ncnt,
+                   CAST(SUM(CAST(q[d] AS HUGEINT)) // COUNT(*) AS BIGINT) AS comp
+            FROM a{k}, (SELECT unnest(range(1, {DIM} + 1)) AS d)
+            GROUP BY cid, d)
+          GROUP BY cid)"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT cid, CAST(d - 1 AS INT) AS dim, CAST(c[d] AS BIGINT) AS comp,
+           CAST(n AS BIGINT) AS n_members
+    FROM cent{KM_ITERS}, (SELECT unnest(range(1, {DIM} + 1)) AS d)"""
+    )
+
+
+ORACLE["kmeans_lloyd"] = _kmeans_oracle()

