@@ -308,6 +308,40 @@ _PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100
 _PR_TOP = 30
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every ordered (prev_type, next_type) pair of
+    consecutive events (by time, tie → event_id, within one user), the
+    transition count and row-normalized probability in ppm — the
+    companion of event_path_topk (full conditional structure instead
+    of top prefixes; what journey-simulation and anomaly baselines
+    consume).
+
+    Shape: ONE shuffle on user_id feeds the lag window (per-user
+    ordering, bounded by the user's own events); pair counting is a
+    map-side-combined groupBy on (prev, next) — a key space of
+    event-type², corpus-size-independent; row totals re-attach by
+    broadcast. Integer ppm via div — bit-identical at any
+    partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    trans = steps.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_trans")
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("row_total"))
+    return trans.join(F.broadcast(totals), "prev_type").selectExpr(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_trans * 1000000 div row_total AS p_ppm",
+    )
+
+
 def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 user journey prefixes: each user's first 5 event types
     (by time) joined into a path string, ranked by how many users share
@@ -478,26 +512,11 @@ CMS_W = 1024   # counters per row
 CMS_TOP = 20
 
 
-def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch heavy-hitter audit (Cormode & Muthukrishnan
-    2005, public): build a 4×1024 CMS over event user_ids, then report
-    the sketch's estimate next to the exact count for the 20 heaviest
-    users — the overestimate table that tells a monitoring owner
-    whether this sketch geometry is tight enough before deploying it
-    where exact counting is unaffordable. The estimate is min over the
-    4 hashed counters, so est ≥ true always (pinned in tests);
-    over_ppm quantifies collision damage per user.
-
-    Unlike the HLL key (approx_distinct_counts, rows-only), a CMS is
-    DETERMINISTIC given its hash functions — md5-derived buckets make
-    the whole sketch bit-identical in both engines, so this key is
-    fully oracle-checked. Shape: the build is one map-side-combined
-    groupBy on (row, bucket) — the exchange carries ≤ 4·1024 counter
-    keys regardless of corpus size (sketches are mergeable: partial
-    counters combine associatively, the whole point at 100 TB); the
-    audit side joins the top-20 candidates' 4 hash rows against the
-    BROADCAST sketch and takes one min per user. Integer ppm via div."""
-    events = load_table(spark, sf_dir, "events").select("user_id")
+def cms_hash_rows(df: DataFrame) -> DataFrame:
+    """Shared CMS bucket expansion: (user_id, r, b) — one row per hash
+    row per input record, md5-derived buckets. Used by the batch sketch
+    and the streaming monitor twin so the two can never disagree on
+    hashing."""
     buckets = [
         (
             r,
@@ -520,17 +539,37 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in range(CMS_D)
     ]
-    hashed = events.select(
+    return df.select(
         "user_id",
         F.explode(
             F.array(
-                *[
-                    F.struct(F.lit(r).alias("r"), b.alias("b"))
-                    for r, b in buckets
-                ]
+                *[F.struct(F.lit(r).alias("r"), b.alias("b")) for r, b in buckets]
             )
         ).alias("h"),
     ).select("user_id", "h.r", "h.b")
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter audit (Cormode & Muthukrishnan
+    2005, public): build a 4×1024 CMS over event user_ids, then report
+    the sketch's estimate next to the exact count for the 20 heaviest
+    users — the overestimate table that tells a monitoring owner
+    whether this sketch geometry is tight enough before deploying it
+    where exact counting is unaffordable. The estimate is min over the
+    4 hashed counters, so est ≥ true always (pinned in tests);
+    over_ppm quantifies collision damage per user.
+
+    Unlike the HLL key (approx_distinct_counts, rows-only), a CMS is
+    DETERMINISTIC given its hash functions — md5-derived buckets make
+    the whole sketch bit-identical in both engines, so this key is
+    fully oracle-checked. Shape: the build is one map-side-combined
+    groupBy on (row, bucket) — the exchange carries ≤ 4·1024 counter
+    keys regardless of corpus size (sketches are mergeable: partial
+    counters combine associatively, the whole point at 100 TB); the
+    audit side joins the top-20 candidates' 4 hash rows against the
+    BROADCAST sketch and takes one min per user. Integer ppm via div."""
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    hashed = cms_hash_rows(events)
     sketch = hashed.groupBy("r", "b").agg(F.count("*").alias("counter"))
     top = (
         events.groupBy("user_id")
@@ -955,6 +994,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "outlier_zscore": outlier_zscore,
     "event_path_topk": event_path_topk,
+    "event_transition_matrix": event_transition_matrix,
     "anomaly_rolling_z": anomaly_rolling_z,
     "pagerank_fixed": pagerank_fixed,
     "label_propagation": label_propagation,
@@ -1364,4 +1404,20 @@ ORACLE["cms_heavy_hitters"] = f"""
     JOIN (SELECT DISTINCT user_id, r, b FROM hashed) h USING (user_id)
     JOIN sketch s USING (r, b)
     GROUP BY t.user_id, t.true_cnt
+"""
+
+ORACLE["event_transition_matrix"] = """
+    WITH steps AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_trans
+      FROM steps WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    totals AS (SELECT prev_type, SUM(n_trans) AS row_total FROM trans GROUP BY 1)
+    SELECT t.prev_type, t.next_type, CAST(t.n_trans AS BIGINT) AS n_trans,
+           CAST(t.n_trans * 1000000 // x.row_total AS BIGINT) AS p_ppm
+    FROM trans t JOIN totals x USING (prev_type)
 """

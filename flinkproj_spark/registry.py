@@ -56,6 +56,7 @@ _PRIORITY_KEYS = (
     "quality_drift_by_source",  # never checked
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
+    "event_transition_matrix",  # never checked
     "label_propagation",  # never checked
     "cms_heavy_hitters",  # never checked
     "pipeline_report",  # last green r3
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "tpch_q3",  # last green r4
     "tpch_q5",  # last green r4
     "tpch_q6",  # last green r4
-    "top_k_per_group",  # last green r4
 )
 
 

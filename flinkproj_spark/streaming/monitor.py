@@ -82,3 +82,23 @@ def drift_view(
         F.coalesce("sum_new", F.lit(0)).alias("sum_new"),
     )
     return drift_verdicts(per_dim)
+
+
+def stream_cms_sketch(events: DataFrame) -> DataFrame:
+    """Streaming count-min sketch build — the ingest-time twin of
+    operators/analytic.py::cms_heavy_hitters' build stage. The shared
+    bucket expansion (cms_hash_rows) runs stateless per record; the
+    streaming aggregation keeps ONE counter per (row, bucket) —
+    bounded at CMS_D × CMS_W keys forever, no watermark needed, which
+    is precisely why sketches are the streaming cardinality answer:
+    state is geometry-sized, not data-sized. Counters are decomposable
+    counts, so micro-batch merging is exact and the sketch converges
+    to the batch build over the same records (pinned in
+    tests/test_streaming_ext.py). Run in complete/update mode; the
+    estimate query (min over a key's CMS_D counters) is a
+    broadcast-join against this frame exactly as in the batch audit."""
+    from flinkproj_spark.operators.analytic import cms_hash_rows
+
+    return cms_hash_rows(events).groupBy("r", "b").agg(
+        F.count("*").alias("counter")
+    )

@@ -1452,3 +1452,23 @@ def test_cms_estimates_never_undercount(spark, sf_dir):
         assert r.est_cnt >= r.true_cnt
         assert r.over_ppm == (r.est_cnt - r.true_cnt) * 1_000_000 // r.true_cnt
     assert any(r.est_cnt == r.true_cnt for r in rows)
+
+
+def test_transition_matrix_conservation(spark, sf_dir):
+    """Markov-matrix invariants: total transitions equal corpus events
+    minus distinct users (each user's chain has n-1 steps); every row's
+    p_ppm cells are exact integer shares of its row total."""
+    from flinkproj_spark.operators.analytic import event_transition_matrix
+    from flinkproj_spark.sources.tables import load_table
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_trans for r in rows) == n_events - n_users
+    totals = {}
+    for r in rows:
+        totals.setdefault(r.prev_type, 0)
+        totals[r.prev_type] += r.n_trans
+    for r in rows:
+        assert r.p_ppm == r.n_trans * 1_000_000 // totals[r.prev_type]

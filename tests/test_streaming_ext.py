@@ -785,3 +785,58 @@ class TestStreamDsirGate:
         assert got == want
         assert any(v[2] == 1 for v in got.values())
         assert any(v[2] == 0 for v in got.values())
+
+
+class TestStreamCmsSketch:
+    def test_sketch_converges_to_batch_build(self, spark, sf_dir, tmp_path):
+        """Micro-batched sketch counters must equal the batch build over
+        the same records (decomposable counts), and the est >= true CMS
+        property must hold when estimating from the streamed sketch."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.analytic import cms_hash_rows
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_cms_sketch
+
+        src = str(tmp_path / "src")
+        events = load_table(spark, sf_dir, "events").select("user_id")
+        # two separate files -> at least two micro-batches merge state
+        events.filter(F.col("user_id") % 2 == 0).write.parquet(src)
+        events.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_cms_sketch(
+                spark.readStream.schema("user_id long").parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("cms_sketch")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.r, r.b): r.counter
+            for r in spark.sql("select * from cms_sketch").collect()
+        }
+        want = {
+            (r.r, r.b): r.counter
+            for r in cms_hash_rows(events)
+            .groupBy("r", "b")
+            .agg(F.count("*").alias("counter"))
+            .collect()
+        }
+        assert got == want
+        true_cnt = {
+            r.user_id: r.c
+            for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+        }
+        hashes = {
+            u: [(r.r, r.b) for r in cms_hash_rows(
+                spark.createDataFrame([(u,)], "user_id long")).collect()]
+            for u in list(true_cnt)[:5]
+        }
+        for u, hs in hashes.items():
+            est = min(got[h] for h in hs)
+            assert est >= true_cnt[u]
