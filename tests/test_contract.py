@@ -158,3 +158,17 @@ def test_priority_window_is_mechanical():
         "stale _PRIORITY_KEYS — run `python tools/gen_catalog.py --window` "
         "and paste the result into flinkproj_spark/registry.py"
     )
+
+
+def test_plan_lint_whitelist_is_live():
+    """Every plan-lint whitelist entry must name a registered key and a
+    real lint flag — dead entries would silently shrink the lint's
+    coverage as keys are renamed."""
+    from flinkproj_spark import registry
+    from tools.plan_lint import WHITELIST
+
+    keys = set(registry.queries())
+    known_flags = {"CARTESIAN", "PY_ROW", "GLOBAL_SORT", "GLOBAL_WIN"}
+    for k, flags in WHITELIST.items():
+        assert k in keys, f"whitelisted key {k} not in registry"
+        assert set(flags) <= known_flags, (k, flags)

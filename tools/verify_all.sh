@@ -37,16 +37,16 @@ oracle_mode () {  # oracle_mode <label> <cmd...>
   fi
 }
 
-oracle_mode "1/5 oracle parity @ ${SMALL} (driver scale)" \
+oracle_mode "1/6 oracle parity @ ${SMALL} (driver scale)" \
   python tests/oracle_check.py "$SMALL"
 
-oracle_mode "2/5 oracle parity @ ${BIG} (10x driver scale)" \
+oracle_mode "2/6 oracle parity @ ${BIG} (10x driver scale)" \
   python tests/oracle_check.py "$BIG"
 
-oracle_mode "3/5 oracle parity @ ${SMALL} under a shifted host timezone" \
+oracle_mode "3/6 oracle parity @ ${SMALL} under a shifted host timezone" \
   env TZ=America/New_York python tests/oracle_check.py "$SMALL"
 
-echo "== 4/5 odd-partitioning parity (5 cores, 7 shuffle partitions)"
+echo "== 4/6 odd-partitioning parity (5 cores, 7 shuffle partitions)"
 python - "$SMALL" <<'EOF'
 import sys
 import duckdb
@@ -77,7 +77,12 @@ spark.stop()
 sys.exit(1 if bad else 0)
 EOF
 
-echo "== 5/5 test suite"
+echo "== 5/6 physical-plan lint (anti-pattern scan, whitelist-enforced)"
+LINT_DIR="${SMALL%0.01}0.001"
+[ -d "$LINT_DIR" ] || LINT_DIR="$SMALL"
+python tools/plan_lint.py "$LINT_DIR" || { echo "PLAN LINT FAILED"; exit 1; }
+
+echo "== 6/6 test suite"
 python -m pytest tests/ -q
 
 echo "ALL VERIFICATION MODES CLEAN"
