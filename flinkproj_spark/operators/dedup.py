@@ -1422,3 +1422,120 @@ ORACLE["dedup_impact_report"] = f"""
            CAST(SUM(nr) * 1000000 // COUNT(*) AS BIGINT) AS near_ppm
     FROM f GROUP BY 1
 """
+
+
+# --- Edit-distance near-dup: character-level fidelity -----------------
+#
+# The one dedup modality the registry lacked: token-set strategies
+# (minhash/jaccard/simhash) are blind to small character-level edits
+# inside tokens, and winnowing fingerprints whole k-gram windows;
+# Levenshtein measures the actual edit script. Reference parity: the
+# reference engine has no fuzzy dedup at all (its dedup surface is the
+# keyed-latest semantics in its window jobs) — this family is part of
+# the training-pipeline extension surface.
+
+_EDIT_CHUNK = 32  # aligned candidate-chunk width (chars)
+_EDIT_NCHUNKS = 3  # chunks drawn from the first 96 chars
+_EDIT_DUP_PERMILLE = 100  # is_dup threshold: lev <= 10% of longer doc
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed Levenshtein near-dup: candidate pairs share an ALIGNED
+    32-char chunk among the first 3 chunks of the text (a deliberate,
+    documented blocking rule — cheap, positional, and precise on
+    near-identical docs whose edits are local); each candidate pair is
+    then verified with an exact character-level Levenshtein distance
+    and scored as dist_permille = lev*1000 div max(len). is_dup
+    flags pairs within 10% relative edit distance.
+
+    Shape: banding join on (chunk_idx, 32-char chunk) — shuffle rows
+    are (doc_id, 32 chars), never full texts and never all-pairs; the
+    distinct candidate list (tiny vs corpus²) joins back to the corpus
+    twice to fetch the two texts, and the O(len²) Levenshtein runs
+    JVM-side (codegen'd StringUtils DP) only on candidates. At 100 TB
+    the verify stage would pass a threshold to levenshtein(l, r, k)
+    for the banded early-exit DP; kept unbounded here because the
+    report column IS the distance."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("text", 1 + i * _EDIT_CHUNK, _EDIT_CHUNK)
+                    for i in range(_EDIT_NCHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).filter(F.length("chunk") == _EDIT_CHUNK)
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    pairs = cand.join(
+        docs.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("text").alias("text_a"),
+            F.col("n_chars").alias("len_a"),
+        ),
+        "id_a",
+    ).join(
+        docs.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("text").alias("text_b"),
+            F.col("n_chars").alias("len_b"),
+        ),
+        "id_b",
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("text_a", "text_b").alias("lev"),
+            F.greatest("len_a", "len_b").alias("len_max"),
+        )
+        .withColumn("dist_permille", F.expr("lev * 1000 div len_max"))
+        .withColumn(
+            "is_dup",
+            (F.col("dist_permille") <= _EDIT_DUP_PERMILLE).cast("int"),
+        )
+    )
+
+
+QUERIES["dedup_edit_distance"] = dedup_edit_distance
+ORACLE["dedup_edit_distance"] = f"""
+    WITH ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             substr(text, 1 + i*{_EDIT_CHUNK}, {_EDIT_CHUNK}) AS chunk
+      FROM documents, UNNEST([0,1,2]) AS t(i)
+      WHERE length(substr(text, 1 + i*{_EDIT_CHUNK}, {_EDIT_CHUNK}))
+            = {_EDIT_CHUNK}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ch a JOIN ch b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+             CAST(greatest(a.n_chars, b.n_chars) AS BIGINT) AS len_max
+      FROM cand c
+      JOIN documents a ON a.doc_id = c.id_a
+      JOIN documents b ON b.doc_id = c.id_b)
+    SELECT id_a, id_b, lev, len_max,
+           CAST(lev * 1000 // len_max AS BIGINT) AS dist_permille,
+           CAST(lev * 1000 // len_max <= {_EDIT_DUP_PERMILLE} AS INT)
+             AS is_dup
+    FROM v
+"""

@@ -44,6 +44,7 @@ _EXTENSION_MODULES = (
 _PRIORITY_KEYS = (
     "dsir_importance_weights",  # never checked
     "dedup_impact_report",  # never checked
+    "dedup_edit_distance",  # never checked
     "semdedup_greedy_keep",  # never checked
     "kcenter_coreset",  # never checked
     "embedding_top_component",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "tpch_q1",  # last green r4
     "tpch_q3",  # last green r4
     "tpch_q5",  # last green r4
-    "tpch_q6",  # last green r4
 )
 
 

@@ -1472,3 +1472,42 @@ def test_transition_matrix_conservation(spark, sf_dir):
         totals[r.prev_type] += r.n_trans
     for r in rows:
         assert r.p_ppm == r.n_trans * 1_000_000 // totals[r.prev_type]
+
+
+def test_edit_distance_pairs_are_exact_levenshtein(spark, sf_dir):
+    """dedup_edit_distance's verify stage must be the exact DP, not an
+    approximation: recompute Levenshtein in pure Python for every
+    returned candidate pair and pin equality, plus the structural
+    invariants (lower triangle, permille arithmetic, dup flag)."""
+    from flinkproj_spark.operators.dedup import (
+        _EDIT_DUP_PERMILLE,
+        dedup_edit_distance,
+    )
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = dedup_edit_distance(spark, sf_dir).collect()
+    assert rows, "no candidate pairs at the test fixture — blocking is dead"
+    text = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        assert r.id_a < r.id_b  # canonical lower triangle, no mirrors
+        assert r.lev == lev(text[r.id_a], text[r.id_b])
+        assert r.len_max == max(len(text[r.id_a]), len(text[r.id_b]))
+        assert r.dist_permille == r.lev * 1000 // r.len_max
+        assert r.is_dup == int(r.dist_permille <= _EDIT_DUP_PERMILLE)
