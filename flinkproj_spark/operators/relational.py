@@ -870,3 +870,166 @@ ORACLE["key_skew_profile"] = f"""
            CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT) AS rank
     FROM ranked
 """
+
+
+# --- Runtime-filter semi-join (explicit Bloom bitmap) -----------------
+
+_BLOOM_BITS_PER_KEY = 4  # m = 4 * build-side NDV (fill ~0.39 at k=2)
+_BLOOM_K = 2  # hash functions: two 8-hex slices of one md5
+
+
+def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter semi-join with pruning observability: build a
+    Bloom bitmap from the DISTINCT event users (the small side), prune
+    the customer scan with it map-side, then verify against the exact
+    semi-join and report per-segment pruning and false-positive rates
+    — the classic 100 TB pattern (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter does this inside the
+    optimizer; this operator makes the mechanism explicit and
+    measurable, the way engines surface runtime-filter efficacy).
+
+    The filter is sized from the build side's exact NDV (m = 4·U,
+    k = 2), as production runtime filters size from NDV estimates — a
+    fixed width would saturate (prune nothing) or overshoot (zero
+    false positives, untestable) as the corpus scales; proportional
+    sizing keeps fill ≈ 0.39 and FP ≈ 15% at every SF, so every report
+    column stays live.
+
+    Shape: build-side distinct is a shuffle of the SMALL side only;
+    the bitmap is assembled distributedly (groupBy word → bit_or, ≤
+    m/32 rows) and collapses to ONE broadcast row (map word→bits, a
+    few KB) — the probe scan then filters map-side with two O(1) bit
+    tests and NEVER shuffles. The verification join broadcasts the
+    build keys (they fit by construction — a bloom only makes sense
+    when the build side is small). Fact table: never shuffled at all.
+    Cross-engine determinism: md5 slices, exact integer ppm."""
+    users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    m_row = users.agg(
+        (F.count("*") * _BLOOM_BITS_PER_KEY).alias("m")
+    )
+    # Two bit positions per key: md5 hex chars 1-8 and 9-16, mod m.
+    hx = F.md5(F.col("user_id").cast("string"))
+    bits = (
+        users.crossJoin(F.broadcast(m_row))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(F.substring(hx, 1 + 8 * i, 8), 16, 10)
+                        .cast("long")
+                        .alias("h")
+                        for i in range(_BLOOM_K)
+                    ]
+                ).alias("hs")
+            ).alias("h"),
+            "m",
+        )
+        .select((F.col("h") % F.col("m")).alias("pos"))
+        .distinct()
+    )
+    words = bits.groupBy(
+        F.expr("CAST(pos div 32 AS INT)").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+        ).alias("wbits")
+    )
+    bloom = words.agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("wbits")
+        ).alias("bm")
+    ).crossJoin(F.broadcast(m_row))
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    chx = F.md5(F.col("c_custkey").cast("string"))
+    probed = cust.crossJoin(F.broadcast(bloom))
+    for i in range(_BLOOM_K):
+        probed = probed.withColumn(
+            f"_h{i}",
+            F.conv(F.substring(chx, 1 + 8 * i, 8), 16, 10).cast("long")
+            % F.col("m"),
+        )
+    for i in range(_BLOOM_K):
+        probed = probed.withColumn(
+            f"_set{i}",
+            (
+                F.coalesce(
+                    F.element_at("bm", F.expr(f"CAST(_h{i} div 32 AS INT)")),
+                    F.lit(0).cast("long"),
+                ).bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST(_h{i} % 32 AS INT))"
+                    )
+                )
+                != 0
+            ),
+        )
+    flagged = (
+        probed.withColumn("bloom_pass", F.col("_set0") & F.col("_set1"))
+        .join(
+            F.broadcast(users.withColumnRenamed("user_id", "c_custkey")).withColumn(
+                "is_match", F.lit(True)
+            ),
+            "c_custkey",
+            "left",
+        )
+        .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
+    )
+    return (
+        flagged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("bloom_pass").cast("long")).alias("n_pass"),
+            F.sum(F.col("is_match").cast("long")).alias("n_match"),
+            F.sum(
+                (F.col("bloom_pass") & ~F.col("is_match")).cast("long")
+            ).alias("n_false_pos"),
+        )
+        .withColumn(
+            "pruned_ppm", F.expr("(n_cust - n_pass) * 1000000 div n_cust")
+        )
+        .withColumn(
+            "fp_ppm", F.expr("n_false_pos * 1000000 div greatest(n_pass, 1)")
+        )
+    )
+
+
+QUERIES["bloom_semi_join"] = bloom_semi_join
+ORACLE["bloom_semi_join"] = f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    mm AS (SELECT CAST({_BLOOM_BITS_PER_KEY} * COUNT(*) AS BIGINT) AS m FROM u),
+    bits AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1 + 8*i, 8))::BIGINT
+               % (SELECT m FROM mm) AS pos
+      FROM u, UNNEST([0, 1]) AS t(i)),
+    probed AS (
+      SELECT c_custkey, c_mktsegment,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+               % (SELECT m FROM mm) AS h0,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT
+               % (SELECT m FROM mm) AS h1
+      FROM customer),
+    flagged AS (
+      SELECT c_mktsegment,
+             (h0 IN (SELECT pos FROM bits)
+              AND h1 IN (SELECT pos FROM bits)) AS bloom_pass,
+             c_custkey IN (SELECT user_id FROM u) AS is_match
+      FROM probed),
+    agg AS (
+      SELECT c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+             CAST(SUM(CASE WHEN bloom_pass AND NOT is_match THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_pos
+      FROM flagged GROUP BY 1)
+    SELECT c_mktsegment, n_cust, n_pass, n_match, n_false_pos,
+           (n_cust - n_pass) * 1000000 // n_cust AS pruned_ppm,
+           n_false_pos * 1000000 // greatest(n_pass, 1) AS fp_ppm
+    FROM agg
+"""

@@ -153,6 +153,45 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing audit: per source, how efficiently greedy-contiguous
+    sequence packing (sequence_pack) fills its fixed 256-word packs —
+    pack counts, exact/over/under splits, extreme fills, and the
+    aggregate fill ppm (n_words·1e6 div capacity·n_packs). This is the
+    padding-waste number a trainer actually pays: every under-filled
+    pack pads to capacity, every overflow spills into attention-mask
+    bookkeeping, and a packing change that looks harmless can silently
+    cost 10%+ of cluster throughput — so the audit belongs next to the
+    packer as a first-class, oracle-checked report.
+
+    Shape: pure composition on sequence_pack (one window cumsum per
+    source, its only shuffle) followed by a groupBy(source) over the
+    already-tiny per-pack table — rows there are corpus/avg-docs-per-
+    pack, so the report costs one extra map-side-combined aggregation
+    regardless of corpus size."""
+    packs = sequence_pack(spark, sf_dir)
+    over = (F.col("n_words") > _PACK_CAPACITY).cast("long")
+    exact = (F.col("n_words") == _PACK_CAPACITY).cast("long")
+    under = (F.col("n_words") < _PACK_CAPACITY).cast("long")
+    return (
+        packs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum(exact).alias("n_exact"),
+            F.sum(over).alias("n_over"),
+            F.sum(under).alias("n_under"),
+            F.max("n_words").alias("max_pack_words"),
+            F.min("n_words").alias("min_pack_words"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(f"n_words * 1000000 div (n_packs * {_PACK_CAPACITY})"),
+        )
+    )
+
+
 def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping-window count over events: 30 s windows sliding every 10 s,
     per event_type. Each event lands in exactly 3 windows; the expansion
@@ -522,6 +561,7 @@ QUERIES = {
     "curriculum_order": curriculum_order,
     "doc_chunking": doc_chunking,
     "sequence_pack": sequence_pack,
+    "packing_efficiency_report": packing_efficiency_report,
     "sliding_window_agg": sliding_window_agg,
     "quantile_bucketize": quantile_bucketize,
     "stratified_split": stratified_split,
@@ -765,3 +805,33 @@ def _curriculum_oracle() -> str:
 
 
 ORACLE["curriculum_order"] = _curriculum_oracle()
+
+ORACLE["packing_efficiency_report"] = f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             least(len({_WORDS_SQL}), {_PACK_CAPACITY}) AS nw
+      FROM documents),
+    cum AS (
+      SELECT source, nw,
+             SUM(nw) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - nw AS cum_before
+      FROM sized),
+    packs AS (
+      SELECT source,
+             CAST(FLOOR(cum_before / {_PACK_CAPACITY}.0) AS BIGINT) AS pack_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(nw) AS BIGINT) AS n_words
+      FROM cum GROUP BY 1, 2)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_packs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN n_words = {_PACK_CAPACITY} THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN n_words > {_PACK_CAPACITY} THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+           CAST(SUM(CASE WHEN n_words < {_PACK_CAPACITY} THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+           CAST(MAX(n_words) AS BIGINT) AS max_pack_words,
+           CAST(MIN(n_words) AS BIGINT) AS min_pack_words,
+           CAST(SUM(n_words) AS BIGINT) * 1000000
+             // (COUNT(*) * {_PACK_CAPACITY}) AS fill_ppm
+    FROM packs GROUP BY 1
+"""

@@ -43,6 +43,7 @@ _EXTENSION_MODULES = (
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
     "dsir_importance_weights",  # never checked
+    "bloom_semi_join",  # never checked
     "dedup_impact_report",  # never checked
     "dedup_edit_distance",  # never checked
     "semdedup_greedy_keep",  # never checked
@@ -57,6 +58,7 @@ _PRIORITY_KEYS = (
     "quality_drift_by_source",  # never checked
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
+    "packing_efficiency_report",  # never checked
     "event_transition_matrix",  # never checked
     "label_propagation",  # never checked
     "cms_heavy_hitters",  # never checked
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
     "tpch_q1",  # last green r4
-    "tpch_q3",  # last green r4
-    "tpch_q5",  # last green r4
 )
 
 

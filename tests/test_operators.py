@@ -1511,3 +1511,77 @@ def test_edit_distance_pairs_are_exact_levenshtein(spark, sf_dir):
         assert r.len_max == max(len(text[r.id_a]), len(text[r.id_b]))
         assert r.dist_permille == r.lev * 1000 // r.len_max
         assert r.is_dup == int(r.dist_permille <= _EDIT_DUP_PERMILLE)
+
+
+def test_bloom_filter_has_no_false_negatives(spark, sf_dir):
+    """The defining Bloom property: a true match can NEVER fail the
+    filter. Recompute the bit positions with an engine-independent
+    third implementation (hashlib md5) and assert every build-side key
+    sets bits the probe test would find; cross-check the report's
+    n_match against an independent exact semi-join and the count
+    identities."""
+    import hashlib
+
+    from flinkproj_spark.operators.relational import (
+        _BLOOM_BITS_PER_KEY,
+        _BLOOM_K,
+        bloom_semi_join,
+    )
+
+    users = sorted(
+        r.user_id
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    m = _BLOOM_BITS_PER_KEY * len(users)
+
+    def positions(key: int) -> list[int]:
+        hx = hashlib.md5(str(key).encode()).hexdigest()
+        return [int(hx[8 * i : 8 * i + 8], 16) % m for i in range(_BLOOM_K)]
+
+    bits = {p for u in users for p in positions(u)}
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    match_by_seg: dict[str, int] = {}
+    pass_by_seg: dict[str, int] = {}
+    uset = set(users)
+    for r in cust.collect():
+        ok = all(p in bits for p in positions(r.c_custkey))
+        if r.c_custkey in uset:
+            assert ok, f"false negative: {r.c_custkey}"  # the Bloom law
+            match_by_seg[r.c_mktsegment] = match_by_seg.get(r.c_mktsegment, 0) + 1
+        if ok:
+            pass_by_seg[r.c_mktsegment] = pass_by_seg.get(r.c_mktsegment, 0) + 1
+    report = {r.c_mktsegment: r for r in bloom_semi_join(spark, sf_dir).collect()}
+    for seg, r in report.items():
+        assert r.n_match == match_by_seg.get(seg, 0)
+        assert r.n_pass == pass_by_seg.get(seg, 0)
+        assert r.n_false_pos == r.n_pass - r.n_match
+        assert 0 <= r.n_pass <= r.n_cust
+
+
+def test_packing_report_conserves_packs_and_words(spark, sf_dir):
+    """The audit must agree with the packer it audits: per source the
+    pack count, doc count, and word total equal sequence_pack's own
+    output, and the exact/over/under split partitions the packs."""
+    from flinkproj_spark.operators.sampling import (
+        _PACK_CAPACITY,
+        packing_efficiency_report,
+        sequence_pack,
+    )
+
+    packs: dict[str, list] = {}
+    for r in sequence_pack(spark, sf_dir).collect():
+        packs.setdefault(r.source, []).append(r)
+    for r in packing_efficiency_report(spark, sf_dir).collect():
+        mine = packs[r.source]
+        assert r.n_packs == len(mine)
+        assert r.n_docs == sum(p.n_docs for p in mine)
+        assert r.n_words == sum(p.n_words for p in mine)
+        assert r.n_exact + r.n_over + r.n_under == r.n_packs
+        assert r.max_pack_words == max(p.n_words for p in mine)
+        assert r.min_pack_words == min(p.n_words for p in mine)
+        assert r.fill_ppm == r.n_words * 1_000_000 // (r.n_packs * _PACK_CAPACITY)
