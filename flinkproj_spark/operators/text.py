@@ -1331,7 +1331,88 @@ def char_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_PRUNE_SIZES = (4, 8, 16, 24, 32)  # vocab budgets swept (corpus has ~31 types)
+
+
+def vocab_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget sweep: for each candidate vocab size N, the
+    token coverage a top-N (by frequency, ties alphabetical) vocabulary
+    achieves — the Zipf curve a tokenizer team reads to pick the budget
+    where OOV stops paying for vocab rows. One row per budget:
+    types kept, the marginal word's frequency (cutoff), covered tokens,
+    and the OOV ppm. Complements vocab_coverage (one fixed budget,
+    per-language split) with the across-budgets curve.
+
+    Shape — the part that matters at 100 TB: NO per-word rank and NO
+    vocab sort. Covered-token mass is tie-invariant (all words tied at
+    the cutoff frequency have the same count), so the sweep needs only
+    the count-of-counts histogram: word counts → groupBy(count) →
+    (n_words, tokens) per distinct frequency — a frame bounded by the
+    number of DISTINCT frequencies (≈ O(sqrt(corpus)) under Zipf, a few
+    thousand rows at petabyte scale), never by vocabulary size. The
+    running sums over that histogram are a single-task window over the
+    aggregate-bounded frame (whitelisted), and each budget's coverage
+    is exact integer arithmetic on the straddling histogram row:
+    covered = full_rows_tokens + cutoff · (N - words_above)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(_words()).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    hist = wc.groupBy("c").agg(
+        F.count("*").alias("n_words"),
+        (F.col("c") * F.count("*")).alias("toks"),
+    )
+    from pyspark.sql import Window
+
+    cum_w = Window.orderBy(F.col("c").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "c",
+        "n_words",
+        "toks",
+        F.sum("n_words").over(cum_w).alias("cum_words"),
+        F.sum("toks").over(cum_w).alias("cum_toks"),
+        F.sum("toks").over(tot_w).alias("total_tokens"),
+    ).withColumn("cum_words_before", F.col("cum_words") - F.col("n_words"))
+    sizes = spark.createDataFrame(
+        [(int(n),) for n in _PRUNE_SIZES], "vocab_size BIGINT"
+    )
+    joined = cum.join(
+        F.broadcast(sizes), F.col("cum_words_before") < F.col("vocab_size")
+    )
+    return (
+        joined.groupBy("vocab_size")
+        .agg(
+            F.sum(
+                F.when(F.col("cum_words") <= F.col("vocab_size"), F.col("n_words"))
+                .otherwise(F.col("vocab_size") - F.col("cum_words_before"))
+            ).alias("n_types_kept"),
+            F.min("c").alias("cutoff_count"),
+            F.sum(
+                F.when(F.col("cum_words") <= F.col("vocab_size"), F.col("toks"))
+                .otherwise(
+                    F.col("c") * (F.col("vocab_size") - F.col("cum_words_before"))
+                )
+            ).alias("covered_tokens"),
+            F.max("total_tokens").alias("total_tokens"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr("(total_tokens - covered_tokens) * 1000000 div total_tokens"),
+        )
+    )
+
+
 QUERIES = {
+    "vocab_prune_sweep": vocab_prune_sweep,
     "text_token_count": text_token_count,
     "char_gini_concentration": char_gini_concentration,
     "bpe_pair_counts": bpe_pair_counts,
@@ -1960,4 +2041,38 @@ ORACLE["quality_drift_by_source"] = f"""
                      > {QD_DRIFT_E6} * (n_old * n_new)
                 ELSE FALSE END AS INT) AS is_drifted
     FROM p
+"""
+
+
+ORACLE["vocab_prune_sweep"] = f"""
+    WITH wc AS (
+      SELECT lower(unnest({_WORDS_SQL})) AS w FROM documents),
+    counts AS (SELECT w, COUNT(*) AS c FROM wc GROUP BY 1),
+    hist AS (
+      SELECT c, COUNT(*) AS n_words, c * COUNT(*) AS toks
+      FROM counts GROUP BY 1),
+    cum AS (
+      SELECT c, n_words, toks,
+             SUM(n_words) OVER (ORDER BY c DESC) AS cum_words,
+             SUM(toks) OVER (ORDER BY c DESC) AS cum_toks,
+             SUM(toks) OVER () AS total_tokens,
+             SUM(n_words) OVER (ORDER BY c DESC) - n_words AS cum_words_before
+      FROM hist),
+    sizes AS (SELECT unnest({list(_PRUNE_SIZES)}) AS vocab_size),
+    joined AS (
+      SELECT * FROM cum JOIN sizes ON cum_words_before < vocab_size)
+    SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN cum_words <= vocab_size THEN n_words
+                         ELSE vocab_size - cum_words_before END) AS BIGINT)
+             AS n_types_kept,
+           CAST(MIN(c) AS BIGINT) AS cutoff_count,
+           CAST(SUM(CASE WHEN cum_words <= vocab_size THEN toks
+                         ELSE c * (vocab_size - cum_words_before) END) AS BIGINT)
+             AS covered_tokens,
+           CAST(MAX(total_tokens) AS BIGINT) AS total_tokens,
+           (CAST(MAX(total_tokens) AS BIGINT)
+              - CAST(SUM(CASE WHEN cum_words <= vocab_size THEN toks
+                             ELSE c * (vocab_size - cum_words_before) END) AS BIGINT))
+             * 1000000 // CAST(MAX(total_tokens) AS BIGINT) AS oov_ppm
+    FROM joined GROUP BY 1
 """

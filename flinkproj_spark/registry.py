@@ -50,6 +50,7 @@ _PRIORITY_KEYS = (
     "kcenter_coreset",  # never checked
     "embedding_top_component",  # never checked
     "kmeans_lloyd",  # never checked
+    "vocab_prune_sweep",  # never checked
     "bpe_learn_merges",  # never checked
     "quality_calibration_curve",  # never checked
     "tokenizer_fertility",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "minhash_jaccard_estimate",  # last green r4
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
-    "tpch_q1",  # last green r4
 )
 
 

@@ -1585,3 +1585,35 @@ def test_packing_report_conserves_packs_and_words(spark, sf_dir):
         assert r.max_pack_words == max(p.n_words for p in mine)
         assert r.min_pack_words == min(p.n_words for p in mine)
         assert r.fill_ppm == r.n_words * 1_000_000 // (r.n_packs * _PACK_CAPACITY)
+
+
+def test_vocab_prune_sweep_matches_bruteforce_topn(spark, sf_dir):
+    """The histogram formulation must equal the naive 'sort the vocab,
+    take top N' computation — covered tokens, kept types, and the
+    marginal word's frequency, for every swept budget."""
+    from flinkproj_spark.operators.text import (
+        _PRUNE_SIZES,
+        _words,
+        vocab_prune_sweep,
+    )
+
+    wc: dict[str, int] = {}
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(_words()).alias("w"))
+        .select(F.lower("w").alias("w"))
+    )
+    for r in tok.collect():
+        wc[r.w] = wc.get(r.w, 0) + 1
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(wc.values())
+    rows = {r.vocab_size: r for r in vocab_prune_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(_PRUNE_SIZES)
+    for n in _PRUNE_SIZES:
+        top = ranked[:n]
+        r = rows[n]
+        assert r.n_types_kept == len(top)
+        assert r.covered_tokens == sum(c for _, c in top)
+        assert r.cutoff_count == top[-1][1]
+        assert r.total_tokens == total
+        assert r.oov_ppm == (total - r.covered_tokens) * 1_000_000 // total
