@@ -612,11 +612,13 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: labels are BIGINT node ids and votes are integer
     counts end to end. Shape: per round, the persisted degree-free
     edge list shuffles onto src to meet the label frame, then a
-    map-side-combined groupBy(dst, label) counts votes and a
-    row_number window over dst picks the argmax — the join exchange is
+    map-side-combined groupBy(dst, label) counts votes and a second
+    combinable aggregate — min(struct(-count, label)) over dst —
+    picks the argmax without any sort (measurably faster than the
+    row_number-window formulation it replaced); the join exchange is
     the irreducible synchronous-LPA cost, same as PageRank's; the
-    vote frame the window sorts is community-bounded (nodes × distinct
-    neighbor labels, collapsing every round), never corpus-shaped.
+    vote frame is community-bounded (nodes × distinct neighbor
+    labels, collapsing every round), never corpus-shaped.
     Cache contract: the edge frame persists (MEMORY_AND_DISK, read
     once per round) and stays cached after the result materializes;
     long-lived callers call spark.catalog.clearCache() after
@@ -640,17 +642,24 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select("src").distinct().select(F.col("src").alias("node"))
         .withColumn("label", F.col("node"))
     )
-    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
     for _ in range(_LPA_ITERS):
         votes = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst", "label")
             .agg(F.count("*").alias("c"))
         )
+        # argmax-by-count, ties -> smallest label, as min(struct(-c,
+        # label)) — a map-side-combinable aggregate instead of a
+        # row_number window, dropping the per-round sort (A/B at
+        # sf0.1: ~4.0 s -> ~3.5 s steady-state, first-run 6.6 -> 4.1)
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "label")
+            votes.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("node"), F.col("m.label").alias("label"))
         )
     readable = F.when(
         F.col("label") % 2 == 0,
