@@ -1033,3 +1033,116 @@ ORACLE["bloom_semi_join"] = f"""
            n_false_pos * 1000000 // greatest(n_pass, 1) AS fp_ppm
     FROM agg
 """
+
+
+# --- Referential-integrity audit --------------------------------------
+
+#: (child_table, fk_col, parent_table, pk_col) — the corpus's star
+#: edges.
+_FK_EDGES = (
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity + coverage audit over the star schema:
+    one row per foreign-key edge with both failure directions — child
+    rows whose key has no parent (orphans: broken loads, the classic
+    FK violation) AND parent keys no child references (dead dimension
+    rows: retention bugs, over-wide snapshots). ANSI FK checks don't
+    exist in a lake; this is the scalable substitute a warehouse runs
+    after every load. This corpus is referentially intact, so the
+    orphan columns pin ZERO on every edge (a broken orphan predicate
+    would light them up), while the coverage direction is live:
+    events touch 150 of the 1 500 customers and lineitem references
+    14 743 of 15 000 orders, so `n_unreferenced_parents` is non-zero
+    where it should be and zero where every parent is used
+    (part/supplier/nation).
+
+    Shape per edge: the child aggregates to (key, n_rows) FIRST — a
+    map-side-combined groupBy whose output is key-cardinality-sized —
+    then FULL-outer-joins the parent's distinct key set and reduces to
+    ONE summary row; fact rows never meet the join, only distinct
+    keys do, and one join serves both directions. Key sets stay
+    shuffle joins in the plan (corpus-proportional; AQE may broadcast
+    small ones at runtime). The six 1-row summaries union at the end.
+    """
+    out = None
+    for child, fk, parent, pk in _FK_EDGES:
+        ck = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("k"))
+            .agg(F.count("*").alias("n_rows"))
+        )
+        pk_keys = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("_present", F.lit(1))
+        )
+        joined = ck.join(pk_keys, "k", "full")
+        orphan = F.col("_present").isNull()
+        unref = F.col("n_rows").isNull()
+        summary = joined.agg(
+            F.lit(f"{child}.{fk}").alias("fk_edge"),
+            F.lit(f"{parent}.{pk}").alias("parent_key"),
+            F.sum("n_rows").alias("n_child_rows"),
+            F.sum((~unref).cast("long")).alias("n_child_keys"),
+            F.sum(orphan.cast("long")).alias("n_orphan_keys"),
+            F.sum(F.when(orphan, F.col("n_rows")).otherwise(F.lit(0))).alias(
+                "n_orphan_rows"
+            ),
+            F.sum(F.col("_present").cast("long")).alias("n_parent_keys"),
+            F.sum((unref & ~orphan).cast("long")).alias("n_unreferenced_parents"),
+        ).withColumn(
+            "orphan_row_ppm",
+            F.expr("n_orphan_rows * 1000000 div n_child_rows"),
+        ).withColumn(
+            "parent_coverage_ppm",
+            F.expr(
+                "(n_parent_keys - n_unreferenced_parents) * 1000000"
+                " div n_parent_keys"
+            ),
+        )
+        out = summary if out is None else out.unionAll(summary)
+    return out
+
+
+QUERIES["fk_integrity_report"] = fk_integrity_report
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+    SELECT '{child}.{fk}' AS fk_edge, '{parent}.{pk}' AS parent_key,
+           CAST(SUM(n_rows) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN n_rows IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_child_keys,
+           CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan_keys,
+           CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN n_rows END), 0) AS BIGINT)
+             AS n_orphan_rows,
+           CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parent_keys,
+           CAST(SUM(CASE WHEN n_rows IS NULL AND p.k IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unreferenced_parents,
+           CAST(COALESCE(SUM(CASE WHEN p.k IS NULL THEN n_rows END), 0) AS BIGINT)
+             * 1000000 // CAST(SUM(n_rows) AS BIGINT) AS orphan_row_ppm,
+           (CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              - CAST(SUM(CASE WHEN n_rows IS NULL AND p.k IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT))
+             * 1000000
+             // CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS parent_coverage_ppm
+    FROM (SELECT {fk} AS k, COUNT(*) AS n_rows FROM {child} GROUP BY 1) c
+    FULL JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p USING (k)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE["fk_integrity_report"] = _fk_oracle()

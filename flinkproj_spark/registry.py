@@ -44,6 +44,7 @@ _EXTENSION_MODULES = (
 _PRIORITY_KEYS = (
     "dsir_importance_weights",  # never checked
     "bloom_semi_join",  # never checked
+    "fk_integrity_report",  # never checked
     "dedup_impact_report",  # never checked
     "dedup_edit_distance",  # never checked
     "semdedup_greedy_keep",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "embedding_quantize",  # last green r4
     "minhash_jaccard_estimate",  # last green r4
     "neardup_semantic_verify",  # last green r4
-    "sessionize",  # last green r4
 )
 
 

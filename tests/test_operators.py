@@ -1617,3 +1617,61 @@ def test_vocab_prune_sweep_matches_bruteforce_topn(spark, sf_dir):
         assert r.cutoff_count == top[-1][1]
         assert r.total_tokens == total
         assert r.oov_ppm == (total - r.covered_tokens) * 1_000_000 // total
+
+
+def test_fk_report_detects_planted_orphans(spark, sf_dir, tmp_path):
+    """The corpus is referentially intact, so the live report pins
+    orphans at zero — this test proves the orphan machinery actually
+    fires: a tampered corpus copy whose events carry unknown user ids
+    must surface exactly those keys/rows as orphans, and the clean
+    run's coverage direction must match an independent recompute."""
+    import shutil
+
+    from flinkproj_spark.operators.relational import (
+        _FK_EDGES,
+        fk_integrity_report,
+    )
+
+    clean = {r.fk_edge: r for r in fk_integrity_report(spark, sf_dir).collect()}
+    assert all(r.n_orphan_keys == 0 and r.n_orphan_rows == 0 for r in clean.values())
+    users = {
+        r.user_id
+        for r in load_table(spark, sf_dir, "events").select("user_id").collect()
+    }
+    custs = {
+        r.c_custkey
+        for r in load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    }
+    ev = clean["events.user_id"]
+    assert ev.n_unreferenced_parents == len(custs - users) > 0
+    assert ev.n_parent_keys == len(custs)
+
+    # Tamper: re-point 3 distinct event users at ids no customer has.
+    import os
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    for child, _, parent, _ in _FK_EDGES:
+        for t in (child, parent):
+            dst = dirty / f"{t}.parquet"
+            if not dst.exists():
+                shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), dst)
+    events = load_table(spark, sf_dir, "events")
+    bad = events.withColumn(
+        "user_id",
+        F.when(F.col("user_id") < 3, F.col("user_id") + 10_000_000).otherwise(
+            F.col("user_id")
+        ),
+    )
+    n_bad_rows = bad.filter(F.col("user_id") >= 10_000_000).count()
+    bad.toPandas().to_parquet(str(dirty / "events.parquet"), index=False)
+    got = {
+        r.fk_edge: r
+        for r in fk_integrity_report(spark, str(dirty)).collect()
+    }
+    r = got["events.user_id"]
+    assert r.n_orphan_keys == 3
+    assert r.n_orphan_rows == n_bad_rows > 0
+    assert r.orphan_row_ppm == n_bad_rows * 1_000_000 // r.n_child_rows
+    # untouched edges stay clean
+    assert got["orders.o_custkey"].n_orphan_keys == 0
