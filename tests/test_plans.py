@@ -910,3 +910,63 @@ def test_bpe_trainer_is_deterministic_and_complete(spark, sf_dir):
             assert len(sym) == 1 or sym in produced, (sym, a)
         produced.add(lhs + rhs)
     spark.catalog.clearCache()
+
+
+def test_bloom_probe_scan_never_shuffles(spark, sf_dir):
+    """The Bloom runtime filter's whole point: the probe (customer)
+    scan is filtered map-side by a broadcast one-row bitmap — no
+    SortMergeJoin may touch the probe path, and both probe-side joins
+    (bitmap attach, verification against the build keys) broadcast."""
+    from flinkproj_spark.operators.relational import bloom_semi_join
+
+    plan = _plan(bloom_semi_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bitmap attach
+    assert "BroadcastHashJoin" in plan  # build-key verification join
+    assert "SortMergeJoin" not in plan
+    # the only exchanges: build-side distinct/bitmap assembly + the
+    # final tiny groupBy(segment) — never a probe-row repartition
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_fk_report_aggregates_child_before_join(spark, sf_dir):
+    """fk_integrity_report must reduce child rows to key cardinality
+    BEFORE the parent join: every full-outer join input is an
+    aggregate, so fact rows never cross the join."""
+    from flinkproj_spark.operators.relational import fk_integrity_report
+
+    plan = _plan(fk_integrity_report(spark, sf_dir))
+    # one full-outer SMJ per edge, each fed by HashAggregate children
+    assert plan.count("FullOuter") == 6
+    assert "HashAggregate" in plan
+    # no edge joins raw fact columns: the join key is always the
+    # renamed aggregate key 'k'
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "k#" in line
+
+
+def test_vocab_sweep_windows_only_the_histogram(spark, sf_dir):
+    """vocab_prune_sweep's single-task window must run over the
+    count-of-counts histogram (an aggregate), never corpus or
+    vocabulary rows: the Window's child is the aggregate exchange."""
+    from flinkproj_spark.operators.text import vocab_prune_sweep
+
+    plan = _plan(vocab_prune_sweep(spark, sf_dir))
+    assert "Window" in plan
+    # two aggregations (word counts, histogram) precede the window
+    lines = plan.splitlines()
+    win_at = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    below = "\n".join(lines[win_at:])
+    assert "HashAggregate" in below  # histogram agg feeds the window
+
+
+def test_edit_distance_shuffles_chunks_not_texts(spark, sf_dir):
+    """dedup_edit_distance's banding join must move (doc_id, 32-char
+    chunk) rows only — the text column joins back AFTER the distinct
+    candidate list exists, so no exchange carries `text`."""
+    from flinkproj_spark.operators.dedup import dedup_edit_distance
+
+    plan = _plan(dedup_edit_distance(spark, sf_dir))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
