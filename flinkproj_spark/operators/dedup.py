@@ -1539,3 +1539,118 @@ ORACLE["dedup_edit_distance"] = f"""
              AS is_dup
     FROM v
 """
+
+
+# --- Cross-source Jaccard matrix: mergeable sketch vs exact -----------
+
+
+def source_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shingle overlap, estimated from per-source MinHash
+    sketches AND verified exactly — the corpus-level provenance
+    question ("which sources are republishing each other?") plus a
+    live accuracy monitor for the sketch parameters the whole dedup
+    family relies on. One row per source pair: signature agreement
+    (of N_HASHES), its Jaccard estimate, the exact intersection /
+    union / Jaccard over distinct shingle sets, and the estimate's
+    absolute error, all exact integer ppm.
+
+    Shape: a per-source minhash is the min over the source's WHOLE
+    shingle set — min is associative, so the sketch is mergeable and
+    the groupBy(source) combines map-side (20 rows out regardless of
+    corpus size; at 100 TB this is the cheap always-on path). The
+    exact side joins distinct (source, shingle-hash) rows on the hash
+    — shingle-vocabulary-sized, the expensive audit you run sampled
+    in production; both reduce to the sources² matrix (tiny by
+    construction). The pair frame is a broadcast non-equi self-join
+    of the 20-row sketch table."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    base = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    sh = (
+        docs.filter(F.size(words) >= 3)
+        .select("source", F.explode(_shingles(words)).alias("sh"))
+        .select("source", base.alias("x"))
+        .distinct()
+    )
+    sigs = sh.groupBy("source").agg(
+        F.count("*").alias("n_shingles"),
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ],
+    )
+    a = sigs.select(
+        F.col("source").alias("src_a"),
+        F.col("n_shingles").alias("na"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    b = sigs.select(
+        F.col("source").alias("src_b"),
+        F.col("n_shingles").alias("nb"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    nm = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(N_HASHES)
+    )
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b")).select(
+        "src_a", "src_b", "na", "nb", nm.alias("n_sig_match")
+    )
+    inter = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.x") == F.col("r.x"))
+            & (F.col("l.source") < F.col("r.source")),
+        )
+        .groupBy(
+            F.col("l.source").alias("src_a"), F.col("r.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn("n_union", F.expr("na + nb - n_inter"))
+        .withColumn("est_ppm", F.expr(f"n_sig_match * 1000000 div {N_HASHES}"))
+        .withColumn("exact_ppm", F.expr("n_inter * 1000000 div n_union"))
+        .withColumn("err_ppm", F.expr("abs(est_ppm - exact_ppm)"))
+    )
+    return out.select(
+        "src_a", "src_b", "n_sig_match", "est_ppm",
+        "n_inter", "n_union", "exact_ppm", "err_ppm",
+    )
+
+
+QUERIES["source_jaccard_matrix"] = source_jaccard_matrix
+ORACLE["source_jaccard_matrix"] = f"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(unnest({_SHINGLES_SQL})), 1, 8))::BIGINT AS x
+      FROM documents WHERE len({_WORDS_SQL}) >= 3),
+    sigs AS (
+      SELECT source, COUNT(*) AS n_shingles,
+             {", ".join(f"MIN(({a} * x + {b}) % {MINHASH_P}) AS s{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))}
+      FROM sh GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             a.n_shingles AS na, b.n_shingles AS nb,
+             ({" + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))}) AS n_sig_match
+      FROM sigs a JOIN sigs b ON a.source < b.source),
+    inter AS (
+      SELECT l.source AS src_a, r.source AS src_b, COUNT(*) AS n_inter
+      FROM sh l JOIN sh r ON l.x = r.x AND l.source < r.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b,
+           CAST(n_sig_match AS BIGINT) AS n_sig_match,
+           CAST(n_sig_match AS BIGINT) * 1000000 // {N_HASHES} AS est_ppm,
+           CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+           CAST(na + nb - COALESCE(n_inter, 0) AS BIGINT) AS n_union,
+           CAST(COALESCE(n_inter, 0) AS BIGINT) * 1000000
+             // CAST(na + nb - COALESCE(n_inter, 0) AS BIGINT) AS exact_ppm,
+           abs(CAST(n_sig_match AS BIGINT) * 1000000 // {N_HASHES}
+               - CAST(COALESCE(n_inter, 0) AS BIGINT) * 1000000
+                 // CAST(na + nb - COALESCE(n_inter, 0) AS BIGINT)) AS err_ppm
+    FROM pairs LEFT JOIN inter USING (src_a, src_b)
+"""

@@ -1675,3 +1675,59 @@ def test_fk_report_detects_planted_orphans(spark, sf_dir, tmp_path):
     assert r.orphan_row_ppm == n_bad_rows * 1_000_000 // r.n_child_rows
     # untouched edges stay clean
     assert got["orders.o_custkey"].n_orphan_keys == 0
+
+
+def test_source_minhash_sketch_is_mergeable(spark, sf_dir):
+    """The law the matrix relies on: a source's minhash is the min
+    over its shingle set, so the sketch of a UNION of sources is the
+    element-wise min of their sketches (associative merge). Recompute
+    signatures from raw shingle hashes in Python and pin both the
+    per-source sketches and the merge identity; cross-check the
+    reported signature agreement."""
+    from flinkproj_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_HASHES,
+        _shingles,
+        _words,
+        source_jaccard_matrix,
+    )
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words()
+    rows = (
+        docs.filter(F.size(words) >= 3)
+        .select("source", F.explode(_shingles(words)).alias("sh"))
+        .distinct()
+        .collect()
+    )
+    xs: dict[str, set[int]] = {}
+    for r in rows:
+        xs.setdefault(r.source, set()).add(
+            int(hashlib.md5(r.sh.encode()).hexdigest()[:8], 16)
+        )
+
+    def sig(hset):
+        return [
+            min((a * x + b) % MINHASH_P for x in hset)
+            for a, b in zip(MINHASH_A, MINHASH_B)
+        ]
+
+    sigs = {s: sig(h) for s, h in xs.items()}
+    srcs = sorted(xs)
+    merged = sig(xs[srcs[0]] | xs[srcs[1]])
+    assert merged == [
+        min(p, q) for p, q in zip(sigs[srcs[0]], sigs[srcs[1]])
+    ]
+    got = {
+        (r.src_a, r.src_b): r
+        for r in source_jaccard_matrix(spark, sf_dir).collect()
+    }
+    assert len(got) == len(srcs) * (len(srcs) - 1) // 2
+    for (sa, sb), r in got.items():
+        want = sum(p == q for p, q in zip(sigs[sa], sigs[sb]))
+        assert r.n_sig_match == want
+        assert r.n_inter == len(xs[sa] & xs[sb])
+        assert r.n_union == len(xs[sa] | xs[sb])
