@@ -102,3 +102,42 @@ def stream_cms_sketch(events: DataFrame) -> DataFrame:
     return cms_hash_rows(events).groupBy("r", "b").agg(
         F.count("*").alias("counter")
     )
+
+
+def stream_source_sketch(docs: DataFrame) -> DataFrame:
+    """Streaming per-source MinHash sketch — the ingest-time twin of
+    operators/dedup.py::source_jaccard_matrix's sketch stage. Shingle
+    hashing runs stateless per document; the streaming aggregation
+    keeps N_HASHES running minima per source. min is associative and
+    commutative, so micro-batch merging is exact (the streamed sketch
+    equals the batch signature over the same documents — pinned in
+    tests/test_streaming_ext.py) and state is sources × N_HASHES
+    longs forever: geometry-sized, no watermark. The batch operator
+    dedups shingles before aggregating; the stream skips that (min
+    over the multiset equals min over the set), which is exactly why
+    the sketch streams and the exact-Jaccard audit column cannot.
+    Run in complete/update mode; downstream, pairwise signature
+    agreement is the same 20-row self-join as the batch matrix."""
+    from flinkproj_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        _shingles,
+        _words,
+    )
+
+    words = _words()
+    base = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    staged = (
+        docs.filter(F.size(words) >= 3)
+        .select("source", F.explode(_shingles(words)).alias("sh"))
+        .select("source", base.alias("x"))
+    )
+    return staged.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"s{i}"
+            )
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )

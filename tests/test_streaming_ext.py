@@ -840,3 +840,68 @@ class TestStreamCmsSketch:
         for u, hs in hashes.items():
             est = min(got[h] for h in hs)
             assert est >= true_cnt[u]
+
+
+class TestStreamSourceSketch:
+    def test_sketch_converges_to_batch_signatures(self, spark, sf_dir, tmp_path):
+        """The streamed per-source minhash must equal the batch
+        signatures over the same documents (min is decomposable), with
+        the corpus split across files so at least two micro-batches
+        merge state."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.dedup import (
+            MINHASH_A,
+            MINHASH_B,
+            MINHASH_P,
+            N_HASHES,
+            _shingles,
+            _words,
+        )
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_source_sketch
+
+        src = str(tmp_path / "docs_src")
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_source_sketch(
+                spark.readStream.schema(
+                    "doc_id long, source string, text string"
+                ).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("source_sketch")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r.source: tuple(r[f"s{i}"] for i in range(N_HASHES))
+            for r in spark.sql("select * from source_sketch").collect()
+        }
+        words = _words()
+        base = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+        want = {
+            r.source: tuple(r[f"s{i}"] for i in range(N_HASHES))
+            for r in docs.filter(F.size(words) >= 3)
+            .select("source", F.explode(_shingles(words)).alias("sh"))
+            .select("source", base.alias("x"))
+            .groupBy("source")
+            .agg(
+                *[
+                    F.min(
+                        (F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)
+                    ).alias(f"s{i}")
+                    for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+                ]
+            )
+            .collect()
+        }
+        assert got == want and len(got) == 20
