@@ -1654,3 +1654,115 @@ ORACLE["source_jaccard_matrix"] = f"""
                  // CAST(na + nb - COALESCE(n_inter, 0) AS BIGINT)) AS err_ppm
     FROM pairs LEFT JOIN inter USING (src_a, src_b)
 """
+
+
+# --- Train/val/test split-leakage matrix ------------------------------
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination matrix: how many near-dup (MinHash-LSH) and
+    exact-dup document pairs STRADDLE the deterministic 80/10/10
+    train/val/test split — the audit every eval pipeline needs,
+    because a hash split scatters duplicate content across splits
+    (deduplicating per-split hides it; only the pairwise view shows a
+    test doc whose near-twin sits in train). One row per unordered
+    split pair; off-diagonal rows ARE the leaks, diagonal rows are the
+    in-split dup mass dedup will handle.
+
+    Shape: the split is a PURE function of doc_id (same md5 coin as
+    sampling.stratified_split), so both endpoints' splits compute
+    in-row on the candidate-pair frame — zero extra joins or shuffles
+    beyond the pair generators themselves: the shared LSH pipeline
+    (narrow (doc_id, 9 longs) shuffles) and the exact-dup self-join on
+    the 16-byte content fingerprint. Both matrices reduce to ≤ 6 rows
+    and full-outer-merge trivially."""
+    from flinkproj_spark.operators.sampling import (
+        _SPLIT_SALT,
+        _TRAIN_CEIL,
+        _VAL_CEIL,
+    )
+
+    docs = fan_out(
+        spark, sf_dir, "documents", load_table(spark, sf_dir, "documents")
+    )
+
+    def split_of(col):
+        h = F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit(_SPLIT_SALT))), 1, 2
+        )
+        return (
+            F.when(h < _TRAIN_CEIL, "train")
+            .when(h < _VAL_CEIL, "val")
+            .otherwise("test")
+        )
+
+    near = lsh_candidate_pairs(minhash_signatures(docs)).select(
+        split_of(F.col("doc_a")).alias("sa"),
+        split_of(F.col("doc_b")).alias("sb"),
+    )
+    fp = docs.select("doc_id", F.md5("text").alias("h"))
+    exact = (
+        fp.alias("l")
+        .join(
+            fp.alias("r"),
+            (F.col("l.h") == F.col("r.h"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            split_of(F.col("l.doc_id")).alias("sa"),
+            split_of(F.col("r.doc_id")).alias("sb"),
+        )
+    )
+
+    def matrix(pairs, name):
+        return (
+            pairs.select(
+                F.least("sa", "sb").alias("split_a"),
+                F.greatest("sa", "sb").alias("split_b"),
+            )
+            .groupBy("split_a", "split_b")
+            .agg(F.count("*").alias(name))
+        )
+
+    out = matrix(near, "n_near_pairs").join(
+        matrix(exact, "n_exact_pairs"), ["split_a", "split_b"], "full"
+    )
+    return (
+        out.withColumn("n_near_pairs", F.coalesce("n_near_pairs", F.lit(0)))
+        .withColumn("n_exact_pairs", F.coalesce("n_exact_pairs", F.lit(0)))
+        .withColumn(
+            "is_leak", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+    )
+
+
+QUERIES["split_leakage_report"] = split_leakage_report
+_SPLIT_CASE_SQL = """CASE WHEN substring(md5(CAST({c} AS VARCHAR) || '{salt}'), 1, 2)
+                       < '{tc}' THEN 'train'
+                  WHEN substring(md5(CAST({c} AS VARCHAR) || '{salt}'), 1, 2)
+                       < '{vc}' THEN 'val'
+                  ELSE 'test' END"""
+ORACLE["split_leakage_report"] = f"""
+    WITH near AS (
+      SELECT {_SPLIT_CASE_SQL.format(c='doc_a', salt='split0', tc='cc', vc='e6')} AS sa,
+             {_SPLIT_CASE_SQL.format(c='doc_b', salt='split0', tc='cc', vc='e6')} AS sb
+      FROM ({_MINHASH_PAIRS_SQL})),
+    fp AS (SELECT doc_id, md5(text) AS h FROM documents),
+    exact AS (
+      SELECT {_SPLIT_CASE_SQL.format(c='l.doc_id', salt='split0', tc='cc', vc='e6')} AS sa,
+             {_SPLIT_CASE_SQL.format(c='r.doc_id', salt='split0', tc='cc', vc='e6')} AS sb
+      FROM fp l JOIN fp r ON l.h = r.h AND l.doc_id < r.doc_id),
+    nm AS (
+      SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+             COUNT(*) AS n_near_pairs
+      FROM near GROUP BY 1, 2),
+    em AS (
+      SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+             COUNT(*) AS n_exact_pairs
+      FROM exact GROUP BY 1, 2)
+    SELECT split_a, split_b,
+           CAST(COALESCE(n_near_pairs, 0) AS BIGINT) AS n_near_pairs,
+           CAST(COALESCE(n_exact_pairs, 0) AS BIGINT) AS n_exact_pairs,
+           CAST(split_a <> split_b AS INT) AS is_leak
+    FROM nm FULL JOIN em USING (split_a, split_b)
+"""

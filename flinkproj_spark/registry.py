@@ -48,6 +48,7 @@ _PRIORITY_KEYS = (
     "dedup_impact_report",  # never checked
     "dedup_edit_distance",  # never checked
     "source_jaccard_matrix",  # never checked
+    "split_leakage_report",  # never checked
     "semdedup_greedy_keep",  # never checked
     "kcenter_coreset",  # never checked
     "embedding_top_component",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "bigram_lm_score",  # last green r4
     "cross_snapshot_dedup",  # last green r4
     "embedding_quantize",  # last green r4
-    "minhash_jaccard_estimate",  # last green r4
 )
 
 

@@ -1731,3 +1731,42 @@ def test_source_minhash_sketch_is_mergeable(spark, sf_dir):
         assert r.n_sig_match == want
         assert r.n_inter == len(xs[sa] & xs[sb])
         assert r.n_union == len(xs[sa] | xs[sb])
+
+
+def test_split_leakage_conserves_pair_totals(spark, sf_dir):
+    """The leakage matrix is a partition of the pair universe: near
+    pairs sum to the LSH candidate list, exact pairs sum to
+    sum-over-groups C(n,2) from dedup_exact, and each pair's cell
+    matches a pure-Python recompute of the split coin."""
+    import hashlib
+
+    from flinkproj_spark.operators.dedup import (
+        dedup_exact,
+        split_leakage_report,
+    )
+    from flinkproj_spark.operators.sampling import (
+        _SPLIT_SALT,
+        _TRAIN_CEIL,
+        _VAL_CEIL,
+    )
+
+    def split_of(doc_id: int) -> str:
+        h = hashlib.md5(f"{doc_id}{_SPLIT_SALT}".encode()).hexdigest()[:2]
+        return "train" if h < _TRAIN_CEIL else ("val" if h < _VAL_CEIL else "test")
+
+    rows = split_leakage_report(spark, sf_dir).collect()
+    pairs = dedup_minhash_lsh(spark, sf_dir).collect()
+    want_near: dict[tuple, int] = {}
+    for p in pairs:
+        key = tuple(sorted((split_of(p.doc_a), split_of(p.doc_b))))
+        want_near[key] = want_near.get(key, 0) + 1
+    got_near = {(r.split_a, r.split_b): r.n_near_pairs for r in rows}
+    assert {k: v for k, v in got_near.items() if v} == want_near
+    total_exact = sum(r.n_exact_pairs for r in rows)
+    want_exact = sum(
+        r.n_copies * (r.n_copies - 1) // 2
+        for r in dedup_exact(spark, sf_dir).collect()
+    )
+    assert total_exact == want_exact
+    for r in rows:
+        assert r.is_leak == int(r.split_a != r.split_b)
