@@ -970,3 +970,38 @@ def test_edit_distance_shuffles_chunks_not_texts(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_source_sketch_join_is_broadcast_and_narrow(spark, sf_dir):
+    """source_jaccard_matrix: the 20-row sketch pair frame must join
+    by broadcast (non-equi self-join of a bounded aggregate), and no
+    exchange may carry the shingle text — only its 8-byte hash."""
+    from flinkproj_spark.operators.dedup import source_jaccard_matrix
+
+    plan = _plan(source_jaccard_matrix(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # sources² pair frame
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "sh#" not in line and "text#" not in line, line
+
+
+def test_split_leakage_adds_no_join_for_splits(spark, sf_dir):
+    """split_leakage_report computes both endpoints' splits in-row
+    (pure hash of doc_id): the plan may contain only the two pair
+    generators' joins — LSH bucket self-join and the fingerprint
+    self-join — and no join against a split-assignment table."""
+    from flinkproj_spark.operators.dedup import split_leakage_report
+
+    plan = _plan(split_leakage_report(spark, sf_dir))
+    # every join key is a band key or the content fingerprint; the
+    # split columns exist only inside projections
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            # pair generators join on band key / fingerprint; the only
+            # other join is the ≤6-row matrix full-outer merge
+            assert (
+                "band" in line or "h#" in line or "FullOuter" in line
+            ), line
+    assert "text#" not in "\n".join(
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    )
