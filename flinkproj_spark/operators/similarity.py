@@ -1437,7 +1437,71 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the TOP_K highest-cosine corpus vectors with a DIFFERENT
+    label — the negatives that sit closest to the decision boundary,
+    which is what a retriever/embedder trainer actually wants (random
+    negatives are trivially separable and teach nothing). Each row
+    also carries the query's best same-label cosine and the margin to
+    this negative, so a downstream curriculum can sort by difficulty
+    and an auditor can see label collisions (negative scoring above
+    the best positive = margin < 0).
+
+    Shape: identical to ann_topk_brute's 100 TB plan — the query set
+    broadcasts, the corpus never shuffles, and the per-query rank
+    window partitions on query_id (bounded rows per query). The
+    positive baseline is a per-query max aggregate (N_QUERIES rows)
+    that re-attaches by broadcast. Cosines are the quantized-int dot
+    products rounded to 6 dp, same determinism contract as the rest
+    of the ANN family."""
+    from pyspark.sql import Window
+
+    base = _quantized(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            "label",
+            F.round(
+                _dot("q", "qv").cast("double") / (F.col("norm") * F.col("qnorm")), 6
+            ).alias("cos"),
+        )
+    )
+    pos_best = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("cos").alias("pos_cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    negs = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    return (
+        negs.join(F.broadcast(pos_best), "query_id")
+        .withColumn("margin", F.round(F.col("pos_cos") - F.col("cos"), 6))
+        .select(
+            "query_id", "qlabel", "vec_id",
+            F.col("label").alias("neg_label"),
+            "cos", "rank", "pos_cos", "margin",
+        )
+    )
+
+
 QUERIES = {
+    "hard_negative_mining": hard_negative_mining,
     "ann_topk_brute": ann_topk_brute,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_lsh_banded": ann_topk_lsh_banded,
@@ -2142,3 +2206,28 @@ def _kmeans_oracle() -> str:
 
 
 ORACLE["kmeans_lloyd"] = _kmeans_oracle()
+
+
+ORACLE["hard_negative_mining"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    scored AS (
+      SELECT q2.vec_id AS query_id, q2.label AS qlabel,
+             b.vec_id, b.label,
+             ROUND(CAST({_dot_sql('b.q', 'q2.q')} AS DOUBLE)
+                   / (b.norm * q2.norm), 6) AS cos
+      FROM base b JOIN base q2
+        ON q2.vec_id < {N_QUERIES} AND b.vec_id <> q2.vec_id),
+    pos AS (
+      SELECT query_id, MAX(cos) AS pos_cos FROM scored
+      WHERE label = qlabel GROUP BY 1),
+    negs AS (
+      SELECT query_id, qlabel, vec_id, label AS neg_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, vec_id) AS rank
+      FROM scored WHERE label <> qlabel)
+    SELECT n.query_id, n.qlabel, n.vec_id, n.neg_label, n.cos,
+           CAST(n.rank AS INT) AS rank, p.pos_cos,
+           ROUND(p.pos_cos - n.cos, 6) AS margin
+    FROM negs n JOIN pos p USING (query_id)
+    WHERE n.rank <= {TOP_K}
+"""

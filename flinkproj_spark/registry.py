@@ -49,6 +49,7 @@ _PRIORITY_KEYS = (
     "dedup_edit_distance",  # never checked
     "source_jaccard_matrix",  # never checked
     "split_leakage_report",  # never checked
+    "hard_negative_mining",  # never checked
     "semdedup_greedy_keep",  # never checked
     "kcenter_coreset",  # never checked
     "embedding_top_component",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "unigram_lm_score",  # last green r4
     "bigram_lm_score",  # last green r4
     "cross_snapshot_dedup",  # last green r4
-    "embedding_quantize",  # last green r4
 )
 
 

@@ -1770,3 +1770,63 @@ def test_split_leakage_conserves_pair_totals(spark, sf_dir):
     assert total_exact == want_exact
     for r in rows:
         assert r.is_leak == int(r.split_a != r.split_b)
+
+
+def test_hard_negatives_are_wrong_label_and_score_consistent(spark, sf_dir):
+    """Hard negatives must carry a label different from the query's,
+    rank contiguously per query, score identically to the brute-force
+    cosine for the same pair, and the positive baseline must equal
+    the max same-label cosine."""
+    from flinkproj_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _dot,
+        _quantized,
+        hard_negative_mining,
+    )
+
+    base = _quantized(spark, sf_dir)
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = {
+        (r.query_id, r.vec_id): (r.cos, r.label, r.qlabel)
+        for r in base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "label", "qlabel",
+            F.round(
+                _dot("q", "qv").cast("double") / (F.col("norm") * F.col("qnorm")),
+                6,
+            ).alias("cos"),
+        )
+        .collect()
+    }
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        cos, label, qlabel = scored[(r.query_id, r.vec_id)]
+        assert r.neg_label == label != qlabel == r.qlabel
+        assert r.cos == cos
+        assert round(r.pos_cos - r.cos, 6) == r.margin
+    for q, rs in per_q.items():
+        assert sorted(r.rank for r in rs) == list(range(1, TOP_K + 1))
+        want_pos = max(
+            c for (qq, _), (c, lab, ql) in scored.items() if qq == q and lab == ql
+        )
+        assert all(r.pos_cos == want_pos for r in rs)
+        # the ranked negatives really are the top wrong-label cosines
+        want_negs = sorted(
+            (
+                (-c, v)
+                for (qq, v), (c, lab, ql) in scored.items()
+                if qq == q and lab != ql
+            ),
+        )[:TOP_K]
+        assert [(r.vec_id) for r in sorted(rs, key=lambda r: r.rank)] == [
+            v for _, v in want_negs
+        ]
