@@ -992,7 +992,66 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: table -> profiled columns (ids, categoricals, small ints — the CBO
+#: decision inputs; floats/arrays excluded from min/max-free profiling).
+_ANALYZE_COLS = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_nationkey", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_nationkey"),
+    "part": ("p_partkey", "p_brand", "p_type", "p_size"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+    "events": ("event_id", "user_id", "event_type", "props"),
+    "documents": ("doc_id", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "label"),
+}
+
+
+def analyze_tables_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE for the whole star schema: one row per profiled
+    (table, column) with row count, null count/ppm, and exact distinct
+    count — the statistics a cost-based optimizer feeds on (join-side
+    sizing, broadcast decisions, selectivity). This corpus carries no
+    nulls, so the null columns pin ZERO (the planted-nulls test proves
+    the counting path fires); the NDV column is fully live and is the
+    one that drives plans.
+
+    Shape: each table computes its whole profile in ONE aggregate row
+    (count + per-column conditional null sums + count_distinct), then
+    unpivots in-row with stack — one scan per table, no per-column
+    scans, no joins; the ten 1-row aggregates union into a ~35-row
+    report. Exact count_distinct is the audit-cadence choice; the
+    sketch variant for continuous refresh is approx_distinct_counts.
+    At 100 TB each profile is a single map-side-combinable pass whose
+    exchange carries one partial row per partition."""
+    out = None
+    for table, cols in _ANALYZE_COLS.items():
+        t = load_table(spark, sf_dir, table)
+        aggs = [F.count("*").alias("_n")]
+        for c in cols:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__ndv"))
+        one = t.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', {c}__nulls, {c}__ndv" for c in cols
+        )
+        rows = one.select(
+            F.lit(table).alias("table_name"),
+            F.col("_n").alias("n_rows"),
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+            ),
+        ).withColumn("null_ppm", F.expr("n_nulls * 1000000 div n_rows"))
+        out = rows if out is None else out.unionAll(rows)
+    return out.select(
+        "table_name", "column_name", "n_rows", "n_nulls", "n_distinct", "null_ppm"
+    )
+
+
 QUERIES = {
+    "analyze_tables_report": analyze_tables_report,
     "grouping_sets_counts": grouping_sets_counts,
     "time_rollup_multires": time_rollup_multires,
     "interval_join_pairs": interval_join_pairs,
@@ -1430,3 +1489,17 @@ ORACLE["event_transition_matrix"] = """
            CAST(t.n_trans * 1000000 // x.row_total AS BIGINT) AS p_ppm
     FROM trans t JOIN totals x USING (prev_type)
 """
+
+ORACLE["analyze_tables_report"] = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{table}' AS table_name, '{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // COUNT(*) AS null_ppm
+    FROM {table}"""
+    for table, cols in _ANALYZE_COLS.items()
+    for col in cols
+)

@@ -1830,3 +1830,46 @@ def test_hard_negatives_are_wrong_label_and_score_consistent(spark, sf_dir):
         assert [(r.vec_id) for r in sorted(rs, key=lambda r: r.rank)] == [
             v for _, v in want_negs
         ]
+
+
+def test_analyze_report_null_path_fires_on_planted_nulls(spark, sf_dir, tmp_path):
+    """The corpus has no nulls, so the live report pins n_nulls == 0
+    everywhere — this test proves the null counting actually works: a
+    tampered events copy with nulled props/user_id cells must surface
+    exact null counts and ppm, and NDV must drop accordingly."""
+    import os
+    import shutil
+
+    from flinkproj_spark.operators.analytic import (
+        _ANALYZE_COLS,
+        analyze_tables_report,
+    )
+
+    live = analyze_tables_report(spark, sf_dir).collect()
+    assert len(live) == sum(len(c) for c in _ANALYZE_COLS.values())
+    assert all(r.n_nulls == 0 and r.null_ppm == 0 for r in live)
+    by_col = {(r.table_name, r.column_name): r for r in live}
+    assert by_col[("customer", "c_custkey")].n_distinct == by_col[
+        ("customer", "c_custkey")
+    ].n_rows  # primary key
+    assert by_col[("nation", "n_regionkey")].n_distinct == 5
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    for t in _ANALYZE_COLS:
+        shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), dirty / f"{t}.parquet")
+    events = load_table(spark, sf_dir, "events")
+    n_nulled = events.filter(F.col("event_id") % 5 == 0).count()
+    tampered = events.withColumn(
+        "props",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("props")),
+    )
+    tampered.toPandas().to_parquet(str(dirty / "events.parquet"), index=False)
+    got = {
+        (r.table_name, r.column_name): r
+        for r in analyze_tables_report(spark, str(dirty)).collect()
+    }
+    r = got[("events", "props")]
+    assert r.n_nulls == n_nulled > 0
+    assert r.null_ppm == n_nulled * 1_000_000 // r.n_rows
+    assert got[("events", "event_id")].n_nulls == 0
