@@ -1563,6 +1563,11 @@ def source_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     in production; both reduce to the sources² matrix (tiny by
     construction). The pair frame is a broadcast non-equi self-join
     of the 20-row sketch table."""
+    # NOT fan_out: the shingle frame is consumed twice (sketch agg +
+    # exact self-join), so an up-front full-table exchange runs the
+    # scan redistribution before BOTH consumers and measured ~40%
+    # slower at sf0.1 (5.4 s vs 3.7 s warm) than letting the distinct
+    # exchange parallelize the downstream work.
     docs = load_table(spark, sf_dir, "documents")
     words = _words()
     base = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
