@@ -1050,7 +1050,81 @@ def analyze_tables_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_BASKET_TOP = 30
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-level market-basket analysis: the TOP 30 part pairs by
+    co-purchase count, each with support and lift
+    (n_ab·N·10⁶ div (n_a·n_b)) — the cross-sell primitive over actual
+    baskets, complementing event_cooccurrence_lift's user-level twin.
+    Lift > 1e6 means the parts attract (bought together beyond
+    chance); ties rank deterministically by (count desc, part_a,
+    part_b).
+
+    Shape: one groupBy(order) collects the distinct sorted basket
+    (baskets are order-bounded — single-digit items — so the agg
+    buffer and the in-row C(k,2) pair expansion are tiny), one pair
+    count, and part marginals re-attached by plain equi-joins (the
+    part catalog is dimension-proportional, NOT broadcast by
+    construction — AQE may broadcast at runtime when it fits). The
+    lift numerator n_ab·N·10⁶ runs in DECIMAL(38,0), exact at any
+    order count; top-k compiles to TakeOrderedAndProject, never a
+    global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + F.lit(2), F.size("parts")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair_counts = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    marg = baskets.select(F.explode("parts").alias("t")).groupBy("t").agg(
+        F.count("*").alias("n_t")
+    )
+    n_orders = baskets.agg(F.count("*").alias("n_orders"))
+    joined = (
+        pair_counts.join(
+            marg.select(F.col("t").alias("part_a"), F.col("n_t").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            marg.select(F.col("t").alias("part_b"), F.col("n_t").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    scored = joined.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_orders",
+        F.expr("n_ab * 1000000 div n_orders").alias("support_ppm"),
+        F.expr(
+            "CAST((CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000)"
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+    return scored.orderBy(
+        F.col("n_ab").desc(), "part_a", "part_b"
+    ).limit(_BASKET_TOP)
+
+
 QUERIES = {
+    "basket_pair_lift": basket_pair_lift,
     "analyze_tables_report": analyze_tables_report,
     "grouping_sets_counts": grouping_sets_counts,
     "time_rollup_multires": time_rollup_multires,
@@ -1503,3 +1577,32 @@ ORACLE["analyze_tables_report"] = "\nUNION ALL\n".join(
     for table, cols in _ANALYZE_COLS.items()
     for col in cols
 )
+
+
+ORACLE["basket_pair_lift"] = f"""
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+      FROM lineitem GROUP BY 1),
+    pairs AS (
+      SELECT unnest(flatten(list_transform(parts,
+               (x, i) -> list_transform(parts[i+1:], y -> [x, y])))) AS p
+      FROM b),
+    pc AS (
+      SELECT p[1] AS part_a, p[2] AS part_b, COUNT(*) AS n_ab
+      FROM pairs GROUP BY 1, 2),
+    marg AS (
+      SELECT t, COUNT(*) AS n_t
+      FROM (SELECT unnest(parts) AS t FROM b) GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_orders FROM b)
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(ma.n_t AS BIGINT) AS n_a, CAST(mb.n_t AS BIGINT) AS n_b,
+           CAST(n.n_orders AS BIGINT) AS n_orders,
+           CAST(n_ab AS BIGINT) * 1000000 // n.n_orders AS support_ppm,
+           CAST(CAST(n_ab AS HUGEINT) * n.n_orders * 1000000
+                // (CAST(ma.n_t AS HUGEINT) * mb.n_t) AS BIGINT) AS lift_ppm
+    FROM pc
+    JOIN marg ma ON ma.t = pc.part_a
+    JOIN marg mb ON mb.t = pc.part_b
+    CROSS JOIN n
+    ORDER BY n_ab DESC, part_a, part_b LIMIT {_BASKET_TOP}
+"""

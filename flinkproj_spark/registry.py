@@ -64,6 +64,7 @@ _PRIORITY_KEYS = (
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
     "packing_efficiency_report",  # never checked
+    "basket_pair_lift",  # never checked
     "analyze_tables_report",  # never checked
     "event_transition_matrix",  # never checked
     "label_propagation",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "late_split",  # last green r4
     "paragraph_dedup",  # last green r4
     "unigram_lm_score",  # last green r4
-    "bigram_lm_score",  # last green r4
 )
 
 

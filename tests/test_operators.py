@@ -1873,3 +1873,39 @@ def test_analyze_report_null_path_fires_on_planted_nulls(spark, sf_dir, tmp_path
     assert r.n_nulls == n_nulled > 0
     assert r.null_ppm == n_nulled * 1_000_000 // r.n_rows
     assert got[("events", "event_id")].n_nulls == 0
+
+
+def test_basket_pairs_match_bruteforce(spark, sf_dir):
+    """The top-k basket pairs must equal a brute-force Python recompute
+    over collected baskets — counts, marginals, support, and exact
+    integer lift."""
+    from itertools import combinations
+
+    from flinkproj_spark.operators.analytic import (
+        _BASKET_TOP,
+        basket_pair_lift,
+    )
+
+    baskets = [
+        sorted(set(r.parts))
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .collect()
+    ]
+    n_orders = len(baskets)
+    pc: dict[tuple, int] = {}
+    marg: dict[int, int] = {}
+    for b in baskets:
+        for t in b:
+            marg[t] = marg.get(t, 0) + 1
+        for a, bb in combinations(b, 2):
+            pc[(a, bb)] = pc.get((a, bb), 0) + 1
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BASKET_TOP]
+    rows = basket_pair_lift(spark, sf_dir).collect()
+    assert [((r.part_a, r.part_b), r.n_ab) for r in rows] == want
+    for r in rows:
+        assert r.n_a == marg[r.part_a] and r.n_b == marg[r.part_b]
+        assert r.n_orders == n_orders
+        assert r.support_ppm == r.n_ab * 1_000_000 // n_orders
+        assert r.lift_ppm == r.n_ab * n_orders * 1_000_000 // (r.n_a * r.n_b)
