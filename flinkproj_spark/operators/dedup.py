@@ -1771,3 +1771,85 @@ ORACLE["split_leakage_report"] = f"""
            CAST(split_a <> split_b AS INT) AS is_leak
     FROM nm FULL JOIN em USING (split_a, split_b)
 """
+
+
+# --- Link prediction over the near-dup graph --------------------------
+
+
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the thresholded n-gram
+    Jaccard graph: for every NON-edge (a, c) sharing at least one
+    neighbor, the Jaccard score of their neighborhoods — the "these
+    two docs are probably dups the threshold missed" ranking. The
+    edge set is dedup_ngram_jaccard's (exact Jaccard ≥ 0.5), whose
+    hard threshold breaks transitivity and leaves genuine open
+    wedges: a~b and b~c at 0.55 with a~c at 0.45 is precisely the
+    chain a transitive-closure merge will fuse, surfaced here with a
+    score instead of silently. (The LSH candidate graph is the wrong
+    substrate — its banding makes components cliques, zero open
+    wedges on this corpus.) Completes the graph-audit family
+    (degree hist → triangles → prediction).
+
+    Shape: wedge enumeration is the bucketed pattern — symmetrize
+    edges, self-join on the SHARED MIDPOINT (one hash exchange on the
+    midpoint; cost Σ deg², the wedge count the triangle audit already
+    reports), exclude existing edges with a left-anti join, and
+    re-attach the two degree counts. Neighborhood union is
+    |N(a)|+|N(c)|−common (a∉N(c) by the anti-join), so no set
+    materialization — everything stays integer counts."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    und = edges.select(
+        F.col("doc_a").alias("m"), F.col("doc_b").alias("n")
+    ).unionAll(edges.select(F.col("doc_b").alias("m"), F.col("doc_a").alias("n")))
+    deg = und.groupBy("n").agg(F.count("*").alias("deg"))
+    wedges = (
+        und.alias("l")
+        .join(
+            und.alias("r"),
+            (F.col("l.m") == F.col("r.m")) & (F.col("l.n") < F.col("r.n")),
+        )
+        .groupBy(F.col("l.n").alias("doc_a"), F.col("r.n").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    non_edges = wedges.join(edges, ["doc_a", "doc_b"], "left_anti")
+    return (
+        non_edges.join(
+            deg.select(F.col("n").alias("doc_a"), F.col("deg").alias("deg_a")),
+            "doc_a",
+        )
+        .join(
+            deg.select(F.col("n").alias("doc_b"), F.col("deg").alias("deg_b")),
+            "doc_b",
+        )
+        .withColumn("n_union", F.expr("deg_a + deg_b - n_common"))
+        .withColumn("jaccard_ppm", F.expr("n_common * 1000000 div n_union"))
+        .select(
+            "doc_a", "doc_b", "n_common", "deg_a", "deg_b", "n_union", "jaccard_ppm"
+        )
+    )
+
+
+QUERIES["link_prediction_jaccard"] = link_prediction_jaccard
+ORACLE["link_prediction_jaccard"] = f"""
+    WITH e AS (SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard"]})),
+    und AS (
+      SELECT doc_a AS m, doc_b AS n FROM e
+      UNION ALL SELECT doc_b AS m, doc_a AS n FROM e),
+    deg AS (SELECT n, COUNT(*) AS deg FROM und GROUP BY 1),
+    wedges AS (
+      SELECT l.n AS doc_a, r.n AS doc_b, COUNT(*) AS n_common
+      FROM und l JOIN und r ON l.m = r.m AND l.n < r.n
+      GROUP BY 1, 2),
+    non_edges AS (
+      SELECT w.* FROM wedges w
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.doc_a = w.doc_a AND e.doc_b = w.doc_b))
+    SELECT w.doc_a, w.doc_b, CAST(w.n_common AS BIGINT) AS n_common,
+           CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+           CAST(da.deg + db.deg - w.n_common AS BIGINT) AS n_union,
+           CAST(w.n_common AS BIGINT) * 1000000
+             // (da.deg + db.deg - w.n_common) AS jaccard_ppm
+    FROM non_edges w
+    JOIN deg da ON da.n = w.doc_a
+    JOIN deg db ON db.n = w.doc_b
+"""

@@ -49,6 +49,7 @@ _PRIORITY_KEYS = (
     "dedup_edit_distance",  # never checked
     "source_jaccard_matrix",  # never checked
     "split_leakage_report",  # never checked
+    "link_prediction_jaccard",  # never checked
     "hard_negative_mining",  # never checked
     "semdedup_greedy_keep",  # never checked
     "kcenter_coreset",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "window_count",  # last green r4
     "late_split",  # last green r4
     "paragraph_dedup",  # last green r4
-    "unigram_lm_score",  # last green r4
 )
 
 

@@ -1909,3 +1909,37 @@ def test_basket_pairs_match_bruteforce(spark, sf_dir):
         assert r.n_orders == n_orders
         assert r.support_ppm == r.n_ab * 1_000_000 // n_orders
         assert r.lift_ppm == r.n_ab * n_orders * 1_000_000 // (r.n_a * r.n_b)
+
+
+def test_link_prediction_matches_python_wedge_walk(spark, sf_dir):
+    """Every predicted link must be a non-edge with the exact common-
+    neighbor count, degrees, and Jaccard a Python adjacency walk
+    computes — and every open wedge must be predicted (completeness)."""
+    from itertools import combinations
+
+    from flinkproj_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        link_prediction_jaccard,
+    )
+
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for m, ns in adj.items():
+        for a, b in combinations(sorted(ns), 2):
+            if (a, b) not in edges:
+                want[(a, b)] = want.get((a, b), 0) + 1
+    rows = link_prediction_jaccard(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r for r in rows}
+    assert set(got) == set(want)
+    for (a, b), r in got.items():
+        assert r.n_common == want[(a, b)]
+        assert r.deg_a == len(adj[a]) and r.deg_b == len(adj[b])
+        assert r.n_union == r.deg_a + r.deg_b - r.n_common
+        assert r.jaccard_ppm == r.n_common * 1_000_000 // r.n_union
