@@ -1146,3 +1146,95 @@ def _fk_oracle() -> str:
 
 
 ORACLE["fk_integrity_report"] = _fk_oracle()
+
+
+# --- Order-to-ship lag distribution ------------------------------------
+
+_LAG_PCTS = (50, 90, 99)
+
+
+def shipping_lag_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lag distribution per order priority: item counts,
+    negative-lag count (ship date BEFORE order date — the upstream
+    data bug this corpus genuinely contains, so the DQ column is
+    live), min/max, and exact nearest-rank p50/p90/p99 in days. The
+    fulfillment-latency SLA report plus its data-quality sentinel in
+    one pass.
+
+    Shape: the fact-fact lineitem⋈orders join computes the lag, then
+    everything reduces through the (priority, lag_days) HISTOGRAM —
+    bounded by distinct lag values (date-range-bounded, corpus-size-
+    independent), the same no-big-sort trick as vocab_prune_sweep.
+    Percentiles come from the histogram's running counts: nearest
+    rank cum ≥ ceil(p·N/100) expressed as the integer comparison
+    cum·100 ≥ p·N, so no float quantiles and no per-priority sort of
+    fact rows; the window runs over the tiny histogram frame."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    hist = (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority", "lag_days")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "o_orderpriority",
+        "lag_days",
+        "n",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    aggs = [
+        F.max("total").alias("n_items"),
+        F.sum(F.when(F.col("lag_days") < 0, F.col("n")).otherwise(F.lit(0))).alias(
+            "n_negative"
+        ),
+        F.min("lag_days").alias("min_lag"),
+        F.max("lag_days").alias("max_lag"),
+    ]
+    for p in _LAG_PCTS:
+        aggs.append(
+            F.min(
+                F.when(F.col("cum_n") * 100 >= F.lit(p) * F.col("total"), F.col("lag_days"))
+            ).alias(f"p{p}_lag")
+        )
+    return cum.groupBy("o_orderpriority").agg(*aggs)
+
+
+QUERIES["shipping_lag_report"] = shipping_lag_report
+ORACLE["shipping_lag_report"] = f"""
+    WITH lags AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lag_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    hist AS (
+      SELECT o_orderpriority, lag_days, COUNT(*) AS n
+      FROM lags GROUP BY 1, 2),
+    cum AS (
+      SELECT o_orderpriority, lag_days, n,
+             SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY lag_days) AS cum_n,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+      FROM hist)
+    SELECT o_orderpriority,
+           CAST(MAX(total) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN lag_days < 0 THEN n ELSE 0 END) AS BIGINT)
+             AS n_negative,
+           CAST(MIN(lag_days) AS INT) AS min_lag,
+           CAST(MAX(lag_days) AS INT) AS max_lag,
+           {", ".join(
+             f"CAST(MIN(CASE WHEN cum_n * 100 >= {p} * total THEN lag_days END) AS INT) AS p{p}_lag"
+             for p in _LAG_PCTS)}
+    FROM cum GROUP BY 1
+"""

@@ -45,6 +45,7 @@ _PRIORITY_KEYS = (
     "dsir_importance_weights",  # never checked
     "bloom_semi_join",  # never checked
     "fk_integrity_report",  # never checked
+    "shipping_lag_report",  # never checked
     "dedup_impact_report",  # never checked
     "dedup_edit_distance",  # never checked
     "source_jaccard_matrix",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "format_tsv",  # last green r4
     "window_count",  # last green r4
     "late_split",  # last green r4
-    "paragraph_dedup",  # last green r4
 )
 
 

@@ -1943,3 +1943,41 @@ def test_link_prediction_matches_python_wedge_walk(spark, sf_dir):
         assert r.deg_a == len(adj[a]) and r.deg_b == len(adj[b])
         assert r.n_union == r.deg_a + r.deg_b - r.n_common
         assert r.jaccard_ppm == r.n_common * 1_000_000 // r.n_union
+
+
+def test_shipping_lag_percentiles_are_nearest_rank_exact(spark, sf_dir):
+    """The histogram percentiles must equal the nearest-rank value of
+    the fully sorted per-priority lag list recomputed in Python, and
+    the negative-lag DQ counter must match."""
+    import math
+
+    from flinkproj_spark.operators.relational import (
+        _LAG_PCTS,
+        shipping_lag_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lags: dict[str, list[int]] = {}
+    for r in (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").alias("lag"),
+        )
+        .collect()
+    ):
+        lags.setdefault(r.o_orderpriority, []).append(r.lag)
+    rows = {r.o_orderpriority: r for r in shipping_lag_report(spark, sf_dir).collect()}
+    assert set(rows) == set(lags)
+    for prio, vals in lags.items():
+        vals.sort()
+        r = rows[prio]
+        assert r.n_items == len(vals)
+        assert r.n_negative == sum(1 for v in vals if v < 0) > 0
+        assert r.min_lag == vals[0] and r.max_lag == vals[-1]
+        for p in _LAG_PCTS:
+            want = vals[math.ceil(p * len(vals) / 100) - 1]
+            assert getattr(r, f"p{p}_lag") == want, (prio, p)
