@@ -1123,7 +1123,84 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_BASKET_TOP)
 
 
+
+_CEP_WITHIN_US = 3 * 86400 * 1_000_000  # max gap per transition: 3 days
+
+
+def cep_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern matching — the Flink feature family the reference
+    never used (SURVEY §2.9 lists CEP as an explicit gap) re-expressed
+    Spark-first: detect every NON-OVERLAPPING view → click → purchase
+    sequence per user where each transition happens within 3 days,
+    with skip-till-next-match semantics (mid-pattern views are
+    ignored, an overdue transition expires the partial match, a
+    completed match resets the machine). One row per match with the
+    three event times and the end-to-end duration — the per-match
+    output funnel_steps' aggregate view cannot give.
+
+    Shape: ONE exchange on user_id builds each user's time-ordered
+    event array in-row (per-key timelines are activity-bounded, the
+    same state-size argument as the streaming ring buffers; at 100 TB
+    you sessionize first or run the streaming twin), then the greedy
+    state machine runs as a codegen'd F.aggregate fold — stage,
+    two timestamps, and the emitted matches ride one accumulator
+    struct, no Python, no per-event shuffle. The DuckDB oracle walks
+    the identical machine with a recursive CTE (depth = max events
+    per user), so the exact greedy semantics are cross-checked, not
+    just row counts. Timestamps are epoch MICROseconds end to end —
+    no second-truncation ties, timezone-free."""
+    events = load_table(spark, sf_dir, "events")
+    evs = events.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("et"),
+        ).alias("e"),
+    ).groupBy("user_id").agg(F.sort_array(F.collect_list("e")).alias("evs"))
+    W = _CEP_WITHIN_US
+    eff = (
+        "CASE WHEN (acc.stage = 1 AND e.ts - acc.t1 > {W})"
+        "       OR (acc.stage = 2 AND e.ts - acc.t2 > {W}) THEN 0"
+        "     ELSE acc.stage END"
+    ).format(W=W)
+    fold = f"""
+      aggregate(
+        evs,
+        named_struct(
+          'stage', 0,
+          't1', CAST(0 AS BIGINT),
+          't2', CAST(0 AS BIGINT),
+          'ms', CAST(array() AS ARRAY<STRUCT<t1: BIGINT, t2: BIGINT, t3: BIGINT>>)),
+        (acc, e) -> named_struct(
+          'stage', CASE WHEN ({eff}) = 0 AND e.et = 'view' THEN 1
+                        WHEN ({eff}) = 1 AND e.et = 'click' THEN 2
+                        WHEN ({eff}) = 2 AND e.et = 'purchase' THEN 0
+                        ELSE ({eff}) END,
+          't1', CASE WHEN ({eff}) = 0 AND e.et = 'view' THEN e.ts ELSE acc.t1 END,
+          't2', CASE WHEN ({eff}) = 1 AND e.et = 'click' THEN e.ts ELSE acc.t2 END,
+          'ms', CASE WHEN ({eff}) = 2 AND e.et = 'purchase'
+                     THEN concat(acc.ms, array(named_struct(
+                            't1', acc.t1, 't2', acc.t2, 't3', e.ts)))
+                     ELSE acc.ms END)
+      ).ms
+    """
+    matched = evs.select("user_id", F.expr(fold).alias("ms"))
+    out = matched.select(
+        "user_id", F.posexplode("ms").alias("pos", "m")
+    )
+    return out.select(
+        "user_id",
+        (F.col("pos") + 1).cast("int").alias("match_seq"),
+        F.col("m.t1").alias("t_view_us"),
+        F.col("m.t2").alias("t_click_us"),
+        F.col("m.t3").alias("t_purchase_us"),
+        F.expr("(m.t3 - m.t1) div 1000000").alias("duration_sec"),
+    )
+
+
 QUERIES = {
+    "cep_pattern_matches": cep_pattern_matches,
     "basket_pair_lift": basket_pair_lift,
     "analyze_tables_report": analyze_tables_report,
     "grouping_sets_counts": grouping_sets_counts,
@@ -1606,3 +1683,44 @@ ORACLE["basket_pair_lift"] = f"""
     CROSS JOIN n
     ORDER BY n_ab DESC, part_a, part_b LIMIT {_BASKET_TOP}
 """
+
+
+def _cep_oracle() -> str:
+    W = _CEP_WITHIN_US
+    eff = (
+        f"CASE WHEN (w.stage = 1 AND s.ts - w.t1 > {W})"
+        f"       OR (w.stage = 2 AND s.ts - w.t2 > {W}) THEN 0"
+        f"     ELSE w.stage END"
+    )
+    return f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_us(ts) AS ts, event_type AS et,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events),
+    walk(user_id, rn, stage, t1, t2, m_t1, m_t2, m_t3) AS (
+      SELECT user_id, 0, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM (SELECT DISTINCT user_id FROM seq)
+      UNION ALL
+      SELECT w.user_id, w.rn + 1,
+             CASE WHEN ({eff}) = 0 AND s.et = 'view' THEN 1
+                  WHEN ({eff}) = 1 AND s.et = 'click' THEN 2
+                  WHEN ({eff}) = 2 AND s.et = 'purchase' THEN 0
+                  ELSE ({eff}) END,
+             CASE WHEN ({eff}) = 0 AND s.et = 'view' THEN s.ts ELSE w.t1 END,
+             CASE WHEN ({eff}) = 1 AND s.et = 'click' THEN s.ts ELSE w.t2 END,
+             CASE WHEN ({eff}) = 2 AND s.et = 'purchase' THEN w.t1 END,
+             CASE WHEN ({eff}) = 2 AND s.et = 'purchase' THEN w.t2 END,
+             CASE WHEN ({eff}) = 2 AND s.et = 'purchase' THEN s.ts END
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY m_t3) AS INT)
+             AS match_seq,
+           m_t1 AS t_view_us, m_t2 AS t_click_us, m_t3 AS t_purchase_us,
+           (m_t3 - m_t1) // 1000000 AS duration_sec
+    FROM walk WHERE m_t3 IS NOT NULL
+"""
+
+
+ORACLE["cep_pattern_matches"] = _cep_oracle()

@@ -66,6 +66,7 @@ _PRIORITY_KEYS = (
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
     "packing_efficiency_report",  # never checked
+    "cep_pattern_matches",  # never checked
     "basket_pair_lift",  # never checked
     "analyze_tables_report",  # never checked
     "event_transition_matrix",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "filter_valid",  # last green r4
     "format_tsv",  # last green r4
     "window_count",  # last green r4
-    "late_split",  # last green r4
 )
 
 

@@ -1981,3 +1981,47 @@ def test_shipping_lag_percentiles_are_nearest_rank_exact(spark, sf_dir):
         for p in _LAG_PCTS:
             want = vals[math.ceil(p * len(vals) / 100) - 1]
             assert getattr(r, f"p{p}_lag") == want, (prio, p)
+
+
+def test_cep_matcher_equals_python_state_machine(spark, sf_dir):
+    """The CEP fold must equal a third, pure-Python implementation of
+    the same greedy skip-till-next-match machine — matches, order,
+    timestamps, and the expiry branch (which must actually fire on
+    this corpus for the test to mean anything)."""
+    from flinkproj_spark.operators.analytic import (
+        _CEP_WITHIN_US,
+        cep_pattern_matches,
+    )
+
+    evs: dict[int, list] = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("ts"), "event_id", "event_type")
+        .collect()
+    ):
+        evs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    want = []
+    n_expired = 0
+    for u in sorted(evs):
+        stage, t1, t2, seq = 0, 0, 0, 0
+        for ts, _eid, et in sorted(evs[u]):
+            if (stage == 1 and ts - t1 > _CEP_WITHIN_US) or (
+                stage == 2 and ts - t2 > _CEP_WITHIN_US
+            ):
+                stage = 0
+                n_expired += 1
+            if stage == 0 and et == "view":
+                stage, t1 = 1, ts
+            elif stage == 1 and et == "click":
+                stage, t2 = 2, ts
+            elif stage == 2 and et == "purchase":
+                seq += 1
+                want.append((u, seq, t1, t2, ts, (ts - t1) // 1_000_000))
+                stage = 0
+    got = sorted(
+        (r.user_id, r.match_seq, r.t_view_us, r.t_click_us, r.t_purchase_us,
+         r.duration_sec)
+        for r in cep_pattern_matches(spark, sf_dir).collect()
+    )
+    assert got == sorted(want) and len(got) > 0
+    assert n_expired > 0, "expiry branch never fired — widen the corpus window"
