@@ -320,3 +320,80 @@ def stream_attribution(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CEP_OUTPUT_SCHEMA = (
+    "user_id long, match_seq int, t_view_us long, t_click_us long, "
+    "t_purchase_us long, duration_sec long"
+)
+CEP_STATE_SCHEMA = "stage int, t1 long, t2 long, seq long"
+
+
+def _cep_for_key(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    from flinkproj_spark.operators.analytic import _CEP_WITHIN_US
+
+    (user_id,) = key
+    rows: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        for t, e, et in zip(
+            pdf["ts"].astype("int64") // 1000, pdf["event_id"], pdf["event_type"]
+        ):
+            rows.append((int(t), int(e), str(et)))
+    rows.sort()
+
+    stage, t1, t2, seq = state.get if state.exists else (0, 0, 0, 0)
+    out: list[tuple[int, int, int, int]] = []
+    for ts, _eid, et in rows:
+        if (stage == 1 and ts - t1 > _CEP_WITHIN_US) or (
+            stage == 2 and ts - t2 > _CEP_WITHIN_US
+        ):
+            stage = 0
+        if stage == 0 and et == "view":
+            stage, t1 = 1, ts
+        elif stage == 1 and et == "click":
+            stage, t2 = 2, ts
+        elif stage == 2 and et == "purchase":
+            seq += 1
+            out.append((seq, t1, t2, ts))
+            stage = 0
+    state.update((stage, t1, t2, seq))
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(out), dtype="int64"),
+                "match_seq": pd.Series([r[0] for r in out], dtype="int32"),
+                "t_view_us": pd.Series([r[1] for r in out], dtype="int64"),
+                "t_click_us": pd.Series([r[2] for r in out], dtype="int64"),
+                "t_purchase_us": pd.Series([r[3] for r in out], dtype="int64"),
+                "duration_sec": pd.Series(
+                    [(r[3] - r[1]) // 1_000_000 for r in out], dtype="int64"
+                ),
+            }
+        )
+
+
+def stream_cep_matches(events: DataFrame) -> DataFrame:
+    """Streaming CEP — matches fire AT INGEST, which is where CEP
+    belongs (the batch twin operators/analytic.py::cep_pattern_matches
+    replays history; this is the live detector). The same greedy
+    skip-till-next-match machine for view → click → purchase with
+    3-day transition bounds runs per user as keyed state — exactly
+    Flink's CEP-over-ValueState idiom expressed as
+    applyInPandasWithState. State is four longs per user (stage, two
+    timestamps, match counter) — constant, no match buffers; each
+    completed match emits immediately with its sequence number, so
+    the stream output equals the batch operator's rows on an in-order
+    replay (pinned in tests/test_streaming_ext.py)."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cep_for_key,
+            outputStructType=CEP_OUTPUT_SCHEMA,
+            stateStructType=CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

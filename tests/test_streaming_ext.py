@@ -905,3 +905,41 @@ class TestStreamSourceSketch:
             .collect()
         }
         assert got == want and len(got) == 20
+
+
+class TestStreamCep:
+    def test_converges_to_batch_cep(self, spark, sf_dir, tmp_path):
+        """Replay events in event-time order across two micro-batches;
+        the streamed CEP matches must equal the batch
+        cep_pattern_matches rows exactly — partial-match state (stage,
+        timestamps, match counter) must survive the batch boundary."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.analytic import cep_pattern_matches
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.stateful import stream_cep_matches
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type", "event_id"
+        )
+        cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) AS c").collect()[0].c
+        schema = "user_id bigint, ts timestamp, event_type string, event_id bigint"
+        for cond in (
+            F.expr(f"unix_micros(ts) <= {int(cut)}"),
+            F.expr(f"unix_micros(ts) > {int(cut)}"),
+        ):
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+            q = (
+                stream_cep_matches(spark.readStream.schema(schema).parquet(src))
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in cep_pattern_matches(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
