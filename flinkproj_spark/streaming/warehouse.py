@@ -293,3 +293,124 @@ def scd2_view(spark: SparkSession, store_dir: str) -> DataFrame:
     return out.withColumn(
         "is_current", F.col("valid_to").isNull().cast("int")
     )
+
+
+# --- Iterative stream: connected components over an edge stream --------
+
+_CC_STATE_SCHEMA = "node long, label long"
+
+
+def stream_cluster_labels(
+    edges: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """Streaming connected components — the honest Spark form of a
+    Flink ITERATIVE STREAM (SURVEY §2.9's last uncovered category):
+    the feedback loop runs INSIDE each micro-batch as a min-label
+    iteration driven to convergence (a 1-row changed-count per round,
+    diameter-bounded), and state feeds back across batches through
+    the versioned keyed store. New edges may fuse components that
+    live entirely in state; that connectivity is carried by VIRTUAL
+    edges (node ↔ its stored canonical label — the label IS a node
+    id), so plain min propagation over batch ∪ virtual edges merges
+    old components without ever re-reading old edges: per batch the
+    work is proportional to the batch + touched components, never the
+    accumulated graph. Labels converge to the batch dedup_cluster
+    canonical min-id labeling (pinned in tests/test_streaming_ext.py).
+    Input rows: (doc_a, doc_b). Returns the started StreamingQuery."""
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark_b = batch.sparkSession
+        cur = _read_version(
+            spark_b, state_dir, _latest_before(spark_b, state_dir, epoch_id)
+        )
+        e = batch.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).distinct()
+        nodes = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        if cur is not None:
+            st = cur.select("node", F.col("label").alias("_st_lab"))
+            nodes = nodes.join(st, "node", "left")
+        else:
+            nodes = nodes.withColumn("_st_lab", F.lit(None).cast("long"))
+        # Virtual edges node <-> stored label thread old-component
+        # connectivity into the batch graph.
+        virt = nodes.filter(
+            F.col("_st_lab").isNotNull() & (F.col("_st_lab") != F.col("node"))
+        ).select(F.col("node").alias("a"), F.col("_st_lab").alias("b"))
+        und = (
+            e.unionAll(virt)
+            .select("a", "b")
+            .unionAll(e.unionAll(virt).select(F.col("b").alias("a"), F.col("a").alias("b")))
+        )
+        labels = (
+            und.select(F.col("a").alias("node"))
+            .unionAll(und.select(F.col("b").alias("node")))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        while True:  # the feedback iteration, batch-local, bounded
+            prop = (
+                und.join(labels, und.a == labels.node)
+                .groupBy(F.col("b").alias("node"))
+                .agg(F.min("label").alias("nbr"))
+            )
+            nxt = (
+                labels.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "label", F.coalesce("nbr", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                nxt.join(labels.withColumnRenamed("label", "_old"), "node")
+                .filter(F.col("label") < F.col("_old"))
+                .count()
+            )
+            labels = nxt
+            if changed == 0:
+                break
+        # Relabel the whole store via the old-label -> new-label map,
+        # then upsert the batch nodes.
+        final_nodes = labels
+        if cur is None:
+            merged = final_nodes
+        else:
+            lab_map = final_nodes.select(
+                F.col("node").alias("_from"), F.col("label").alias("_to")
+            )
+            untouched = cur.join(
+                final_nodes.select("node"), "node", "left_anti"
+            )
+            remapped = untouched.join(
+                lab_map, untouched.label == lab_map._from, "left"
+            ).select(
+                "node", F.coalesce("_to", "label").alias("label")
+            )
+            merged = remapped.unionByName(final_nodes)
+        _commit_version(merged, state_dir, epoch_id)
+
+    return (
+        edges.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cluster_state_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Reader view over the streaming CC state: (node, label) rows,
+    labels canonical (component minimum, label node maps to itself)."""
+    cur = _read_version(spark, state_dir, _latest_before(spark, state_dir))
+    if cur is None:
+        return spark.createDataFrame([], _CC_STATE_SCHEMA)
+    return cur.select("node", "label")

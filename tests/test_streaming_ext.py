@@ -943,3 +943,55 @@ class TestStreamCep:
         got = {tuple(r) for r in spark.read.parquet(out).collect()}
         want = {tuple(r) for r in cep_pattern_matches(spark, sf_dir).collect()}
         assert got == want and len(got) > 0
+
+
+class TestStreamClusterLabels:
+    def test_converges_to_batch_connected_components(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Stream the near-dup edge list in two micro-batches (split so
+        components can straddle the boundary); the final state labels
+        must equal batch dedup_cluster's canonical min-id labeling —
+        including components fused ACROSS batches via virtual edges."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.dedup import (
+            dedup_cluster,
+            dedup_minhash_lsh,
+        )
+        from flinkproj_spark.streaming.warehouse import (
+            cluster_state_view,
+            stream_cluster_labels,
+        )
+
+        src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+        pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+        want = {r.doc_id: r.cluster_id for r in dedup_cluster(spark, sf_dir).collect()}
+        # split edges by their rank WITHIN each batch component, so any
+        # component with >= 2 edges is guaranteed to straddle batches
+        edge_rows = sorted((r.doc_a, r.doc_b) for r in pairs.collect())
+        rank_in_comp: dict[int, int] = {}
+        halves: dict[int, list] = {0: [], 1: []}
+        for a, b in edge_rows:
+            comp = want[a]
+            rk = rank_in_comp.get(comp, 0)
+            rank_in_comp[comp] = rk + 1
+            halves[rk % 2].append((a, b))
+        assert halves[1], "no component has >= 2 edges - nothing straddles"
+        for half in (0, 1):
+            spark.createDataFrame(
+                halves[half], "doc_a long, doc_b long"
+            ).coalesce(1).write.mode("append").parquet(src)
+            q = stream_cluster_labels(
+                spark.readStream.schema("doc_a long, doc_b long").parquet(src),
+                store,
+                ckpt,
+            )
+            q.awaitTermination(180)
+
+        got = {r.node: r.label for r in cluster_state_view(spark, store).collect()}
+        assert len(got) > 0
+        # dedup_cluster labels every doc in the pair graph; state holds
+        # exactly those nodes, with identical canonical labels
+        assert got == {n: want[n] for n in got}
+        assert set(got) == set(want)
