@@ -1005,3 +1005,33 @@ def test_split_leakage_adds_no_join_for_splits(spark, sf_dir):
     assert "text#" not in "\n".join(
         ln for ln in plan.splitlines() if "Exchange" in ln
     )
+
+
+def test_cep_fold_is_single_exchange_no_python(spark, sf_dir):
+    """The CEP matcher must be ONE exchange on user_id with the state
+    machine as a codegen'd aggregate fold — no Python evaluator, no
+    second shuffle, no window sort."""
+    from flinkproj_spark.operators.analytic import cep_pattern_matches
+
+    plan = _plan(cep_pattern_matches(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+
+
+def test_shipping_lag_windows_only_the_histogram(spark, sf_dir):
+    """shipping_lag_report's percentile windows must run over the
+    (priority, lag) histogram aggregate, never fact rows: the join is
+    the only fact-fact stage, and a HashAggregate sits between it and
+    the Window."""
+    from flinkproj_spark.operators.relational import shipping_lag_report
+
+    plan = _plan(shipping_lag_report(spark, sf_dir))
+    assert "SortMergeJoin" in plan  # pinned fact-fact join
+    lines = plan.splitlines()
+    win_at = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    join_at = next(i for i, ln in enumerate(lines) if "SortMergeJoin" in ln)
+    agg_between = any(
+        "HashAggregate" in ln for ln in lines[win_at:join_at]
+    )
+    assert win_at < join_at and agg_between
