@@ -614,8 +614,11 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list shuffles onto src to meet the label frame, then a
     map-side-combined groupBy(dst, label) counts votes and a second
     combinable aggregate — min(struct(-count, label)) over dst —
-    picks the argmax without any sort (measurably faster than the
-    row_number-window formulation it replaced); the join exchange is
+    picks the argmax without any sort (interleaved ab_keys.py A/B vs
+    the row_number-window formulation measured wall-time PARITY at
+    sf0.1 — the win is structural: no per-round sort of the vote
+    frame, which is what matters when votes stop fitting a task);
+    the join exchange is
     the irreducible synchronous-LPA cost, same as PageRank's; the
     vote frame is community-bounded (nodes × distinct neighbor
     labels, collapsing every round), never corpus-shaped.
@@ -650,8 +653,8 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # argmax-by-count, ties -> smallest label, as min(struct(-c,
         # label)) — a map-side-combinable aggregate instead of a
-        # row_number window, dropping the per-round sort (A/B at
-        # sf0.1: ~4.0 s -> ~3.5 s steady-state, first-run 6.6 -> 4.1)
+        # row_number window; drops the per-round sort (interleaved
+        # A/B: wall-time parity at sf0.1, structural win at scale)
         labels = (
             votes.groupBy("dst")
             .agg(
