@@ -1727,3 +1727,239 @@ def _cep_oracle() -> str:
 
 
 ORACLE["cep_pattern_matches"] = _cep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# EWMA daily anomaly monitor (round 7)
+# ---------------------------------------------------------------------------
+
+# Truncated-EWMA weights, alpha = 1/4 over the 8 prior days, held as
+# exact integers scaled by 4^8: w_j = 3^(j-1) * 4^(8-j) for lag j in
+# 1..8.  Their sum is the telescoped 4^8 - 3^8 = 58975, so
+# `n * EWMA_WSUM` and the weighted lag sum live on the same scale and
+# the deviation test is pure BIGINT — no float smoothing state, no
+# cross-engine drift.
+EWMA_WEIGHTS = tuple(3 ** (j - 1) * 4 ** (8 - j) for j in range(1, 9))
+EWMA_WSUM = 4**8 - 3**8  # 58975
+EWMA_FLAG_PCT = 20  # flag when |n - ewma| > 20% of ewma
+
+
+def ewma_daily_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily volume anomaly: an exponentially weighted
+    moving average (alpha=1/4, truncated at 8 days) of the PRIOR days'
+    counts, and a flag where today deviates more than 20% from it —
+    the classic ops-dashboard "volume looks wrong" alarm, exact.
+
+    The reference has no anomaly surface at all (SURVEY.md §2.9 — no
+    analytic windows); this is the standing monitor a training-data
+    ingest pipeline runs per source/type.
+
+    Shape: one groupBy collapses the fact scan to the |types| x |days|
+    dimension frame (map-side combined), and the 8 lags run as ONE
+    Window pass partitioned by event_type over that tiny frame — the
+    window never sees fact rows, so the sort is bounded by the
+    calendar, not the data. EWMA state is an integer linear form
+    (weights scaled by 4^8), so partial-agg order never changes a
+    bit. At 100 TB the daily frame is still |types| x |days| rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "n",
+        *[F.lag("n", j).over(w).alias(f"_l{j}") for j in range(1, 9)],
+    )
+    ewma = sum(
+        F.col(f"_l{j}") * F.lit(wt) for j, wt in enumerate(EWMA_WEIGHTS, start=1)
+    )
+    dev = F.col("n") * F.lit(EWMA_WSUM) - F.col("_ewma")
+    return (
+        lagged.filter(F.col("_l8").isNotNull())
+        .withColumn("_ewma", ewma.cast("long"))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("long").alias("n"),
+            F.col("_ewma").alias("ewma_num"),
+            dev.cast("long").alias("dev_num"),
+            (F.abs(dev) * 100 > F.lit(EWMA_FLAG_PCT) * F.col("_ewma"))
+            .cast("int")
+            .alias("flagged"),
+        )
+    )
+
+
+QUERIES["ewma_daily_anomaly"] = ewma_daily_anomaly
+_EWMA_TERMS = " + ".join(
+    f"l{j} * {wt}" for j, wt in enumerate(EWMA_WEIGHTS, start=1)
+)
+_EWMA_LAGS = ", ".join(f"lag(c, {j}) OVER w AS l{j}" for j in range(1, 9))
+ORACLE["ewma_daily_anomaly"] = f"""
+    WITH d AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS dday,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    l AS (
+      SELECT event_type, dday, c, {_EWMA_LAGS}
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY dday)),
+    e AS (
+      SELECT event_type, dday, c, {_EWMA_TERMS} AS ewma_num
+      FROM l WHERE l8 IS NOT NULL)
+    SELECT event_type, dday AS day, CAST(c AS BIGINT) AS n,
+           CAST(ewma_num AS BIGINT) AS ewma_num,
+           CAST(c * {EWMA_WSUM} - ewma_num AS BIGINT) AS dev_num,
+           CAST(CASE WHEN ABS(c * {EWMA_WSUM} - ewma_num) * 100
+                          > {EWMA_FLAG_PCT} * ewma_num
+                     THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity privacy audit (round 7)
+# ---------------------------------------------------------------------------
+
+K_ANON_QIDS = ("c_nationkey", "c_mktsegment")
+K_ANON_KS = (2, 10, 100, 300)  # k=2/10/100 split live at sf0.001/0.01/0.1
+
+
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifiers
+    (nation, market segment): for each candidate k, how many QID
+    equivalence classes fall below k members and how many rows those
+    classes expose — the release-gate check a privacy review runs
+    before sharing a derived table.
+
+    Shape: ONE groupBy collapses the table to its QID-class frame
+    (bounded by the QID domain product, not row count), then the
+    4-row k list joins in as a broadcast and a second tiny aggregate
+    produces the per-k report. The fact table is scanned once and
+    only (nation, segment) columns are read — at 100 TB the class
+    frame is still |nations| x |segments| rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(*K_ANON_QIDS).agg(F.count("*").alias("gsz"))
+    ks = spark.createDataFrame([(k,) for k in K_ANON_KS], "k int")
+    below = F.col("gsz") < F.col("k")
+    return (
+        classes.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum("gsz").cast("long").alias("n_rows"),
+            F.sum(below.cast("long")).alias("n_classes_below"),
+            F.coalesce(F.sum(F.when(below, F.col("gsz"))), F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.min("gsz").cast("long").alias("min_class_size"),
+        )
+        .select(
+            "k",
+            "n_classes",
+            "n_rows",
+            "n_classes_below",
+            "n_rows_at_risk",
+            "min_class_size",
+        )
+    )
+
+
+QUERIES["k_anonymity_report"] = k_anonymity_report
+ORACLE["k_anonymity_report"] = f"""
+    WITH classes AS (
+      SELECT {', '.join(K_ANON_QIDS)}, COUNT(*) AS gsz
+      FROM customer GROUP BY {', '.join(str(i + 1) for i in range(len(K_ANON_QIDS)))}),
+    ks AS (SELECT unnest([{', '.join(str(k) for k in K_ANON_KS)}]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(gsz) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN gsz < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(COALESCE(SUM(CASE WHEN gsz < k THEN gsz END), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(gsz) AS BIGINT) AS min_class_size
+    FROM classes CROSS JOIN ks
+    GROUP BY k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Signup→purchase conversion-lag curve (round 7)
+# ---------------------------------------------------------------------------
+
+
+def conversion_lag_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival-style conversion curve: for users whose first purchase
+    follows their first signup, the day-offset histogram and the
+    cumulative share of the signup cohort converted by each offset —
+    the activation-latency chart growth teams watch (KM curve with
+    no censoring beyond the corpus horizon).
+
+    Shape: two conditional aggregates collapse the fact scan to one
+    row per user (map-side combined), the purchase stream joins the
+    signup frame on user_id (one hash exchange — at 100 TB this is
+    the only data-sized shuffle), and the curve itself is a window
+    over the DAY-OFFSET histogram, whose row count is bounded by the
+    calendar. The cohort size rides a broadcast 1-row aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"), F.min("st").alias("st"))
+        .select(F.datediff(F.to_date("pt"), F.to_date("st")).alias("lag_days"))
+    )
+    hist = conv.groupBy("lag_days").agg(F.count("*").alias("n_at"))
+    cohort = signup.agg(F.count("*").alias("cohort_n"))
+    w = Window.orderBy("lag_days").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.withColumn("cum_converted", F.sum("n_at").over(w))
+        .crossJoin(F.broadcast(cohort))
+        .select(
+            F.col("lag_days").cast("int").alias("lag_days"),
+            F.col("n_at").cast("long").alias("n_at"),
+            F.col("cum_converted").cast("long").alias("cum_converted"),
+            F.col("cohort_n").cast("long").alias("cohort_n"),
+            F.expr("cum_converted * 1000000 div cohort_n").alias("conv_ppm"),
+        )
+    )
+
+
+QUERIES["conversion_lag_curve"] = conversion_lag_curve
+ORACLE["conversion_lag_curve"] = """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY 1),
+    conv AS (
+      SELECT date_diff('day', CAST(MIN(s.st) AS DATE), CAST(MIN(e.ts) AS DATE))
+               AS lag_days
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s.st
+      GROUP BY e.user_id),
+    hist AS (SELECT lag_days, COUNT(*) AS n_at FROM conv GROUP BY 1),
+    cohort AS (SELECT COUNT(*) AS cohort_n FROM s)
+    SELECT CAST(lag_days AS INT) AS lag_days,
+           CAST(n_at AS BIGINT) AS n_at,
+           CAST(SUM(n_at) OVER (ORDER BY lag_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_converted,
+           CAST(cohort_n AS BIGINT) AS cohort_n,
+           CAST(SUM(n_at) OVER (ORDER BY lag_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             * 1000000 // cohort_n AS conv_ppm
+    FROM hist CROSS JOIN cohort
+"""

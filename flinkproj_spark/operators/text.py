@@ -16,7 +16,7 @@ integer, ratios are double divisions of integers, and hashes are md5
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkproj_spark import functions as fx
@@ -2075,4 +2075,101 @@ ORACLE["vocab_prune_sweep"] = f"""
                              ELSE c * (vocab_size - cum_words_before) END) AS BIGINT))
              * 1000000 // CAST(MAX(total_tokens) AS BIGINT) AS oov_ppm
     FROM joined GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve (round 7)
+# ---------------------------------------------------------------------------
+
+VG_CHECKPOINT = 50  # docs per checkpoint (doc_id is dense at every SF)
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law audit: cumulative token count and cumulative distinct
+    unigram/bigram vocabulary at every VG_CHECKPOINT-doc prefix of the
+    corpus (doc_id order) — the curve tokenizer planners read to pick
+    vocab budgets and to see whether a crawl is still yielding new
+    types or has saturated.
+
+    Shape: new-type attribution is NOT a running set — each term's
+    FIRST doc is a min() aggregate, so the scan collapses to (term,
+    first_bucket) with map-side combine and the cumulative sums run as
+    a window over the checkpoint frame (|corpus|/50 rows), never over
+    terms. Three tiny frames (tokens/unigrams/bigrams per bucket)
+    merge on the checkpoint key. At 100 TB the window input is still
+    only n_docs/50 rows; no global sort of anything data-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.transform(_words(), lambda w: F.lower(w))
+    bucket = (F.col("doc_id") / VG_CHECKPOINT).cast("long") + 1  # cp index
+    base = docs.select("doc_id", words.alias("ws")).withColumn("cp", bucket)
+
+    toks = base.groupBy("cp").agg(F.sum(F.size("ws")).alias("b_tokens"))
+
+    uni_first = (
+        base.select("cp", F.explode("ws").alias("t"))
+        .groupBy("t")
+        .agg(F.min("cp").alias("cp"))
+        .groupBy("cp")
+        .agg(F.count("*").alias("b_uni"))
+    )
+    m = F.greatest(F.size("ws") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice("ws", 1, m), F.slice("ws", 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi_first = (
+        base.select("cp", F.explode(bigrams).alias("t"))
+        .groupBy("t")
+        .agg(F.min("cp").alias("cp"))
+        .groupBy("cp")
+        .agg(F.count("*").alias("b_bi"))
+    )
+    w = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        toks.join(uni_first, "cp", "left")
+        .join(bi_first, "cp", "left")
+        .select(
+            "cp",
+            F.coalesce("b_tokens", F.lit(0)).alias("b_tokens"),
+            F.coalesce("b_uni", F.lit(0)).alias("b_uni"),
+            F.coalesce("b_bi", F.lit(0)).alias("b_bi"),
+        )
+        .select(
+            (F.col("cp") * VG_CHECKPOINT).cast("long").alias("docs_seen"),
+            F.sum("b_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("b_uni").over(w).cast("long").alias("cum_unigrams"),
+            F.sum("b_bi").over(w).cast("long").alias("cum_bigrams"),
+        )
+    )
+
+
+QUERIES["vocab_growth_curve"] = vocab_growth_curve
+_VG_WORDS = f"list_transform({_WORDS_SQL}, w -> lower(w))"
+ORACLE["vocab_growth_curve"] = f"""
+    WITH base AS (
+      SELECT doc_id // {VG_CHECKPOINT} + 1 AS cp, {_VG_WORDS} AS ws
+      FROM documents),
+    toks AS (SELECT cp, SUM(len(ws)) AS b_tokens FROM base GROUP BY 1),
+    uni AS (
+      SELECT cp, COUNT(*) AS b_uni FROM (
+        SELECT t, MIN(cp) AS cp
+        FROM (SELECT cp, unnest(ws) AS t FROM base) GROUP BY 1)
+      GROUP BY 1),
+    bi AS (
+      SELECT cp, COUNT(*) AS b_bi FROM (
+        SELECT t, MIN(cp) AS cp FROM (
+          SELECT cp, ws[i] || ' ' || ws[i + 1] AS t
+          FROM (SELECT cp, ws, unnest(range(1, len(ws))) AS i FROM base))
+        GROUP BY 1)
+      GROUP BY 1)
+    SELECT CAST(t.cp * {VG_CHECKPOINT} AS BIGINT) AS docs_seen,
+           CAST(SUM(t.b_tokens) OVER cw AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(u.b_uni, 0)) OVER cw AS BIGINT) AS cum_unigrams,
+           CAST(SUM(COALESCE(b.b_bi, 0)) OVER cw AS BIGINT) AS cum_bigrams
+    FROM toks t
+    LEFT JOIN uni u ON u.cp = t.cp
+    LEFT JOIN bi b ON b.cp = t.cp
+    WINDOW cw AS (ORDER BY t.cp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """

@@ -63,6 +63,7 @@ _PRIORITY_KEYS = (
     "detokenize_roundtrip",  # never checked
     "pareto_frontier",  # never checked
     "quality_drift_by_source",  # never checked
+    "vocab_growth_curve",  # never checked
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
     "packing_efficiency_report",  # never checked
@@ -72,6 +73,9 @@ _PRIORITY_KEYS = (
     "event_transition_matrix",  # never checked
     "label_propagation",  # never checked
     "cms_heavy_hitters",  # never checked
+    "ewma_daily_anomaly",  # never checked
+    "k_anonymity_report",  # never checked
+    "conversion_lag_curve",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -88,10 +92,6 @@ _PRIORITY_KEYS = (
     "explode_data",  # last green r4
     "dim_join",  # last green r4
     "enrich_serialize",  # last green r4
-    "ts_parse",  # last green r4
-    "filter_valid",  # last green r4
-    "format_tsv",  # last green r4
-    "window_count",  # last green r4
 )
 
 

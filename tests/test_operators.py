@@ -2025,3 +2025,152 @@ def test_cep_matcher_equals_python_state_machine(spark, sf_dir):
     )
     assert got == sorted(want) and len(got) > 0
     assert n_expired > 0, "expiry branch never fired — widen the corpus window"
+
+
+def test_ewma_daily_anomaly_matches_python_recursion(spark, sf_dir):
+    """The truncated-EWMA linear form must equal a direct Python
+    recomputation of the weighted lag sum per (type, day), and the
+    20% flag must split live (both flagged and unflagged rows)."""
+    from flinkproj_spark.operators.analytic import (
+        EWMA_FLAG_PCT,
+        EWMA_WEIGHTS,
+        EWMA_WSUM,
+        ewma_daily_anomaly,
+    )
+
+    assert sum(EWMA_WEIGHTS) == EWMA_WSUM == 4**8 - 3**8
+    daily: dict[str, dict[str, int]] = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .count()
+        .collect()
+    ):
+        daily.setdefault(r.event_type, {})[r.day] = r["count"]
+    want = {}
+    for et, by_day in daily.items():
+        days = sorted(by_day)
+        for i, d in enumerate(days):
+            if i < 8:
+                continue
+            ew = sum(
+                by_day[days[i - j]] * w
+                for j, w in enumerate(EWMA_WEIGHTS, start=1)
+            )
+            n = by_day[d]
+            want[(et, d)] = (
+                n,
+                ew,
+                n * EWMA_WSUM - ew,
+                int(abs(n * EWMA_WSUM - ew) * 100 > EWMA_FLAG_PCT * ew),
+            )
+    got = {
+        (r.event_type, r.day): (r.n, r.ewma_num, r.dev_num, r.flagged)
+        for r in ewma_daily_anomaly(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    flags = {v[3] for v in got.values()}
+    assert flags == {0, 1}, "flag must split live on this corpus"
+
+
+def test_k_anonymity_report_matches_python(spark, sf_dir):
+    """Per-k class/row tallies must equal a Python recount of the QID
+    equivalence classes, and at least one k must be non-degenerate
+    (some classes below, some not)."""
+    from collections import Counter
+
+    from flinkproj_spark.operators.analytic import (
+        K_ANON_KS,
+        K_ANON_QIDS,
+        k_anonymity_report,
+    )
+
+    sizes = Counter(
+        tuple(r[q] for q in K_ANON_QIDS)
+        for r in load_table(spark, sf_dir, "customer").select(*K_ANON_QIDS).collect()
+    )
+    got = {r.k: r for r in k_anonymity_report(spark, sf_dir).collect()}
+    assert set(got) == set(K_ANON_KS)
+    split_seen = False
+    for k in K_ANON_KS:
+        below = [g for g in sizes.values() if g < k]
+        r = got[k]
+        assert r.n_classes == len(sizes)
+        assert r.n_rows == sum(sizes.values())
+        assert r.n_classes_below == len(below)
+        assert r.n_rows_at_risk == sum(below)
+        assert r.min_class_size == min(sizes.values())
+        if 0 < len(below) < len(sizes):
+            split_seen = True
+    assert split_seen, "every k is degenerate — retune K_ANON_KS"
+
+
+def test_vocab_growth_curve_matches_python_prefixes(spark, sf_dir):
+    """Each checkpoint row must equal a Python recount over the exact
+    doc_id prefix, the curve must be monotone, and the bigram column
+    must still be growing at the end (unigrams saturate at 31 on this
+    corpus — bigrams carry the liveness)."""
+    from flinkproj_spark.operators.text import VG_CHECKPOINT, vocab_growth_curve
+
+    docs = {
+        r.doc_id: [w for w in r.text.lower().split(" ") if w != ""]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n_docs = max(docs) + 1
+    got = sorted(
+        (r.docs_seen, r.cum_tokens, r.cum_unigrams, r.cum_bigrams)
+        for r in vocab_growth_curve(spark, sf_dir).collect()
+    )
+    assert [g[0] for g in got] == list(
+        range(VG_CHECKPOINT, n_docs + 1, VG_CHECKPOINT)
+    )
+    for docs_seen, cum_tokens, cum_uni, cum_bi in got:
+        ws = [docs[d] for d in range(docs_seen) if d in docs]
+        assert cum_tokens == sum(len(w) for w in ws)
+        assert cum_uni == len({t for w in ws for t in w})
+        assert cum_bi == len(
+            {" ".join(w[i : i + 2]) for w in ws for i in range(len(w) - 1)}
+        )
+    assert got[-1][3] > got[0][3], "bigram vocab must still grow"
+
+
+def test_conversion_lag_curve_matches_python(spark, sf_dir):
+    """Curve rows must equal a Python replay of first-signup →
+    first-subsequent-purchase per user, and the cohort must split
+    live (some converted, some not)."""
+    from collections import Counter
+
+    from flinkproj_spark.operators.analytic import conversion_lag_curve
+
+    st: dict[int, object] = {}
+    purchases: dict[int, list] = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect():
+        if r.event_type == "signup":
+            if r.user_id not in st or r.ts < st[r.user_id]:
+                st[r.user_id] = r.ts
+        elif r.event_type == "purchase":
+            purchases.setdefault(r.user_id, []).append(r.ts)
+    lags = Counter()
+    for u, s in st.items():
+        after = [t for t in purchases.get(u, []) if t >= s]
+        if after:
+            lags[(min(after).date() - s.date()).days] += 1
+    got = sorted(
+        (r.lag_days, r.n_at, r.cum_converted, r.cohort_n, r.conv_ppm)
+        for r in conversion_lag_curve(spark, sf_dir).collect()
+    )
+    assert [(g[0], g[1]) for g in got] == sorted(lags.items())
+    cum = 0
+    for lag_days, n_at, cum_converted, cohort_n, conv_ppm in got:
+        cum += n_at
+        assert cum_converted == cum
+        assert cohort_n == len(st)
+        assert conv_ppm == cum * 1_000_000 // len(st)
+    # sf0.001's tiny cohort converts fully — liveness is the curve's
+    # spread across day offsets, not a partial cohort.
+    assert 0 < cum <= len(st) and len(got) >= 2

@@ -1035,3 +1035,56 @@ def test_shipping_lag_windows_only_the_histogram(spark, sf_dir):
         "HashAggregate" in ln for ln in lines[win_at:join_at]
     )
     assert win_at < join_at and agg_between
+
+
+def test_ewma_window_runs_over_daily_aggregate(spark, sf_dir):
+    """ewma_daily_anomaly's lag window must run over the per-day
+    aggregate (HashAggregate below the Window), be partitioned by
+    event_type (never a global sort), and stay JVM-side."""
+    from flinkproj_spark.operators.analytic import ewma_daily_anomaly
+
+    plan = _plan(ewma_daily_anomaly(spark, sf_dir))
+    lines = plan.splitlines()
+    win_at = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert "event_type" in lines[win_at]  # partitioned window
+    assert any("HashAggregate" in ln for ln in lines[win_at:])
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_k_anonymity_broadcasts_the_k_list(spark, sf_dir):
+    """k_anonymity_report must broadcast the 4-row k frame against the
+    QID-class aggregate — one scan of customer, no shuffle join, no
+    sort anywhere."""
+    from flinkproj_spark.operators.analytic import k_anonymity_report
+
+    plan = _plan(k_anonymity_report(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("customer.parquet") == 1  # one scan of the fact table
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_growth_window_runs_over_checkpoint_frame(spark, sf_dir):
+    """vocab_growth_curve's cumulative window must consume the
+    checkpoint aggregates (HashAggregate below the Window) and never
+    Python; term frames reach the join pre-aggregated."""
+    from flinkproj_spark.operators.text import vocab_growth_curve
+
+    plan = _plan(vocab_growth_curve(spark, sf_dir))
+    lines = plan.splitlines()
+    win_at = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert any("HashAggregate" in ln for ln in lines[win_at:])
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_conversion_lag_joins_once_windows_histogram(spark, sf_dir):
+    """conversion_lag_curve: exactly one user-keyed fact join; the
+    cumulative window consumes the day-offset histogram (aggregate
+    below it), and the cohort scalar arrives broadcast."""
+    from flinkproj_spark.operators.analytic import conversion_lag_curve
+
+    plan = _plan(conversion_lag_curve(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cohort scalar
+    lines = plan.splitlines()
+    win_at = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    assert any("HashAggregate" in ln for ln in lines[win_at:])
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -48,6 +48,8 @@ WHITELIST: dict[str, dict[str, str]] = {
     "quality_rank_per_lang": {"GLOBAL_WIN": "per-(lang) offset frame, bucket-bounded"},
     "quality_threshold_sweep": {"GLOBAL_WIN": "threshold-grid frame (bounded)"},
     "vocab_prune_sweep": {"GLOBAL_WIN": "count-of-counts histogram frame (distinct-frequency-bounded)"},
+    "vocab_growth_curve": {"GLOBAL_WIN": "checkpoint frame (n_docs/50 rows)"},
+    "conversion_lag_curve": {"GLOBAL_WIN": "day-offset histogram (calendar-bounded)"},
     # rank-of-a-top-k: the window runs AFTER .limit(k) — k rows by
     # construction, never corpus rows.
     "key_skew_profile": {"GLOBAL_WIN": "ranks the limit-20 heavy-hitter frame"},
