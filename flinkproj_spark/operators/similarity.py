@@ -2231,3 +2231,127 @@ ORACLE["hard_negative_mining"] = f"""
     FROM negs n JOIN pos p USING (query_id)
     WHERE n.rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (round 7)
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (16, 32)  # truncation budgets evaluated against full DIM
+
+
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation audit: brute-force top-k recall of
+    PREFIX-truncated embeddings (16 and 32 of 64 dims) against the
+    full-dimension ranking — the measurement that decides whether a
+    cheaper truncated index (2-4x less memory and bandwidth) is good
+    enough to serve retrieval from.
+
+    Shape: one quantized scan feeds all three rankings; each ranking
+    is the ann_topk_brute plan (query vectors broadcast against the
+    corpus — the corpus never shuffles), and the overlap join runs on
+    the (query, vec) pairs of two TOP-K frames (k*|queries| rows —
+    trivially small at any corpus size). Cosine stays exact: integer
+    dot products over the quantized prefix, one final rounded double.
+    Recall varies 0-5/5 on this corpus (probed live — 16-dim is
+    near-random, 32-dim recovers ~half).
+    """
+    base = _quantized(spark, sf_dir)
+
+    def topk(qcol, d: int) -> DataFrame:
+        from pyspark.sql import Window
+
+        frame = base.select(
+            "vec_id",
+            qcol.alias("qd"),
+        ).withColumn("nd", F.sqrt(_dot("qd", "qd").cast("double")))
+        queries = frame.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qd").alias("qv"),
+            F.col("nd").alias("qnorm"),
+        )
+        scored = (
+            frame.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(
+                    _dot("qd", "qv").cast("double") / (F.col("nd") * F.col("qnorm")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    full = topk(F.col("q"), DIM)
+    out = None
+    for d in MRL_DIMS:
+        hits = (
+            topk(F.slice("q", 1, d), d)
+            .join(full, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("hits"))
+        )
+        per_dim = (
+            full.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(d).alias("dim"),
+                "query_id",
+                F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+                (F.coalesce("hits", F.lit(0)) * 1000000 / F.lit(TOP_K))
+                .cast("long")
+                .alias("recall_ppm"),
+            )
+        )
+        out = per_dim if out is None else out.unionByName(per_dim)
+    return out
+
+
+QUERIES["embedding_matryoshka_eval"] = embedding_matryoshka_eval
+
+
+def _mrl_topk_sql(d: int) -> str:
+    qd = f"(q[1:{d}])"
+    dot = f"list_sum(list_transform(range(1, {d} + 1), i -> b.qd[i] * q2.qd[i]))"
+    return f"""
+        SELECT query_id, vec_id FROM (
+          SELECT q2.vec_id AS query_id, b.vec_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q2.vec_id
+                   ORDER BY ROUND(CAST({dot} AS DOUBLE) / (b.nd * q2.nd), 6)
+                              DESC, b.vec_id) AS rank
+          FROM sl{d} b JOIN sl{d} q2
+            ON q2.vec_id < {N_QUERIES} AND b.vec_id <> q2.vec_id)
+        WHERE rank <= {TOP_K}"""
+
+
+def _mrl_slice_sql(d: int) -> str:
+    qd = f"(q[1:{d}])"
+    norm = f"sqrt(CAST(list_sum(list_transform(range(1, {d} + 1), i -> {qd}[i] * {qd}[i])) AS DOUBLE))"
+    return f"SELECT vec_id, q[1:{d}] AS qd, {norm} AS nd FROM base"
+
+
+ORACLE["embedding_matryoshka_eval"] = f"""
+    WITH base AS (SELECT vec_id, {_QUANT_SQL} AS q FROM embeddings),
+    {", ".join(f"sl{d} AS ({_mrl_slice_sql(d)})" for d in (*MRL_DIMS, DIM))},
+    full_k AS ({_mrl_topk_sql(DIM)}),
+    {", ".join(f"top{d} AS ({_mrl_topk_sql(d)})" for d in MRL_DIMS)},
+    qs AS (SELECT DISTINCT query_id FROM full_k)
+    {" UNION ALL ".join(f'''
+    SELECT {d} AS dim, qs.query_id,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+           CAST(COALESCE(h.hits, 0) * 1000000 // {TOP_K} AS BIGINT) AS recall_ppm
+    FROM qs LEFT JOIN (
+      SELECT t.query_id, COUNT(*) AS hits
+      FROM top{d} t JOIN full_k f
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      GROUP BY 1) h ON h.query_id = qs.query_id''' for d in MRL_DIMS)}
+"""

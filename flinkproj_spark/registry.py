@@ -51,11 +51,13 @@ _PRIORITY_KEYS = (
     "source_jaccard_matrix",  # never checked
     "split_leakage_report",  # never checked
     "link_prediction_jaccard",  # never checked
+    "graph_modularity_report",  # never checked
     "hard_negative_mining",  # never checked
     "semdedup_greedy_keep",  # never checked
     "kcenter_coreset",  # never checked
     "embedding_top_component",  # never checked
     "kmeans_lloyd",  # never checked
+    "embedding_matryoshka_eval",  # never checked
     "vocab_prune_sweep",  # never checked
     "bpe_learn_merges",  # never checked
     "quality_calibration_curve",  # never checked
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "zorder_layout",  # last green r3
     "json_extract",  # last green r4
     "explode_data",  # last green r4
-    "dim_join",  # last green r4
-    "enrich_serialize",  # last green r4
 )
 
 

@@ -2174,3 +2174,78 @@ def test_conversion_lag_curve_matches_python(spark, sf_dir):
     # sf0.001's tiny cohort converts fully — liveness is the curve's
     # spread across day offsets, not a partial cohort.
     assert 0 < cum <= len(st) and len(got) >= 2
+
+
+def test_matryoshka_recall_monotone_and_live(spark, sf_dir):
+    """Truncated-dim recall must (a) match a Python brute-force replay
+    and (b) split live — 16-dim strictly worse than 32-dim on average,
+    neither saturated at 0 nor 5 everywhere."""
+    from flinkproj_spark.operators.similarity import (
+        MRL_DIMS,
+        N_QUERIES,
+        TOP_K,
+        embedding_matryoshka_eval,
+    )
+
+    # floor(x*1000+0.5) in pure python, matching the quantizer:
+    import math
+
+    vecs = {
+        r.vec_id: [int(math.floor(x * 1000.0 + 0.5)) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def topk(d):
+        out = {}
+        for qid in range(N_QUERIES):
+            qv = vecs[qid][:d]
+            qn = math.sqrt(sum(v * v for v in qv))
+            scored = []
+            for vid, v in vecs.items():
+                if vid == qid:
+                    continue
+                vv = v[:d]
+                nn = math.sqrt(sum(x * x for x in vv))
+                cos = round(sum(a * b for a, b in zip(qv, vv)) / (nn * qn), 6)
+                scored.append((-cos, vid))
+            scored.sort()
+            out[qid] = {vid for _, vid in scored[:TOP_K]}
+        return out
+
+    full = topk(64)
+    got = {
+        (r.dim, r.query_id): (r.hits, r.recall_ppm)
+        for r in embedding_matryoshka_eval(spark, sf_dir).collect()
+    }
+    assert len(got) == len(MRL_DIMS) * N_QUERIES
+    means = {}
+    for d in MRL_DIMS:
+        tk = topk(d)
+        for qid in range(N_QUERIES):
+            hits = len(tk[qid] & full[qid])
+            assert got[(d, qid)] == (hits, hits * 1_000_000 // TOP_K)
+        means[d] = sum(got[(d, q)][0] for q in range(N_QUERIES))
+    assert means[16] < means[32], "truncation must cost recall monotonically"
+    assert 0 < means[32] < N_QUERIES * TOP_K, "32-dim must be partial, not saturated"
+
+
+def test_graph_modularity_identities(spark, sf_dir):
+    """Per-source rows must satisfy the modularity identities:
+    sum(deg_sum) = 2m, sum(in_edges) = intra-edge total, q_ppm =
+    q_num_e6 // (4 m^2), and the source partition must cut the graph
+    (cross-source edges exist → sum(in_edges) < m)."""
+    from flinkproj_spark.operators.dedup import graph_modularity_report
+
+    rows = graph_modularity_report(spark, sf_dir).collect()
+    assert rows
+    m = rows[0].m_edges
+    assert all(r.m_edges == m for r in rows)
+    assert sum(r.deg_sum for r in rows) == 2 * m
+    assert sum(r.in_edges for r in rows) < m, "partition must cut edges"
+    for r in rows:
+        assert r.q_num_e6 == (4 * m * r.in_edges - r.deg_sum**2) * 1_000_000
+        num = r.q_num_e6
+        den = 4 * m * m
+        t = abs(num) // den
+        assert r.q_ppm == (t if num >= 0 else -t), "div must truncate toward zero"
+    assert any(r.q_ppm < 0 for r in rows), "negative contributions must be live"

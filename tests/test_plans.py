@@ -1088,3 +1088,27 @@ def test_conversion_lag_joins_once_windows_histogram(spark, sf_dir):
     win_at = next(i for i, ln in enumerate(lines) if "Window" in ln)
     assert any("HashAggregate" in ln for ln in lines[win_at:])
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_matryoshka_corpus_never_shuffles(spark, sf_dir):
+    """All three rankings must broadcast the query vectors — the only
+    exchanges are the per-query top-k windows and the tiny overlap
+    joins; the embeddings scan itself never hash-repartitions."""
+    from flinkproj_spark.operators.similarity import embedding_matryoshka_eval
+
+    plan = _plan(embedding_matryoshka_eval(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 3  # one per ranking
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_modularity_scalar_m_is_broadcast(spark, sf_dir):
+    """graph_modularity_report: the 1-row edge-count total must reach
+    the per-source frame as a broadcast, and the text column must not
+    appear anywhere in the plan (only doc_id/source shuffle)."""
+    from flinkproj_spark.operators.dedup import graph_modularity_report
+
+    plan = _plan(graph_modularity_report(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line
