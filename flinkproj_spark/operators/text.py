@@ -2173,3 +2173,137 @@ ORACLE["vocab_growth_curve"] = f"""
     LEFT JOIN bi b ON b.cp = t.cp
     WINDOW cw AS (ORDER BY t.cp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram model + serving artifact (round 7)
+# ---------------------------------------------------------------------------
+
+
+def kn_bigram_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities with absolute
+    discount D = 1/2, exact: p_kn(w2|w1) = (c(w1w2)-D)+/c(w1.) +
+    D*N1+(w1.)/c(w1.) * N1+(.w2)/N1+(..). Multiplying through by the
+    common denominator 2*c(w1.)*N1+(..) keeps every term BIGINT:
+    num = (2c-1)+ * N1+(..) + N1+(w1.) * N1+(.w2). The smoothed LM
+    completes the scoring family (unigram/bigram MLE already
+    registered) with the estimator production n-gram models use.
+
+    Shape: ONE tokenized scan feeds the bigram counts; follower/
+    predecessor type counts and the global type total are aggregates
+    OF that bigram frame (vocabulary-sized, tiny), joined back on the
+    word keys; the type total rides a broadcast 1-row aggregate. At
+    100 TB the only data-sized stage is the first bigram groupBy —
+    map-side combined, vocabulary² keys at most."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = F.transform(_words(), lambda w: F.lower(w))
+    m = F.greatest(F.size(words) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, m), F.slice(words, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    big = (
+        docs.filter(F.size(words) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .withColumn("w1", F.split("bigram", " ").getItem(0))
+        .withColumn("w2", F.split("bigram", " ").getItem(1))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n_follow")
+    )
+    prec = big.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    types = big.agg(F.count("*").alias("n_types"))
+    return (
+        big.join(ctx, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("n_follow").cast("long").alias("n_follow"),
+            F.col("n_prec").cast("long").alias("n_prec"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.expr(
+                "(greatest(2 * c_ab - 1, 0) * n_types + n_follow * n_prec)"
+                " * 1000000 div (2 * c_a * n_types)"
+            ).alias("pkn_ppm"),
+        )
+    )
+
+
+QUERIES["kn_bigram_smoothed"] = kn_bigram_smoothed
+_KN_BIGRAMS = f"""
+      SELECT ws[i] || ' ' || ws[i + 1] AS bigram, COUNT(*) AS c_ab
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+            FROM (SELECT {_VG_WORDS} AS ws FROM documents))
+      GROUP BY 1"""
+ORACLE["kn_bigram_smoothed"] = f"""
+    WITH big AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2, c_ab
+      FROM ({_KN_BIGRAMS})),
+    ctx AS (SELECT w1, SUM(c_ab) AS c_a, COUNT(*) AS n_follow FROM big GROUP BY 1),
+    prec AS (SELECT w2, COUNT(*) AS n_prec FROM big GROUP BY 1),
+    types AS (SELECT COUNT(*) AS n_types FROM big)
+    SELECT b.w1, b.w2,
+           CAST(b.c_ab AS BIGINT) AS c_ab,
+           CAST(c.c_a AS BIGINT) AS c_a,
+           CAST(c.n_follow AS BIGINT) AS n_follow,
+           CAST(p.n_prec AS BIGINT) AS n_prec,
+           CAST(t.n_types AS BIGINT) AS n_types,
+           CAST((GREATEST(2 * b.c_ab - 1, 0) * t.n_types
+                 + c.n_follow * p.n_prec) * 1000000
+                // (2 * c.c_a * t.n_types) AS BIGINT) AS pkn_ppm
+    FROM big b JOIN ctx c USING (w1) JOIN prec p USING (w2)
+    CROSS JOIN types t
+"""
+
+
+def next_word_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete serving artifact: for every context word, the top-3
+    followers by bigram count (ties by word) with their conditional
+    probability — the lookup table an inline-suggest service loads.
+
+    Shape: the ranking window is partitioned by the CONTEXT WORD over
+    the vocabulary-sized bigram-count frame — never corpus rows; Zipf
+    skew of the context key is bounded by the follower vocabulary.
+    """
+    big = (
+        kn_bigram_smoothed(spark, sf_dir)
+        .select("w1", "w2", "c_ab", "c_a")
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("c_ab").desc(), "w2")
+    return (
+        big.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "w1",
+            F.col("rank").cast("int").alias("rank"),
+            "w2",
+            "c_ab",
+            F.expr("c_ab * 1000000 div c_a").alias("p_mle_ppm"),
+        )
+    )
+
+
+QUERIES["next_word_suggest"] = next_word_suggest
+ORACLE["next_word_suggest"] = f"""
+    WITH big AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2, c_ab
+      FROM ({_KN_BIGRAMS})),
+    ctx AS (SELECT w1, SUM(c_ab) AS c_a FROM big GROUP BY 1),
+    r AS (
+      SELECT b.w1, b.w2, b.c_ab, c.c_a,
+             ROW_NUMBER() OVER (PARTITION BY b.w1
+                                ORDER BY b.c_ab DESC, b.w2) AS rank
+      FROM big b JOIN ctx c USING (w1))
+    SELECT w1, CAST(rank AS INT) AS rank, w2,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(c_ab * 1000000 // c_a AS BIGINT) AS p_mle_ppm
+    FROM r WHERE rank <= 3
+"""

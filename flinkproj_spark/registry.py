@@ -66,6 +66,8 @@ _PRIORITY_KEYS = (
     "pareto_frontier",  # never checked
     "quality_drift_by_source",  # never checked
     "vocab_growth_curve",  # never checked
+    "kn_bigram_smoothed",  # never checked
+    "next_word_suggest",  # never checked
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
     "packing_efficiency_report",  # never checked
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "pagerank_fixed",  # last green r3
     "chi2_lang_source",  # last green r3
     "zorder_layout",  # last green r3
-    "json_extract",  # last green r4
-    "explode_data",  # last green r4
 )
 
 

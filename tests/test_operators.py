@@ -2249,3 +2249,75 @@ def test_graph_modularity_identities(spark, sf_dir):
         t = abs(num) // den
         assert r.q_ppm == (t if num >= 0 else -t), "div must truncate toward zero"
     assert any(r.q_ppm < 0 for r in rows), "negative contributions must be live"
+
+
+def test_kn_bigram_mass_sums_to_one(spark, sf_dir):
+    """Kneser-Ney sanity: for every context w1, the EXACT probability
+    mass (observed rows as reported + the interpolated backoff mass of
+    unseen followers, recomputed with Fractions) must sum to exactly 1
+    — the property that distinguishes KN from an ad-hoc discount."""
+    from fractions import Fraction
+
+    from flinkproj_spark.operators.text import kn_bigram_smoothed
+
+    rows = kn_bigram_smoothed(spark, sf_dir).collect()
+    assert rows
+    by_ctx: dict[str, list] = {}
+    prec = {}
+    for r in rows:
+        by_ctx.setdefault(r.w1, []).append(r)
+        prec[r.w2] = r.n_prec
+    n_types = rows[0].n_types
+    assert n_types == len(rows)
+    for w1, rs in by_ctx.items():
+        c_a, n_follow = rs[0].c_a, rs[0].n_follow
+        assert len(rs) == n_follow
+        seen = {r.w2 for r in rs}
+        mass = sum(
+            Fraction(max(2 * r.c_ab - 1, 0), 2 * c_a)
+            + Fraction(n_follow, 2 * c_a) * Fraction(r.n_prec, n_types)
+            for r in rs
+        )
+        unseen = sum(
+            Fraction(n_follow, 2 * c_a) * Fraction(np, n_types)
+            for w2, np in prec.items()
+            if w2 not in seen
+        )
+        assert mass + unseen == 1, (w1, float(mass + unseen))
+        # reported ppm is the floor of the exact rational:
+        for r in rs:
+            exact = Fraction(max(2 * r.c_ab - 1, 0), 2 * c_a) + Fraction(
+                n_follow, 2 * c_a
+            ) * Fraction(r.n_prec, n_types)
+            assert r.pkn_ppm == (exact.numerator * 1_000_000) // exact.denominator
+
+
+def test_next_word_suggest_is_true_top3(spark, sf_dir):
+    """Every context's suggestions must be its 3 highest-count
+    followers (count desc, word asc) with MLE ppm, per a Python
+    recount of the bigram table."""
+    from collections import Counter
+
+    from flinkproj_spark.operators.text import next_word_suggest
+
+    big = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        ws = [w for w in r.text.lower().split(" ") if w != ""]
+        for i in range(len(ws) - 1):
+            big[(ws[i], ws[i + 1])] += 1
+    ctx_tot = Counter()
+    followers: dict[str, list] = {}
+    for (w1, w2), c in big.items():
+        ctx_tot[w1] += c
+        followers.setdefault(w1, []).append((-c, w2))
+    got: dict[str, list] = {}
+    for r in next_word_suggest(spark, sf_dir).collect():
+        got.setdefault(r.w1, []).append((r.rank, r.w2, r.c_ab, r.p_mle_ppm))
+    assert set(got) == set(followers)
+    for w1, fl in followers.items():
+        fl.sort()
+        want = [
+            (i + 1, w2, -negc, (-negc) * 1_000_000 // ctx_tot[w1])
+            for i, (negc, w2) in enumerate(fl[:3])
+        ]
+        assert sorted(got[w1]) == want
