@@ -1963,3 +1963,242 @@ ORACLE["conversion_lag_curve"] = """
              * 1000000 // cohort_n AS conv_ppm
     FROM hist CROSS JOIN cohort
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact OLS monthly trend fit (round 7)
+# ---------------------------------------------------------------------------
+
+
+def ols_trend_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer OLS trend fit of monthly revenue (cents) against
+    the month index: per month, the observed revenue, the fitted value
+    from the least-squares line, and the residual — the trend/seasonal
+    decomposition primitive a forecasting pipeline starts from. The
+    partial trailing month surfaces as a huge negative residual, which
+    is exactly the data-quality signal the residual column is for.
+
+    All arithmetic is exact: slope = num/den is carried as a BIGINT
+    rational (num = n*Sdxdy - Sdx*Sdy, den = n*Sdxdx - Sdx^2), and the
+    fitted value is the single truncating division
+    (den*Sdy + num*(n*dx - Sdx)) div (n*den) + cy over DECIMAL(38,0)
+    products (Spark `div` on decimals truncates toward zero exactly
+    like DuckDB HUGEINT //; its LONG result is safe because the
+    quotient is a monthly-revenue-sized number). Covariance is
+    shift-invariant, so both x and y are first pivoted by their
+    integer floor-means — at 100 TB the deviation sums stay bounded by
+    n*max_deviation instead of n*max_value, which is what keeps the
+    products inside 128-bit no matter how many months or how large the
+    revenue.
+
+    Shape: ONE data-sized pass (map-side-combined groupBy month on two
+    read columns); everything after operates on the months frame
+    (80 rows here, thousands at most ever) with 1-row broadcast
+    pivots/statistics — no second scan, no driver loop.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_ym"),
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 12
+            + F.month("o_orderdate")
+            - 1
+        )
+        .cast("long")
+        .alias("mi"),
+    ).agg(F.sum(_cents("o_totalprice")).alias("rev_c"))
+    pivots = monthly.agg(
+        F.count("*").alias("n"),
+        F.expr("sum(mi) div count(*)").alias("cx"),
+        F.expr("sum(rev_c) div count(*)").alias("cy"),
+    )
+    dev = monthly.crossJoin(F.broadcast(pivots)).select(
+        "month_ym", "mi", "rev_c", "n", "cx", "cy",
+        (F.col("mi") - F.col("cx")).alias("dx"),
+        (F.col("rev_c") - F.col("cy")).alias("dy"),
+    )
+    stats = dev.groupBy("n", "cy").agg(
+        F.sum("dx").alias("sdx"),
+        F.sum("dy").alias("sdy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sdxdy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sdxdx"),
+    ).select(
+        "n", "cy", "sdx", "sdy",
+        (F.col("n") * F.col("sdxdy") - F.col("sdx") * F.col("sdy")).alias(
+            "slope_num"
+        ),
+        (F.col("n") * F.col("sdxdx") - F.col("sdx") * F.col("sdx")).alias(
+            "slope_den"
+        ),
+    )
+    fitted = (
+        "cy + CAST((CAST(slope_den AS DECIMAL(38,0)) * CAST(sdy AS DECIMAL(38,0))"
+        " + CAST(slope_num AS DECIMAL(38,0))"
+        "   * CAST(n * dx - sdx AS DECIMAL(38,0)))"
+        " div (CAST(n AS DECIMAL(38,0)) * CAST(slope_den AS DECIMAL(38,0)))"
+        " AS BIGINT)"
+    )
+    return (
+        dev.select("month_ym", "mi", "rev_c", "dx")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "month_ym",
+            F.col("mi").cast("long").alias("mi"),
+            F.col("rev_c").cast("long").alias("rev_c"),
+            F.expr(fitted).alias("fitted_c"),
+            (F.col("rev_c") - F.expr(fitted)).cast("long").alias("resid_c"),
+            F.col("n").cast("long").alias("n"),
+            F.col("slope_num").cast("long").alias("slope_num"),
+            F.col("slope_den").cast("long").alias("slope_den"),
+            F.expr("slope_num div slope_den").alias("slope_c_per_month"),
+        )
+    )
+
+
+QUERIES["ols_trend_monthly"] = ols_trend_monthly
+ORACLE["ols_trend_monthly"] = """
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month_ym,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2),
+    pivots AS (
+      SELECT COUNT(*) AS n, SUM(mi) // COUNT(*) AS cx,
+             SUM(rev_c) // COUNT(*) AS cy
+      FROM monthly),
+    dev AS (
+      SELECT m.*, p.n, p.cx, p.cy, m.mi - p.cx AS dx, m.rev_c - p.cy AS dy
+      FROM monthly m CROSS JOIN pivots p),
+    stats AS (
+      SELECT n, cy, SUM(dx) AS sdx, SUM(dy) AS sdy,
+             n * SUM(dx * dy) - SUM(dx) * SUM(dy) AS slope_num,
+             n * SUM(dx * dx) - SUM(dx) * SUM(dx) AS slope_den
+      FROM dev GROUP BY 1, 2)
+    SELECT d.month_ym,
+           CAST(d.mi AS BIGINT) AS mi,
+           CAST(d.rev_c AS BIGINT) AS rev_c,
+           CAST(s.cy + (CAST(s.slope_den AS HUGEINT) * s.sdy
+                        + CAST(s.slope_num AS HUGEINT) * (s.n * d.dx - s.sdx))
+                       // (CAST(s.n AS HUGEINT) * s.slope_den) AS BIGINT)
+             AS fitted_c,
+           CAST(d.rev_c - (s.cy + (CAST(s.slope_den AS HUGEINT) * s.sdy
+                        + CAST(s.slope_num AS HUGEINT) * (s.n * d.dx - s.sdx))
+                       // (CAST(s.n AS HUGEINT) * s.slope_den)) AS BIGINT)
+             AS resid_c,
+           CAST(s.n AS BIGINT) AS n,
+           CAST(s.slope_num AS BIGINT) AS slope_num,
+           CAST(s.slope_den AS BIGINT) AS slope_den,
+           CAST(s.slope_num // s.slope_den AS BIGINT) AS slope_c_per_month
+    FROM dev d CROSS JOIN stats s
+"""
+
+
+def corr_pairs_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation report over document metric pairs —
+    (chars, words), (words, distinct words), and a (chars, doc_id%7)
+    null control that pins the statistic's discrimination: the real
+    pairs score high corr2_ppm, the control scores ~0. Everything is
+    integer-exact: with centered sums num = n*Sdxdy - Sdx*Sdy and
+    den_x = n*Sdxdx - Sdx^2, corr^2 = num^2/(den_x*den_y) exactly, so
+    corr2_ppm = num^2 * 1e6 div (den_x * den_y) is order-independent
+    and engine-identical (no float sqrt — the sign rides separately).
+
+    Shape: ONE documents scan computes the per-doc metric row; a
+    3-way stack unpivots it to (pair, x, y) so all pairs share one
+    map-side-combined groupBy(pair). Pivoting x and y by their integer
+    floor-means first (shift-invariance of covariance) bounds every
+    product by n*max_DEVIATION^2, which is what keeps the DECIMAL(38)
+    squares in range at any corpus size; the per-pair pivot/stat
+    frames are 3 rows and ride broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    m = docs.select(
+        F.col("n_chars").cast("long").alias("nc"),
+        F.size(words).cast("long").alias("nw"),
+        F.size(F.array_distinct(words)).cast("long").alias("nd"),
+        (F.col("doc_id") % 7).cast("long").alias("null7"),
+    )
+    pairs = m.select(
+        F.expr(
+            "stack(3, 'chars_words', nc, nw,"
+            " 'words_distinct', nw, nd,"
+            " 'chars_null7', nc, null7) AS (pair, x, y)"
+        )
+    )
+    pivots = pairs.groupBy("pair").agg(
+        F.count("*").alias("n"),
+        F.expr("sum(x) div count(*)").alias("cx"),
+        F.expr("sum(y) div count(*)").alias("cy"),
+    )
+    dev = pairs.join(F.broadcast(pivots), "pair").select(
+        "pair", "n",
+        (F.col("x") - F.col("cx")).alias("dx"),
+        (F.col("y") - F.col("cy")).alias("dy"),
+    )
+    stats = dev.groupBy("pair", "n").agg(
+        F.sum("dx").alias("sdx"),
+        F.sum("dy").alias("sdy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sdxdy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sdxdx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("sdydy"),
+    )
+    return stats.select(
+        "pair",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * sdxdy - sdx * sdy").alias("cov_num"),
+        F.expr("n * sdxdx - sdx * sdx").alias("varx_num"),
+        F.expr("n * sdydy - sdy * sdy").alias("vary_num"),
+        F.expr(
+            "CAST((CAST(n * sdxdy - sdx * sdy AS DECIMAL(38,0))"
+            " * CAST(n * sdxdy - sdx * sdy AS DECIMAL(38,0))"
+            " * CAST(1000000 AS DECIMAL(38,0)))"
+            " div (CAST(n * sdxdx - sdx * sdx AS DECIMAL(38,0))"
+            "      * CAST(n * sdydy - sdy * sdy AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("corr2_ppm"),
+        F.signum(F.expr("n * sdxdy - sdx * sdy")).cast("int").alias("corr_sign"),
+    )
+
+
+QUERIES["corr_pairs_report"] = corr_pairs_report
+ORACLE["corr_pairs_report"] = """
+    WITH m AS (
+      SELECT CAST(n_chars AS BIGINT) AS nc,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS nw,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                w -> w <> ''))) AS BIGINT)
+               AS nd,
+             CAST(doc_id % 7 AS BIGINT) AS null7
+      FROM documents),
+    pairs AS (
+      SELECT 'chars_words' AS pair, nc AS x, nw AS y FROM m
+      UNION ALL SELECT 'words_distinct', nw, nd FROM m
+      UNION ALL SELECT 'chars_null7', nc, null7 FROM m),
+    pivots AS (
+      SELECT pair, COUNT(*) AS n, SUM(x) // COUNT(*) AS cx,
+             SUM(y) // COUNT(*) AS cy
+      FROM pairs GROUP BY 1),
+    dev AS (
+      SELECT p.pair, v.n, p.x - v.cx AS dx, p.y - v.cy AS dy
+      FROM pairs p JOIN pivots v USING (pair)),
+    stats AS (
+      SELECT pair, n, SUM(dx) AS sdx, SUM(dy) AS sdy,
+             SUM(dx * dy) AS sdxdy, SUM(dx * dx) AS sdxdx,
+             SUM(dy * dy) AS sdydy
+      FROM dev GROUP BY 1, 2)
+    SELECT pair,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * sdxdy - sdx * sdy AS BIGINT) AS cov_num,
+           CAST(n * sdxdx - sdx * sdx AS BIGINT) AS varx_num,
+           CAST(n * sdydy - sdy * sdy AS BIGINT) AS vary_num,
+           CAST(CAST(n * sdxdy - sdx * sdy AS HUGEINT)
+                * CAST(n * sdxdy - sdx * sdy AS HUGEINT) * 1000000
+                // (CAST(n * sdxdx - sdx * sdx AS HUGEINT)
+                    * CAST(n * sdydy - sdy * sdy AS HUGEINT)) AS BIGINT)
+             AS corr2_ppm,
+           CAST(CASE WHEN n * sdxdy - sdx * sdy > 0 THEN 1
+                     WHEN n * sdxdy - sdx * sdy < 0 THEN -1
+                     ELSE 0 END AS INT) AS corr_sign
+    FROM stats
+"""

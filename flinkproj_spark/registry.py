@@ -80,6 +80,8 @@ _PRIORITY_KEYS = (
     "ewma_daily_anomaly",  # never checked
     "k_anonymity_report",  # never checked
     "conversion_lag_curve",  # never checked
+    "ols_trend_monthly",  # never checked
+    "corr_pairs_report",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "event_path_topk",  # last green r3
     "anomaly_rolling_z",  # last green r3
     "pagerank_fixed",  # last green r3
-    "chi2_lang_source",  # last green r3
-    "zorder_layout",  # last green r3
 )
 
 

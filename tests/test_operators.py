@@ -2321,3 +2321,78 @@ def test_next_word_suggest_is_true_top3(spark, sf_dir):
             for i, (negc, w2) in enumerate(fl[:3])
         ]
         assert sorted(got[w1]) == want
+
+
+def test_ols_trend_is_exact_least_squares(spark, sf_dir):
+    """fitted_c must be cy + trunc-toward-zero of the EXACT rational
+    (beta0 + beta1*mi - cy), with beta from a Fraction-exact normal
+    equation over a Python recount of monthly revenue — and slope_num/
+    slope_den must equal the shift-invariant n^2-scaled moments of the
+    RAW (unpivoted) series, proving the integer pivots change nothing."""
+    from fractions import Fraction
+
+    from flinkproj_spark.operators.analytic import ols_trend_monthly
+
+    raw = load_table(spark, sf_dir, "orders").collect()
+    monthly: dict[int, int] = {}
+    for r in raw:
+        d = r.o_orderdate
+        mi = (d.year - 1995) * 12 + d.month - 1
+        monthly[mi] = monthly.get(mi, 0) + int(r.o_totalprice * 100 + 0.5)
+    xs, ys = list(monthly), [monthly[x] for x in monthly]
+    n = len(xs)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    beta1 = Fraction(num, den)
+    beta0 = Fraction(sum(ys) - beta1 * sum(xs), n)
+    cy = sum(ys) // n
+    rows = ols_trend_monthly(spark, sf_dir).collect()
+    assert len(rows) == n
+    for r in rows:
+        assert (r.slope_num, r.slope_den) == (num, den)
+        exact = beta0 + beta1 * r.mi - cy
+        t = abs(exact.numerator) // exact.denominator
+        assert r.fitted_c == cy + (t if exact >= 0 else -t)
+        assert r.resid_c == r.rev_c - r.fitted_c
+        assert r.rev_c == monthly[r.mi]
+    assert any(r.resid_c != 0 for r in rows)
+
+
+def test_corr_pairs_discriminates_and_is_exact(spark, sf_dir):
+    """corr2_ppm must match a pure-Python integer recount (raw-moment
+    formula — pivot shift-invariance again), the real metric pairs must
+    score high with positive sign, and the doc_id%7 null control must
+    score near zero — the discrimination that makes the report usable."""
+    from flinkproj_spark.operators.analytic import corr_pairs_report
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    met = [
+        (
+            r.n_chars,
+            len([w for w in r.text.split(" ") if w != ""]),
+            len({w for w in r.text.split(" ") if w != ""}),
+            r.doc_id % 7,
+        )
+        for r in docs
+    ]
+    pairs = {
+        "chars_words": [(a, b) for a, b, _, _ in met],
+        "words_distinct": [(b, c) for _, b, c, _ in met],
+        "chars_null7": [(a, d) for a, _, _, d in met],
+    }
+    got = {r.pair: r for r in corr_pairs_report(spark, sf_dir).collect()}
+    assert set(got) == set(pairs)
+    for pair, xy in pairs.items():
+        n = len(xy)
+        sx, sy = sum(x for x, _ in xy), sum(y for _, y in xy)
+        num = n * sum(x * y for x, y in xy) - sx * sy
+        vx = n * sum(x * x for x, _ in xy) - sx * sx
+        vy = n * sum(y * y for _, y in xy) - sy * sy
+        r = got[pair]
+        assert (r.n, r.cov_num, r.varx_num, r.vary_num) == (n, num, vx, vy)
+        assert r.corr2_ppm == num * num * 1_000_000 // (vx * vy)
+        assert r.corr_sign == (num > 0) - (num < 0)
+    assert got["chars_words"].corr2_ppm > 900_000
+    assert got["words_distinct"].corr2_ppm > 500_000
+    assert got["chars_null7"].corr2_ppm < 10_000
+    assert got["chars_words"].corr_sign == 1
