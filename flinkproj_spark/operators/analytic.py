@@ -2202,3 +2202,74 @@ ORACLE["corr_pairs_report"] = """
                      ELSE 0 END AS INT) AS corr_sign
     FROM stats
 """
+
+
+# QID for the l-diversity audit: nation x account-balance band (a
+# 2000.00-wide bucket of exact cents); sensitive attribute = segment.
+L_DIV_QID_BUCKET_C = 200_000
+L_DIV_LS = (2, 3, 4, 5)
+
+
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al.) — the step AFTER
+    k-anonymity: a QID class can be large yet still leak the sensitive
+    attribute if every member shares one value. Per candidate l, how
+    many (nation, balance-band) classes carry fewer than l distinct
+    market segments, how many rows those classes expose, and the
+    corpus-wide minimum diversity. The nation-only QID is saturated
+    (every nation has all 5 segments — verified before wiring); the
+    balance band is what makes the audit live.
+
+    Shape: one scan → groupBy QID with countDistinct(sensitive) (the
+    two-phase distinct aggregate; class frame bounded by the QID
+    domain, not rows), then the 4-row l list joins in as a broadcast
+    — same release-gate shape as k_anonymity_report, sharing its
+    scale argument."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal_b = F.expr(
+        f"CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div {L_DIV_QID_BUCKET_C}"
+    )
+    classes = cust.groupBy(
+        F.col("c_nationkey").alias("nat"),
+        bal_b.alias("bal_b"),
+    ).agg(
+        F.count("*").alias("gsz"),
+        F.countDistinct("c_mktsegment").alias("ldiv"),
+    )
+    ls = spark.createDataFrame([(l,) for l in L_DIV_LS], "l int")
+    below = F.col("ldiv") < F.col("l")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(below.cast("long")).alias("n_classes_below"),
+            F.coalesce(F.sum(F.when(below, F.col("gsz"))), F.lit(0))
+            .cast("long")
+            .alias("n_rows_at_risk"),
+            F.min("ldiv").cast("long").alias("min_l"),
+        )
+        .select("l", "n_classes", "n_classes_below", "n_rows_at_risk", "min_l")
+    )
+
+
+QUERIES["l_diversity_report"] = l_diversity_report
+ORACLE["l_diversity_report"] = f"""
+    WITH classes AS (
+      SELECT c_nationkey AS nat,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               // {L_DIV_QID_BUCKET_C} AS bal_b,
+             COUNT(*) AS gsz,
+             COUNT(DISTINCT c_mktsegment) AS ldiv
+      FROM customer GROUP BY 1, 2),
+    ls AS (SELECT unnest([{', '.join(str(l) for l in L_DIV_LS)}]) AS l)
+    SELECT CAST(l AS INT) AS l,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN ldiv < l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(COALESCE(SUM(CASE WHEN ldiv < l THEN gsz END), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(ldiv) AS BIGINT) AS min_l
+    FROM classes CROSS JOIN ls
+    GROUP BY l
+"""

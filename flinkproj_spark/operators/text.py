@@ -2307,3 +2307,63 @@ ORACLE["next_word_suggest"] = f"""
            CAST(c_ab * 1000000 // c_a AS BIGINT) AS p_mle_ppm
     FROM r WHERE rank <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (round 7)
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit: the word rank-frequency table with each rank's
+    deviation from the Zipfian expectation c(r) = c(1)/r, as exact ppm
+    (c*r*1e6 div c1 — 1e6 means the rank fits the law perfectly). On a
+    natural corpus the column hugs 1e6; on this synthetic corpus it
+    climbs steeply — the report says, correctly, that the generator's
+    vocabulary is near-uniform, exactly the artifact a corpus intake
+    review should surface before tokenizer/vocab decisions trust
+    frequency ranks.
+
+    Shape: the only corpus-sized stage is the map-side-combined
+    groupBy(word); ranking then runs on the VOCABULARY frame (bounded
+    by distinct words, not corpus rows — plan-lint whitelisted global
+    window), and c1/total ride a broadcast 1-row aggregate."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = F.transform(_words(), lambda w: F.lower(w))
+    counts = (
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = counts.agg(
+        F.max("c").alias("c1"), F.sum("c").alias("total")
+    )
+    w = Window.orderBy(F.col("c").desc(), "w")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "rank",
+            F.col("c").cast("long").alias("c"),
+            F.expr("c * rank * 1000000 div c1").alias("zipf_fit_ppm"),
+            F.expr("c * 1000000 div total").alias("share_ppm"),
+        )
+    )
+
+
+QUERIES["zipf_fit_report"] = zipf_fit_report
+ORACLE["zipf_fit_report"] = f"""
+    WITH counts AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest({_VG_WORDS}) AS w FROM documents)
+      GROUP BY 1),
+    tot AS (SELECT MAX(c) AS c1, SUM(c) AS total FROM counts)
+    SELECT w,
+           CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS rank,
+           CAST(c AS BIGINT) AS c,
+           CAST(c * ROW_NUMBER() OVER (ORDER BY c DESC, w) * 1000000
+                // c1 AS BIGINT) AS zipf_fit_ppm,
+           CAST(c * 1000000 // total AS BIGINT) AS share_ppm
+    FROM counts CROSS JOIN tot
+"""

@@ -68,6 +68,7 @@ _PRIORITY_KEYS = (
     "vocab_growth_curve",  # never checked
     "kn_bigram_smoothed",  # never checked
     "next_word_suggest",  # never checked
+    "zipf_fit_report",  # never checked
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
     "packing_efficiency_report",  # never checked
@@ -82,6 +83,7 @@ _PRIORITY_KEYS = (
     "conversion_lag_curve",  # never checked
     "ols_trend_monthly",  # never checked
     "corr_pairs_report",  # never checked
+    "l_diversity_report",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "retention_cohorts",  # last green r3
     "outlier_zscore",  # last green r3
     "event_path_topk",  # last green r3
-    "anomaly_rolling_z",  # last green r3
-    "pagerank_fixed",  # last green r3
 )
 
 

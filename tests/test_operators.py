@@ -2396,3 +2396,67 @@ def test_corr_pairs_discriminates_and_is_exact(spark, sf_dir):
     assert got["words_distinct"].corr2_ppm > 500_000
     assert got["chars_null7"].corr2_ppm < 10_000
     assert got["chars_words"].corr_sign == 1
+
+
+def test_zipf_fit_report_recount(spark, sf_dir):
+    """Rank, share, and zipf-fit ppm must match a pure-Python recount
+    with the same (count desc, word asc) tie-break; rank 1 is 1e6 by
+    construction and the column must actually vary (live deviation)."""
+    from collections import Counter
+
+    from flinkproj_spark.operators.text import zipf_fit_report
+
+    c = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        c.update(w for w in r.text.lower().split(" ") if w != "")
+    ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total, c1 = sum(c.values()), ranked[0][1]
+    got = {r.w: r for r in zipf_fit_report(spark, sf_dir).collect()}
+    assert len(got) == len(ranked)
+    for i, (w, n) in enumerate(ranked, start=1):
+        r = got[w]
+        assert (r.rank, r.c) == (i, n)
+        assert r.zipf_fit_ppm == n * i * 1_000_000 // c1
+        assert r.share_ppm == n * 1_000_000 // total
+    assert got[ranked[0][0]].zipf_fit_ppm == 1_000_000
+    assert len({r.zipf_fit_ppm for r in got.values()}) > 5
+
+
+def test_l_diversity_report_recount(spark, sf_dir):
+    """Per-l class/row exposure must match a Python recount of the
+    (nation, balance-band) -> distinct-segment map, and the audit must
+    be live: at least one class below the max l."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.analytic import (
+        L_DIV_LS,
+        L_DIV_QID_BUCKET_C,
+        l_diversity_report,
+    )
+
+    import math
+
+    segs = defaultdict(set)
+    sizes = defaultdict(int)
+    for r in load_table(spark, sf_dir, "customer").collect():
+        # _cents is floor(x*100+0.5) (floor, not trunc, on negatives);
+        # the bucket div then truncates toward zero like Spark's div.
+        cents = math.floor(r.c_acctbal * 100 + 0.5)
+        b = (
+            cents // L_DIV_QID_BUCKET_C
+            if cents >= 0
+            else -((-cents) // L_DIV_QID_BUCKET_C)
+        )
+        key = (r.c_nationkey, b)
+        segs[key].add(r.c_mktsegment)
+        sizes[key] += 1
+    got = {r.l: r for r in l_diversity_report(spark, sf_dir).collect()}
+    assert set(got) == set(L_DIV_LS)
+    for l in L_DIV_LS:
+        below = [k for k in segs if len(segs[k]) < l]
+        r = got[l]
+        assert r.n_classes == len(segs)
+        assert r.n_classes_below == len(below)
+        assert r.n_rows_at_risk == sum(sizes[k] for k in below)
+        assert r.min_l == min(len(s) for s in segs.values())
+    assert got[max(L_DIV_LS)].n_classes_below > 0
