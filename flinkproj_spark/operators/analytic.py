@@ -2273,3 +2273,81 @@ ORACLE["l_diversity_report"] = f"""
     FROM classes CROSS JOIN ls
     GROUP BY l
 """
+
+
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user (TWAP): each
+    observation is held until the next one, so its weight is the gap
+    to the successor in whole epoch seconds, and the average is the
+    exact rational sum(value_c * dt_s) / span_s — the metric that makes
+    irregular event streams comparable (a plain AVG over-counts burst
+    periods; TWAP is duration-faithful). The trailing observation
+    carries no weight (nothing is held after it); single-event users
+    have no span and are excluded by the n >= 2 predicate.
+
+    All integer-exact: cents x whole seconds (unix_micros div 1e6 on
+    both engines — identical truncation by construction), one
+    truncating division at the end. Per-term bound is
+    max_value_cents * user_span_s, so the per-user sum stays far
+    inside int64 for any realistic retention window.
+
+    Shape: ONE corpus pass; the lead() window partitions by user (key-
+    bounded partitions — the same contract as sessionize/rolling), the
+    groupBy(user) that follows reuses the exchange AQE already placed
+    for the window, and output is one row per multi-event user."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("t_s"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    ).withColumn("next_t", F.lead("t_s").over(w))
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            (F.max("t_s") - F.min("t_s")).cast("long").alias("span_s"),
+            F.sum(
+                F.when(
+                    F.col("next_t").isNotNull(),
+                    F.col("vc") * (F.col("next_t") - F.col("t_s")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("twsum"),
+        )
+        .filter(F.col("n_events") >= 2)
+        .select(
+            "user_id",
+            "n_events",
+            "span_s",
+            "twsum",
+            F.expr("twsum div span_s").alias("twap_c"),
+        )
+    )
+
+
+QUERIES["twap_user_value"] = twap_user_value
+ORACLE["twap_user_value"] = """
+    WITH seq AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000 AS t_s,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             LEAD(epoch_us(ts) // 1000000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_t
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(t_s) - MIN(t_s) AS BIGINT) AS span_s,
+           CAST(SUM(CASE WHEN next_t IS NOT NULL
+                         THEN vc * (next_t - t_s) ELSE 0 END) AS BIGINT)
+             AS twsum,
+           CAST(SUM(CASE WHEN next_t IS NOT NULL
+                         THEN vc * (next_t - t_s) ELSE 0 END)
+                // (MAX(t_s) - MIN(t_s)) AS BIGINT) AS twap_c
+    FROM seq
+    GROUP BY user_id
+    HAVING COUNT(*) >= 2
+"""

@@ -84,6 +84,7 @@ _PRIORITY_KEYS = (
     "ols_trend_monthly",  # never checked
     "corr_pairs_report",  # never checked
     "l_diversity_report",  # never checked
+    "twap_user_value",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "funnel_steps",  # last green r3
     "retention_cohorts",  # last green r3
     "outlier_zscore",  # last green r3
-    "event_path_topk",  # last green r3
 )
 
 

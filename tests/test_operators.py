@@ -2460,3 +2460,35 @@ def test_l_diversity_report_recount(spark, sf_dir):
         assert r.n_rows_at_risk == sum(sizes[k] for k in below)
         assert r.min_l == min(len(s) for s in segs.values())
     assert got[max(L_DIV_LS)].n_classes_below > 0
+
+
+def test_twap_differs_from_plain_avg_and_is_exact(spark, sf_dir):
+    """twap_c must equal a pure-Python hold-until-next recount, and
+    must genuinely differ from the unweighted mean for most users —
+    the duration-faithfulness that justifies the operator."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.analytic import twap_user_value
+
+    by_user = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").collect():
+        t_s = (
+            int(r.ts.replace(tzinfo=__import__("datetime").timezone.utc).timestamp() * 1_000_000)
+            // 1_000_000
+        )
+        by_user[r.user_id].append((t_s, r.event_id, int(r.value * 100 + 0.5)))
+    got = {r.user_id: r for r in twap_user_value(spark, sf_dir).collect()}
+    n_diff = 0
+    multi = {u: evs for u, evs in by_user.items() if len(evs) >= 2}
+    assert set(got) == set(multi)
+    for u, evs in multi.items():
+        evs.sort()
+        span = evs[-1][0] - evs[0][0]
+        tw = sum(vc * (evs[i + 1][0] - t) for i, (t, _, vc) in enumerate(evs[:-1]))
+        r = got[u]
+        assert (r.n_events, r.span_s, r.twsum) == (len(evs), span, tw)
+        assert r.twap_c == tw // span if tw >= 0 else -((-tw) // span)
+        mean_c = sum(vc for _, _, vc in evs) // len(evs)
+        if abs(r.twap_c - mean_c) > 100:
+            n_diff += 1
+    assert n_diff > len(multi) // 2, "TWAP must diverge from plain mean"
