@@ -2351,3 +2351,174 @@ ORACLE["twap_user_value"] = """
     GROUP BY user_id
     HAVING COUNT(*) >= 2
 """
+
+
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, recency (days since
+    last order, against the corpus max order date), frequency (order
+    count), monetary (lifetime spend in exact cents), each scored into
+    quintiles 1-5 (5 = best: most recent / most frequent / highest
+    spend), plus the concatenated RFM code marketing pipelines key on.
+
+    Quintile boundaries are NOT ntile() (whose remainder distribution
+    is engine lore): the score is the closed form
+    q = (rank-1)*5 div n + 1 over a fully tie-broken rank
+    ((metric, custkey) total order), so both engines derive identical
+    buckets by construction.
+
+    Shape: one orders scan -> groupBy(custkey) collapses to the
+    CUSTOMER-DIMENSION frame; the max-order-date scalar and the n
+    scalar ride 1-row broadcasts; the three quintile ranks are windows
+    over that dimension-sized aggregate (plan-lint whitelisted: bounded
+    by |customers|, never order rows — the same dimension-frame
+    contract as the degree/offset frames elsewhere). At 100 TB the
+    orders scan is the only data-sized stage."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count("*").cast("long").alias("f_n"),
+        F.sum(_cents("o_totalprice")).alias("m_c"),
+    )
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    base = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "custkey",
+        F.datediff(F.col("h"), F.col("last_d")).cast("long").alias("r_days"),
+        "f_n",
+        "m_c",
+    )
+    counted = base.crossJoin(F.broadcast(base.agg(F.count("*").alias("n"))))
+    w_r = Window.orderBy(F.col("r_days").desc(), "custkey")  # oldest first
+    w_f = Window.orderBy(F.col("f_n").asc(), "custkey")
+    w_m = Window.orderBy(F.col("m_c").asc(), "custkey")
+    ranked = counted.select(
+        "*",
+        F.row_number().over(w_r).cast("long").alias("rn_r"),
+        F.row_number().over(w_f).cast("long").alias("rn_f"),
+        F.row_number().over(w_m).cast("long").alias("rn_m"),
+    )
+    return ranked.select(
+        "custkey",
+        "r_days",
+        "f_n",
+        "m_c",
+        F.expr("(rn_r - 1) * 5 div n + 1").alias("r_q"),
+        F.expr("(rn_f - 1) * 5 div n + 1").alias("f_q"),
+        F.expr("(rn_m - 1) * 5 div n + 1").alias("m_q"),
+        F.expr(
+            "CAST((rn_r - 1) * 5 div n + 1 AS STRING)"
+            " || CAST((rn_f - 1) * 5 div n + 1 AS STRING)"
+            " || CAST((rn_m - 1) * 5 div n + 1 AS STRING)"
+        ).alias("rfm_code"),
+    )
+
+
+QUERIES["rfm_segmentation"] = rfm_segmentation
+ORACLE["rfm_segmentation"] = """
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_d,
+             COUNT(*) AS f_n,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m_c
+      FROM orders GROUP BY 1),
+    horizon AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders),
+    base AS (
+      SELECT custkey, date_diff('day', last_d, h) AS r_days, f_n, m_c,
+             COUNT(*) OVER () AS n
+      FROM per_cust CROSS JOIN horizon),
+    ranked AS (
+      SELECT *,
+        (ROW_NUMBER() OVER (ORDER BY r_days DESC, custkey) - 1) * 5 // n + 1 AS r_q,
+        (ROW_NUMBER() OVER (ORDER BY f_n ASC, custkey) - 1) * 5 // n + 1 AS f_q,
+        (ROW_NUMBER() OVER (ORDER BY m_c ASC, custkey) - 1) * 5 // n + 1 AS m_q
+      FROM base)
+    SELECT custkey, CAST(r_days AS BIGINT) AS r_days,
+           CAST(f_n AS BIGINT) AS f_n, CAST(m_c AS BIGINT) AS m_c,
+           CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+           CAST(m_q AS BIGINT) AS m_q,
+           CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) ||
+             CAST(m_q AS VARCHAR) AS rfm_code
+    FROM ranked
+"""
+
+
+
+
+def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers are cohorted by first-
+    order month; for each (cohort, age-in-months) cell the cohort's
+    revenue at that age, the running cumulative revenue, and the
+    cumulative LTV per cohort member in exact cents — the money twin
+    of retention_cohorts (which counts activity; this one prices it).
+
+    Shape: groupBy(custkey) derives each customer's cohort month
+    (customer-dimension frame), joined back to orders on the custkey
+    hash exchange (both sides corpus/dimension-proportional — a
+    broadcast would cap scale); the (cohort, age) rollup is then
+    map-side combined and every later stage (cumulative window
+    partitioned by cohort, cohort-size join) runs on the cohort x age
+    grid, bounded by months^2, not rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        ((F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("mi"),
+        _cents("o_totalprice").alias("rev_c"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    sizes = first.groupBy("cohort_mi").agg(
+        F.count("*").cast("long").alias("cohort_n")
+    )
+    cells = (
+        om.join(first, "o_custkey")
+        .groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("age_m"))
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    w = (
+        Window.partitionBy("cohort_mi")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_rev_c", F.sum("rev_c").over(w))
+        .join(F.broadcast(sizes), "cohort_mi")
+        .select(
+            F.col("cohort_mi").cast("long").alias("cohort_mi"),
+            F.col("age_m").cast("long").alias("age_m"),
+            F.col("rev_c").cast("long").alias("rev_c"),
+            F.col("cum_rev_c").cast("long").alias("cum_rev_c"),
+            "cohort_n",
+            F.expr("cum_rev_c div cohort_n").alias("ltv_c_per_cust"),
+        )
+    )
+
+
+QUERIES["customer_ltv_cohort"] = customer_ltv_cohort
+ORACLE["customer_ltv_cohort"] = """
+    WITH om AS (
+      SELECT o_custkey,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS mi,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS rev_c
+      FROM orders),
+    first_o AS (SELECT o_custkey, MIN(mi) AS cohort_mi FROM om GROUP BY 1),
+    sizes AS (SELECT cohort_mi, COUNT(*) AS cohort_n FROM first_o GROUP BY 1),
+    cells AS (
+      SELECT f.cohort_mi, o.mi - f.cohort_mi AS age_m, SUM(o.rev_c) AS rev_c
+      FROM om o JOIN first_o f USING (o_custkey)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_mi, age_m, rev_c,
+             SUM(rev_c) OVER (PARTITION BY cohort_mi ORDER BY age_m
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev_c
+      FROM cells)
+    SELECT CAST(c.cohort_mi AS BIGINT) AS cohort_mi,
+           CAST(c.age_m AS BIGINT) AS age_m,
+           CAST(c.rev_c AS BIGINT) AS rev_c,
+           CAST(c.cum_rev_c AS BIGINT) AS cum_rev_c,
+           CAST(s.cohort_n AS BIGINT) AS cohort_n,
+           CAST(c.cum_rev_c // s.cohort_n AS BIGINT) AS ltv_c_per_cust
+    FROM cum c JOIN sizes s USING (cohort_mi)
+"""

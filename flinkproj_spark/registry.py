@@ -85,13 +85,13 @@ _PRIORITY_KEYS = (
     "corr_pairs_report",  # never checked
     "l_diversity_report",  # never checked
     "twap_user_value",  # never checked
+    "rfm_segmentation",  # never checked
+    "customer_ltv_cohort",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
     "approx_percentile_stats",  # last green r3
     "funnel_steps",  # last green r3
-    "retention_cohorts",  # last green r3
-    "outlier_zscore",  # last green r3
 )
 
 

@@ -2492,3 +2492,86 @@ def test_twap_differs_from_plain_avg_and_is_exact(spark, sf_dir):
         if abs(r.twap_c - mean_c) > 100:
             n_diff += 1
     assert n_diff > len(multi) // 2, "TWAP must diverge from plain mean"
+
+
+def test_rfm_quintiles_balanced_and_exact(spark, sf_dir):
+    """Quintile sizes must differ by at most 1 (the closed-form
+    q = (rank-1)*5 div n + 1 guarantee), scores must match a Python
+    recount with the same (metric, custkey) tie-break, and rfm_code
+    must be the concatenation."""
+    from collections import Counter, defaultdict
+
+    from flinkproj_spark.operators.analytic import rfm_segmentation
+
+    per = defaultdict(lambda: [None, 0, 0])  # last_d, f, m
+    horizon = None
+    for r in load_table(spark, sf_dir, "orders").collect():
+        d = r.o_orderdate.date()
+        horizon = d if horizon is None or d > horizon else horizon
+        p = per[r.o_custkey]
+        p[0] = d if p[0] is None or d > p[0] else p[0]
+        p[1] += 1
+        p[2] += int(r.o_totalprice * 100 + 0.5)
+    n = len(per)
+
+    def quint(order):
+        return {
+            ck: (i * 5) // n + 1 for i, ck in enumerate(order)
+        }
+
+    r_q = quint(sorted(per, key=lambda c: (-(horizon - per[c][0]).days, c)))
+    f_q = quint(sorted(per, key=lambda c: (per[c][1], c)))
+    m_q = quint(sorted(per, key=lambda c: (per[c][2], c)))
+    rows = rfm_segmentation(spark, sf_dir).collect()
+    assert len(rows) == n
+    for r in rows:
+        p = per[r.custkey]
+        assert (r.r_days, r.f_n, r.m_c) == ((horizon - p[0]).days, p[1], p[2])
+        assert (r.r_q, r.f_q, r.m_q) == (
+            r_q[r.custkey],
+            f_q[r.custkey],
+            m_q[r.custkey],
+        )
+        assert r.rfm_code == f"{r.r_q}{r.f_q}{r.m_q}"
+    for col in ("r_q", "f_q", "m_q"):
+        sizes = Counter(getattr(r, col) for r in rows)
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_ltv_cohort_conservation(spark, sf_dir):
+    """Money conservation: each cohort's final cumulative revenue must
+    equal its members' lifetime spend, the grand total must equal the
+    corpus revenue, cum must be monotone in age, and the per-member
+    LTV must be the truncating division."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.analytic import customer_ltv_cohort
+
+    first = {}
+    spend = defaultdict(int)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        mi = (r.o_orderdate.year - 1995) * 12 + r.o_orderdate.month - 1
+        first[r.o_custkey] = min(first.get(r.o_custkey, mi), mi)
+        spend[r.o_custkey] += int(r.o_totalprice * 100 + 0.5)
+    cohort_rev = defaultdict(int)
+    cohort_n = defaultdict(int)
+    for ck, mi in first.items():
+        cohort_rev[mi] += spend[ck]
+        cohort_n[mi] += 1
+    by_cohort = defaultdict(list)
+    for r in customer_ltv_cohort(spark, sf_dir).collect():
+        by_cohort[r.cohort_mi].append(r)
+    assert set(by_cohort) == set(cohort_rev)
+    grand = 0
+    for mi, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.age_m)
+        cum = 0
+        for r in rs:
+            cum += r.rev_c
+            assert r.cum_rev_c == cum
+            assert r.cohort_n == cohort_n[mi]
+            assert r.ltv_c_per_cust == cum // cohort_n[mi]
+        assert rs[-1].cum_rev_c == cohort_rev[mi]
+        grand += rs[-1].cum_rev_c
+    assert grand == sum(spend.values())
