@@ -2522,3 +2522,218 @@ ORACLE["customer_ltv_cohort"] = """
            CAST(c.cum_rev_c // s.cohort_n AS BIGINT) AS ltv_c_per_cust
     FROM cum c JOIN sizes s USING (cohort_mi)
 """
+
+
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality profile on top of the OLS trend fit: the
+    detrended residuals of ols_trend_monthly, grouped by calendar
+    month (Jan..Dec), as an exact ppm share of the pivot revenue —
+    trend/seasonal decomposition's second step. A flat profile (this
+    corpus) is itself the finding: monthly revenue deviations carry
+    no calendar structure, so a forecaster needs no seasonal term.
+
+    Shape: everything downstream of the one data-sized pass inside
+    ols_trend_monthly runs on the 80-row months frame; this adds one
+    12-row aggregate to that plan."""
+    fit = ols_trend_monthly(spark, sf_dir)
+    cy = fit.agg(
+        (F.sum("rev_c") - F.sum("resid_c")).alias("fit_total"),
+        F.count("*").alias("n_months"),
+    )
+    return (
+        fit.groupBy((F.col("mi") % 12).cast("int").alias("cal_month"))
+        .agg(
+            F.count("*").cast("long").alias("n_m"),
+            F.sum("resid_c").cast("long").alias("sum_resid_c"),
+        )
+        .crossJoin(F.broadcast(cy))
+        .select(
+            "cal_month",
+            "n_m",
+            "sum_resid_c",
+            F.expr(
+                "CAST(CAST(sum_resid_c AS DECIMAL(38,0)) * 1000000 * n_months"
+                " div (CAST(n_m AS DECIMAL(38,0)) * fit_total) AS BIGINT)"
+            ).alias("seas_ppm"),
+        )
+    )
+
+
+QUERIES["seasonality_profile"] = seasonality_profile
+
+
+def benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-numbers screen: per leading digit, the observed count
+    and ppm share against the Benford expectation ppm (fixed integer
+    constants of floor(log10(1+1/d)*1e6), identical literals in both
+    engines — no runtime logarithms). TPC-H-style uniform pricing is
+    NOT Benford-distributed, and the report shows exactly that — the
+    audit firing on synthetic data is the audit working.
+
+    Shape: one scan, first digit extracted from the cents BIGINT's
+    decimal string (no float log), map-side-combined groupBy on a
+    9-value key, total rides a broadcast 1-row aggregate."""
+    benford = spark.createDataFrame(
+        list(BENFORD_PPM.items()), "digit string, benford_ppm long"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.select(
+            F.substring(_cents("o_totalprice").cast("string"), 1, 1).alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(benford), "digit")
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.expr("n * 1000000 div total").alias("share_ppm"),
+            "benford_ppm",
+            F.expr("n * 1000000 div total - benford_ppm").alias("dev_ppm"),
+        )
+    )
+
+
+# floor(log10(1 + 1/d) * 1e6) — Benford first-digit expectation, ppm.
+BENFORD_PPM = {
+    "1": 301029, "2": 176091, "3": 124938, "4": 96910, "5": 79181,
+    "6": 66946, "7": 57991, "8": 51152, "9": 45757,
+}
+
+QUERIES["benford_deviation"] = benford_deviation
+
+
+def gini_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Lorenz curve by customer-spend decile
+    plus the exact-integer Gini coefficient in ppm — "what share of
+    revenue do the bottom k/10 of customers carry". Gini uses the
+    rank identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over
+    the fully tie-broken (spend, custkey) ascending order; deciles use
+    the same closed-form bucketing as rfm_segmentation.
+
+    Shape: the orders scan collapses to the customer-dimension spend
+    frame; the rank window runs on that frame (plan-lint whitelisted
+    dimension window — |customers| rows); products route through
+    DECIMAL(38)/HUGEINT so rank*spend sums stay exact at any
+    customer count."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(_cents("o_totalprice")).alias("m_c")
+    )
+    w = Window.orderBy(F.col("m_c").asc(), "custkey")
+    ranked = spend.select(
+        "custkey", "m_c", F.row_number().over(w).cast("long").alias("rk")
+    )
+    tot = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("m_c").alias("sum_m"),
+        F.sum(
+            F.col("rk").cast("decimal(38,0)") * F.col("m_c").cast("decimal(38,0)")
+        ).alias("sum_rx"),
+    )
+    deciles = (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("(rk - 1) * 10 div n + 1").alias("decile"))
+        .agg(
+            F.count("*").cast("long").alias("n_cust"),
+            F.sum("m_c").cast("long").alias("dec_m_c"),
+            F.first("n").alias("n"),
+            F.first("sum_m").alias("sum_m"),
+            F.first("sum_rx").alias("sum_rx"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.withColumn("cum_m_c", F.sum("dec_m_c").over(wc))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_cust",
+            "dec_m_c",
+            F.col("cum_m_c").cast("long").alias("cum_m_c"),
+            F.expr(
+                "CAST(CAST(cum_m_c AS DECIMAL(38,0)) * 1000000"
+                " div CAST(sum_m AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            F.expr(
+                "CAST((2 * sum_rx - (CAST(n AS DECIMAL(38,0)) + 1)"
+                " * CAST(sum_m AS DECIMAL(38,0))) * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * CAST(sum_m AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+QUERIES["gini_revenue_lorenz"] = gini_revenue_lorenz
+
+ORACLE["seasonality_profile"] = f"""
+    WITH ols AS ({ORACLE["ols_trend_monthly"]}),
+    cy AS (SELECT SUM(rev_c) - SUM(resid_c) AS fit_total,
+                  COUNT(*) AS n_months FROM ols)
+    SELECT CAST(mi % 12 AS INT) AS cal_month,
+           CAST(COUNT(*) AS BIGINT) AS n_m,
+           CAST(SUM(resid_c) AS BIGINT) AS sum_resid_c,
+           CAST(CAST(SUM(resid_c) AS HUGEINT) * 1000000 * n_months
+                // (CAST(COUNT(*) AS HUGEINT) * fit_total) AS BIGINT)
+             AS seas_ppm
+    FROM ols CROSS JOIN cy
+    GROUP BY 1, fit_total, n_months
+"""
+
+ORACLE["benford_deviation"] = f"""
+    WITH benford(digit, benford_ppm) AS (VALUES
+      {', '.join(f"('{d}', {p})" for d, p in BENFORD_PPM.items())}),
+    counts AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT c.digit,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(c.n * 1000000 // t.total - b.benford_ppm AS BIGINT) AS dev_ppm
+    FROM counts c CROSS JOIN tot t JOIN benford b USING (digit)
+"""
+
+ORACLE["gini_revenue_lorenz"] = """
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m_c
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT custkey, m_c,
+             ROW_NUMBER() OVER (ORDER BY m_c ASC, custkey) AS rk
+      FROM spend),
+    tot AS (
+      SELECT COUNT(*) AS n, SUM(m_c) AS sum_m,
+             SUM(CAST(rk AS HUGEINT) * m_c) AS sum_rx
+      FROM ranked),
+    deciles AS (
+      SELECT (rk - 1) * 10 // n + 1 AS decile,
+             COUNT(*) AS n_cust, SUM(m_c) AS dec_m_c,
+             ANY_VALUE(n) AS n, ANY_VALUE(sum_m) AS sum_m,
+             ANY_VALUE(sum_rx) AS sum_rx
+      FROM ranked CROSS JOIN tot
+      GROUP BY 1)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_cust AS BIGINT) AS n_cust,
+           CAST(dec_m_c AS BIGINT) AS dec_m_c,
+           CAST(SUM(dec_m_c) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_m_c,
+           CAST(CAST(SUM(dec_m_c) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+                * 1000000 // sum_m AS BIGINT) AS cum_share_ppm,
+           CAST((2 * sum_rx - (CAST(n AS HUGEINT) + 1) * sum_m) * 1000000
+                // (CAST(n AS HUGEINT) * sum_m) AS BIGINT) AS gini_ppm
+    FROM deciles
+"""

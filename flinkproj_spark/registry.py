@@ -87,11 +87,11 @@ _PRIORITY_KEYS = (
     "twap_user_value",  # never checked
     "rfm_segmentation",  # never checked
     "customer_ltv_cohort",  # never checked
+    "seasonality_profile",  # never checked
+    "benford_deviation",  # never checked
+    "gini_revenue_lorenz",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
-    "pipeline_curate_v2",  # last green r3
-    "approx_percentile_stats",  # last green r3
-    "funnel_steps",  # last green r3
 )
 
 

@@ -2575,3 +2575,97 @@ def test_ltv_cohort_conservation(spark, sf_dir):
         assert rs[-1].cum_rev_c == cohort_rev[mi]
         grand += rs[-1].cum_rev_c
     assert grand == sum(spend.values())
+
+
+def test_seasonality_profile_conserves_residuals(spark, sf_dir):
+    """The 12 calendar cells must partition the OLS months exactly:
+    cell n_m sums to the month count, cell residual sums to the total
+    residual, and each seas_ppm is the exact HUGEINT-style division
+    recomputed in Python."""
+    from flinkproj_spark.operators.analytic import (
+        ols_trend_monthly,
+        seasonality_profile,
+    )
+
+    fit = ols_trend_monthly(spark, sf_dir).collect()
+    fit_total = sum(r.rev_c for r in fit) - sum(r.resid_c for r in fit)
+    per_cal = {}
+    for r in fit:
+        c = per_cal.setdefault(r.mi % 12, [0, 0])
+        c[0] += 1
+        c[1] += r.resid_c
+    rows = seasonality_profile(spark, sf_dir).collect()
+    assert len(rows) == 12
+    for r in rows:
+        n_m, s = per_cal[r.cal_month]
+        assert (r.n_m, r.sum_resid_c) == (n_m, s)
+        num = s * 1_000_000 * len(fit)
+        den = n_m * fit_total
+        t = abs(num) // den
+        assert r.seas_ppm == (t if num >= 0 else -t)
+    assert sum(r.n_m for r in rows) == len(fit)
+    assert sum(r.sum_resid_c for r in rows) == sum(r.resid_c for r in fit)
+
+
+def test_benford_constants_and_recount(spark, sf_dir):
+    """BENFORD_PPM must be floor(log10(1+1/d)*1e6) for every digit,
+    and the observed counts/shares must match a Python recount —
+    with the audit genuinely firing on the synthetic pricing."""
+    import math
+
+    from flinkproj_spark.operators.analytic import (
+        BENFORD_PPM,
+        benford_deviation,
+    )
+
+    for d, ppm in BENFORD_PPM.items():
+        assert ppm == math.floor(math.log10(1 + 1 / int(d)) * 1_000_000)
+    from collections import Counter
+
+    c = Counter()
+    for r in load_table(spark, sf_dir, "orders").collect():
+        c[str(int(r.o_totalprice * 100 + 0.5))[0]] += 1
+    total = sum(c.values())
+    rows = benford_deviation(spark, sf_dir).collect()
+    assert {r.digit for r in rows} == set(c)
+    for r in rows:
+        assert r.n == c[r.digit]
+        assert r.share_ppm == c[r.digit] * 1_000_000 // total
+        assert r.dev_ppm == r.share_ppm - BENFORD_PPM[r.digit]
+    assert max(abs(r.dev_ppm) for r in rows) > 20_000, "audit must fire"
+
+
+def test_gini_lorenz_exact_and_monotone(spark, sf_dir):
+    """gini_ppm must equal the exact rank-identity recount, decile
+    sizes balance to +-1, the Lorenz curve is monotone concave-ish
+    (cumulative shares increasing to exactly 1e6... the last cell's
+    truncation), and money is conserved."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.analytic import gini_revenue_lorenz
+
+    spend = defaultdict(int)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        spend[r.o_custkey] += int(r.o_totalprice * 100 + 0.5)
+    order = sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(order)
+    sum_m = sum(m for _, m in order)
+    sum_rx = sum(i * m for i, (_, m) in enumerate(order, start=1))
+    gini = (2 * sum_rx - (n + 1) * sum_m) * 1_000_000 // (n * sum_m)
+    rows = sorted(
+        gini_revenue_lorenz(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert all(r.gini_ppm == gini for r in rows)
+    sizes = [r.n_cust for r in rows]
+    assert max(sizes) - min(sizes) <= 1 and sum(sizes) == n
+    cum = 0
+    prev_share = -1
+    for r in rows:
+        cum += r.dec_m_c
+        assert r.cum_m_c == cum
+        assert r.cum_share_ppm == cum * 1_000_000 // sum_m
+        assert r.cum_share_ppm > prev_share
+        prev_share = r.cum_share_ppm
+    assert rows[-1].cum_m_c == sum_m
+    assert rows[-1].cum_share_ppm == 1_000_000
