@@ -2737,3 +2737,121 @@ ORACLE["gini_revenue_lorenz"] = """
                 // (CAST(n AS HUGEINT) * sum_m) AS BIGINT) AS gini_ppm
     FROM deciles
 """
+
+
+def moment_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape report per document source: exact integer
+    central-moment sums and the shape ratios screening pipelines
+    compare across ingest feeds — population kurtosis
+    kurt_ppm = M4*1e6 div M2^2 (the n's cancel: M2 = n*S2-S1^2,
+    M3 = n^2*S3-3n*S1*S2+2*S1^3, M4 = n^3*S4-4n^2*S1*S3+6n*S1^2*S2
+    -3*S1^4 over mean-pivot deviations satisfy mu4/mu2^2 = M4/M2^2
+    exactly), and squared skewness via the two-step truncating
+    evaluation t = M3*1e3 div M2; skew2_ppm = t^2*1e6 div (M2*1e6)
+    (== g1^2*1e6 up to the one truncation at t — relative error
+    ~1e-9 here, and both engines compute the identical integer). Sign
+    rides separately (no sqrt anywhere). Bound: products stay inside
+    128-bit while n*max_deviation^2 < ~1e18 per group; past that,
+    moment sums are exactly mergeable (they're sums), so the
+    production path is per-shard partials + pairwise combine, not a
+    wider integer.
+
+    Shape: one scan -> groupBy(source) for integer floor-mean pivots
+    (source-dimension frame, broadcast back), one more
+    map-side-combined groupBy over deviations, then arithmetic on the
+    tiny per-source frame."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    pivots = docs.groupBy("source").agg(
+        F.expr("sum(x) div count(*)").alias("cx")
+    )
+    dev = docs.join(F.broadcast(pivots), "source").select(
+        "source", "cx", (F.col("x") - F.col("cx")).alias("dx")
+    )
+    s = dev.groupBy("source", "cx").agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("s1"),
+        F.sum(F.expr("dx * dx")).alias("s2"),
+        F.sum(F.expr("dx * dx * dx")).alias("s3"),
+        F.sum(F.expr("dx * dx * dx * dx")).alias("s4"),
+    )
+    m = s.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.expr("cx + s1 div n").alias("mean_chars"),
+        F.expr("n * s2 - s1 * s1").alias("m2"),
+        F.expr("n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1").alias("m3"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * n * n * s4"
+            " - 4 * CAST(n AS DECIMAL(38,0)) * n * s1 * s3"
+            " + 6 * CAST(n AS DECIMAL(38,0)) * s1 * s1 * s2"
+            " - 3 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 * s1"
+        ).alias("m4d"),
+    )
+    return m.select(
+        "source",
+        "n",
+        "mean_chars",
+        "m2",
+        "m3",
+        F.expr(
+            "CAST(CAST(m3 AS DECIMAL(38,0)) * 1000 div CAST(m2 AS DECIMAL(38,0))"
+            " AS DECIMAL(38,0))"
+        ).alias("_t"),
+        F.signum("m3").cast("int").alias("skew_sign"),
+        F.expr("CAST(m4d * 1000000 div (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)").alias(
+            "kurt_ppm"
+        ),
+    ).select(
+        "source",
+        "n",
+        "mean_chars",
+        "m2",
+        "m3",
+        F.expr(
+            "CAST(_t * _t * 1000000 div (CAST(m2 AS DECIMAL(38,0)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("skew2_ppm"),
+        "skew_sign",
+        "kurt_ppm",
+    )
+
+
+QUERIES["moment_stats_by_source"] = moment_stats_by_source
+ORACLE["moment_stats_by_source"] = """
+    WITH docs AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+    pivots AS (
+      SELECT source, SUM(x) // COUNT(*) AS cx FROM docs GROUP BY 1),
+    dev AS (
+      SELECT d.source, p.cx, d.x - p.cx AS dx
+      FROM docs d JOIN pivots p USING (source)),
+    s AS (
+      SELECT source, cx, COUNT(*) AS n, SUM(dx) AS s1,
+             SUM(dx * dx) AS s2, SUM(dx * dx * dx) AS s3,
+             SUM(dx * dx * dx * dx) AS s4
+      FROM dev GROUP BY 1, 2),
+    m AS (
+      SELECT source, n, cx + s1 // n AS mean_chars,
+             n * s2 - s1 * s1 AS m2,
+             n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3,
+             CAST(n AS HUGEINT) * n * n * s4
+               - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+               + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+               - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4h
+      FROM s)
+    SELECT source,
+           CAST(n AS BIGINT) AS n,
+           CAST(mean_chars AS BIGINT) AS mean_chars,
+           CAST(m2 AS BIGINT) AS m2,
+           CAST(m3 AS BIGINT) AS m3,
+           CAST((CAST(m3 AS HUGEINT) * 1000 // m2)
+                * (CAST(m3 AS HUGEINT) * 1000 // m2) * 1000000
+                // (CAST(m2 AS HUGEINT) * 1000000) AS BIGINT) AS skew2_ppm,
+           CAST(CASE WHEN m3 > 0 THEN 1 WHEN m3 < 0 THEN -1 ELSE 0 END
+                AS INT) AS skew_sign,
+           CAST(m4h * 1000000 // (CAST(m2 AS HUGEINT) * m2) AS BIGINT)
+             AS kurt_ppm
+    FROM m
+"""

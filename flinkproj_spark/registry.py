@@ -90,8 +90,8 @@ _PRIORITY_KEYS = (
     "seasonality_profile",  # never checked
     "benford_deviation",  # never checked
     "gini_revenue_lorenz",  # never checked
+    "moment_stats_by_source",  # never checked
     "pipeline_report",  # last green r3
-    "pipeline_curate",  # last green r3
 )
 
 

@@ -397,3 +397,84 @@ def stream_cep_matches(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- TWAP stream (the stateful twin of operators/analytic.
+# twap_user_value) ------------------------------------------------------
+
+TWAP_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, t_s long, n_events long, span_s long, "
+    "twsum long, twap_c long"
+)
+TWAP_STATE_SCHEMA = "min_t long, last_t long, last_vc long, twsum long, n long"
+
+
+def _twap_for_key(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Replay this user's events in (ts, event_id) order against the
+    5-long running state: each arrival charges the PREVIOUS value for
+    the hold interval (last_vc * dt whole seconds — the batch
+    operator's weights), then becomes the held value. Python ints keep
+    the arithmetic exactly the batch plan's BIGINT math."""
+    import math
+
+    (user,) = key
+    if state.exists:
+        min_t, last_t, last_vc, twsum, n = state.get
+    else:
+        min_t = last_t = last_vc = twsum = n = None
+    rows: list[tuple[int, int, int, int, int, int]] = []
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for ev, ts, val in zip(
+        pdf["event_id"].astype("int64"), pdf["ts"], pdf["value"]
+    ):
+        t_s = int(ts.value) // 1_000_000_000  # pandas ns -> whole seconds
+        vc = int(math.floor(float(val) * 100 + 0.5))
+        if n is None:
+            min_t, twsum, n = t_s, 0, 0
+        else:
+            twsum += last_vc * (t_s - last_t)
+        last_t, last_vc = t_s, vc
+        n += 1
+        if n >= 2:
+            span = last_t - min_t
+            rows.append(
+                (int(ev), t_s, n, span, twsum, twsum // span if span else 0)
+            )
+    state.update((min_t, last_t, last_vc, twsum, n))
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([user] * len(rows), dtype="int64"),
+                "event_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                "t_s": pd.Series([r[1] for r in rows], dtype="int64"),
+                "n_events": pd.Series([r[2] for r in rows], dtype="int64"),
+                "span_s": pd.Series([r[3] for r in rows], dtype="int64"),
+                "twsum": pd.Series([r[4] for r in rows], dtype="int64"),
+                "twap_c": pd.Series([r[5] for r in rows], dtype="int64"),
+            }
+        )
+
+
+def stream_twap(events: DataFrame) -> DataFrame:
+    """events(event_id, ts, user_id, value) stream → per-event running
+    time-weighted average per user (the live dashboard feed whose
+    final row per user equals batch twap_user_value; span=0 rows are
+    suppressed upstream by the n>=2 emission rule, matching the batch
+    filter). State is five longs per live user — O(1) forever; Arrow
+    carries each user's micro-batch rows into Python once. Same
+    in-order-replay contract as the other stateful twins: the 0-second
+    watermark drops genuinely late arrivals, and the batch operator is
+    the backfill/repair path for disordered history."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _twap_for_key,
+            outputStructType=TWAP_OUTPUT_SCHEMA,
+            stateStructType=TWAP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -2669,3 +2669,45 @@ def test_gini_lorenz_exact_and_monotone(spark, sf_dir):
         prev_share = r.cum_share_ppm
     assert rows[-1].cum_m_c == sum_m
     assert rows[-1].cum_share_ppm == 1_000_000
+
+
+def test_moment_stats_exact_identities(spark, sf_dir):
+    """m2/m3 and the shape ratios must match a pure-Python integer
+    recount of the central-moment identities, the kurt_ppm must equal
+    floor of the EXACT rational mu4/mu2^2 * 1e6 (Fractions — proving
+    the pivot identities), and signs must agree with the exact mu3."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from flinkproj_spark.operators.analytic import moment_stats_by_source
+
+    xs = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        xs[r.source].append(r.n_chars)
+    got = {r.source: r for r in moment_stats_by_source(spark, sf_dir).collect()}
+    assert set(got) == set(xs)
+    for src, v in xs.items():
+        n = len(v)
+        cx = sum(v) // n
+        d = [x - cx for x in v]
+        s1, s2 = sum(d), sum(y * y for y in d)
+        s3, s4 = sum(y**3 for y in d), sum(y**4 for y in d)
+        m2 = n * s2 - s1 * s1
+        m3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        m4 = n**3 * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1**4
+        r = got[src]
+        assert (r.n, r.mean_chars, r.m2, r.m3) == (n, cx + s1 // n, m2, m3)
+        # kurt is EXACTLY floor(mu4/mu2^2 * 1e6): the pivot identities
+        mean = Fraction(sum(v), n)
+        mu2 = sum((Fraction(x) - mean) ** 2 for x in v) / n
+        mu4 = sum((Fraction(x) - mean) ** 4 for x in v) / n
+        exact_kurt = mu4 / (mu2 * mu2) * 1_000_000
+        assert r.kurt_ppm == exact_kurt.numerator // exact_kurt.denominator
+        assert r.kurt_ppm == m4 * 1_000_000 // (m2 * m2)
+        mu3 = sum((Fraction(x) - mean) ** 3 for x in v) / n
+        assert r.skew_sign == (mu3 > 0) - (mu3 < 0)
+        t = m3 * 1000 // m2 if m3 >= 0 else -((-m3 * 1000) // m2)
+        assert r.skew2_ppm == t * t * 1_000_000 // (m2 * 1_000_000)
+        # the truncating evaluation tracks g1^2 within 1 ppm here
+        g2 = mu3 * mu3 / (mu2**3) * 1_000_000
+        assert abs(r.skew2_ppm - g2.numerator // g2.denominator) <= 1

@@ -995,3 +995,60 @@ class TestStreamClusterLabels:
         # exactly those nodes, with identical canonical labels
         assert got == {n: want[n] for n in got}
         assert set(got) == set(want)
+
+
+class TestStreamTwap:
+    def test_converges_to_batch_twap(self, spark, sf_dir, tmp_path):
+        """Replay events through the 5-long TWAP state split across
+        micro-batches; each user's LAST emitted row must equal the
+        batch twap_user_value row (state correctly bridges the batch
+        boundary), and running rows must be n-monotone."""
+        from flinkproj_spark.operators.analytic import twap_user_value
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.stateful import stream_twap
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "value")
+            .orderBy("ts", "event_id")
+        )
+        n = ev.count()
+        pdf = ev.toPandas()
+        for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+            chunk = pdf.iloc[lo : lo + (n + 2) // 3]
+            spark.createDataFrame(chunk).coalesce(1).write.parquet(
+                f"{src}/b{i}", mode="overwrite"
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream_twap(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        got_rows = spark.read.parquet(out).collect()
+        last = {}
+        for r in got_rows:
+            if r.user_id not in last or r.n_events > last[r.user_id].n_events:
+                last[r.user_id] = r
+        want = {r.user_id: r for r in twap_user_value(spark, sf_dir).collect()}
+        assert set(last) == set(want)
+        for u, w in want.items():
+            g = last[u]
+            assert (g.n_events, g.span_s, g.twsum, g.twap_c) == (
+                w.n_events,
+                w.span_s,
+                w.twsum,
+                w.twap_c,
+            )
