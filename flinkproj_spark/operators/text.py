@@ -2367,3 +2367,171 @@ ORACLE["zipf_fit_report"] = f"""
            CAST(c * 1000000 // total AS BIGINT) AS share_ppm
     FROM counts CROSS JOIN tot
 """
+
+
+
+
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson lexical diversity per source: 1 - sum(p_w^2) over
+    the source's word distribution, exact ppm (the no-logarithm
+    diversity index — the probability two tokens drawn with
+    replacement differ). Low diversity flags template/boilerplate
+    feeds the way entropy would, without leaving integer arithmetic:
+    simpson_ppm = 1e6 - sum(c_w^2)*1e6 div C^2. Also reports the
+    effective vocabulary 1/sum(p^2) = C^2 div sum(c^2) — "this feed
+    behaves like N equally-likely words".
+
+    Shape: one tokenized scan -> map-side-combined groupBy
+    (source, word) bounded by sources x vocabulary; the per-source
+    rollup and the division happen on that tiny frame. C^2 and
+    sum(c^2) stay inside int64 while C < 3e9 tokens per source; past
+    that the sums go DECIMAL(38) unchanged (they are plain sums)."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = F.transform(_words(), lambda w: F.lower(w))
+    wc = (
+        docs.select("source", F.explode(words).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        wc.groupBy("source")
+        .agg(
+            F.sum("c").alias("c_total"),
+            F.count("*").alias("n_vocab"),
+            F.sum(F.expr("c * c")).alias("sum_c2"),
+        )
+        .select(
+            "source",
+            F.col("c_total").cast("long").alias("c_total"),
+            F.col("n_vocab").cast("long").alias("n_vocab"),
+            F.col("sum_c2").cast("long").alias("sum_c2"),
+            F.expr(
+                "1000000 - sum_c2 * 1000000 div (c_total * c_total)"
+            ).alias("simpson_ppm"),
+            F.expr("c_total * c_total div sum_c2").alias("eff_vocab"),
+        )
+    )
+
+
+QUERIES["simpson_diversity_by_source"] = simpson_diversity_by_source
+ORACLE["simpson_diversity_by_source"] = f"""
+    WITH wc AS (
+      SELECT source, w, COUNT(*) AS c
+      FROM (SELECT source, unnest({_VG_WORDS}) AS w FROM documents)
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT source, SUM(c) AS c_total, COUNT(*) AS n_vocab,
+             SUM(c * c) AS sum_c2
+      FROM wc GROUP BY 1)
+    SELECT source,
+           CAST(c_total AS BIGINT) AS c_total,
+           CAST(n_vocab AS BIGINT) AS n_vocab,
+           CAST(sum_c2 AS BIGINT) AS sum_c2,
+           CAST(1000000 - sum_c2 * 1000000 // (c_total * c_total) AS BIGINT)
+             AS simpson_ppm,
+           CAST(c_total * c_total // sum_c2 AS BIGINT) AS eff_vocab
+    FROM agg
+"""
+
+
+def ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift screen: for each source, the exact KS
+    distance between its document-length distribution and the rest of
+    the corpus — max_x |F_src(x) - F_rest(x)| as the cross-multiplied
+    integer max |cum_src(x)*n_rest - cum_rest(x)*n_src| so no division
+    happens until the final ppm (the standard two-sample KS statistic,
+    exact because both CDFs are step functions over the shared length
+    grid). The feed whose ks_ppm spikes is the one whose length
+    profile drifted from the fleet.
+
+    Shape: one scan -> groupBy(source, n_chars) bounded by sources x
+    distinct lengths; cumulative sums run per source over the length
+    grid (key-bounded window partitions) with the global grid joined
+    in from a second tiny aggregate of the SAME counts frame. Corpus
+    rows are never windowed."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count("*").alias("c")
+    )
+    # global per-length counts and the full length grid
+    glob = counts.groupBy("x").agg(F.sum("c").alias("g"))
+    grid = (
+        counts.select("source").distinct().crossJoin(glob.select("x"))
+    )
+    full = grid.join(counts, ["source", "x"], "left").select(
+        "source", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = full.join(F.broadcast(glob), "x").select(
+        "source",
+        "x",
+        F.sum("c").over(w).alias("cum_s"),
+        F.sum("g").over(w).alias("cum_all"),
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    n_all = counts.agg(F.sum("c").alias("n_tot"))
+    return (
+        cum.join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_tot") - F.col("n_s")).alias("n_rest"),
+            F.abs(
+                F.col("cum_s") * (F.col("n_tot") - F.col("n_s"))
+                - (F.col("cum_all") - F.col("cum_s")) * F.col("n_s")
+            ).alias("d_num"),
+        )
+        .groupBy("source", "n_s", "n_rest")
+        .agg(F.max("d_num").alias("ks_num"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_s"),
+            F.col("n_rest").cast("long").alias("n_rest"),
+            F.col("ks_num").cast("long").alias("ks_num"),
+            F.expr(
+                "CAST(CAST(ks_num AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(n_s AS DECIMAL(38,0)) * n_rest) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+    )
+
+
+QUERIES["ks_drift_by_source"] = ks_drift_by_source
+ORACLE["ks_drift_by_source"] = """
+    WITH counts AS (
+      SELECT source, n_chars AS x, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    gcounts AS (SELECT x, SUM(c) AS g FROM counts GROUP BY 1),
+    grid AS (
+      SELECT s.source, gl.x
+      FROM (SELECT DISTINCT source FROM counts) s CROSS JOIN gcounts gl),
+    fullg AS (
+      SELECT gr.source, gr.x, COALESCE(c.c, 0) AS c
+      FROM grid gr LEFT JOIN counts c
+        ON c.source = gr.source AND c.x = gr.x),
+    cum AS (
+      SELECT f.source, f.x,
+             SUM(f.c) OVER (PARTITION BY f.source ORDER BY f.x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+             SUM(gl.g) OVER (PARTITION BY f.source ORDER BY f.x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      FROM fullg f JOIN gcounts gl USING (x)),
+    tot AS (SELECT source, SUM(c) AS n_s FROM counts GROUP BY 1),
+    n_all AS (SELECT SUM(c) AS n_tot FROM counts)
+    SELECT c.source,
+           CAST(t.n_s AS BIGINT) AS n_s,
+           CAST(a.n_tot - t.n_s AS BIGINT) AS n_rest,
+           CAST(MAX(ABS(c.cum_s * (a.n_tot - t.n_s)
+                        - (c.cum_all - c.cum_s) * t.n_s)) AS BIGINT) AS ks_num,
+           CAST(CAST(MAX(ABS(c.cum_s * (a.n_tot - t.n_s)
+                        - (c.cum_all - c.cum_s) * t.n_s)) AS HUGEINT)
+                * 1000000 // (CAST(t.n_s AS HUGEINT) * (a.n_tot - t.n_s))
+                AS BIGINT) AS ks_ppm
+    FROM cum c JOIN tot t USING (source) CROSS JOIN n_all a
+    GROUP BY c.source, t.n_s, a.n_tot
+"""

@@ -69,6 +69,8 @@ _PRIORITY_KEYS = (
     "kn_bigram_smoothed",  # never checked
     "next_word_suggest",  # never checked
     "zipf_fit_report",  # never checked
+    "simpson_diversity_by_source",  # never checked
+    "ks_drift_by_source",  # never checked
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
     "packing_efficiency_report",  # never checked
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "seasonality_profile",  # never checked
     "benford_deviation",  # never checked
     "gini_revenue_lorenz",  # never checked
-    "moment_stats_by_source",  # never checked
-    "pipeline_report",  # last green r3
 )
 
 

@@ -2711,3 +2711,59 @@ def test_moment_stats_exact_identities(spark, sf_dir):
         # the truncating evaluation tracks g1^2 within 1 ppm here
         g2 = mu3 * mu3 / (mu2**3) * 1_000_000
         assert abs(r.skew2_ppm - g2.numerator // g2.denominator) <= 1
+
+
+def test_simpson_diversity_recount(spark, sf_dir):
+    """simpson_ppm and eff_vocab must match a pure-Python recount of
+    the per-source word distributions, and the index must vary across
+    sources (live discrimination on the near-uniform vocabulary)."""
+    from collections import Counter, defaultdict
+
+    from flinkproj_spark.operators.text import simpson_diversity_by_source
+
+    per = defaultdict(Counter)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        per[r.source].update(w for w in r.text.lower().split(" ") if w != "")
+    got = {
+        r.source: r
+        for r in simpson_diversity_by_source(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per)
+    for src, c in per.items():
+        tot, s2 = sum(c.values()), sum(v * v for v in c.values())
+        r = got[src]
+        assert (r.c_total, r.n_vocab, r.sum_c2) == (tot, len(c), s2)
+        assert r.simpson_ppm == 1_000_000 - s2 * 1_000_000 // (tot * tot)
+        assert r.eff_vocab == tot * tot // s2
+    assert len({r.simpson_ppm for r in got.values()}) > 3
+
+
+def test_ks_drift_exact_two_sample(spark, sf_dir):
+    """Each source's ks_num must equal the exact two-sample KS
+    numerator max_x |cum_src(x)*n_rest - cum_rest(x)*n_src| recomputed
+    in Python over the full length grid, and the statistic must
+    discriminate (spread across sources)."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.text import ks_drift_by_source
+
+    lens = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        lens[r.source].append(r.n_chars)
+    all_lens = sorted({x for v in lens.values() for x in v})
+    n_tot = sum(len(v) for v in lens.values())
+    got = {r.source: r for r in ks_drift_by_source(spark, sf_dir).collect()}
+    assert set(got) == set(lens)
+    for src, v in lens.items():
+        n_s, n_r = len(v), n_tot - len(v)
+        rest = [x for s2, vv in lens.items() if s2 != src for x in vv]
+        best = 0
+        for x in all_lens:
+            cs = sum(1 for y in v if y <= x)
+            cr = sum(1 for y in rest if y <= x)
+            best = max(best, abs(cs * n_r - cr * n_s))
+        r = got[src]
+        assert (r.n_s, r.n_rest, r.ks_num) == (n_s, n_r, best)
+        assert r.ks_ppm == best * 1_000_000 // (n_s * n_r)
+    vals = sorted(r.ks_ppm for r in got.values())
+    assert vals[-1] > vals[0] * 2, "KS must separate sources"
