@@ -2855,3 +2855,164 @@ ORACLE["moment_stats_by_source"] = """
              AS kurt_ppm
     FROM m
 """
+
+
+
+ACF_LAGS = (1, 2, 3, 7, 14, 28)
+
+
+def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact autocorrelation function of daily revenue at the classic
+    lags (1,2,3 days; 1,2,4 weeks): acf_ppm(k) = 1e6 * sum((y_t-c)
+    *(y_{t+k}-c)) div sum((y_t-c)^2) over the integer floor-mean pivot
+    c — near-zero everywhere on this corpus (orders are i.i.d. across
+    days), which is exactly the finding that licenses the i.i.d.
+    assumption the forecasting family (OLS trend, EWMA) rests on.
+    Denominator uses the full series; the lag product pairs (t, t+k)
+    via an equi-join on the day index, so no window function at all.
+
+    Shape: ONE data-sized pass (groupBy day); the day grid (~2.4k
+    rows) then self-joins on di+k per broadcast lag — grid-sized work;
+    pivot and denominator ride 1-row broadcasts. Deviation products
+    bound everything by n_days*max_dev^2 (shift-invariance again)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("di")
+    ).agg(F.sum(_cents("o_totalprice")).alias("rev_c"))
+    pivot = daily.agg(
+        F.expr("sum(rev_c) div count(*)").alias("cy"),
+        F.count("*").alias("n_days"),
+    )
+    dev = daily.crossJoin(F.broadcast(pivot)).select(
+        "di", (F.col("rev_c") - F.col("cy")).alias("dy"), "n_days"
+    )
+    den = dev.agg(
+        F.sum(F.expr("CAST(dy AS DECIMAL(38,0)) * dy")).alias("s_dd")
+    )
+    lags = spark.createDataFrame([(k,) for k in ACF_LAGS], "lag int")
+    pairs = (
+        dev.crossJoin(F.broadcast(lags))
+        .withColumn("di_next", F.col("di") + F.col("lag"))
+        .alias("l")
+        .join(
+            dev.select(F.col("di").alias("di_next"), F.col("dy").alias("dy2")),
+            "di_next",
+        )
+    )
+    return (
+        pairs.groupBy("lag", "n_days")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.expr("CAST(dy AS DECIMAL(38,0)) * dy2")).alias("s_lag"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n_days").cast("long").alias("n_days"),
+            "n_pairs",
+            F.expr("CAST(s_lag * 1000000 div s_dd AS BIGINT)").alias(
+                "acf_ppm"
+            ),
+        )
+    )
+
+
+QUERIES["autocorr_daily_revenue"] = autocorr_daily_revenue
+ORACLE["autocorr_daily_revenue"] = f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS di,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1),
+    piv AS (SELECT SUM(rev_c) // COUNT(*) AS cy, COUNT(*) AS n_days
+            FROM daily),
+    dev AS (SELECT di, rev_c - cy AS dy, n_days FROM daily CROSS JOIN piv),
+    den AS (SELECT SUM(CAST(dy AS HUGEINT) * dy) AS s_dd FROM dev),
+    lags AS (SELECT unnest([{', '.join(str(k) for k in ACF_LAGS)}]) AS lag)
+    SELECT CAST(l.lag AS INT) AS lag,
+           CAST(ANY_VALUE(a.n_days) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(a.dy AS HUGEINT) * b.dy) * 1000000
+                // ANY_VALUE(d.s_dd) AS BIGINT) AS acf_ppm
+    FROM dev a CROSS JOIN lags l
+    JOIN dev b ON b.di = a.di + l.lag
+    CROSS JOIN den d
+    GROUP BY l.lag
+"""
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift scan over daily revenue: the running sum of
+    deviations from the integer pivot mean, its absolute peak flagged
+    as the changepoint candidate, and each day's |cusum| as a share of
+    the peak — the classic Page-style drift detector. On this corpus
+    the curve is a random walk whose flagged peak carries no external
+    shift — the near-uniform ppm plateau around the peak says
+    "no structural break", which is the detector's honest output here.
+
+    Shape: one data-sized pass to the day grid; the cumulative sum
+    runs over the ~2.4k-row date grid (plan-lint whitelisted global
+    window over a date-bounded frame); peak extraction is a 1-row
+    broadcast aggregate of the same grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("di")
+    ).agg(F.sum(_cents("o_totalprice")).alias("rev_c"))
+    pivot = daily.agg(
+        F.expr("sum(rev_c) div count(*)").alias("cy"),
+        F.count("*").alias("n_days"),
+    )
+    w = Window.orderBy("di").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        daily.crossJoin(F.broadcast(pivot))
+        .withColumn("cusum_c", F.sum(F.col("rev_c") - F.col("cy")).over(w))
+        .select("di", "rev_c", "cusum_c")
+    )
+    peak = cum.agg(F.max(F.abs("cusum_c")).alias("peak_abs"))
+    peak_di = (
+        cum.crossJoin(F.broadcast(peak))
+        .filter(F.abs("cusum_c") == F.col("peak_abs"))
+        .agg(F.min("di").alias("peak_di"), F.min("peak_abs").alias("peak_abs"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(peak_di))
+        .select(
+            "di",
+            F.col("rev_c").cast("long").alias("rev_c"),
+            F.col("cusum_c").cast("long").alias("cusum_c"),
+            F.expr(
+                "CAST(abs(cusum_c) * 1000000 div peak_abs AS BIGINT)"
+            ).alias("peak_share_ppm"),
+            (F.col("di") == F.col("peak_di")).cast("int").alias("is_peak"),
+        )
+    )
+
+
+QUERIES["cusum_changepoint"] = cusum_changepoint
+ORACLE["cusum_changepoint"] = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS di,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1),
+    piv AS (SELECT SUM(rev_c) // COUNT(*) AS cy FROM daily),
+    cum AS (
+      SELECT di, rev_c,
+             SUM(rev_c - cy) OVER (ORDER BY di
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum_c
+      FROM daily CROSS JOIN piv),
+    peak AS (
+      SELECT MIN(di) FILTER (WHERE ABS(cusum_c) = m) AS peak_di, ANY_VALUE(m) AS peak_abs
+      FROM cum CROSS JOIN (SELECT MAX(ABS(cusum_c)) AS m FROM cum))
+    SELECT c.di,
+           CAST(c.rev_c AS BIGINT) AS rev_c,
+           CAST(c.cusum_c AS BIGINT) AS cusum_c,
+           CAST(ABS(c.cusum_c) * 1000000 // p.peak_abs AS BIGINT)
+             AS peak_share_ppm,
+           CAST(CASE WHEN c.di = p.peak_di THEN 1 ELSE 0 END AS INT) AS is_peak
+    FROM cum c CROSS JOIN peak p
+"""

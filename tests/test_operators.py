@@ -2767,3 +2767,66 @@ def test_ks_drift_exact_two_sample(spark, sf_dir):
         assert r.ks_ppm == best * 1_000_000 // (n_s * n_r)
     vals = sorted(r.ks_ppm for r in got.values())
     assert vals[-1] > vals[0] * 2, "KS must separate sources"
+
+
+def _daily_rev(spark, sf_dir):
+    from collections import defaultdict
+    from datetime import date
+
+    daily = defaultdict(int)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        di = (r.o_orderdate.date() - date(1995, 1, 1)).days
+        daily[di] += int(r.o_totalprice * 100 + 0.5)
+    return daily
+
+
+def test_autocorr_exact_and_iid_finding(spark, sf_dir):
+    """acf_ppm per lag must equal the exact integer recount over the
+    pivoted daily series, and all lags must sit near zero — the
+    corpus's i.i.d.-across-days property the operator exists to
+    check."""
+    from flinkproj_spark.operators.analytic import (
+        ACF_LAGS,
+        autocorr_daily_revenue,
+    )
+
+    daily = _daily_rev(spark, sf_dir)
+    n = len(daily)
+    cy = sum(daily.values()) // n
+    dev = {di: v - cy for di, v in daily.items()}
+    s_dd = sum(d * d for d in dev.values())
+    got = {r.lag: r for r in autocorr_daily_revenue(spark, sf_dir).collect()}
+    assert set(got) == set(ACF_LAGS)
+    for k in ACF_LAGS:
+        pairs = [(d, dev[di + k]) for di, d in dev.items() if di + k in dev]
+        s_lag = sum(a * b for a, b in pairs)
+        r = got[k]
+        assert (r.n_days, r.n_pairs) == (n, len(pairs))
+        num = s_lag * 1_000_000
+        t = abs(num) // s_dd
+        assert r.acf_ppm == (t if num >= 0 else -t)
+        assert abs(r.acf_ppm) < 100_000, "corpus must read as ~i.i.d."
+
+
+def test_cusum_peak_is_argmax(spark, sf_dir):
+    """The cusum curve must equal the running-deviation recount, have
+    exactly one flagged peak at the min-di argmax of |cusum|, and the
+    shares must be the exact ppm of the peak."""
+    from flinkproj_spark.operators.analytic import cusum_changepoint
+
+    daily = _daily_rev(spark, sf_dir)
+    cy = sum(daily.values()) // len(daily)
+    cum, want = 0, {}
+    for di in sorted(daily):
+        cum += daily[di] - cy
+        want[di] = cum
+    peak_abs = max(abs(v) for v in want.values())
+    peak_di = min(di for di, v in want.items() if abs(v) == peak_abs)
+    rows = cusum_changepoint(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    flagged = [r for r in rows if r.is_peak == 1]
+    assert [r.di for r in flagged] == [peak_di]
+    for r in rows:
+        assert r.cusum_c == want[r.di]
+        assert r.rev_c == daily[r.di]
+        assert r.peak_share_ppm == abs(r.cusum_c) * 1_000_000 // peak_abs
