@@ -2535,3 +2535,109 @@ ORACLE["ks_drift_by_source"] = """
     FROM cum c JOIN tot t USING (source) CROSS JOIN n_all a
     GROUP BY c.source, t.n_s, a.n_tot
 """
+
+
+
+
+def auc_length_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / AUC screen per source: the probability that a
+    random document from the source is LONGER than a random document
+    from the rest of the corpus (ties split), as exact ppm. This is
+    the rank-sum twin of ks_drift_by_source — KS sees any shape
+    difference, AUC sees stochastic dominance with a direction; a feed
+    whose auc_ppm leaves 500000 ships systematically longer/shorter
+    text. Doubling the U statistic (U2 = sum_x c_s(x)*(2*cum_r(<x)
+    + c_r(x))) keeps the tie midranks integer, and
+    auc_ppm = U2*1e6 div (2*n_s*n_r) is the single division.
+
+    Shape: identical substrate to the KS screen — groupBy
+    (source, n_chars) bounded by sources x distinct lengths, per-source
+    cumulative over the length grid (key-bounded window partitions),
+    everything after the one corpus scan is grid-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count("*").alias("c")
+    )
+    gcounts = counts.groupBy("x").agg(F.sum("c").alias("g"))
+    grid = counts.select("source").distinct().crossJoin(gcounts.select("x"))
+    full = grid.join(counts, ["source", "x"], "left").select(
+        "source", "x", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = full.join(F.broadcast(gcounts), "x").select(
+        "source",
+        "x",
+        "c",
+        (F.col("g") - F.col("c")).alias("c_rest"),
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cum_s_before"),
+        F.coalesce(F.sum("g").over(w), F.lit(0)).alias("cum_all_before"),
+    )
+    tot = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    n_all = counts.agg(F.sum("c").alias("n_tot"))
+    return (
+        cum.withColumn(
+            "u2_term",
+            F.col("c")
+            * (
+                2 * (F.col("cum_all_before") - F.col("cum_s_before"))
+                + F.col("c_rest")
+            ),
+        )
+        .groupBy("source")
+        .agg(F.sum("u2_term").alias("u2"))
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_s"),
+            (F.col("n_tot") - F.col("n_s")).cast("long").alias("n_rest"),
+            F.col("u2").cast("long").alias("u2"),
+            F.expr(
+                "CAST(CAST(u2 AS DECIMAL(38,0)) * 1000000"
+                " div (2 * CAST(n_s AS DECIMAL(38,0)) * (n_tot - n_s))"
+                " AS BIGINT)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+QUERIES["auc_length_by_source"] = auc_length_by_source
+ORACLE["auc_length_by_source"] = """
+    WITH counts AS (
+      SELECT source, n_chars AS x, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    gcounts AS (SELECT x, SUM(c) AS g FROM counts GROUP BY 1),
+    grid AS (
+      SELECT s.source, gl.x
+      FROM (SELECT DISTINCT source FROM counts) s CROSS JOIN gcounts gl),
+    fullg AS (
+      SELECT gr.source, gr.x, COALESCE(c.c, 0) AS c
+      FROM grid gr LEFT JOIN counts c
+        ON c.source = gr.source AND c.x = gr.x),
+    cum AS (
+      SELECT f.source, f.x, f.c, gl.g - f.c AS c_rest,
+             COALESCE(SUM(f.c) OVER (PARTITION BY f.source ORDER BY f.x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_s_before,
+             COALESCE(SUM(gl.g) OVER (PARTITION BY f.source ORDER BY f.x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_all_before
+      FROM fullg f JOIN gcounts gl USING (x)),
+    tot AS (SELECT source, SUM(c) AS n_s FROM counts GROUP BY 1),
+    n_all AS (SELECT SUM(c) AS n_tot FROM counts)
+    SELECT c.source,
+           CAST(t.n_s AS BIGINT) AS n_s,
+           CAST(a.n_tot - t.n_s AS BIGINT) AS n_rest,
+           CAST(SUM(c.c * (2 * (c.cum_all_before - c.cum_s_before)
+                           + c.c_rest)) AS BIGINT) AS u2,
+           CAST(CAST(SUM(c.c * (2 * (c.cum_all_before - c.cum_s_before)
+                           + c.c_rest)) AS HUGEINT) * 1000000
+                // (2 * CAST(t.n_s AS HUGEINT) * (a.n_tot - t.n_s))
+                AS BIGINT) AS auc_ppm
+    FROM cum c JOIN tot t USING (source) CROSS JOIN n_all a
+    GROUP BY c.source, t.n_s, a.n_tot
+"""

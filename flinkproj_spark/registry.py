@@ -71,6 +71,7 @@ _PRIORITY_KEYS = (
     "zipf_fit_report",  # never checked
     "simpson_diversity_by_source",  # never checked
     "ks_drift_by_source",  # never checked
+    "auc_length_by_source",  # never checked
     "epoch_schedule",  # never checked
     "curriculum_order",  # never checked
     "packing_efficiency_report",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "customer_ltv_cohort",  # never checked
     "seasonality_profile",  # never checked
     "benford_deviation",  # never checked
-    "gini_revenue_lorenz",  # never checked
 )
 
 

@@ -2830,3 +2830,32 @@ def test_cusum_peak_is_argmax(spark, sf_dir):
         assert r.cusum_c == want[r.di]
         assert r.rev_c == daily[r.di]
         assert r.peak_share_ppm == abs(r.cusum_c) * 1_000_000 // peak_abs
+
+
+def test_auc_is_exact_pair_probability(spark, sf_dir):
+    """auc_ppm must equal a brute-force pair count — wins + half-ties
+    over all (source doc, rest doc) pairs — and agree in DIRECTION
+    with the mean-length ordering for the extreme sources."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.text import auc_length_by_source
+
+    lens = defaultdict(list)
+    for r in load_table(spark, sf_dir, "documents").collect():
+        lens[r.source].append(r.n_chars)
+    got = {r.source: r for r in auc_length_by_source(spark, sf_dir).collect()}
+    assert set(got) == set(lens)
+    for src, v in lens.items():
+        rest = [x for s2, vv in lens.items() if s2 != src for x in vv]
+        u2 = 0
+        for a in v:
+            for b in rest:
+                u2 += 2 if a > b else (1 if a == b else 0)
+        r = got[src]
+        assert (r.n_s, r.n_rest, r.u2) == (len(v), len(rest), u2)
+        assert r.auc_ppm == u2 * 1_000_000 // (2 * len(v) * len(rest))
+    hi = max(got, key=lambda s: got[s].auc_ppm)
+    lo = min(got, key=lambda s: got[s].auc_ppm)
+    mean = {s: sum(v) / len(v) for s, v in lens.items()}
+    assert mean[hi] > mean[lo]
+    assert got[hi].auc_ppm > 500_000 > got[lo].auc_ppm
