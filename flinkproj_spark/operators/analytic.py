@@ -3016,3 +3016,150 @@ ORACLE["cusum_changepoint"] = """
            CAST(CASE WHEN c.di = p.peak_di THEN 1 ELSE 0 END AS INT) AS is_peak
     FROM cum c CROSS JOIN peak p
 """
+
+
+
+
+def stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per Monday-aligned week — the product-
+    engagement ratio ("what fraction of the week's actives show up on
+    an average day"): sum of daily distinct users over the week's
+    active days, divided by (active days x weekly distinct users),
+    exact ppm with no pre-truncated intermediate average. The week key
+    is pure integer arithmetic (days since Monday 1970-01-05 div 7),
+    identical in both engines — no locale-sensitive week-of-year
+    formatting.
+
+    Shape: one events scan -> groupBy (week, day) with a distinct-user
+    aggregate (two-phase, keys bounded by the calendar), a second
+    distinct aggregate per week for WAU, joined on the tiny week grid.
+    At 100 TB the only data-sized stages are the two distinct
+    aggregates, both map-side partial."""
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.expr("datediff(to_date(ts), date'1970-01-05') div 7").alias("wk"),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    )
+    daily = keyed.groupBy("wk", "d").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    per_week = daily.groupBy("wk").agg(
+        F.count("*").alias("n_days"), F.sum("dau").alias("sum_dau")
+    )
+    wau = keyed.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        per_week.join(wau, "wk")
+        .select(
+            F.col("wk").cast("long").alias("wk"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("sum_dau").cast("long").alias("sum_dau"),
+            F.expr("sum_dau div n_days").alias("avg_dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr("sum_dau * 1000000 div (n_days * wau)").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )
+
+
+QUERIES["stickiness_dau_wau"] = stickiness_dau_wau
+ORACLE["stickiness_dau_wau"] = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+               AS wk,
+             CAST(ts AS DATE) AS d,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1, 2),
+    per_week AS (
+      SELECT wk, COUNT(*) AS n_days, SUM(dau) AS sum_dau
+      FROM daily GROUP BY 1),
+    wau AS (
+      SELECT date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7
+               AS wk,
+             COUNT(DISTINCT user_id) AS wau
+      FROM events GROUP BY 1)
+    SELECT CAST(p.wk AS BIGINT) AS wk,
+           CAST(p.n_days AS BIGINT) AS n_days,
+           CAST(p.sum_dau AS BIGINT) AS sum_dau,
+           CAST(p.sum_dau // p.n_days AS BIGINT) AS avg_dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           CAST(p.sum_dau * 1000000 // (p.n_days * w.wau) AS BIGINT)
+             AS stickiness_ppm
+    FROM per_week p JOIN wau w USING (wk)
+"""
+
+
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue (above/below the
+    integer pivot mean): observed runs vs the expected
+    1 + 2*n1*n2/n, as an exact cross-multiplied ratio — too FEW runs
+    means positive serial dependence (streaks), too many means
+    oscillation. Complements the ACF (linear dependence) with an
+    ordering-based randomness check; on this corpus the ratio hugs
+    1e6, the i.i.d. verdict again. One output row.
+
+    Shape: one data-sized pass to the ~2.4k-day grid; the
+    run-boundary lag runs over that date-bounded grid (plan-lint
+    whitelisted), and the expected-runs arithmetic is a 1-row
+    aggregate: runs_ratio_ppm = obs_runs * n * 1e6 div (n + 2*n1*n2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("di")
+    ).agg(F.sum(_cents("o_totalprice")).alias("rev_c"))
+    piv = daily.agg(F.expr("sum(rev_c) div count(*)").alias("cy"))
+    signed = daily.crossJoin(F.broadcast(piv)).select(
+        "di", (F.col("rev_c") > F.col("cy")).cast("int").alias("s")
+    )
+    w = Window.orderBy("di")
+    runs = signed.withColumn("prev_s", F.lag("s").over(w)).agg(
+        F.count("*").alias("n"),
+        F.sum("s").alias("n1"),
+        F.sum(
+            (F.col("prev_s").isNull() | (F.col("s") != F.col("prev_s"))).cast(
+                "long"
+            )
+        ).alias("obs_runs"),
+    )
+    return runs.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n1").cast("long").alias("n1"),
+        (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+        F.col("obs_runs").cast("long").alias("obs_runs"),
+        F.expr("(n + 2 * n1 * (n - n1)) * 1000 div n").alias("exp_runs_milli"),
+        F.expr(
+            "obs_runs * n * 1000000 div (n + 2 * n1 * (n - n1))"
+        ).alias("runs_ratio_ppm"),
+    )
+
+
+QUERIES["runs_test_daily"] = runs_test_daily
+ORACLE["runs_test_daily"] = """
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS di,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1),
+    piv AS (SELECT SUM(rev_c) // COUNT(*) AS cy FROM daily),
+    signed AS (
+      SELECT di, CASE WHEN rev_c > cy THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN piv),
+    lagged AS (
+      SELECT s, LAG(s) OVER (ORDER BY di) AS prev_s FROM signed),
+    agg AS (
+      SELECT COUNT(*) AS n, SUM(s) AS n1,
+             SUM(CASE WHEN prev_s IS NULL OR s <> prev_s THEN 1 ELSE 0 END)
+               AS obs_runs
+      FROM lagged)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n1 AS BIGINT) AS n1,
+           CAST(n - n1 AS BIGINT) AS n2,
+           CAST(obs_runs AS BIGINT) AS obs_runs,
+           CAST((n + 2 * n1 * (n - n1)) * 1000 // n AS BIGINT)
+             AS exp_runs_milli,
+           CAST(obs_runs * n * 1000000 // (n + 2 * n1 * (n - n1)) AS BIGINT)
+             AS runs_ratio_ppm
+    FROM agg
+"""
