@@ -3163,3 +3163,96 @@ ORACLE["runs_test_daily"] = """
              AS runs_ratio_ppm
     FROM agg
 """
+
+
+
+
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al.) — the third rung of the privacy
+    ladder after k_anonymity_report and l_diversity_report, on the
+    SAME QID (nation x balance band) and sensitive attribute (market
+    segment): a class can be large AND diverse yet still leak if its
+    sensitive distribution diverges from the corpus-wide one. Per QID
+    class: the exact variational distance t = 1/2 * sum_j |p_j - q_j|
+    as cross-multiplied ppm (t_ppm = sum_j |c_j*N - g_j*n_c| * 1e6
+    div (2*n_c*N) — no per-class float division), plus the flag
+    against the conventional t=0.2 release threshold.
+
+    Shape: ONE scan -> groupBy (QID, segment) bounded by QID domain x
+    |segments|; the global segment distribution is a 5-row broadcast;
+    the per-class sum runs on the class x segment grid (a left join
+    against the dense grid supplies the zero cells so missing
+    segments still pay |0 - q_j|)."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal_b = F.expr(
+        f"CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div {L_DIV_QID_BUCKET_C}"
+    )
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nat"),
+        bal_b.alias("bal_b"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count("*").alias("c"))
+    gseg = cells.groupBy("seg").agg(F.sum("c").alias("g"))
+    n_all = cells.agg(F.sum("c").alias("n_tot"))
+    classes = cells.groupBy("nat", "bal_b").agg(F.sum("c").alias("gsz"))
+    grid = classes.crossJoin(F.broadcast(gseg.select("seg")))
+    dense = grid.join(cells, ["nat", "bal_b", "seg"], "left").select(
+        "nat", "bal_b", "seg", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return (
+        dense.join(F.broadcast(gseg), "seg")
+        .join(classes, ["nat", "bal_b"])
+        .crossJoin(F.broadcast(n_all))
+        .groupBy("nat", "bal_b", "gsz", "n_tot")
+        .agg(
+            F.sum(
+                F.abs(F.col("c") * F.col("n_tot") - F.col("g") * F.col("gsz"))
+            ).alias("t_num")
+        )
+        .select(
+            F.col("nat").cast("int").alias("nat"),
+            F.col("bal_b").cast("long").alias("bal_b"),
+            F.col("gsz").cast("long").alias("gsz"),
+            F.expr(
+                "CAST(CAST(t_num AS DECIMAL(38,0)) * 1000000"
+                " div (2 * CAST(gsz AS DECIMAL(38,0)) * n_tot) AS BIGINT)"
+            ).alias("t_ppm"),
+            F.expr(
+                "CAST(CASE WHEN CAST(t_num AS DECIMAL(38,0)) * 1000000"
+                " div (2 * CAST(gsz AS DECIMAL(38,0)) * n_tot) > 200000"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("exceeds_t02"),
+        )
+    )
+
+
+QUERIES["t_closeness_report"] = t_closeness_report
+ORACLE["t_closeness_report"] = f"""
+    WITH cells AS (
+      SELECT c_nationkey AS nat,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               // {200000} AS bal_b,
+             c_mktsegment AS seg, COUNT(*) AS c
+      FROM customer GROUP BY 1, 2, 3),
+    gseg AS (SELECT seg, SUM(c) AS g FROM cells GROUP BY 1),
+    n_all AS (SELECT SUM(c) AS n_tot FROM cells),
+    classes AS (SELECT nat, bal_b, SUM(c) AS gsz FROM cells GROUP BY 1, 2),
+    grid AS (SELECT cl.nat, cl.bal_b, cl.gsz, gs.seg, gs.g
+             FROM classes cl CROSS JOIN gseg gs),
+    dense AS (
+      SELECT gr.nat, gr.bal_b, gr.gsz, gr.g, COALESCE(ce.c, 0) AS c
+      FROM grid gr LEFT JOIN cells ce
+        ON ce.nat = gr.nat AND ce.bal_b = gr.bal_b AND ce.seg = gr.seg)
+    SELECT CAST(d.nat AS INT) AS nat,
+           CAST(d.bal_b AS BIGINT) AS bal_b,
+           CAST(d.gsz AS BIGINT) AS gsz,
+           CAST(CAST(SUM(ABS(d.c * a.n_tot - d.g * d.gsz)) AS HUGEINT)
+                * 1000000 // (2 * CAST(d.gsz AS HUGEINT) * a.n_tot)
+                AS BIGINT) AS t_ppm,
+           CAST(CASE WHEN CAST(SUM(ABS(d.c * a.n_tot - d.g * d.gsz))
+                               AS HUGEINT) * 1000000
+                          // (2 * CAST(d.gsz AS HUGEINT) * a.n_tot) > 200000
+                     THEN 1 ELSE 0 END AS INT) AS exceeds_t02
+    FROM dense d CROSS JOIN n_all a
+    GROUP BY d.nat, d.bal_b, d.gsz, a.n_tot
+"""

@@ -2907,3 +2907,46 @@ def test_runs_test_recount(spark, sf_dir):
     assert r.exp_runs_milli == (n + 2 * n1 * (n - n1)) * 1000 // n
     assert r.runs_ratio_ppm == runs * n * 1_000_000 // (n + 2 * n1 * (n - n1))
     assert 800_000 < r.runs_ratio_ppm < 1_200_000
+
+
+def test_t_closeness_exact_variational_distance(spark, sf_dir):
+    """Each class's t_ppm must equal the exact cross-multiplied
+    variational distance recount (including zero cells for segments
+    the class lacks), the flag must be the 0.2 threshold, and the
+    audit must fire on some classes while clearing others."""
+    import math
+    from collections import Counter, defaultdict
+
+    from flinkproj_spark.operators.analytic import (
+        L_DIV_QID_BUCKET_C,
+        t_closeness_report,
+    )
+
+    per_class = defaultdict(Counter)
+    glob = Counter()
+    for r in load_table(spark, sf_dir, "customer").collect():
+        cents = math.floor(r.c_acctbal * 100 + 0.5)
+        b = (
+            cents // L_DIV_QID_BUCKET_C
+            if cents >= 0
+            else -((-cents) // L_DIV_QID_BUCKET_C)
+        )
+        per_class[(r.c_nationkey, b)][r.c_mktsegment] += 1
+        glob[r.c_mktsegment] += 1
+    n_tot = sum(glob.values())
+    got = {(r.nat, r.bal_b): r for r in t_closeness_report(spark, sf_dir).collect()}
+    assert set(got) == set(per_class)
+    for key, segs in per_class.items():
+        gsz = sum(segs.values())
+        t_num = sum(
+            abs(segs.get(s, 0) * n_tot - g * gsz) for s, g in glob.items()
+        )
+        r = got[key]
+        assert r.gsz == gsz
+        assert r.t_ppm == t_num * 1_000_000 // (2 * gsz * n_tot)
+        assert r.exceeds_t02 == (1 if r.t_ppm > 200_000 else 0)
+    flags = [r.exceeds_t02 for r in got.values()]
+    assert sum(flags) > 0, "audit must fire"
+    # the statistic must spread (at the driver SFs it also clears
+    # some classes; at sf0.001 every 1-2-member class diverges)
+    assert len({r.t_ppm for r in got.values()}) > 5
