@@ -3256,3 +3256,90 @@ ORACLE["t_closeness_report"] = f"""
     FROM dense d CROSS JOIN n_all a
     GROUP BY d.nat, d.bal_b, d.gsz, a.n_tot
 """
+
+
+def hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration of revenue across
+    customer nations: per nation its exact revenue share (ppm) and
+    concentration rank, plus the corpus-wide HHI in the conventional
+    0-10000 points (sum of squared percent shares) computed as ONE
+    cross-multiplied division: hhi_e4 = sum(rev_i^2) * 10000 div
+    (sum(rev))^2 — the antitrust/portfolio-concentration screen, dual
+    of the Simpson diversity index. CR4 falls out of the cumulative
+    share column (rank <= 4).
+
+    Shape: orders joins customer on the custkey hash exchange (both
+    sides data-sized at 100 TB — no broadcast), collapses to the
+    ~25-row nation frame; ranking and squared-share sums run there
+    (plan-lint whitelisted dimension window). rev^2 routes through
+    DECIMAL(38): nation revenue is corpus-sized, its square is not
+    int64."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    per_nat = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("rev_c"))
+        .join(cust, "o_custkey")
+        .groupBy("nat")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    tot = per_nat.agg(
+        F.sum("rev_c").alias("sum_rev"),
+        F.sum(
+            F.col("rev_c").cast("decimal(38,0)") * F.col("rev_c")
+        ).alias("sum_rev2"),
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), "nat")
+    wc = Window.orderBy(F.col("rev_c").desc(), "nat").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_nat.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum_rev", F.sum("rev_c").over(wc))
+        .select(
+            F.col("nat").cast("int").alias("nat"),
+            "rank",
+            F.col("rev_c").cast("long").alias("rev_c"),
+            F.expr("rev_c * 1000000 div sum_rev").alias("share_ppm"),
+            F.expr(
+                "CAST(CAST(cum_rev AS DECIMAL(38,0)) * 1000000"
+                " div CAST(sum_rev AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("cum_share_ppm"),
+            F.expr(
+                "CAST(sum_rev2 * 10000 div (CAST(sum_rev AS DECIMAL(38,0))"
+                " * sum_rev) AS BIGINT)"
+            ).alias("hhi_e4"),
+        )
+    )
+
+
+QUERIES["hhi_by_nation"] = hhi_by_nation
+ORACLE["hhi_by_nation"] = """
+    WITH per_nat AS (
+      SELECT c.c_nationkey AS nat,
+             SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1),
+    tot AS (
+      SELECT SUM(rev_c) AS sum_rev,
+             SUM(CAST(rev_c AS HUGEINT) * rev_c) AS sum_rev2
+      FROM per_nat),
+    ranked AS (
+      SELECT nat, rev_c,
+             ROW_NUMBER() OVER (ORDER BY rev_c DESC, nat) AS rank,
+             SUM(rev_c) OVER (ORDER BY rev_c DESC, nat
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM per_nat)
+    SELECT CAST(r.nat AS INT) AS nat,
+           CAST(r.rank AS INT) AS rank,
+           CAST(r.rev_c AS BIGINT) AS rev_c,
+           CAST(r.rev_c * 1000000 // t.sum_rev AS BIGINT) AS share_ppm,
+           CAST(CAST(r.cum_rev AS HUGEINT) * 1000000 // t.sum_rev AS BIGINT)
+             AS cum_share_ppm,
+           CAST(t.sum_rev2 * 10000 // (CAST(t.sum_rev AS HUGEINT) * t.sum_rev)
+                AS BIGINT) AS hhi_e4
+    FROM ranked r CROSS JOIN tot t
+"""

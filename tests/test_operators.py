@@ -2950,3 +2950,35 @@ def test_t_closeness_exact_variational_distance(spark, sf_dir):
     # the statistic must spread (at the driver SFs it also clears
     # some classes; at sf0.001 every 1-2-member class diverges)
     assert len({r.t_ppm for r in got.values()}) > 5
+
+
+def test_hhi_recount_and_invariants(spark, sf_dir):
+    """hhi_e4 must equal the exact cross-multiplied recount, shares
+    must be exact ppm with the (rev desc, nat) rank order, cumulative
+    shares end at 1e6, and the HHI must sit between perfect-competition
+    (1e4/n_nations) and monopoly (10000)."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.analytic import hhi_by_nation
+
+    nat_of = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    rev = defaultdict(int)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        rev[nat_of[r.o_custkey]] += int(r.o_totalprice * 100 + 0.5)
+    sum_rev = sum(rev.values())
+    hhi = sum(v * v for v in rev.values()) * 10000 // (sum_rev * sum_rev)
+    order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    rows = sorted(hhi_by_nation(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.nat for r in rows] == [n for n, _ in order]
+    cum = 0
+    for r, (nat, v) in zip(rows, order):
+        cum += v
+        assert r.rev_c == v
+        assert r.share_ppm == v * 1_000_000 // sum_rev
+        assert r.cum_share_ppm == cum * 1_000_000 // sum_rev
+        assert r.hhi_e4 == hhi
+    assert rows[-1].cum_share_ppm == 1_000_000
+    assert 10_000 // len(rev) <= hhi <= 10_000

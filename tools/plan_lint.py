@@ -53,6 +53,7 @@ WHITELIST: dict[str, dict[str, str]] = {
     "gini_revenue_lorenz": {"GLOBAL_WIN": "customer-dimension rank + 10-row decile grid frames"},
     "cusum_changepoint": {"GLOBAL_WIN": "date-grid cumulative frame (~2.4k distinct days, never order rows)"},
     "runs_test_daily": {"GLOBAL_WIN": "date-grid lag frame (~2.4k distinct days, never order rows)"},
+    "hhi_by_nation": {"GLOBAL_WIN": "nation-dimension rank frame (~25 rows, never order rows)"},
     "vocab_growth_curve": {"GLOBAL_WIN": "checkpoint frame (n_docs/50 rows)"},
     "conversion_lag_curve": {"GLOBAL_WIN": "day-offset histogram (calendar-bounded)"},
     # rank-of-a-top-k: the window runs AFTER .limit(k) — k rows by
