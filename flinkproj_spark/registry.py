@@ -42,56 +42,56 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    "dsir_importance_weights",  # never checked
-    "bloom_semi_join",  # never checked
-    "fk_integrity_report",  # never checked
-    "shipping_lag_report",  # never checked
-    "dedup_impact_report",  # never checked
-    "dedup_edit_distance",  # never checked
-    "source_jaccard_matrix",  # never checked
-    "split_leakage_report",  # never checked
-    "link_prediction_jaccard",  # never checked
-    "graph_modularity_report",  # never checked
-    "hard_negative_mining",  # never checked
-    "semdedup_greedy_keep",  # never checked
-    "kcenter_coreset",  # never checked
-    "embedding_top_component",  # never checked
-    "kmeans_lloyd",  # never checked
-    "embedding_matryoshka_eval",  # never checked
-    "vocab_prune_sweep",  # never checked
-    "bpe_learn_merges",  # never checked
-    "quality_calibration_curve",  # never checked
-    "tokenizer_fertility",  # never checked
-    "detokenize_roundtrip",  # never checked
-    "pareto_frontier",  # never checked
-    "quality_drift_by_source",  # never checked
-    "vocab_growth_curve",  # never checked
-    "kn_bigram_smoothed",  # never checked
-    "next_word_suggest",  # never checked
-    "zipf_fit_report",  # never checked
-    "simpson_diversity_by_source",  # never checked
-    "ks_drift_by_source",  # never checked
-    "auc_length_by_source",  # never checked
-    "epoch_schedule",  # never checked
-    "curriculum_order",  # never checked
-    "packing_efficiency_report",  # never checked
-    "cep_pattern_matches",  # never checked
-    "basket_pair_lift",  # never checked
-    "analyze_tables_report",  # never checked
-    "event_transition_matrix",  # never checked
-    "label_propagation",  # never checked
-    "cms_heavy_hitters",  # never checked
-    "ewma_daily_anomaly",  # never checked
-    "k_anonymity_report",  # never checked
-    "conversion_lag_curve",  # never checked
-    "ols_trend_monthly",  # never checked
-    "corr_pairs_report",  # never checked
-    "l_diversity_report",  # never checked
-    "twap_user_value",  # never checked
-    "rfm_segmentation",  # never checked
-    "customer_ltv_cohort",  # never checked
-    "seasonality_profile",  # never checked
-    "benford_deviation",  # never checked
+    "gini_revenue_lorenz",  # never checked
+    "moment_stats_by_source",  # never checked
+    "autocorr_daily_revenue",  # never checked
+    "cusum_changepoint",  # never checked
+    "stickiness_dau_wau",  # never checked
+    "runs_test_daily",  # never checked
+    "t_closeness_report",  # never checked
+    "hhi_by_nation",  # never checked
+    "pipeline_report",  # last green r3
+    "pipeline_curate",  # last green r3
+    "pipeline_curate_v2",  # last green r3
+    "approx_percentile_stats",  # last green r3
+    "funnel_steps",  # last green r3
+    "retention_cohorts",  # last green r3
+    "outlier_zscore",  # last green r3
+    "event_path_topk",  # last green r3
+    "anomaly_rolling_z",  # last green r3
+    "pagerank_fixed",  # last green r3
+    "chi2_lang_source",  # last green r3
+    "zorder_layout",  # last green r3
+    "json_extract",  # last green r4
+    "explode_data",  # last green r4
+    "dim_join",  # last green r4
+    "enrich_serialize",  # last green r4
+    "ts_parse",  # last green r4
+    "filter_valid",  # last green r4
+    "format_tsv",  # last green r4
+    "window_count",  # last green r4
+    "late_split",  # last green r4
+    "paragraph_dedup",  # last green r4
+    "unigram_lm_score",  # last green r4
+    "bigram_lm_score",  # last green r4
+    "cross_snapshot_dedup",  # last green r4
+    "embedding_quantize",  # last green r4
+    "minhash_jaccard_estimate",  # last green r4
+    "neardup_semantic_verify",  # last green r4
+    "sessionize",  # last green r4
+    "tpch_q1",  # last green r4
+    "tpch_q3",  # last green r4
+    "tpch_q5",  # last green r4
+    "tpch_q6",  # last green r4
+    "top_k_per_group",  # last green r4
+    "window_functions",  # last green r4
+    "session_window_agg",  # last green r4
+    "set_except",  # last green r4
+    "set_intersect",  # last green r4
+    "global_topk",  # last green r4
+    "rollup_counts",  # last green r4
+    "asof_join",  # last green r4
+    "asof_join_tolerance",  # last green r4
 )
 
 
