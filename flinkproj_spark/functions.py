@@ -174,3 +174,104 @@ def morton2(x: Column, y: Column, bits: int = 16) -> Column:
             F.shiftleft(F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
         )
     return z
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    bucket: Column,
+    order: Sequence[Column],
+    out: str,
+    descending: bool = False,
+    partition: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-safe exact global row_number(): the two-pass bucketed rank
+    (generalized from quality_rank_per_lang, the round-7 fix) that
+    replaces a single-task `Window.orderBy(...)` whose frame GROWS with
+    data — customer dimensions, vocabularies — with many small sorts.
+
+    `bucket` must be an integer Column, WEAKLY MONOTONE in the first
+    ordering column under the requested direction (ties in the ordering
+    value must share a bucket, so the later tie-break columns stay
+    bucket-local): truncating `div` of the value, `length(bin(value))`
+    (integer log2), or a calendar grain all qualify. Pass 1 counts rows
+    per (partition, bucket) — a frame bounded by the bucket DOMAIN
+    (value range / width), independent of row count — and a cumulative
+    window over that tiny frame yields each bucket's rank offset. Pass 2
+    broadcast-joins the offsets back and runs row_number() WITHIN
+    (partition, bucket), so no task ever sorts more than one bucket.
+    Output is bit-identical to the single-window formulation; only the
+    physical plan changes. Bucket width tunes balance, never
+    correctness; exact ties necessarily stay in one bucket (rank among
+    ties is decided by the tie-break columns inside that bucket's sort).
+    """
+    from pyspark.sql.window import Window
+
+    pcols = list(partition)
+    work = df.withColumn("_rkb", bucket)
+    counts = work.groupBy(*pcols, "_rkb").agg(F.count("*").alias("_bn"))
+    border = F.col("_rkb").desc() if descending else F.col("_rkb").asc()
+    woff = (
+        Window.partitionBy(*pcols)
+        .orderBy(border)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *pcols,
+        "_rkb",
+        F.coalesce(F.sum("_bn").over(woff), F.lit(0)).alias("_rkoff"),
+    )
+    win = Window.partitionBy(*pcols, "_rkb").orderBy(*order)
+    return (
+        work.join(F.broadcast(offsets), pcols + ["_rkb"])
+        .withColumn(
+            out, (F.row_number().over(win) + F.col("_rkoff")).cast("long")
+        )
+        .drop("_rkb", "_rkoff")
+    )
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    bucket: Column,
+    order: Sequence[Column],
+    cols: Sequence[str],
+    prefix: str = "cum_",
+) -> DataFrame:
+    """Skew-safe running total over an ordered frame: same two-pass
+    shape as bucketed_row_number but for cumulative SUMS — coarse
+    per-bucket totals, a cumulative window over the bucket frame
+    (domain-bounded, `len(cols)` longs per row), then the fine
+    cumulative window WITHIN each bucket plus the bucket's offset.
+    For each name in `cols` the result gains `prefix+name` =
+    sum of that column over all rows at-or-before the row in the
+    (bucket, *order) total order — bit-identical to a single
+    unpartitioned cumulative window. `bucket` must be weakly monotone
+    ascending in the ordering."""
+    from pyspark.sql.window import Window
+
+    work = df.withColumn("_csb", bucket)
+    coarse = work.groupBy("_csb").agg(
+        *[F.sum(c).alias(f"_cs_{c}") for c in cols]
+    )
+    woff = (
+        Window.orderBy(F.col("_csb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = coarse.select(
+        "_csb",
+        *[
+            F.coalesce(F.sum(f"_cs_{c}").over(woff), F.lit(0)).alias(f"_co_{c}")
+            for c in cols
+        ],
+    )
+    wfine = (
+        Window.partitionBy("_csb")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    res = work.join(F.broadcast(offsets), "_csb")
+    for c in cols:
+        res = res.withColumn(
+            prefix + c, F.sum(c).over(wfine) + F.col(f"_co_{c}")
+        )
+    return res.drop("_csb", *[f"_co_{c}" for c in cols])

@@ -338,7 +338,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type",
         "next_type",
         "n_trans",
-        "n_trans * 1000000 div row_total AS p_ppm",
+        # DECIMAL(38,0) numerator: n_trans is corpus-sized, so ×1e6
+        # wraps BIGINT past ~9.2e12 transitions (round-7 ADVICE —
+        # same one-operand-cast pattern as hhi_by_nation).
+        "CAST(CAST(n_trans AS DECIMAL(38,0)) * 1000000"
+        " div row_total AS BIGINT) AS p_ppm",
     )
 
 
@@ -2370,11 +2374,18 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one orders scan -> groupBy(custkey) collapses to the
     CUSTOMER-DIMENSION frame; the max-order-date scalar and the n
-    scalar ride 1-row broadcasts; the three quintile ranks are windows
-    over that dimension-sized aggregate (plan-lint whitelisted: bounded
-    by |customers|, never order rows — the same dimension-frame
-    contract as the degree/offset frames elsewhere). At 100 TB the
-    orders scan is the only data-sized stage."""
+    scalar ride 1-row broadcasts; the three quintile ranks are each the
+    skew-safe two-pass bucketed row_number (functions.
+    bucketed_row_number — round-8 generalization of the
+    quality_rank_per_lang pattern): recency buckets by 16-day calendar
+    ranges, frequency by 4-order ranges, monetary by 2^24-cent ranges,
+    so every unpartitioned window runs over a bucket-COUNT frame
+    bounded by the metric's DOMAIN (calendar span / order-count range /
+    money range), never by |customers| — a naive Window.orderBy would
+    sort the whole customer dimension in one task at 100×. At 100 TB
+    the orders scan is the only data-sized stage."""
+    from flinkproj_spark.functions import bucketed_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.to_date("o_orderdate")).alias("last_d"),
@@ -2389,14 +2400,24 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_c",
     )
     counted = base.crossJoin(F.broadcast(base.agg(F.count("*").alias("n"))))
-    w_r = Window.orderBy(F.col("r_days").desc(), "custkey")  # oldest first
-    w_f = Window.orderBy(F.col("f_n").asc(), "custkey")
-    w_m = Window.orderBy(F.col("m_c").asc(), "custkey")
-    ranked = counted.select(
-        "*",
-        F.row_number().over(w_r).cast("long").alias("rn_r"),
-        F.row_number().over(w_f).cast("long").alias("rn_f"),
-        F.row_number().over(w_m).cast("long").alias("rn_m"),
+    ranked = bucketed_row_number(
+        counted,
+        F.expr("r_days div 16"),
+        [F.col("r_days").desc(), F.col("custkey").asc()],  # oldest first
+        "rn_r",
+        descending=True,
+    )
+    ranked = bucketed_row_number(
+        ranked,
+        F.expr("f_n div 4"),
+        [F.col("f_n").asc(), F.col("custkey").asc()],
+        "rn_f",
+    )
+    ranked = bucketed_row_number(
+        ranked,
+        F.expr("m_c div 16777216"),
+        [F.col("m_c").asc(), F.col("custkey").asc()],
+        "rn_m",
     )
     return ranked.select(
         "custkey",
@@ -2619,17 +2640,26 @@ def gini_revenue_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same closed-form bucketing as rfm_segmentation.
 
     Shape: the orders scan collapses to the customer-dimension spend
-    frame; the rank window runs on that frame (plan-lint whitelisted
-    dimension window — |customers| rows); products route through
-    DECIMAL(38)/HUGEINT so rank*spend sums stay exact at any
-    customer count."""
+    frame; the rank is the skew-safe two-pass bucketed row_number
+    (functions.bucketed_row_number, the quality_rank_per_lang pattern
+    generalized in round 8) — the spend axis is cut into fixed 2^24-cent
+    ranges, so the only unpartitioned window runs over the BUCKET-COUNT
+    frame (spend-range/2^24 rows, money-domain-bounded, never
+    |customers|) and the per-customer sort happens within buckets. A
+    naive Window.orderBy here would sort billions of customers in one
+    task at 100×. Products route through DECIMAL(38)/HUGEINT so
+    rank*spend sums stay exact at any customer count."""
+    from flinkproj_spark.functions import bucketed_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(_cents("o_totalprice")).alias("m_c")
     )
-    w = Window.orderBy(F.col("m_c").asc(), "custkey")
-    ranked = spend.select(
-        "custkey", "m_c", F.row_number().over(w).cast("long").alias("rk")
+    ranked = bucketed_row_number(
+        spend,
+        F.expr("m_c div 16777216"),
+        [F.col("m_c").asc(), F.col("custkey").asc()],
+        "rk",
     )
     tot = ranked.agg(
         F.count("*").alias("n"),
@@ -3303,7 +3333,14 @@ def hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nat").cast("int").alias("nat"),
             "rank",
             F.col("rev_c").cast("long").alias("rev_c"),
-            F.expr("rev_c * 1000000 div sum_rev").alias("share_ppm"),
+            # same DECIMAL(38,0) route as cum_share_ppm: rev_c * 1e6
+            # wraps BIGINT once one nation's revenue passes ~9.2e12
+            # cents — the exact scale this key's docstring claims to
+            # survive (round-7 ADVICE).
+            F.expr(
+                "CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000"
+                " div CAST(sum_rev AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_ppm"),
             F.expr(
                 "CAST(CAST(cum_rev AS DECIMAL(38,0)) * 1000000"
                 " div CAST(sum_rev AS DECIMAL(38,0)) AS BIGINT)"

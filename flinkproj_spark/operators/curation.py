@@ -601,9 +601,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference keeps every operation in BIGINT so the score is
     bit-identical across engines and aggregation orders — same
     direction of evidence, float-free. The division by doc length is
-    deliberately NOT taken: Spark's `div` truncates toward zero while
-    DuckDB's `//` floors, and the sum can be negative — consumers
-    threshold the exact sum instead.)
+    deliberately NOT taken — not for engine parity (Spark's `div` and
+    DuckDB's BIGINT/HUGEINT `//` both truncate toward zero, negatives
+    included; only `//` on DOUBLE behaves differently) but because
+    consumers threshold the exact sum, and a per-length quotient would
+    discard tie-breaking precision for nothing.)
 
     Shape: ONE tokenize+hash pass feeds both sides — the bucket
     histogram (groupBy on 512 integer keys, map-side combined, with

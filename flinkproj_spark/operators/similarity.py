@@ -2306,7 +2306,10 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(d).alias("dim"),
                 "query_id",
                 F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
-                (F.coalesce("hits", F.lit(0)) * 1000000 / F.lit(TOP_K))
+                # integer div mirrors the oracle's `//` exactly for ANY
+                # TOP_K — float `/`+cast matched only because 1e6
+                # divides evenly at TOP_K=5 (round-7 ADVICE).
+                F.expr(f"coalesce(hits, 0) * 1000000 div {TOP_K}")
                 .cast("long")
                 .alias("recall_ppm"),
             )

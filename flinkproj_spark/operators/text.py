@@ -2097,9 +2097,17 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     first_bucket) with map-side combine and the cumulative sums run as
     a window over the checkpoint frame (|corpus|/50 rows), never over
     terms. Three tiny frames (tokens/unigrams/bigrams per bucket)
-    merge on the checkpoint key. At 100 TB the window input is still
-    only n_docs/50 rows; no global sort of anything data-sized.
+    merge on the checkpoint key. The cumulative sums are the skew-safe
+    two-pass bucketed cumsum (functions.bucketed_cumsum, round-8): the
+    checkpoint frame is n_docs/50 rows — corpus-PROPORTIONAL, so a
+    single unpartitioned window over it is a one-task sort of 2×10^9
+    rows at a 10^11-doc corpus. Bucketing checkpoints into 4096-wide
+    ranges cuts the only unpartitioned window down to the coarse
+    bucket frame (n_docs/204800 rows, 3 longs each — ~500k rows even
+    at 10^11 docs; an honest corpus-scaled bound, see PLANLINT
+    whitelist class) while the per-row cumulatives run within buckets.
     """
+    from flinkproj_spark.functions import bucketed_cumsum
     docs = load_table(spark, sf_dir, "documents")
     words = F.transform(_words(), lambda w: F.lower(w))
     bucket = (F.col("doc_id") / VG_CHECKPOINT).cast("long") + 1  # cp index
@@ -2126,8 +2134,7 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cp")
         .agg(F.count("*").alias("b_bi"))
     )
-    w = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    per_cp = (
         toks.join(uni_first, "cp", "left")
         .join(bi_first, "cp", "left")
         .select(
@@ -2136,12 +2143,17 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("b_uni", F.lit(0)).alias("b_uni"),
             F.coalesce("b_bi", F.lit(0)).alias("b_bi"),
         )
-        .select(
-            (F.col("cp") * VG_CHECKPOINT).cast("long").alias("docs_seen"),
-            F.sum("b_tokens").over(w).cast("long").alias("cum_tokens"),
-            F.sum("b_uni").over(w).cast("long").alias("cum_unigrams"),
-            F.sum("b_bi").over(w).cast("long").alias("cum_bigrams"),
-        )
+    )
+    return bucketed_cumsum(
+        per_cp,
+        F.expr("cp div 4096"),
+        [F.col("cp").asc()],
+        ["b_tokens", "b_uni", "b_bi"],
+    ).select(
+        (F.col("cp") * VG_CHECKPOINT).cast("long").alias("docs_seen"),
+        F.col("cum_b_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_b_uni").cast("long").alias("cum_unigrams"),
+        F.col("cum_b_bi").cast("long").alias("cum_bigrams"),
     )
 
 
@@ -2325,9 +2337,19 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency ranks.
 
     Shape: the only corpus-sized stage is the map-side-combined
-    groupBy(word); ranking then runs on the VOCABULARY frame (bounded
-    by distinct words, not corpus rows — plan-lint whitelisted global
-    window), and c1/total ride a broadcast 1-row aggregate."""
+    groupBy(word); ranking the VOCABULARY frame (10^8-10^9 types on a
+    web corpus — a naive Window.orderBy sorts it in one task) is the
+    skew-safe two-pass bucketed row_number (functions.
+    bucketed_row_number, round-8): buckets are `length(bin(c))` —
+    integer floor(log2)+1, exact string-of-bits arithmetic, weakly
+    monotone in c — so the only unpartitioned window runs over the
+    ≤64-row magnitude-bucket frame and each within-bucket sort holds
+    one frequency octave. The residual skew is the hapax octave (c=1
+    ties rank by word within one bucket); exact ties are the pattern's
+    floor — see the helper docstring. c1/total ride a broadcast 1-row
+    aggregate."""
+    from flinkproj_spark.functions import bucketed_row_number
+
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = F.transform(_words(), lambda w: F.lower(w))
     counts = (
@@ -2338,10 +2360,15 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(
         F.max("c").alias("c1"), F.sum("c").alias("total")
     )
-    w = Window.orderBy(F.col("c").desc(), "w")
+    ranked = bucketed_row_number(
+        counts,
+        F.length(F.bin(F.col("c"))),
+        [F.col("c").desc(), F.col("w").asc()],
+        "rank",
+        descending=True,
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .crossJoin(F.broadcast(tot))
+        ranked.crossJoin(F.broadcast(tot))
         .select(
             "w",
             "rank",

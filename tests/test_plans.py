@@ -1112,3 +1112,68 @@ def test_modularity_scalar_m_is_broadcast(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line
+
+
+def test_gini_rank_window_is_bucket_partitioned(spark, sf_dir):
+    # Two-pass rank contract (round-8): the customer-dimension spend
+    # rank must partition by the 2^24-cent bucket — the only
+    # unpartitioned ordered windows left are the bucket-count offset
+    # frame (money-domain-bounded) and the 10-row decile cumsum.
+    from flinkproj_spark.operators.analytic import gini_revenue_lorenz
+
+    plan = _plan(gini_revenue_lorenz(spark, sf_dir))
+    rn = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn, plan
+    assert all("_rkb" in l for l in rn), rn
+    # the unpartitioned windows touch only bucket counts / deciles,
+    # never the per-customer columns
+    for l in plan.splitlines():
+        if "windowspecdefinition(" in l:
+            head = l.split("windowspecdefinition(")[1]
+            if (" ASC" in head.split(",")[0]) or (" DESC" in head.split(",")[0]):
+                assert ("_bn" in l) or ("dec_m_c" in l), l
+
+
+def test_rfm_ranks_are_bucket_partitioned(spark, sf_dir):
+    # All three quintile ranks (recency/frequency/monetary) must run
+    # within their metric's domain bucket, never as a global sort of
+    # the customer dimension.
+    from flinkproj_spark.operators.analytic import rfm_segmentation
+
+    plan = _plan(rfm_segmentation(spark, sf_dir))
+    rn = [l for l in plan.splitlines() if "row_number()" in l]
+    assert len(rn) >= 3, plan
+    assert all("_rkb" in l for l in rn), rn
+
+
+def test_zipf_rank_window_is_bucket_partitioned(spark, sf_dir):
+    # The vocabulary rank must partition by the log2-magnitude bucket
+    # (length(bin(c)) — ≤64 buckets); no unpartitioned window may
+    # touch the per-word columns.
+    from flinkproj_spark.operators.text import zipf_fit_report
+
+    plan = _plan(zipf_fit_report(spark, sf_dir))
+    rn = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn, plan
+    assert all("_rkb" in l for l in rn), rn
+
+
+def test_vocab_growth_cumsum_is_bucket_partitioned(spark, sf_dir):
+    # The checkpoint-frame cumulatives must run within 4096-checkpoint
+    # buckets; the only unpartitioned window is the coarse per-bucket
+    # totals frame (n_docs/204800 rows).
+    from flinkproj_spark.operators.text import vocab_growth_curve
+
+    plan = _plan(vocab_growth_curve(spark, sf_dir))
+    fine = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition(_csb" in l.replace(" ", "").replace("#", "#")
+        or ("windowspecdefinition(" in l and "_csb" in l.split("windowspecdefinition(")[1].split(",")[0])
+    ]
+    assert fine, plan
+    for l in plan.splitlines():
+        if "windowspecdefinition(" in l:
+            head = l.split("windowspecdefinition(")[1].split(",")[0]
+            if " ASC" in head or " DESC" in head:
+                # coarse frame only: its aggregates are the _cs_ sums
+                assert "_cs_" in l, l

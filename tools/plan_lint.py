@@ -36,35 +36,90 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# key -> {flag: reason}; reasons are part of the audit record.
-WHITELIST: dict[str, dict[str, str]] = {
+# Bound classes for GLOBAL_WIN whitelist entries (round-8, verdict
+# task 4): every whitelisted single-task window must name WHAT bounds
+# its frame. Classes that grow with data (dimension tables, corpus
+# rows) are NOT whitelistable — the two-pass bucketed rank/cumsum
+# (functions.bucketed_row_number / bucketed_cumsum) is the required
+# shape for those; a whitelist entry claiming such a class fails the
+# lint itself, so reverting a two-pass fix cannot be papered over.
+ALLOWED_BOUND_CLASSES = {
+    "literal-k",       # after .limit(k) / a VALUES grid — k rows by construction
+    "calendar",        # date/day-offset grain — bounded by the time domain
+    "score-grid",      # distinct quantized scores / thresholds
+    "value-grid",      # fixed-width integer ranges of a domain-bounded value
+    "fixed-dim",       # genuinely tiny dimension (nations ~25, regions 5)
+    "corpus-sqrt",     # distinct-count-of-counts frames: ≤ sqrt(2·N) rows
+    "corpus-scaled",   # corpus/K for K ≥ 1e5 — honest caveat, K in the reason
+}
+FORBIDDEN_BOUND_CLASSES = {"dimension", "corpus-linear"}
+
+# key -> {flag: (bound_class, reason)}; both are part of the audit record.
+WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
     # distinct-value running aggregates: the windowed frame is the
     # DISTINCT score/length grid (feature-bounded), never corpus rows.
-    "quantile_bucketize": {"GLOBAL_WIN": "distinct-length grid window"},
-    "doc_length_survival": {"GLOBAL_WIN": "distinct-length grid window"},
-    "pareto_frontier": {"GLOBAL_WIN": "distinct-score marks frame"},
-    "curriculum_order": {"GLOBAL_WIN": "distinct-score offsets frame"},
-    "quality_calibration_curve": {"GLOBAL_WIN": "distinct-score offsets frame"},
-    "quality_rank_per_lang": {"GLOBAL_WIN": "per-(lang) offset frame, bucket-bounded"},
-    "quality_threshold_sweep": {"GLOBAL_WIN": "threshold-grid frame (bounded)"},
-    "vocab_prune_sweep": {"GLOBAL_WIN": "count-of-counts histogram frame (distinct-frequency-bounded)"},
-    "zipf_fit_report": {"GLOBAL_WIN": "vocabulary-bounded rank frame (distinct words, never corpus rows)"},
-    "rfm_segmentation": {"GLOBAL_WIN": "customer-dimension aggregate frame (|customers| rows, never order rows)"},
-    "gini_revenue_lorenz": {"GLOBAL_WIN": "customer-dimension rank + 10-row decile grid frames"},
-    "cusum_changepoint": {"GLOBAL_WIN": "date-grid cumulative frame (~2.4k distinct days, never order rows)"},
-    "runs_test_daily": {"GLOBAL_WIN": "date-grid lag frame (~2.4k distinct days, never order rows)"},
-    "hhi_by_nation": {"GLOBAL_WIN": "nation-dimension rank frame (~25 rows, never order rows)"},
-    "vocab_growth_curve": {"GLOBAL_WIN": "checkpoint frame (n_docs/50 rows)"},
-    "conversion_lag_curve": {"GLOBAL_WIN": "day-offset histogram (calendar-bounded)"},
+    "quantile_bucketize": {"GLOBAL_WIN": ("value-grid", "distinct-length grid window")},
+    "doc_length_survival": {"GLOBAL_WIN": ("value-grid", "distinct-length grid window")},
+    "pareto_frontier": {"GLOBAL_WIN": ("score-grid", "distinct-score marks frame")},
+    "curriculum_order": {"GLOBAL_WIN": ("score-grid", "distinct-score offsets frame")},
+    "quality_calibration_curve": {"GLOBAL_WIN": ("score-grid", "distinct-score offsets frame")},
+    "quality_rank_per_lang": {"GLOBAL_WIN": ("score-grid", "per-(lang) offset frame, bucket-bounded")},
+    "quality_threshold_sweep": {"GLOBAL_WIN": ("score-grid", "threshold-grid frame (bounded)")},
+    "vocab_prune_sweep": {"GLOBAL_WIN": ("corpus-sqrt", "count-of-counts histogram frame (distinct frequencies ≤ sqrt(2·tokens))")},
+    # two-pass bucketed ranks (round-8): the only unpartitioned window
+    # left is the bucket-count offset frame.
+    "zipf_fit_report": {"GLOBAL_WIN": ("value-grid", "length(bin(c)) magnitude buckets — ≤64-row offset frame (two-pass rank)")},
+    "rfm_segmentation": {"GLOBAL_WIN": ("value-grid", "16-day/4-order/2^24-cent bucket offset frames (two-pass ranks)")},
+    "gini_revenue_lorenz": {"GLOBAL_WIN": ("value-grid", "2^24-cent bucket offset frame (two-pass rank) + 10-row decile grid")},
+    "cusum_changepoint": {"GLOBAL_WIN": ("calendar", "date-grid cumulative frame (~2.4k distinct days, never order rows)")},
+    "runs_test_daily": {"GLOBAL_WIN": ("calendar", "date-grid lag frame (~2.4k distinct days, never order rows)")},
+    "hhi_by_nation": {"GLOBAL_WIN": ("fixed-dim", "nation-dimension rank frame (~25 rows, never order rows)")},
+    "vocab_growth_curve": {"GLOBAL_WIN": ("corpus-scaled", "coarse 4096-checkpoint bucket frame = n_docs/204800 rows (two-pass cumsum; K≈2e5)")},
+    "conversion_lag_curve": {"GLOBAL_WIN": ("calendar", "day-offset histogram (calendar-bounded)")},
     # rank-of-a-top-k: the window runs AFTER .limit(k) — k rows by
     # construction, never corpus rows.
-    "key_skew_profile": {"GLOBAL_WIN": "ranks the limit-20 heavy-hitter frame"},
-    "bpe_token_usage": {"GLOBAL_WIN": "ranks the limit-40 usage frame"},
-    "rrf_fusion": {"GLOBAL_WIN": "ranks bounded per-system top-k lists"},
+    "key_skew_profile": {"GLOBAL_WIN": ("literal-k", "ranks the limit-20 heavy-hitter frame")},
+    "bpe_token_usage": {"GLOBAL_WIN": ("literal-k", "ranks the limit-40 usage frame")},
+    "rrf_fusion": {"GLOBAL_WIN": ("literal-k", "ranks bounded per-system top-k lists")},
     # intended layout/global-order work:
-    "zorder_layout": {"GLOBAL_SORT": "range partition + local sort IS the layout"},
-    "train_shard_shuffle": {"GLOBAL_SORT": "per-shard sort is the written layout"},
+    "zorder_layout": {"GLOBAL_SORT": ("corpus-linear", "range partition + local sort IS the layout (sorts distribute; class exempt for GLOBAL_SORT)")},
+    "train_shard_shuffle": {"GLOBAL_SORT": ("corpus-linear", "per-shard sort is the written layout (sorts distribute; class exempt for GLOBAL_SORT)")},
 }
+
+
+def _windowspec_args(plan: str):
+    """Yield the top-level comma-separated argument list of every
+    windowspecdefinition(...) in the plan, split with a paren-balance-
+    aware scan — a naive `[^)]*` + split(',') mis-parses an ordering
+    expression with nested calls (e.g. `coalesce(a#1, 0) ASC`), letting
+    an unpartitioned window slip through (round-7 ADVICE)."""
+    needle = "windowspecdefinition("
+    start = 0
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            return
+        j = i + len(needle)
+        depth = 1
+        args, buf = [], []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+            j += 1
+        if buf:
+            args.append("".join(buf).strip())
+        yield args
+        start = j
 
 
 def lint_plan(plan: str) -> list[str]:
@@ -77,9 +132,11 @@ def lint_plan(plan: str) -> list[str]:
         flags.append("GLOBAL_SORT")
     # windowspecdefinition(<frame...>) with no leading partition column:
     # partition cols print before the ordering spec; an empty partition
-    # shows the ordering expression (col ASC/DESC) as the FIRST token.
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        head = m.group(1).split(",")[0].strip()
+    # shows the ordering expression (col ASC/DESC) as the FIRST
+    # top-level argument — matched on the FULL balanced argument, so
+    # nested commas/parens in the ordering expression cannot hide it.
+    for args in _windowspec_args(plan):
+        head = args[0] if args else ""
         if " ASC" in head or " DESC" in head:
             flags.append("GLOBAL_WIN")
             break
@@ -110,6 +167,13 @@ def main() -> int:
             for f in flags:
                 if f not in allowed:
                     hard_fail.append(f"{k}:{f}")
+                elif f == "GLOBAL_WIN":
+                    # a whitelist entry must name an allowed bound class —
+                    # dimension-/corpus-sized frames are never whitelistable,
+                    # they require the two-pass bucketed rewrite.
+                    cls = allowed[f][0]
+                    if cls not in ALLOWED_BOUND_CLASSES:
+                        hard_fail.append(f"{k}:{f}:bound-class={cls}")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANLINT.json")
     record = {
         "flagged": flagged,
