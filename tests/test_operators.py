@@ -2982,3 +2982,29 @@ def test_hhi_recount_and_invariants(spark, sf_dir):
         assert r.hhi_e4 == hhi
     assert rows[-1].cum_share_ppm == 1_000_000
     assert 10_000 // len(rev) <= hhi <= 10_000
+
+
+def test_iterative_trainers_are_partitioning_invariant(spark, sf_dir):
+    """Round-8 pin (verdict task 6): the two iterative trainers must
+    emit BIT-IDENTICAL rows when the shuffle partitioning changes —
+    their per-round argmax/argmin synchronization (min(struct(...))
+    tie-breaks) is what makes iteration deterministic, and a
+    partitioning-sensitive tie-break would silently fork the model on
+    any cluster resize. The 4-mode gauntlet covers every oracle key
+    generically; these two iterate through driver-side collects, so
+    the invariance is pinned explicitly at 7 shuffle partitions (the
+    odd-partitioning gauntlet figure)."""
+    from flinkproj_spark.operators.analytic import label_propagation
+    from flinkproj_spark.operators.similarity import kmeans_lloyd
+
+    for fn in (kmeans_lloyd, label_propagation):
+        base = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        spark.catalog.clearCache()
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        try:
+            odd = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+            spark.catalog.clearCache()
+        assert base == odd, fn.__name__
