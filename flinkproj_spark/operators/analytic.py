@@ -3380,3 +3380,219 @@ ORACLE["hhi_by_nation"] = """
                 AS BIGINT) AS hhi_e4
     FROM ranked r CROSS JOIN tot t
 """
+
+
+# ---------------------------------------------------------------------------
+# Privacy repair (round 8): the remediation step on top of the k/l/t
+# audit ladder — audits say WHICH classes leak; this says what the
+# released table looks like after bottom-up local generalization.
+# ---------------------------------------------------------------------------
+
+#: Target class size for k_anonymity_repair. K=10 exercises the full
+#: ladder at the driver's correctness SF (sf0.01: 88 classes pass at
+#: level 0, 7 repair at level 1, 3 at nation-only, 14 suppress —
+#: verified in DuckDB before wiring, per the liveness rule).
+K_REPAIR = 10
+
+
+def k_anonymity_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity REPAIR over the l/t-ladder QID (nation x $2000
+    account-balance band): bottom-up local recoding with a fixed
+    generalization ladder — level 0 keeps the $2000 band, level 1
+    widens failing classes to $8000 bands, level 2 drops the band
+    (nation only), level 3 suppresses what still can't reach K — and
+    reports, per ORIGINAL level-0 class, the level its rows are
+    released at and the size of the anonymized class they land in.
+    Local recoding (only FAILING classes promote; satisfied classes
+    keep their granularity) is what production anonymizers do —
+    full-domain recoding would widen every band because one sparse
+    nation leaks.
+
+    Shape: one customer scan collapses to the level-0 QID-class frame
+    (bounded by |nations| x balance-band domain, never rows); every
+    later stage — the two promotion regroups and the three left joins
+    stitching the verdicts back — runs on that tiny frame with
+    broadcast joins. At 100 TB the scan is the only data-sized stage,
+    exactly like the audits this repairs."""
+    cust = load_table(spark, sf_dir, "customer")
+    b0 = F.expr(
+        f"CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div {L_DIV_QID_BUCKET_C}"
+    )
+    l0 = cust.groupBy(
+        F.col("c_nationkey").alias("nat"), b0.alias("bal_b")
+    ).agg(F.count("*").alias("n"))
+    f0 = l0.filter(F.col("n") < K_REPAIR)
+    l1 = f0.groupBy(
+        "nat", F.expr("bal_b div 4").alias("b1")
+    ).agg(F.sum("n").alias("n1"))
+    f1 = l1.filter(F.col("n1") < K_REPAIR)
+    l2 = f1.groupBy("nat").agg(F.sum("n1").alias("n2"))
+    return (
+        l0.withColumn("b1", F.expr("bal_b div 4"))
+        .join(F.broadcast(l1), ["nat", "b1"], "left")
+        .join(F.broadcast(l2), ["nat"], "left")
+        .select(
+            F.col("nat").cast("int").alias("nat"),
+            F.col("bal_b").cast("long").alias("bal_b"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.expr(
+                f"CAST(CASE WHEN n >= {K_REPAIR} THEN 0"
+                f" WHEN n1 >= {K_REPAIR} THEN 1"
+                f" WHEN n2 >= {K_REPAIR} THEN 2"
+                " ELSE 3 END AS INT)"
+            ).alias("final_level"),
+            F.expr(
+                f"CAST(CASE WHEN n >= {K_REPAIR} THEN n"
+                f" WHEN n1 >= {K_REPAIR} THEN n1"
+                f" WHEN n2 >= {K_REPAIR} THEN n2"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("anon_k"),
+        )
+    )
+
+
+QUERIES["k_anonymity_repair"] = k_anonymity_repair
+ORACLE["k_anonymity_repair"] = f"""
+    WITH c AS (
+      SELECT c_nationkey AS nat,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               // {L_DIV_QID_BUCKET_C} AS bal_b
+      FROM customer),
+    l0 AS (SELECT nat, bal_b, COUNT(*) AS n FROM c GROUP BY 1, 2),
+    f0 AS (SELECT * FROM l0 WHERE n < {K_REPAIR}),
+    l1 AS (SELECT nat, bal_b // 4 AS b1, SUM(n) AS n1 FROM f0 GROUP BY 1, 2),
+    f1 AS (SELECT * FROM l1 WHERE n1 < {K_REPAIR}),
+    l2 AS (SELECT nat, SUM(n1) AS n2 FROM f1 GROUP BY 1)
+    SELECT CAST(l0.nat AS INT) AS nat,
+           CAST(l0.bal_b AS BIGINT) AS bal_b,
+           CAST(l0.n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN l0.n >= {K_REPAIR} THEN 0
+                     WHEN l1.n1 >= {K_REPAIR} THEN 1
+                     WHEN l2.n2 >= {K_REPAIR} THEN 2
+                     ELSE 3 END AS INT) AS final_level,
+           CAST(CASE WHEN l0.n >= {K_REPAIR} THEN l0.n
+                     WHEN l1.n1 >= {K_REPAIR} THEN l1.n1
+                     WHEN l2.n2 >= {K_REPAIR} THEN l2.n2
+                     ELSE 0 END AS BIGINT) AS anon_k
+    FROM l0
+    LEFT JOIN l1 ON l1.nat = l0.nat AND l1.b1 = l0.bal_b // 4
+    LEFT JOIN l2 ON l2.nat = l0.nat
+"""
+
+
+# ---------------------------------------------------------------------------
+# Robust (median/MAD) outlier screen (round 8)
+# ---------------------------------------------------------------------------
+
+
+def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source document-length outlier screen: median and
+    median-absolute-deviation of n_chars per source, and how many docs
+    sit beyond the 3-MAD fence — the screen that, unlike
+    outlier_zscore, a handful of monster documents cannot drag (mean
+    and stddev both chase the outliers they're supposed to find;
+    median/MAD don't). Medians are exact nearest-rank (lower median,
+    rank (n+1) div 2) computed from value HISTOGRAMS — the
+    shipping_lag_report technique — so no per-source sort of document
+    rows ever happens and the arithmetic is all-integer.
+
+    Shape: one scan collapses to the (source, n_chars) histogram
+    (sources x distinct-length grid, value-domain-bounded); both
+    median extractions are cumulative windows PARTITIONED by source
+    over that grid; the deviation histogram is a regroup of the same
+    grid. At 100 TB every post-scan frame is still grid-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(wsrc))
+        .join(F.broadcast(tot), "source")
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("v").alias("med"))
+    )
+    devh = (
+        hist.join(F.broadcast(med), "source")
+        .groupBy("source", F.abs(F.col("v") - F.col("med")).alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"), F.first("med").alias("med"))
+    )
+    wdev = (
+        Window.partitionBy("source")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mad = (
+        devh.withColumn("cum", F.sum("cnt").over(wdev))
+        .join(F.broadcast(tot), "source")
+        .filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("source")
+        .agg(F.min("dev").alias("mad"))
+    )
+    fenced = (
+        devh.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_out"),
+        )
+    )
+    return fenced.join(F.broadcast(tot), "source").select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("med").cast("long").alias("med_chars"),
+        F.col("mad").cast("long").alias("mad_chars"),
+        F.col("n_out").cast("long").alias("n_outliers"),
+        F.expr("n_out * 1000000 div n").alias("outlier_ppm"),
+    )
+
+
+QUERIES["mad_outlier_report"] = mad_outlier_report
+ORACLE["mad_outlier_report"] = """
+    WITH hist AS (
+      SELECT source, n_chars AS v, COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(cnt) AS n FROM hist GROUP BY 1),
+    med AS (
+      SELECT source, MIN(v) AS med FROM (
+        SELECT h.source, h.v,
+               SUM(h.cnt) OVER (PARTITION BY h.source ORDER BY h.v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               t.n
+        FROM hist h JOIN tot t USING (source))
+      WHERE cum >= (n + 1) // 2 GROUP BY 1),
+    devh AS (
+      SELECT h.source, ABS(h.v - m.med) AS dev, SUM(h.cnt) AS cnt,
+             ANY_VALUE(m.med) AS med
+      FROM hist h JOIN med m USING (source) GROUP BY 1, 2),
+    mad AS (
+      SELECT source, MIN(dev) AS mad FROM (
+        SELECT d.source, d.dev,
+               SUM(d.cnt) OVER (PARTITION BY d.source ORDER BY d.dev
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               t.n
+        FROM devh d JOIN tot t USING (source))
+      WHERE cum >= (n + 1) // 2 GROUP BY 1),
+    fenced AS (
+      SELECT d.source, ANY_VALUE(d.med) AS med, ANY_VALUE(a.mad) AS mad,
+             SUM(CASE WHEN d.dev > 3 * a.mad THEN d.cnt ELSE 0 END) AS n_out
+      FROM devh d JOIN mad a USING (source) GROUP BY 1)
+    SELECT f.source,
+           CAST(t.n AS BIGINT) AS n_docs,
+           CAST(f.med AS BIGINT) AS med_chars,
+           CAST(f.mad AS BIGINT) AS mad_chars,
+           CAST(f.n_out AS BIGINT) AS n_outliers,
+           CAST(f.n_out * 1000000 // t.n AS BIGINT) AS outlier_ppm
+    FROM fenced f JOIN tot t USING (source)
+"""

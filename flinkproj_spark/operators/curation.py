@@ -885,3 +885,90 @@ ORACLE["dsir_importance_weights"] = f"""
            CAST(dsir_sum_ppb * n_docs > s_all AS INT) AS target_like
     FROM scored CROSS JOIN corpus
 """
+
+
+# ---------------------------------------------------------------------------
+# Freshness-decay sampling weights (round 8)
+# ---------------------------------------------------------------------------
+
+#: Half-life, in days, for freshness_decay_weights. 7 keeps five
+#: distinct weight levels live on the 30-day synthetic event span.
+FD_HALF_LIFE_D = 7
+
+
+def freshness_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted sampling plan over the event stream: each day's
+    events get weight 2^-(age/HL) — halving per FD_HALF_LIFE_D days of
+    age against the newest day in the corpus — expressed EXACTLY as
+    w_ppm = 1e6 div 2^(age div HL) (step decay: integer, engine-exact,
+    and the form a sampler can consume directly as a keep-probability
+    against hash_keep buckets). Per day: event count, age, weight, the
+    day's weighted mass, and its share of the corpus' total weighted
+    mass — the curriculum/mixture input for "favor fresh crawl"
+    training-data recipes.
+
+    Shape: one scan collapses to the day grid (calendar-bounded); the
+    newest-day scalar and the total weighted mass ride 1-row
+    broadcasts; share numerators route through DECIMAL(38,0) because
+    day_mass is events-per-day x 1e6 — BIGINT wraps past ~9.2e12
+    weighted units, within reach at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    mx = daily.agg(F.max("d").alias("mx"))
+    aged = (
+        daily.crossJoin(F.broadcast(mx))
+        .select(
+            "d",
+            F.datediff("mx", "d").cast("long").alias("age_d"),
+            "n",
+        )
+        .withColumn(
+            "w_ppm",
+            F.expr(
+                f"1000000 div shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(age_d div {FD_HALF_LIFE_D} AS INT))"
+            ),
+        )
+        .withColumn("day_mass", F.expr("n * w_ppm"))
+    )
+    tot = aged.agg(F.sum("day_mass").alias("tot_mass"))
+    return (
+        aged.crossJoin(F.broadcast(tot))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "age_d",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("w_ppm").cast("long").alias("w_ppm"),
+            F.col("day_mass").cast("long").alias("day_mass"),
+            F.expr(
+                "CAST(CAST(day_mass AS DECIMAL(38,0)) * 1000000"
+                " div CAST(tot_mass AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+QUERIES["freshness_decay_weights"] = freshness_decay_weights
+ORACLE["freshness_decay_weights"] = f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+      FROM events GROUP BY 1),
+    mx AS (SELECT MAX(d) AS mxd FROM daily),
+    aged AS (
+      SELECT d, date_diff('day', d, mxd) AS age_d, n,
+             1000000 // (1 << (date_diff('day', d, mxd) // {FD_HALF_LIFE_D}))
+               AS w_ppm
+      FROM daily CROSS JOIN mx),
+    wt AS (SELECT *, n * w_ppm AS day_mass FROM aged),
+    tot AS (SELECT SUM(day_mass) AS tot_mass FROM wt)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(age_d AS BIGINT) AS age_d,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(w_ppm AS BIGINT) AS w_ppm,
+           CAST(day_mass AS BIGINT) AS day_mass,
+           CAST(CAST(day_mass AS HUGEINT) * 1000000 // tot_mass AS BIGINT)
+             AS share_ppm
+    FROM wt CROSS JOIN tot
+"""

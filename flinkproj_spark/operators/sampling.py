@@ -835,3 +835,87 @@ ORACLE["packing_efficiency_report"] = f"""
              // (COUNT(*) * {_PACK_CAPACITY}) AS fill_ppm
     FROM packs GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact range-partition planning (round 8)
+# ---------------------------------------------------------------------------
+
+#: Target partition count for range_partition_plan.
+RP_PARTS = 8
+
+
+def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact range-partitioner planning over the document word-count
+    key: the split bounds a layout job (zorder_layout,
+    train_shard_shuffle) would range-partition by, computed from the
+    EXACT value histogram instead of Spark's reservoir sampling — so
+    the plan is deterministic, engine-agnostic, and exposes chunky-key
+    imbalance before a 100 TB write, not after. Each distinct value is
+    assigned to the partition of its FIRST row in value order
+    (part = rows_before * P div N); a value whose row count straddles
+    the ideal boundary lands whole, and the resulting load_ppm column
+    (1e6 = perfectly balanced) is the diagnosis.
+
+    Shape: the corpus scan collapses to the distinct word-count
+    histogram (value-grid frame — bounded by the maximum document
+    length, never by corpus rows); the cumulative window, the part
+    assignment and the final rollup all run on that grid with the
+    1-row total as a broadcast. At 100 TB only the histogram groupBy
+    touches data."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.size(fx.tokenize_ws()).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("before"),
+    )
+    tot = hist.agg(F.sum("cnt").alias("n_total"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr(f"CAST(before * {RP_PARTS} div n_total AS INT)").alias(
+                "part_id"
+            )
+        )
+        .agg(
+            F.min("v").cast("long").alias("lo_v"),
+            F.max("v").cast("long").alias("hi_v"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.first("n_total").alias("_n"),
+        )
+        .select(
+            "part_id",
+            "lo_v",
+            "hi_v",
+            "n_rows",
+            F.expr(f"n_rows * {RP_PARTS} * 1000000 div _n").alias("load_ppm"),
+        )
+    )
+
+
+QUERIES["range_partition_plan"] = range_partition_plan
+ORACLE["range_partition_plan"] = f"""
+    WITH hist AS (
+      SELECT len({_WORDS_SQL}) AS v, COUNT(*) AS cnt
+      FROM documents GROUP BY 1),
+    cum AS (
+      SELECT v, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM hist),
+    tot AS (SELECT SUM(cnt) AS n_total FROM hist)
+    SELECT CAST(before * {RP_PARTS} // n_total AS INT) AS part_id,
+           CAST(MIN(v) AS BIGINT) AS lo_v,
+           CAST(MAX(v) AS BIGINT) AS hi_v,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(SUM(cnt) * {RP_PARTS} * 1000000 // ANY_VALUE(n_total)
+                AS BIGINT) AS load_ppm
+    FROM cum CROSS JOIN tot
+    GROUP BY 1
+"""

@@ -42,6 +42,8 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
+    "freshness_decay_weights",  # never checked
+    "range_partition_plan",  # never checked
     "gini_revenue_lorenz",  # never checked
     "moment_stats_by_source",  # never checked
     "autocorr_daily_revenue",  # never checked
@@ -50,6 +52,8 @@ _PRIORITY_KEYS = (
     "runs_test_daily",  # never checked
     "t_closeness_report",  # never checked
     "hhi_by_nation",  # never checked
+    "k_anonymity_repair",  # never checked
+    "mad_outlier_report",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -88,10 +92,6 @@ _PRIORITY_KEYS = (
     "session_window_agg",  # last green r4
     "set_except",  # last green r4
     "set_intersect",  # last green r4
-    "global_topk",  # last green r4
-    "rollup_counts",  # last green r4
-    "asof_join",  # last green r4
-    "asof_join_tolerance",  # last green r4
 )
 
 

@@ -3008,3 +3008,73 @@ def test_iterative_trainers_are_partitioning_invariant(spark, sf_dir):
             spark.conf.set("spark.sql.shuffle.partitions", old)
             spark.catalog.clearCache()
         assert base == odd, fn.__name__
+
+
+def test_k_anonymity_repair_achieves_k(spark, sf_dir):
+    """The repair contract: every non-suppressed class is released in
+    an anonymized class of ≥ K_REPAIR members; suppressed classes emit
+    anon_k = 0; no customer row is lost or minted across the ladder;
+    and classes merged at the same generalization level agree on the
+    size of the class they landed in (levels are a real partition of
+    the release, not per-row fictions)."""
+    from flinkproj_spark.operators.analytic import K_REPAIR, k_anonymity_repair
+
+    rows = k_anonymity_repair(spark, sf_dir).collect()
+    assert rows
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    assert {r.final_level for r in rows} >= {1, 3}  # ladder live at sf0.001
+    for r in rows:
+        if r.final_level == 3:
+            assert r.anon_k == 0
+        else:
+            assert r.anon_k >= K_REPAIR
+    # level-1 classes sharing an $8000 band report the same anon_k,
+    # and it equals the sum of their level-0 members
+    from collections import defaultdict
+
+    by_b1 = defaultdict(list)
+    for r in rows:
+        if r.final_level == 1:
+            # int() truncates toward zero = Spark `div` / DuckDB `//`
+            by_b1[(r.nat, int(r.bal_b / 4))].append(r)
+    for (nat, b1), grp in by_b1.items():
+        ks = {g.anon_k for g in grp}
+        assert len(ks) == 1, (nat, b1, grp)
+
+
+def test_mad_fence_fires_on_planted_monsters(spark, sf_dir, tmp_path):
+    """mad_outlier_report liveness both ways: the clean corpus at the
+    test SF has zero-to-few outliers, and a tampered copy with three
+    100k-char monster docs planted into one source must flag at least
+    those three in exactly that source — median/MAD must NOT chase the
+    monsters (the fence the z-score screen famously loses)."""
+    import shutil
+
+    import pandas as pd
+
+    from flinkproj_spark.operators.analytic import mad_outlier_report
+
+    clean = {r.source: r for r in mad_outlier_report(spark, sf_dir).collect()}
+    src_name = sorted(clean)[0]
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", dirty / "documents.parquet")
+    pdf = pd.read_parquet(dirty / "documents.parquet")
+    victims = pdf.index[pdf.source == src_name][:3]
+    assert len(victims) == 3
+    pdf.loc[victims, "n_chars"] = 100_000
+    pdf.to_parquet(dirty / "documents.parquet", index=False)
+
+    got = {r.source: r for r in mad_outlier_report(spark, str(dirty)).collect()}
+    tampered = got[src_name]
+    assert tampered.n_outliers >= clean[src_name].n_outliers + 3
+    # robustness: the median/MAD stay inside the original length
+    # distribution — shifting 3 ranks moves them a few in-range values,
+    # never toward 100k (a mean/stddev screen would be dragged there,
+    # which is exactly why this key exists alongside outlier_zscore)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    src_max = int(docs[docs.source == src_name].n_chars.max())
+    assert tampered.med_chars <= src_max
+    assert tampered.mad_chars <= src_max

@@ -65,6 +65,7 @@ WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
     "quality_calibration_curve": {"GLOBAL_WIN": ("score-grid", "distinct-score offsets frame")},
     "quality_rank_per_lang": {"GLOBAL_WIN": ("score-grid", "per-(lang) offset frame, bucket-bounded")},
     "quality_threshold_sweep": {"GLOBAL_WIN": ("score-grid", "threshold-grid frame (bounded)")},
+    "range_partition_plan": {"GLOBAL_WIN": ("value-grid", "distinct word-count histogram (max-doc-length-bounded), never corpus rows")},
     "vocab_prune_sweep": {"GLOBAL_WIN": ("corpus-sqrt", "count-of-counts histogram frame (distinct frequencies ≤ sqrt(2·tokens))")},
     # two-pass bucketed ranks (round-8): the only unpartitioned window
     # left is the bucket-count offset frame.
