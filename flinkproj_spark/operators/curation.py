@@ -972,3 +972,67 @@ ORACLE["freshness_decay_weights"] = f"""
              AS share_ppm
     FROM wt CROSS JOIN tot
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scan (round 8): the compliance gate a release pipeline runs
+# before any corpus leaves the boundary.
+# ---------------------------------------------------------------------------
+
+#: PII detector patterns. RE2-safe (no lookaround/backrefs) so the
+#: Java-regex Spark side and the RE2 DuckDB oracle match verbatim.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_scan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detector sweep per source: occurrence counts for each
+    pattern class (email / phone / SSN-shaped / IPv4) and how many
+    docs carry ANY hit — the release-boundary compliance gate. On this
+    synthetic corpus every count is a structurally TRUE zero (31-word
+    lowercase vocabulary), pinned live by the oracle; the detection
+    machinery is proven on a tampered corpus copy with planted PII
+    (tests/test_operators.py::test_pii_scan_finds_planted_identifiers
+    — the fk_integrity planted-fixture discipline).
+
+    Shape: one scan, all regexp counting in-row (JVM regex, no Python),
+    one map-side-combined groupBy(source); output is |sources| rows.
+    At 100 TB this is a pure scan-speed operator — exactly what you
+    want from a gate that must touch every byte anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = [
+        F.regexp_count("text", F.lit(p)).cast("long").alias(f"_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    staged = docs.select("source", *hits)
+    any_hit = sum(F.col(f"_{n}") for n in PII_PATTERNS) > 0
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            *[
+                F.sum(f"_{n}").cast("long").alias(f"{n}_hits")
+                for n in PII_PATTERNS
+            ],
+            F.sum(any_hit.cast("long")).cast("long").alias("docs_flagged"),
+        )
+    )
+
+
+QUERIES["pii_scan_report"] = pii_scan_report
+ORACLE["pii_scan_report"] = f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {", ".join(
+             "CAST(SUM(len(regexp_extract_all(text, '" + p.replace(chr(39), chr(39)*2) + "'))) AS BIGINT) AS " + n + "_hits"
+             for n, p in PII_PATTERNS.items())},
+           CAST(SUM(CASE WHEN {" + ".join(
+             "len(regexp_extract_all(text, '" + p.replace(chr(39), chr(39)*2) + "'))"
+             for p in PII_PATTERNS.values())} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_flagged
+    FROM documents GROUP BY 1
+"""

@@ -1238,3 +1238,104 @@ ORACLE["shipping_lag_report"] = f"""
              for p in _LAG_PCTS)}
     FROM cum GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Join-explosion audit (round 8)
+# ---------------------------------------------------------------------------
+
+#: (edge label, left table, left key, right table, right key) for
+#: join_explosion_audit. The events x orders edge is the accidental-
+#: amplification case (both sides multi-row per key); the two TPC-H
+#: edges are the sane many-to-one baselines.
+JE_EDGES = (
+    ("events.user_id x orders.o_custkey", "events", "user_id", "orders", "o_custkey"),
+    ("lineitem.l_orderkey x orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey x part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+)
+
+
+def join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-cardinality audit per declared join edge: the output
+    row count an equi-join WOULD produce (sum over matched keys of
+    c_left*c_right — exact, not an estimate), the hottest key's pair
+    count, and the amplification vs the larger input in ppm — the
+    check a pipeline owner runs BEFORE submitting a join that might be
+    quadratic in a hot key (the events x orders edge here is exactly
+    that shape: both sides carry many rows per user). A planner
+    estimates this from sketches; at review time the exact number from
+    two count aggregates is cheaper than one exploded join.
+
+    Shape: per edge, each side collapses to its per-key COUNT frame
+    (map-side combined), the two count frames join on the key — rows
+    are (key, long), never payloads — and one aggregate emits the
+    audit row. Products and pair sums route through DECIMAL(38,0):
+    c_l*c_r summed corpus-wide overflows BIGINT exactly when the audit
+    matters most. At 100 TB the only data-sized stages are the two
+    initial scans."""
+    rows = None
+    for label, lt, lk, rt, rk in JE_EDGES:
+        left = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(F.col(lk).alias("k"))
+            .agg(F.count("*").alias("cl"))
+        )
+        right = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(F.col(rk).alias("k"))
+            .agg(F.count("*").alias("cr"))
+        )
+        ltot = left.agg(F.sum("cl").alias("n_left"))
+        rtot = right.agg(F.sum("cr").alias("n_right"))
+        edge = (
+            left.join(right, "k")
+            .agg(
+                F.count("*").cast("long").alias("n_matched_keys"),
+                F.sum(
+                    F.col("cl").cast("decimal(38,0)") * F.col("cr")
+                ).alias("_nj"),
+                F.max(
+                    F.col("cl").cast("decimal(38,0)") * F.col("cr")
+                ).alias("_mx"),
+            )
+            .crossJoin(F.broadcast(ltot))
+            .crossJoin(F.broadcast(rtot))
+            .select(
+                F.lit(label).alias("edge"),
+                F.col("n_left").cast("long").alias("n_left"),
+                F.col("n_right").cast("long").alias("n_right"),
+                "n_matched_keys",
+                F.col("_nj").cast("long").alias("n_join"),
+                F.col("_mx").cast("long").alias("max_key_pairs"),
+                F.expr(
+                    "CAST(_nj * 1000000 div CAST(greatest(n_left, n_right)"
+                    " AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("amp_ppm"),
+            )
+        )
+        rows = edge if rows is None else rows.unionByName(edge)
+    return rows
+
+
+QUERIES["join_explosion_audit"] = join_explosion_audit
+_JE_EDGE_SQL = """
+    SELECT '{label}' AS edge,
+           CAST((SELECT SUM(cl) FROM l) AS BIGINT) AS n_left,
+           CAST((SELECT SUM(cr) FROM r) AS BIGINT) AS n_right,
+           CAST(COUNT(*) AS BIGINT) AS n_matched_keys,
+           CAST(SUM(CAST(cl AS HUGEINT) * cr) AS BIGINT) AS n_join,
+           CAST(MAX(CAST(cl AS HUGEINT) * cr) AS BIGINT) AS max_key_pairs,
+           CAST(SUM(CAST(cl AS HUGEINT) * cr) * 1000000
+                // GREATEST((SELECT SUM(cl) FROM l),
+                            (SELECT SUM(cr) FROM r)) AS BIGINT) AS amp_ppm
+    FROM l JOIN r USING (k)
+"""
+ORACLE["join_explosion_audit"] = "\nUNION ALL\n".join(
+    f"""
+    SELECT * FROM (
+      WITH l AS (SELECT {lk} AS k, COUNT(*) AS cl FROM {lt} GROUP BY 1),
+           r AS (SELECT {rk} AS k, COUNT(*) AS cr FROM {rt} GROUP BY 1)
+      {_JE_EDGE_SQL.format(label=label)})
+    """
+    for label, lt, lk, rt, rk in JE_EDGES
+)

@@ -919,3 +919,145 @@ ORACLE["range_partition_plan"] = f"""
     FROM cum CROSS JOIN tot
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified split + exact token-budget apportionment
+# (round 8)
+# ---------------------------------------------------------------------------
+
+#: train/val/test cut points out of SPLIT_DENOM rank slices.
+SPLIT_DENOM = 10
+SPLIT_TRAIN, SPLIT_VAL = 8, 9  # slice < 8 train, 8 val, 9 test
+
+
+def stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment with EXACT
+    per-stratum proportions: within each language, docs are ranked by
+    (md5(doc_id||salt), doc_id) — a seedless uniform shuffle both
+    engines compute identically — and the rank slice rank*10 div n
+    yields an exact 80/10/10 split per language (hash-threshold
+    sampling like hash_keep is only approximately proportional; quota
+    splits must be exact or small strata starve their eval sets).
+    split_leakage_report audits a split AFTER the fact; this is the
+    operator that mints one worth auditing.
+
+    Shape: the rank is the skew-safe two-pass bucketed row_number
+    (functions.bucketed_row_number) partitioned by lang and bucketed
+    by the first md5 byte — a 256-value grid, so the offset frame is
+    langs x 256 and no task ever sorts a whole stratum (the dominant
+    language IS the skew case at 100 TB). Per-language totals ride a
+    broadcast of the lang-dimension aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    keyed = docs.withColumn(
+        "_h", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SALT)))
+    )
+    ranked = fx.bucketed_row_number(
+        keyed,
+        F.conv(F.substring("_h", 1, 2), 16, 10).cast("long"),
+        [F.col("_h").asc(), F.col("doc_id").asc()],
+        "rk",
+        partition=["lang"],
+    )
+    totals = ranked.groupBy("lang").agg(F.count("*").alias("n"))
+    return (
+        ranked.join(F.broadcast(totals), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"CAST(CASE WHEN (rk - 1) * {SPLIT_DENOM} div n < {SPLIT_TRAIN}"
+                f" THEN 'train' WHEN (rk - 1) * {SPLIT_DENOM} div n = {SPLIT_TRAIN}"
+                " THEN 'val' ELSE 'test' END AS STRING)"
+            ).alias("split"),
+        )
+    )
+
+
+QUERIES["stratified_split_assign"] = stratified_split_assign
+ORACLE["stratified_split_assign"] = f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SALT}'), doc_id)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN (rk - 1) * {SPLIT_DENOM} // n < {SPLIT_TRAIN} THEN 'train'
+                WHEN (rk - 1) * {SPLIT_DENOM} // n = {SPLIT_TRAIN} THEN 'val'
+                ELSE 'test' END AS split
+    FROM ranked
+"""
+
+#: Token budget for token_budget_allocator, in tokens.
+TB_BUDGET = 100_000
+
+
+def token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact largest-remainder (Hare/Hamilton) apportionment of a
+    fixed token budget across languages, proportional to each
+    language's token mass: quota_i = floor(t_i*B/T) plus one extra
+    token for the languages with the largest remainders until the
+    floors sum to B — the integer-exact answer to "give me a 100k-token
+    mixture at corpus proportions" that floats and independent
+    roundings cannot produce (their quotas don't sum to B). The
+    remainder tie-break is (remainder desc, lang), total by
+    construction.
+
+    Shape: the tokenized scan collapses to the language-dimension
+    token-mass frame; every window/join after that runs on |languages|
+    rows (fixed-dim class, broadcast everywhere). Products route
+    through DECIMAL(38,0): t_i * B overflows BIGINT once a language
+    holds ~9.2e13 of a large budget's tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(F.size(fx.tokenize_ws())).cast("long").alias("t")
+    )
+    tot = tok.agg(F.sum("t").alias("tt"))
+    based = tok.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang",
+        "t",
+        f"CAST(CAST(t AS DECIMAL(38,0)) * {TB_BUDGET} div tt AS BIGINT) AS fq",
+        f"CAST(CAST(t AS DECIMAL(38,0)) * {TB_BUDGET} % tt AS DECIMAL(38,0)) AS rem",
+    )
+    short = based.agg(
+        (F.lit(TB_BUDGET) - F.sum("fq")).cast("long").alias("k")
+    )
+    w = Window.orderBy(F.col("rem").desc(), "lang")
+    return (
+        based.withColumn("rrk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "lang",
+            "t",
+            F.col("fq").alias("floor_quota"),
+            F.expr("CAST(CASE WHEN rrk <= k THEN 1 ELSE 0 END AS BIGINT)").alias(
+                "extra"
+            ),
+            F.expr(
+                "CAST(fq + CASE WHEN rrk <= k THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("quota"),
+        )
+    )
+
+
+QUERIES["token_budget_allocator"] = token_budget_allocator
+ORACLE["token_budget_allocator"] = f"""
+    WITH tok AS (
+      SELECT lang, SUM(len({_WORDS_SQL})) AS t FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(t) AS tt FROM tok),
+    based AS (
+      SELECT lang, t,
+             CAST(CAST(t AS HUGEINT) * {TB_BUDGET} // tt AS BIGINT) AS fq,
+             CAST(t AS HUGEINT) * {TB_BUDGET} % tt AS rem
+      FROM tok CROSS JOIN tot),
+    short AS (SELECT {TB_BUDGET} - SUM(fq) AS k FROM based)
+    SELECT lang, CAST(t AS BIGINT) AS t,
+           CAST(fq AS BIGINT) AS floor_quota,
+           CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang) <= k
+                THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(fq + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang) <= k
+                THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM based CROSS JOIN short
+"""

@@ -43,7 +43,11 @@ _EXTENSION_MODULES = (
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
     "freshness_decay_weights",  # never checked
+    "pii_scan_report",  # never checked
+    "join_explosion_audit",  # never checked
     "range_partition_plan",  # never checked
+    "stratified_split_assign",  # never checked
+    "token_budget_allocator",  # never checked
     "gini_revenue_lorenz",  # never checked
     "moment_stats_by_source",  # never checked
     "autocorr_daily_revenue",  # never checked
@@ -88,10 +92,6 @@ _PRIORITY_KEYS = (
     "tpch_q5",  # last green r4
     "tpch_q6",  # last green r4
     "top_k_per_group",  # last green r4
-    "window_functions",  # last green r4
-    "session_window_agg",  # last green r4
-    "set_except",  # last green r4
-    "set_intersect",  # last green r4
 )
 
 

@@ -3078,3 +3078,100 @@ def test_mad_fence_fires_on_planted_monsters(spark, sf_dir, tmp_path):
     src_max = int(docs[docs.source == src_name].n_chars.max())
     assert tampered.med_chars <= src_max
     assert tampered.mad_chars <= src_max
+
+
+def test_pii_scan_finds_planted_identifiers(spark, sf_dir, tmp_path):
+    """pii_scan_report machinery: the clean corpus pins every count at
+    a structurally true zero; a tampered copy with one doc carrying an
+    email, a phone, an SSN-shaped id and an IPv4 must surface exactly
+    one flagged doc in that source with each class counted."""
+    import shutil
+
+    import pandas as pd
+
+    from flinkproj_spark.operators.curation import pii_scan_report
+
+    clean = pii_scan_report(spark, sf_dir).collect()
+    assert all(
+        r.email_hits == r.phone_hits == r.ssn_hits == r.ipv4_hits
+        == r.docs_flagged == 0
+        for r in clean
+    )
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", dirty / "documents.parquet")
+    pdf = pd.read_parquet(dirty / "documents.parquet")
+    victim = pdf.index[pdf.source == "src0"][0]
+    pdf.loc[victim, "text"] = (
+        "reach bob@example.com or 555-123-4567 ssn 123-45-6789 "
+        "from 10.0.0.1 twice: alice@test.org"
+    )
+    pdf.to_parquet(dirty / "documents.parquet", index=False)
+
+    got = {r.source: r for r in pii_scan_report(spark, str(dirty)).collect()}
+    hit = got["src0"]
+    assert hit.email_hits == 2
+    assert hit.phone_hits == 1
+    assert hit.ssn_hits == 1
+    assert hit.ipv4_hits == 1
+    assert hit.docs_flagged == 1
+    assert all(
+        r.docs_flagged == 0 for s, r in got.items() if s != "src0"
+    )
+
+
+def test_stratified_split_quotas_are_exact(spark, sf_dir):
+    """The splitter's contract: per language, split sizes are the
+    exact rank-slice quotas (train gets slices 0-7, val 8, test 9 of
+    rank*10 div n — no hash-approximation drift), every doc is
+    assigned exactly once, and the assignment is deterministic across
+    runs and partitionings."""
+    from collections import Counter
+
+    from flinkproj_spark.operators.sampling import stratified_split_assign
+
+    rows = stratified_split_assign(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert len(rows) == docs.count()
+    per_lang = Counter((r.lang, r.split) for r in rows)
+    n_by_lang = Counter(r.lang for r in rows)
+    for lang, n in n_by_lang.items():
+        expect = Counter()
+        for rk in range(1, n + 1):
+            s = (rk - 1) * 10 // n
+            expect["train" if s < 8 else "val" if s == 8 else "test"] += 1
+        for split in ("train", "val", "test"):
+            assert per_lang[(lang, split)] == expect[split], (lang, split)
+    # determinism under odd partitioning
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = {(r.doc_id, r.split) for r in
+                 stratified_split_assign(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_token_budget_sums_exactly(spark, sf_dir):
+    """Largest-remainder apportionment: quotas sum to EXACTLY the
+    budget, every language's quota is its floor share or floor+1, and
+    extras go to the largest remainders first."""
+    from flinkproj_spark.operators.sampling import (
+        TB_BUDGET,
+        token_budget_allocator,
+    )
+
+    rows = token_budget_allocator(spark, sf_dir).collect()
+    assert sum(r.quota for r in rows) == TB_BUDGET
+    total = sum(r.t for r in rows)
+    for r in rows:
+        assert r.floor_quota == r.t * TB_BUDGET // total
+        assert r.quota in (r.floor_quota, r.floor_quota + 1)
+    rems = sorted(
+        ((r.t * TB_BUDGET) % total, r.lang, r.extra) for r in rows
+    )
+    # once sorted ascending by remainder, extras form a suffix
+    flags = [e for _, _, e in rems]
+    assert flags == sorted(flags)

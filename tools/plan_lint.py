@@ -75,6 +75,7 @@ WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
     "cusum_changepoint": {"GLOBAL_WIN": ("calendar", "date-grid cumulative frame (~2.4k distinct days, never order rows)")},
     "runs_test_daily": {"GLOBAL_WIN": ("calendar", "date-grid lag frame (~2.4k distinct days, never order rows)")},
     "hhi_by_nation": {"GLOBAL_WIN": ("fixed-dim", "nation-dimension rank frame (~25 rows, never order rows)")},
+    "token_budget_allocator": {"GLOBAL_WIN": ("fixed-dim", "language-dimension remainder rank (|languages| rows, never corpus rows)")},
     "vocab_growth_curve": {"GLOBAL_WIN": ("corpus-scaled", "coarse 4096-checkpoint bucket frame = n_docs/204800 rows (two-pass cumsum; K≈2e5)")},
     "conversion_lag_curve": {"GLOBAL_WIN": ("calendar", "day-offset histogram (calendar-bounded)")},
     # rank-of-a-top-k: the window runs AFTER .limit(k) — k rows by
