@@ -3596,3 +3596,90 @@ ORACLE["mad_outlier_report"] = """
            CAST(f.n_out * 1000000 // t.n AS BIGINT) AS outlier_ppm
     FROM fenced f JOIN tot t USING (source)
 """
+
+
+def anonymized_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASED table k_anonymity_repair plans: one row per
+    customer carrying exactly the quasi-identifier granularity its
+    class was generalized to — level 0 keeps the $2000 band id,
+    level 1 the $8000 band id, level 2 nation only (band withheld),
+    suppressed rows carry neither QID — so every released (qid_nat,
+    qid_band) combination has ≥ K_REPAIR members by construction
+    (audit → repair plan → release artifact: the full ladder).
+    Band ids with an explicit width column (not bounds) keep negative
+    balances exact under truncating div.
+
+    Shape: the repair plan is a QID-domain-bounded frame, broadcast
+    onto the customer scan — one data-sized stage, no window, no sort.
+    The release is recomputable and idempotent: same corpus, same
+    table."""
+    cust = load_table(spark, sf_dir, "customer")
+    b0 = F.expr(
+        f"CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) div {L_DIV_QID_BUCKET_C}"
+    )
+    plan = k_anonymity_repair(spark, sf_dir).select(
+        "nat", "bal_b", "final_level"
+    )
+    return (
+        cust.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nat"),
+            b0.alias("bal_b"),
+        )
+        .join(F.broadcast(plan), ["nat", "bal_b"])
+        .select(
+            "custkey",
+            F.col("final_level").alias("released_level"),
+            F.expr("CASE WHEN final_level <= 2 THEN CAST(nat AS INT) END").alias(
+                "qid_nat"
+            ),
+            F.expr(
+                "CAST(CASE WHEN final_level = 0 THEN bal_b"
+                " WHEN final_level = 1 THEN bal_b div 4 END AS BIGINT)"
+            ).alias("qid_band"),
+            F.expr(
+                f"CAST(CASE WHEN final_level = 0 THEN {L_DIV_QID_BUCKET_C}"
+                f" WHEN final_level = 1 THEN {L_DIV_QID_BUCKET_C * 4} END"
+                " AS BIGINT)"
+            ).alias("qid_band_w_c"),
+            F.expr(
+                "CAST(CASE WHEN final_level = 3 THEN 1 ELSE 0 END AS INT)"
+            ).alias("suppressed"),
+        )
+    )
+
+
+QUERIES["anonymized_release"] = anonymized_release
+ORACLE["anonymized_release"] = f"""
+    WITH c AS (
+      SELECT c_custkey AS custkey, c_nationkey AS nat,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               // {L_DIV_QID_BUCKET_C} AS bal_b
+      FROM customer),
+    l0 AS (SELECT nat, bal_b, COUNT(*) AS n FROM c GROUP BY 1, 2),
+    f0 AS (SELECT * FROM l0 WHERE n < {K_REPAIR}),
+    l1 AS (SELECT nat, bal_b // 4 AS b1, SUM(n) AS n1 FROM f0 GROUP BY 1, 2),
+    f1 AS (SELECT * FROM l1 WHERE n1 < {K_REPAIR}),
+    l2 AS (SELECT nat, SUM(n1) AS n2 FROM f1 GROUP BY 1),
+    plan AS (
+      SELECT l0.nat, l0.bal_b,
+             CASE WHEN l0.n >= {K_REPAIR} THEN 0
+                  WHEN l1.n1 >= {K_REPAIR} THEN 1
+                  WHEN l2.n2 >= {K_REPAIR} THEN 2
+                  ELSE 3 END AS final_level
+      FROM l0
+      LEFT JOIN l1 ON l1.nat = l0.nat AND l1.b1 = l0.bal_b // 4
+      LEFT JOIN l2 ON l2.nat = l0.nat)
+    SELECT c.custkey,
+           CAST(p.final_level AS INT) AS released_level,
+           CAST(CASE WHEN p.final_level <= 2 THEN c.nat END AS INT) AS qid_nat,
+           CAST(CASE WHEN p.final_level = 0 THEN c.bal_b
+                     WHEN p.final_level = 1 THEN c.bal_b // 4 END AS BIGINT)
+             AS qid_band,
+           CAST(CASE WHEN p.final_level = 0 THEN {L_DIV_QID_BUCKET_C}
+                     WHEN p.final_level = 1 THEN {L_DIV_QID_BUCKET_C * 4} END
+             AS BIGINT) AS qid_band_w_c,
+           CAST(CASE WHEN p.final_level = 3 THEN 1 ELSE 0 END AS INT)
+             AS suppressed
+    FROM c JOIN plan p ON p.nat = c.nat AND p.bal_b = c.bal_b
+"""

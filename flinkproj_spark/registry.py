@@ -58,6 +58,7 @@ _PRIORITY_KEYS = (
     "hhi_by_nation",  # never checked
     "k_anonymity_repair",  # never checked
     "mad_outlier_report",  # never checked
+    "anonymized_release",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "tpch_q3",  # last green r4
     "tpch_q5",  # last green r4
     "tpch_q6",  # last green r4
-    "top_k_per_group",  # last green r4
 )
 
 

@@ -324,3 +324,24 @@ def stream_dsir_gate(new_docs: DataFrame, model: dict) -> DataFrame:
         .cast("int")
         .alias("target_like"),
     )
+
+
+def stream_pii_gate(new_docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/curation.py::pii_scan_report's
+    per-document verdict: count each PII pattern class in-row at
+    ingest and emit the quarantine flag BEFORE storage — the release-
+    boundary gate applied at the door instead of at the exit. Entirely
+    stateless (the patterns compile into the plan; JVM regex in-row,
+    no Python, no shuffle), so it composes with any downstream
+    watermark/sink and is arithmetically identical to the batch scan
+    per document. Input stream needs (doc_id, text); emits per-class
+    counts plus pii_flagged."""
+    from flinkproj_spark.operators.curation import PII_PATTERNS
+
+    counts = [
+        F.regexp_count("text", F.lit(p)).cast("long").alias(f"{name}_hits")
+        for name, p in PII_PATTERNS.items()
+    ]
+    staged = new_docs.select("doc_id", *counts)
+    any_hit = sum(F.col(f"{n}_hits") for n in PII_PATTERNS) > 0
+    return staged.withColumn("pii_flagged", any_hit.cast("int"))

@@ -1143,3 +1143,60 @@ class TestStreamShardPublisher:
             for r in spark.read.parquet(ref).select("doc_id", "shard").collect()
         }
         assert got == want
+
+
+class TestStreamPiiGate:
+    def test_converges_to_batch_scan(self, spark, sf_dir, tmp_path):
+        """The stateless PII gate must reproduce the batch scan's
+        per-source totals over the same corpus fed as a stream —
+        including planted identifiers — and flag exactly the planted
+        doc."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.curation import pii_scan_report
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.curate import stream_pii_gate
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        planted = spark.createDataFrame(
+            [(10_000_000, "src0",
+              "mail me: eve@evil.example.net or dial 555-987-6543")],
+            "doc_id long, source string, text string",
+        )
+        feed = docs.unionByName(planted)
+        feed.coalesce(2).write.mode("append").parquet(src)
+        _run(
+            stream_pii_gate(
+                spark.readStream.schema(
+                    "doc_id long, source string, text string"
+                ).parquet(src).select("doc_id", "text")
+            ),
+            out,
+            ckpt,
+        )
+        got = spark.read.parquet(out)
+        flagged = [r.doc_id for r in got.filter("pii_flagged = 1").collect()]
+        assert flagged == [10_000_000]
+        one = got.filter("doc_id = 10000000").collect()[0]
+        assert (one.email_hits, one.phone_hits, one.ssn_hits, one.ipv4_hits) == (
+            1, 1, 0, 0
+        )
+        # totals equal the batch scan over the same tampered corpus
+        tampered_dir = tmp_path / "tampered_sf"
+        tampered_dir.mkdir()
+        feed_pdf = feed.toPandas()
+        import pandas as pd  # noqa: F401
+
+        feed_pdf.to_parquet(tampered_dir / "documents.parquet", index=False)
+        batch = pii_scan_report(spark, str(tampered_dir)).agg(
+            F.sum("email_hits"), F.sum("phone_hits"),
+            F.sum("ssn_hits"), F.sum("ipv4_hits"), F.sum("docs_flagged")
+        ).collect()[0]
+        stream_tot = got.agg(
+            F.sum("email_hits"), F.sum("phone_hits"),
+            F.sum("ssn_hits"), F.sum("ipv4_hits"), F.sum("pii_flagged")
+        ).collect()[0]
+        assert tuple(batch) == tuple(stream_tot)
