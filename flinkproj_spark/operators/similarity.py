@@ -1317,32 +1317,92 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = [PI_SCALE] * DIM
     try:
         for _ in range(PI_ROUNDS):
-            varr = F.array(*[F.lit(int(x)) for x in v])
-            s = F.aggregate(
-                F.zip_with("q", varr, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            row = (
-                base.select(s.alias("s"), "q")
-                .agg(
-                    *[
-                        F.sum(
-                            F.element_at("q", d + 1).cast("decimal(38,0)")
-                            * F.col("s")
-                        ).alias(f"d{d}")
-                        for d in range(DIM)
-                    ]
-                )
-                .collect()[0]
-            )
-            u = [int(row[f"d{d}"]) for d in range(DIM)]
-            m = max(max(abs(x) for x in u), 1)
-            v = [x * PI_SCALE // m if x >= 0 else -((-x) * PI_SCALE // m) for x in u]
+            u = _pi_matvec(base, v)
+            v = _pi_rescale(u)
     finally:
         base.unpersist()
     return spark.createDataFrame(
         [(d, v[d]) for d in range(DIM)], "dim int, comp_e3 bigint"
+    )
+
+
+def _pi_matvec(base: DataFrame, v: list[int]) -> list[int]:
+    """One power-iteration matvec u = Σᵢ (qᵢ·v)·qᵢ: the projection is
+    computed in-row, the 64 per-dimension sums accumulate in
+    DECIMAL(38,0) (BIGINT passes ~10²¹ at 100 TB) and collapse to one
+    driver row — the trainer synchronization point."""
+    varr = F.array(*[F.lit(int(x)) for x in v])
+    s = F.aggregate(
+        F.zip_with("q", varr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        base.select(s.alias("s"), "q")
+        .agg(
+            *[
+                F.sum(
+                    F.element_at("q", d + 1).cast("decimal(38,0)") * F.col("s")
+                ).alias(f"d{d}")
+                for d in range(DIM)
+            ]
+        )
+        .collect()[0]
+    )
+    return [int(row[f"d{d}"]) for d in range(DIM)]
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (b > 0) — Python's //
+    floors, but Spark `div` and DuckDB HUGEINT `//` truncate; every
+    driver-side quotient in the trainers must match them."""
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def _pi_rescale(u: list[int]) -> list[int]:
+    m = max(max(abs(x) for x in u), 1)
+    return [_tdiv(x * PI_SCALE, m) for x in u]
+
+
+def embedding_pca2_deflated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction of the embedding second-moment matrix
+    by DEFLATED power iteration: run embedding_top_component's exact
+    loop to get v1, then iterate w ← A·w − v1·((v1·A·w) div (v1·v1))
+    from an alternating-sign start — the Hotelling deflation with the
+    projection coefficient in truncating integer division, so the whole
+    two-direction basis is bit-deterministic and oracle-replayable.
+    The truncated coefficient leaves ≤1-unit residual v1 leakage per
+    round (~0.1 % of PI_SCALE — the orthogonality test bounds it);
+    that is the price of an integer-exact trainer, stated plainly.
+    Output: per dimension, both directions (comp1_e3, comp2_e3) — the
+    2-D projection basis a drift monitor or visualization samples onto.
+
+    Shape: identical to embedding_top_component per round — the
+    persisted quantized frame is scanned once per matvec (6 total),
+    64 DECIMAL(38,0) sums collapse to a driver row (the trainer
+    synchronization contract), deflation is O(DIM) driver arithmetic
+    on exact Python ints. Nothing corpus-shaped ever moves."""
+    from pyspark.storagelevel import StorageLevel
+
+    base = (
+        _quantized(spark, sf_dir).select("q").persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    base.count()
+    try:
+        v1 = [PI_SCALE] * DIM
+        for _ in range(PI_ROUNDS):
+            v1 = _pi_rescale(_pi_matvec(base, v1))
+        v1v1 = sum(x * x for x in v1)
+        w = [PI_SCALE if d % 2 == 0 else -PI_SCALE for d in range(DIM)]
+        for _ in range(PI_ROUNDS):
+            u = _pi_matvec(base, w)
+            p = _tdiv(sum(a * b for a, b in zip(v1, u)), v1v1)
+            w = _pi_rescale([u[d] - v1[d] * p for d in range(DIM)])
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(
+        [(d, v1[d], w[d]) for d in range(DIM)],
+        "dim int, comp1_e3 bigint, comp2_e3 bigint",
     )
 
 
@@ -1521,6 +1581,7 @@ QUERIES = {
     "ivf_cell_balance_report": ivf_cell_balance_report,
     "kcenter_coreset": kcenter_coreset,
     "embedding_top_component": embedding_top_component,
+    "embedding_pca2_deflated": embedding_pca2_deflated,
     "kmeans_lloyd": kmeans_lloyd,
 }
 
@@ -2159,6 +2220,90 @@ def _power_iter_oracle() -> str:
 
 
 ORACLE["embedding_top_component"] = _power_iter_oracle()
+
+
+def _pca2_oracle() -> str:
+    """Chained-CTE replay of the deflated power iteration: the v-chain
+    is _power_iter_oracle's verbatim, then each w-round computes the
+    matvec, the truncating HUGEINT projection coefficient against the
+    final v, the deflated vector, and the rescale. DuckDB HUGEINT `//`
+    truncates toward zero like the Spark driver's _tdiv (verified for
+    negatives, r7 memory); MATERIALIZED throughout — every CTE feeds
+    two consumers."""
+    v0 = "[" + ", ".join([str(PI_SCALE)] * DIM) + "]"
+    w0 = "[" + ", ".join(
+        str(PI_SCALE if d % 2 == 0 else -PI_SCALE) for d in range(DIM)
+    ) + "]"
+    parts = [
+        f"base AS MATERIALIZED (SELECT {_QUANT_SQL} AS q FROM embeddings)",
+        f"v0 AS MATERIALIZED (SELECT {v0} AS v)",
+    ]
+    for k in range(1, PI_ROUNDS + 1):
+        parts.append(
+            f"s{k} AS MATERIALIZED (SELECT q, CAST(list_sum(list_transform("
+            f"range(1, {DIM} + 1), i -> q[i] * v[i])) AS BIGINT) AS s "
+            f"FROM base CROSS JOIN v{k - 1})"
+        )
+        parts.append(
+            f"u{k} AS MATERIALIZED (SELECT d, "
+            f"CAST(SUM(CAST(q[d] AS HUGEINT) * s) AS HUGEINT) AS u "
+            f"FROM s{k}, (SELECT unnest(range(1, {DIM} + 1)) AS d) "
+            f"GROUP BY d)"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM u{k})"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT list(CAST(u * {PI_SCALE} // m AS BIGINT) "
+            f"ORDER BY d) AS v FROM u{k} CROSS JOIN m{k})"
+        )
+    parts.append(
+        f"vv AS MATERIALIZED (SELECT v, CAST(list_sum(list_transform("
+        f"range(1, {DIM} + 1), i -> v[i] * v[i])) AS HUGEINT) AS v1v1 "
+        f"FROM v{PI_ROUNDS})"
+    )
+    parts.append(f"w0 AS MATERIALIZED (SELECT {w0} AS w)")
+    for k in range(1, PI_ROUNDS + 1):
+        parts.append(
+            f"sw{k} AS MATERIALIZED (SELECT q, CAST(list_sum(list_transform("
+            f"range(1, {DIM} + 1), i -> q[i] * w[i])) AS BIGINT) AS s "
+            f"FROM base CROSS JOIN w{k - 1})"
+        )
+        parts.append(
+            f"uw{k} AS MATERIALIZED (SELECT d, "
+            f"CAST(SUM(CAST(q[d] AS HUGEINT) * s) AS HUGEINT) AS u "
+            f"FROM sw{k}, (SELECT unnest(range(1, {DIM} + 1)) AS d) "
+            f"GROUP BY d)"
+        )
+        parts.append(
+            f"pw{k} AS MATERIALIZED (SELECT CAST(SUM(CAST(vv.v[d] AS HUGEINT)"
+            f" * uw{k}.u) // ANY_VALUE(vv.v1v1) AS HUGEINT) AS p "
+            f"FROM uw{k} CROSS JOIN vv)"
+        )
+        parts.append(
+            f"dw{k} AS MATERIALIZED (SELECT d, "
+            f"CAST(uw{k}.u - CAST(vv.v[d] AS HUGEINT) * pw{k}.p AS HUGEINT) AS u "
+            f"FROM uw{k} CROSS JOIN vv CROSS JOIN pw{k})"
+        )
+        parts.append(
+            f"mw{k} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(u)), 1) AS m FROM dw{k})"
+        )
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT list(CAST(u * {PI_SCALE} // m AS BIGINT) "
+            f"ORDER BY d) AS w FROM dw{k} CROSS JOIN mw{k})"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(d - 1 AS INT) AS dim,
+           CAST(vv.v[d] AS BIGINT) AS comp1_e3,
+           CAST(w{PI_ROUNDS}.w[d] AS BIGINT) AS comp2_e3
+    FROM vv CROSS JOIN w{PI_ROUNDS},
+         (SELECT unnest(range(1, {DIM} + 1)) AS d)"""
+    )
+
+
+ORACLE["embedding_pca2_deflated"] = _pca2_oracle()
 
 
 def _kmeans_oracle() -> str:

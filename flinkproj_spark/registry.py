@@ -45,6 +45,7 @@ _PRIORITY_KEYS = (
     "freshness_decay_weights",  # never checked
     "pii_scan_report",  # never checked
     "join_explosion_audit",  # never checked
+    "embedding_pca2_deflated",  # never checked
     "range_partition_plan",  # never checked
     "stratified_split_assign",  # never checked
     "token_budget_allocator",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "tpch_q1",  # last green r4
     "tpch_q3",  # last green r4
     "tpch_q5",  # last green r4
-    "tpch_q6",  # last green r4
 )
 
 

@@ -3175,3 +3175,29 @@ def test_token_budget_sums_exactly(spark, sf_dir):
     # once sorted ascending by remainder, extras form a suffix
     flags = [e for _, _, e in rems]
     assert flags == sorted(flags)
+
+
+def test_pca2_deflation_is_orthogonal_and_live(spark, sf_dir):
+    """Deflated power iteration: the two directions are near-orthogonal
+    (the integer-truncated projection leaves at most ~0.1% v1 leakage
+    per round — bound it at 1%), both are live (non-degenerate across
+    dimensions), and comp1 equals embedding_top_component's output
+    exactly (the deflation must not perturb the shipped first
+    direction)."""
+    import math
+
+    from flinkproj_spark.operators.similarity import (
+        embedding_pca2_deflated,
+        embedding_top_component,
+    )
+
+    rows = sorted(embedding_pca2_deflated(spark, sf_dir).collect(),
+                  key=lambda r: r.dim)
+    v1 = [r.comp1_e3 for r in rows]
+    v2 = [r.comp2_e3 for r in rows]
+    dot = sum(a * b for a, b in zip(v1, v2))
+    cos = dot / math.sqrt(sum(a * a for a in v1) * sum(b * b for b in v2))
+    assert abs(cos) < 0.01, cos
+    assert sum(1 for x in v2 if x != 0) > len(v2) // 2
+    top = {r.dim: r.comp_e3 for r in embedding_top_component(spark, sf_dir).collect()}
+    assert v1 == [top[d] for d in range(len(v1))]
