@@ -3683,3 +3683,215 @@ ORACLE["anonymized_release"] = f"""
              AS suppressed
     FROM c JOIN plan p ON p.nat = c.nat AND p.bal_b = c.bal_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics, continued (round 8): Theil-Sen trend + winsorized
+# mean — the robust twins of ols_trend_monthly and the plain mean, the
+# way mad_outlier_report twins outlier_zscore.
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_trend_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the median of all
+    pairwise slopes (y_j - y_i)/(x_j - x_i) over the month grid, plus
+    the median-intercept — up to ~29% of months can be arbitrarily
+    corrupted (a refund storm, a backfill gap) without moving the
+    estimate, where ols_trend_monthly's least squares chases every
+    outlier. Slopes are carried as the deterministic truncated key
+    dy*1e6 div dx (cents-per-month ppm-resolution; exact-fraction ties
+    below 1e-6 collapse — immaterial and identical in both engines),
+    the median is nearest-rank (lower) over the slope histogram, and
+    the intercept is the median of rev_c - slope*mi over months.
+
+    Shape: the orders scan collapses to the month grid (80 rows,
+    thousands at most ever); the pair frame is months² — bounded by
+    the CALENDAR, independent of data volume — built as a broadcast
+    range self-join; both medians are cumulative windows over
+    calendar-bounded histograms. dy*1e6 routes through DECIMAL(38,0)
+    (monthly revenue cents ×1e6 passes BIGINT at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 12
+            + F.month("o_orderdate")
+            - 1
+        )
+        .cast("long")
+        .alias("mi")
+    ).agg(F.sum(_cents("o_totalprice")).alias("rev_c"))
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("b.mi") > F.col("a.mi")).select(
+        F.expr(
+            "CAST(CAST(b.rev_c - a.rev_c AS DECIMAL(38,0)) * 1000000"
+            " div (b.mi - a.mi) AS BIGINT)"
+        ).alias("slope_e6")
+    )
+    hist = pairs.groupBy("slope_e6").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("slope_e6").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = hist.agg(F.sum("cnt").alias("n_pairs"))
+    slope = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("cum >= (n_pairs + 1) div 2"))
+        .agg(
+            F.min("slope_e6").alias("ts_slope_e6"),
+            F.first("n_pairs").alias("n_pairs"),
+        )
+    )
+    resid = monthly.crossJoin(F.broadcast(slope)).select(
+        F.expr(
+            "rev_c - CAST(CAST(ts_slope_e6 AS DECIMAL(38,0)) * mi"
+            " div 1000000 AS BIGINT)"
+        ).alias("ic")
+    )
+    whist = resid.groupBy("ic").agg(F.count("*").alias("cnt"))
+    wcum2 = Window.orderBy("ic").rowsBetween(Window.unboundedPreceding, 0)
+    mtot = whist.agg(F.sum("cnt").alias("n_months"))
+    intercept = (
+        whist.withColumn("cum", F.sum("cnt").over(wcum2))
+        .crossJoin(F.broadcast(mtot))
+        .filter(F.expr("cum >= (n_months + 1) div 2"))
+        .agg(
+            F.min("ic").alias("ts_intercept_c"),
+            F.first("n_months").alias("n_months"),
+        )
+    )
+    return slope.crossJoin(F.broadcast(intercept)).select(
+        F.col("n_months").cast("long").alias("n_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("ts_slope_e6").cast("long").alias("ts_slope_e6"),
+        F.col("ts_intercept_c").cast("long").alias("ts_intercept_c"),
+    )
+
+
+QUERIES["theil_sen_trend_monthly"] = theil_sen_trend_monthly
+ORACLE["theil_sen_trend_monthly"] = """
+    WITH monthly AS (
+      SELECT (EXTRACT(year FROM o_orderdate) - 1995) * 12
+               + EXTRACT(month FROM o_orderdate) - 1 AS mi,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CAST(CAST(b.rev_c - a.rev_c AS HUGEINT) * 1000000
+                  // (b.mi - a.mi) AS BIGINT) AS slope_e6
+      FROM monthly a JOIN monthly b ON b.mi > a.mi),
+    hist AS (SELECT slope_e6, COUNT(*) AS cnt FROM pairs GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n_pairs FROM hist),
+    slope AS (
+      SELECT MIN(slope_e6) AS ts_slope_e6, ANY_VALUE(n_pairs) AS n_pairs
+      FROM (SELECT slope_e6,
+                   SUM(cnt) OVER (ORDER BY slope_e6
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM hist) CROSS JOIN tot
+      WHERE cum >= (n_pairs + 1) // 2),
+    resid AS (
+      SELECT rev_c - CAST(CAST(ts_slope_e6 AS HUGEINT) * mi
+                          // 1000000 AS BIGINT) AS ic
+      FROM monthly CROSS JOIN slope),
+    whist AS (SELECT ic, COUNT(*) AS cnt FROM resid GROUP BY 1),
+    mtot AS (SELECT SUM(cnt) AS n_months FROM whist),
+    icept AS (
+      SELECT MIN(ic) AS ts_intercept_c, ANY_VALUE(n_months) AS n_months
+      FROM (SELECT ic,
+                   SUM(cnt) OVER (ORDER BY ic
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM whist) CROSS JOIN mtot
+      WHERE cum >= (n_months + 1) // 2)
+    SELECT CAST(i.n_months AS BIGINT) AS n_months,
+           CAST(s.n_pairs AS BIGINT) AS n_pairs,
+           CAST(s.ts_slope_e6 AS BIGINT) AS ts_slope_e6,
+           CAST(i.ts_intercept_c AS BIGINT) AS ts_intercept_c
+    FROM slope s CROSS JOIN icept i
+"""
+
+
+def winsorized_mean_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of document length per source: values clamped at
+    the exact nearest-rank P5/P95 (ranks ceil(0.05n)/ceil(0.95n) from
+    the value histogram) before averaging — the robust location
+    estimate that keeps the mean's units and efficiency while capping
+    any single monster document's pull at the fence value. Reported in
+    centichars (mean_e2 = sum*100 div n) next to the raw mean so the
+    gap itself is the tail-weight signal.
+
+    Shape: identical to mad_outlier_report — one scan to the
+    (source, n_chars) histogram, fences from source-partitioned
+    cumulative windows over that value grid, the clamped mean a second
+    pass over the HISTOGRAM (cnt-weighted), never over document rows."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    wsrc = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wsrc)).join(
+        F.broadcast(tot), "source"
+    )
+    lo = (
+        cum.filter(F.expr("cum >= (5 * n + 99) div 100"))
+        .groupBy("source")
+        .agg(F.min("v").alias("lo_v"))
+    )
+    hi = (
+        cum.filter(F.expr("cum >= (95 * n + 99) div 100"))
+        .groupBy("source")
+        .agg(F.min("v").alias("hi_v"))
+    )
+    return (
+        hist.join(F.broadcast(lo), "source")
+        .join(F.broadcast(hi), "source")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.first("lo_v").cast("long").alias("lo_chars"),
+            F.first("hi_v").cast("long").alias("hi_chars"),
+            F.sum(F.col("cnt") * F.col("v")).alias("_raw_sum"),
+            F.sum(
+                F.col("cnt")
+                * F.greatest(F.least(F.col("v"), F.col("hi_v")), F.col("lo_v"))
+            ).alias("_win_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "lo_chars",
+            "hi_chars",
+            F.expr("_raw_sum * 100 div n_docs").alias("raw_mean_e2"),
+            F.expr("_win_sum * 100 div n_docs").alias("wins_mean_e2"),
+        )
+    )
+
+
+QUERIES["winsorized_mean_by_source"] = winsorized_mean_by_source
+ORACLE["winsorized_mean_by_source"] = """
+    WITH hist AS (
+      SELECT source, n_chars AS v, COUNT(*) AS cnt
+      FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(cnt) AS n FROM hist GROUP BY 1),
+    cum AS (
+      SELECT h.source, h.v, h.cnt, t.n,
+             SUM(h.cnt) OVER (PARTITION BY h.source ORDER BY h.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist h JOIN tot t USING (source)),
+    lo AS (SELECT source, MIN(v) AS lo_v FROM cum
+           WHERE cum >= (5 * n + 99) // 100 GROUP BY 1),
+    hi AS (SELECT source, MIN(v) AS hi_v FROM cum
+           WHERE cum >= (95 * n + 99) // 100 GROUP BY 1)
+    SELECT h.source,
+           CAST(SUM(h.cnt) AS BIGINT) AS n_docs,
+           CAST(ANY_VALUE(lo.lo_v) AS BIGINT) AS lo_chars,
+           CAST(ANY_VALUE(hi.hi_v) AS BIGINT) AS hi_chars,
+           CAST(SUM(h.cnt * h.v) * 100 // SUM(h.cnt) AS BIGINT)
+             AS raw_mean_e2,
+           CAST(SUM(h.cnt * GREATEST(LEAST(h.v, hi.hi_v), lo.lo_v)) * 100
+                // SUM(h.cnt) AS BIGINT) AS wins_mean_e2
+    FROM hist h JOIN lo USING (source) JOIN hi USING (source)
+    GROUP BY 1
+"""

@@ -1969,3 +1969,109 @@ ORACLE["graph_modularity_report"] = f"""
                 // (4 * m.m * m.m) AS BIGINT) AS q_ppm
     FROM per p JOIN nodes n USING (source) CROSS JOIN m_row m
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count audit (round 8)
+# ---------------------------------------------------------------------------
+
+#: HLL register count (m = 2^4) and its standard bias constant alpha_16
+#: = 0.673, carried as ppm so the estimator is integer end-to-end.
+HLL_M = 16
+HLL_ALPHA_PPM = 673_000
+#: Width of the rank field read from the md5 suffix, in bits.
+HLL_BITS = 52
+
+
+def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-text estimate audited against the exact
+    count: md5(text) splits into a 4-bit register index and a 52-bit
+    rank field whose leading-zero count (+1) feeds the register max —
+    the MERGEABLE sketch shape (16 small ints; union = elementwise max)
+    that counts distincts across shards/streams without a distinct
+    shuffle. The raw estimator alpha*m^2/sum(2^-M) runs as exact
+    integers — S = sum(2^(52-M)) in BIGINT, the quotient through
+    DECIMAL(38,0) — so the estimate, not just the registers, is
+    engine-reproducible; err_ppm against the exact distinct is the
+    audit (m=16 → ~26% typical error, the honest budget sketch;
+    production raises m, same plumbing). Raw estimator only — the
+    small-range linear-counting correction needs ln() and is out of
+    integer scope, which is why the subject is the corpus-wide distinct
+    (n >> 2.5m at every SF, where raw HLL is in its valid regime).
+
+    Shape: one scan to md5 fingerprints, one groupBy(16 registers)
+    max-aggregate (map-side combined — the sketch build), one 16-row
+    rollup; the exact count is the one distinct shuffle, present only
+    because this key IS the audit of sketch vs truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(F.md5("text").alias("h"))
+    fields = fp.select(
+        F.conv(F.substring("h", 1, 1), 16, 10).cast("long").alias("b"),
+        F.conv(F.substring("h", 2, 13), 16, 10).cast("long").alias("x"),
+    )
+    rank = F.when(F.col("x") == 0, F.lit(HLL_BITS + 1)).otherwise(
+        F.lit(HLL_BITS + 1) - F.length(F.bin("x"))
+    )
+    regs = fields.select("b", rank.alias("m")).groupBy("b").agg(
+        F.max("m").alias("mx")
+    )
+    grid = spark.range(HLL_M).select(F.col("id").alias("b"))
+    dense = grid.join(regs, "b", "left").select(
+        F.coalesce("mx", F.lit(0)).alias("mx")
+    )
+    sketch = dense.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_BITS} - CAST(mx AS INT))")).alias("s"),
+        F.sum(F.expr("CASE WHEN mx > 0 THEN 1 ELSE 0 END")).cast("long").alias("nonzero_regs"),
+    )
+    exact = docs.agg(F.count_distinct("text").cast("long").alias("exact_distinct"))
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        "nonzero_regs",
+        "exact_distinct",
+        F.expr(
+            f"CAST(CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {HLL_M * HLL_M}"
+            f" * shiftleft(CAST(1 AS BIGINT), {HLL_BITS})"
+            " div (CAST(1000000 AS DECIMAL(38,0)) * s) AS BIGINT)"
+        ).alias("hll_est"),
+        F.expr(
+            f"CAST(abs(CAST(CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {HLL_M * HLL_M}"
+            f" * shiftleft(CAST(1 AS BIGINT), {HLL_BITS})"
+            " div (CAST(1000000 AS DECIMAL(38,0)) * s) AS BIGINT)"
+            " - exact_distinct) * 1000000 div exact_distinct AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+QUERIES["hll_distinct_report"] = hll_distinct_report
+ORACLE["hll_distinct_report"] = f"""
+    WITH fp AS (SELECT md5(text) AS h FROM documents),
+    fields AS (
+      SELECT ('0x' || substr(h, 1, 1))::BIGINT AS b,
+             ('0x' || substr(h, 2, 13))::BIGINT AS x
+      FROM fp),
+    ranks AS (
+      SELECT b, CASE WHEN x = 0 THEN {HLL_BITS + 1}
+                     ELSE {HLL_BITS + 1} - length(bin(x)) END AS m
+      FROM fields),
+    regs AS (SELECT b, MAX(m) AS mx FROM ranks GROUP BY 1),
+    dense AS (
+      SELECT COALESCE(r.mx, 0) AS mx
+      FROM (SELECT unnest(range(0, {HLL_M})) AS b) g
+      LEFT JOIN regs r USING (b)),
+    sketch AS (
+      SELECT SUM(1::BIGINT << ({HLL_BITS} - mx)) AS s,
+             SUM(CASE WHEN mx > 0 THEN 1 ELSE 0 END) AS nonzero_regs
+      FROM dense),
+    ex AS (SELECT COUNT(DISTINCT text) AS exact_distinct FROM documents)
+    SELECT CAST({HLL_M} AS INT) AS m,
+           CAST(nonzero_regs AS BIGINT) AS nonzero_regs,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(CAST({HLL_ALPHA_PPM} AS HUGEINT) * {HLL_M * HLL_M}
+                * (1::BIGINT << {HLL_BITS})
+                // (1000000::HUGEINT * s) AS BIGINT) AS hll_est,
+           CAST(ABS(CAST(CAST({HLL_ALPHA_PPM} AS HUGEINT) * {HLL_M * HLL_M}
+                * (1::BIGINT << {HLL_BITS})
+                // (1000000::HUGEINT * s) AS BIGINT) - exact_distinct)
+                * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+    FROM sketch CROSS JOIN ex
+"""

@@ -45,6 +45,7 @@ _PRIORITY_KEYS = (
     "freshness_decay_weights",  # never checked
     "pii_scan_report",  # never checked
     "join_explosion_audit",  # never checked
+    "hll_distinct_report",  # never checked
     "embedding_pca2_deflated",  # never checked
     "range_partition_plan",  # never checked
     "stratified_split_assign",  # never checked
@@ -60,6 +61,8 @@ _PRIORITY_KEYS = (
     "k_anonymity_repair",  # never checked
     "mad_outlier_report",  # never checked
     "anonymized_release",  # never checked
+    "theil_sen_trend_monthly",  # never checked
+    "winsorized_mean_by_source",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -89,9 +92,6 @@ _PRIORITY_KEYS = (
     "minhash_jaccard_estimate",  # last green r4
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
-    "tpch_q1",  # last green r4
-    "tpch_q3",  # last green r4
-    "tpch_q5",  # last green r4
 )
 
 

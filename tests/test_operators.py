@@ -3201,3 +3201,94 @@ def test_pca2_deflation_is_orthogonal_and_live(spark, sf_dir):
     assert sum(1 for x in v2 if x != 0) > len(v2) // 2
     top = {r.dim: r.comp_e3 for r in embedding_top_component(spark, sf_dir).collect()}
     assert v1 == [top[d] for d in range(len(v1))]
+
+
+def test_theil_sen_resists_planted_corrupt_month(spark, sf_dir, tmp_path):
+    """The robust-trend contract: multiplying ONE month's revenue 100x
+    in a tampered orders copy leaves the Theil-Sen slope within the
+    clean estimate's own scale (a single corrupt month contributes
+    <1/40th of pairwise slopes — the median doesn't move past
+    neighboring slopes), while the OLS fit visibly chases it. This is
+    the reason the key exists next to ols_trend_monthly."""
+    import shutil
+
+    import pandas as pd
+
+    from flinkproj_spark.operators.analytic import theil_sen_trend_monthly
+
+    clean = theil_sen_trend_monthly(spark, sf_dir).collect()[0]
+
+    dirty = tmp_path / "dirty_sf"
+    dirty.mkdir()
+    shutil.copy(f"{sf_dir}/orders.parquet", dirty / "orders.parquet")
+    pdf = pd.read_parquet(dirty / "orders.parquet")
+    mask = pd.to_datetime(pdf.o_orderdate).dt.strftime("%Y-%m") == "1997-06"
+    assert mask.sum() > 0
+    pdf.loc[mask, "o_totalprice"] = pdf.loc[mask, "o_totalprice"] * 100
+    pdf.to_parquet(dirty / "orders.parquet", index=False)
+
+    got = theil_sen_trend_monthly(spark, str(dirty)).collect()[0]
+    ts_move = abs(got.ts_slope_e6 - clean.ts_slope_e6) / abs(clean.ts_slope_e6)
+    # one corrupt month touches 79/3160 pairwise slopes (2.5%), so the
+    # median slides a few order statistics — percent-level, never
+    # proportional to the 100x corruption
+    assert ts_move < 0.15, ts_move
+
+    def ols_slope(sfd):
+        from flinkproj_spark.operators.analytic import ols_trend_monthly
+
+        return ols_trend_monthly(spark, sfd).collect()[0].slope_c_per_month
+
+    ols_move = abs(ols_slope(str(dirty)) - ols_slope(sf_dir)) / abs(
+        ols_slope(sf_dir)
+    )
+    assert ols_move > 3 * ts_move, (ols_move, ts_move)
+
+
+def test_hll_sketch_is_mergeable(spark, sf_dir):
+    """The sketch contract that makes HLL worth shipping: registers of
+    the full corpus equal the ELEMENTWISE MAX of per-half registers
+    (union = max-merge, no rescan), and the estimator is in its raw
+    regime (all registers hit, error within ~3 sigma of the m=16
+    budget)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.dedup import (
+        HLL_BITS,
+        hll_distinct_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def registers(df):
+        fields = df.select(
+            F.conv(F.substring(F.md5("text"), 1, 1), 16, 10)
+            .cast("long")
+            .alias("b"),
+            F.conv(F.substring(F.md5("text"), 2, 13), 16, 10)
+            .cast("long")
+            .alias("x"),
+        )
+        rank = F.when(F.col("x") == 0, F.lit(HLL_BITS + 1)).otherwise(
+            F.lit(HLL_BITS + 1) - F.length(F.bin("x"))
+        )
+        return {
+            r.b: r.mx
+            for r in fields.select("b", rank.alias("m"))
+            .groupBy("b")
+            .agg(F.max("m").alias("mx"))
+            .collect()
+        }
+
+    mid = docs.selectExpr("percentile(doc_id, 0.5) AS m").collect()[0][0]
+    full = registers(docs)
+    h1 = registers(docs.filter(F.col("doc_id") < mid))
+    h2 = registers(docs.filter(F.col("doc_id") >= mid))
+    merged = {
+        b: max(h1.get(b, 0), h2.get(b, 0)) for b in set(h1) | set(h2)
+    }
+    assert merged == full
+
+    row = hll_distinct_report(spark, sf_dir).collect()[0]
+    assert row.nonzero_regs == row.m
+    assert row.err_ppm < 800_000  # 3 sigma of the 1.04/sqrt(16) budget

@@ -78,6 +78,7 @@ WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
     "token_budget_allocator": {"GLOBAL_WIN": ("fixed-dim", "language-dimension remainder rank (|languages| rows, never corpus rows)")},
     "vocab_growth_curve": {"GLOBAL_WIN": ("corpus-scaled", "coarse 4096-checkpoint bucket frame = n_docs/204800 rows (two-pass cumsum; K≈2e5)")},
     "conversion_lag_curve": {"GLOBAL_WIN": ("calendar", "day-offset histogram (calendar-bounded)")},
+    "theil_sen_trend_monthly": {"GLOBAL_WIN": ("calendar", "pairwise-slope histogram over months² (~3.2k rows, calendar-bounded) + months intercept histogram")},
     # rank-of-a-top-k: the window runs AFTER .limit(k) — k rows by
     # construction, never corpus rows.
     "key_skew_profile": {"GLOBAL_WIN": ("literal-k", "ranks the limit-20 heavy-hitter frame")},
