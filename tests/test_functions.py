@@ -189,3 +189,98 @@ def test_morton2_matches_python_reference(spark):
     )
     for r in df.collect():
         assert r.z == ref(r.x, r.y), (r.x, r.y)
+
+
+def test_bucketed_row_number_equals_global_rank(spark):
+    """Property pin for the two-pass bucketed rank (round 8): across
+    seeded random frames with heavy ties, negative values, descending
+    order, outer partitions, and several bucket widths — including
+    width 1 (every value its own bucket) and a width larger than the
+    value range (everything in ONE bucket, degenerating to the plain
+    window) — the helper's output must equal the single-window
+    row_number computed in pure Python. Correctness may never depend
+    on the bucket choice; only the physical plan does."""
+    import random
+
+    rng = random.Random(13)
+    rows = [
+        (
+            rng.choice(["p0", "p1", "p2"]),
+            rng.randint(-40, 40),
+            i,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "part string, val long, k long")
+
+    for width, descending, use_part in [
+        (1, False, False),
+        (7, False, False),
+        (7, True, False),
+        (1000, False, False),  # one bucket: degenerates to the window
+        (7, False, True),
+        (16, True, True),
+    ]:
+        bucket = F.expr(
+            f"CASE WHEN val >= 0 THEN val div {width}"
+            f" ELSE -((-val) div {width}) - 1 END"  # monotone for negatives
+        )
+        got = {
+            (r.part, r.k): r.rk
+            for r in fx.bucketed_row_number(
+                df,
+                bucket,
+                [
+                    F.col("val").desc() if descending else F.col("val").asc(),
+                    F.col("k").asc(),
+                ],
+                "rk",
+                descending=descending,
+                partition=["part"] if use_part else (),
+            ).collect()
+        }
+        expect = {}
+        groups = {}
+        for part, val, k in rows:
+            groups.setdefault(part if use_part else "", []).append((val, k, part))
+        for g, items in groups.items():
+            items.sort(key=lambda t: (-t[0] if descending else t[0], t[1]))
+            for i, (val, k, part) in enumerate(items, start=1):
+                expect[(part, k)] = i
+        assert got == expect, (width, descending, use_part)
+
+
+def test_bucketed_cumsum_equals_global_window(spark):
+    """Same property for the two-pass cumulative sum: equal to the
+    unpartitioned running total for any bucket width, including
+    negative order keys and multiple summed columns."""
+    import random
+
+    rng = random.Random(17)
+    rows = [
+        (rng.randint(-30, 30), rng.randint(-5, 9), rng.randint(0, 4))
+        for _ in range(300)
+    ]
+    # unique order keys (cumsum over a total order)
+    rows = [(i, a, b) for i, (_, a, b) in enumerate(rows)]
+    rows = [(k - 150, a, b) for k, a, b in rows]  # negative keys too
+    df = spark.createDataFrame(rows, "ok long, a long, b long")
+
+    for width in (1, 11, 10_000):
+        bucket = F.expr(
+            f"CASE WHEN ok >= 0 THEN ok div {width}"
+            f" ELSE -((-ok) div {width}) - 1 END"
+        )
+        got = {
+            r.ok: (r.cum_a, r.cum_b)
+            for r in fx.bucketed_cumsum(
+                df, bucket, [F.col("ok").asc()], ["a", "b"]
+            ).collect()
+        }
+        ca = cb = 0
+        expect = {}
+        for ok, a, b in sorted(rows):
+            ca += a
+            cb += b
+            expect[ok] = (ca, cb)
+        assert got == expect, width
