@@ -3895,3 +3895,65 @@ ORACLE["winsorized_mean_by_source"] = """
     FROM hist h JOIN lo USING (source) JOIN hi USING (source)
     GROUP BY 1
 """
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict this month =
+    same month last year) over monthly revenue: per month with a
+    year-ago counterpart, the forecast, the signed error in cents and
+    the absolute percentage error in exact ppm — the baseline every
+    forecasting pipeline must beat before a fancier model earns its
+    keep, and the shape (join the month grid to itself at lag 12) is
+    the template for any lag-k backtest. Integer end-to-end: the APE
+    numerator routes through DECIMAL(38,0) (|err|*1e6 on monthly
+    revenue cents wraps BIGINT at 100 TB).
+
+    Shape: one orders scan collapses to the month grid; the lag-12
+    self-join and every later stage run on that calendar-bounded frame
+    as broadcast joins — no window at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_ym"),
+        (
+            (F.year("o_orderdate") - F.lit(1995)) * 12
+            + F.month("o_orderdate")
+            - 1
+        )
+        .cast("long")
+        .alias("mi"),
+    ).agg(F.sum(_cents("o_totalprice")).alias("rev_c"))
+    prior = monthly.select(
+        (F.col("mi") + 12).alias("mi"), F.col("rev_c").alias("fcst_c")
+    )
+    return (
+        monthly.join(F.broadcast(prior), "mi")
+        .select(
+            "month_ym",
+            "mi",
+            F.col("rev_c").cast("long").alias("rev_c"),
+            F.col("fcst_c").cast("long").alias("fcst_c"),
+            (F.col("rev_c") - F.col("fcst_c")).cast("long").alias("err_c"),
+            F.expr(
+                "CAST(abs(CAST(rev_c - fcst_c AS DECIMAL(38,0))) * 1000000"
+                " div CAST(rev_c AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("ape_ppm"),
+        )
+    )
+
+
+QUERIES["seasonal_naive_backtest"] = seasonal_naive_backtest
+ORACLE["seasonal_naive_backtest"] = """
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month_ym,
+             (EXTRACT(year FROM o_orderdate) - 1995) * 12
+               + EXTRACT(month FROM o_orderdate) - 1 AS mi,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1, 2)
+    SELECT a.month_ym, CAST(a.mi AS BIGINT) AS mi,
+           CAST(a.rev_c AS BIGINT) AS rev_c,
+           CAST(b.rev_c AS BIGINT) AS fcst_c,
+           CAST(a.rev_c - b.rev_c AS BIGINT) AS err_c,
+           CAST(ABS(CAST(a.rev_c - b.rev_c AS HUGEINT)) * 1000000
+                // a.rev_c AS BIGINT) AS ape_ppm
+    FROM monthly a JOIN monthly b ON b.mi = a.mi - 12
+"""

@@ -2075,3 +2075,111 @@ ORACLE["hll_distinct_report"] = f"""
                 * 1000000 // exact_distinct AS BIGINT) AS err_ppm
     FROM sketch CROSS JOIN ex
 """
+
+
+# ---------------------------------------------------------------------------
+# Survivorship election over the near-dup graph (round 8)
+# ---------------------------------------------------------------------------
+
+#: Min-label propagation rounds for dedup_survivorship's clustering.
+SURV_ROUNDS = 5
+
+
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship policy over near-duplicate clusters: group the
+    ngram-Jaccard pair graph into clusters (SURV_ROUNDS synchronous
+    min-label rounds — near-dup components are dense blocks that
+    converge in 1-2 rounds; a pathological chain of diameter >
+    2*SURV_ROUNDS would split, the fixed horizon is what keeps the
+    plan static and the oracle replayable) and elect each cluster's
+    KEPT document by the longest-text policy (max n_chars, tie ->
+    smallest doc_id) instead of first-occurrence — the curation choice
+    that keeps the most complete variant of a boilerplate family, not
+    whichever crawled first. Election is min(struct(-n_chars, doc_id))
+    — the LPA argmax trick, no window, no sort.
+
+    Shape: the pair stage is the blocked-bounded dedup_ngram_jaccard
+    (never all-pairs); each label round is one shuffle of the
+    (near-dup nodes) frame — dup-subset-sized, far below corpus rows;
+    the n_chars join touches only those nodes. At 100 TB: 5 bounded
+    shuffles of the duplicate subgraph, one corpus scan."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = sym.select(F.col("doc_a").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    for _ in range(SURV_ROUNDS):
+        msgs = sym.join(
+            labels, sym.doc_a == labels.v
+        ).select(F.col("doc_b").alias("v"), "lbl")
+        labels = (
+            labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
+        )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = labels.join(docs, labels.v == docs.doc_id).select(
+        F.col("lbl").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min(F.struct((-F.col("n_chars")).alias("neg"), "doc_id")).alias(
+                "_w"
+            ),
+        )
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "n_members",
+            F.col("_w.doc_id").cast("long").alias("survivor_doc"),
+            (-F.col("_w.neg")).cast("long").alias("survivor_chars"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+QUERIES["dedup_survivorship"] = dedup_survivorship
+
+
+def _survivorship_oracle() -> str:
+    """Pairs CTE = dedup_ngram_jaccard's oracle verbatim; then
+    SURV_ROUNDS chained min-label CTEs and the longest-text election
+    via min(struct)-equivalent ordering."""
+    parts = [
+        f"pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({ORACLE['dedup_ngram_jaccard']}))",
+        "sym AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS v, doc_a AS lbl FROM sym)",
+    ]
+    for k in range(1, SURV_ROUNDS + 1):
+        parts.append(
+            f"""l{k} AS MATERIALIZED (
+          SELECT v, MIN(lbl) AS lbl FROM (
+            SELECT v, lbl FROM l{k - 1}
+            UNION ALL
+            SELECT s.doc_b AS v, l.lbl FROM sym s JOIN l{k - 1} l ON l.v = s.doc_a)
+          GROUP BY v)"""
+        )
+    parts.append(
+        f"""sel AS (
+      SELECT m.lbl, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY m.lbl
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY m.lbl) AS n
+      FROM l{SURV_ROUNDS} m JOIN documents d ON d.doc_id = m.v)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + """
+    SELECT CAST(lbl AS BIGINT) AS cluster_id,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(doc_id AS BIGINT) AS survivor_doc,
+           CAST(n_chars AS BIGINT) AS survivor_chars,
+           CAST(n - 1 AS BIGINT) AS n_dropped
+    FROM sel WHERE rn = 1"""
+    )
+
+ORACLE["dedup_survivorship"] = _survivorship_oracle()

@@ -46,6 +46,7 @@ _PRIORITY_KEYS = (
     "pii_scan_report",  # never checked
     "join_explosion_audit",  # never checked
     "hll_distinct_report",  # never checked
+    "dedup_survivorship",  # never checked
     "embedding_pca2_deflated",  # never checked
     "range_partition_plan",  # never checked
     "stratified_split_assign",  # never checked
@@ -63,6 +64,7 @@ _PRIORITY_KEYS = (
     "anonymized_release",  # never checked
     "theil_sen_trend_monthly",  # never checked
     "winsorized_mean_by_source",  # never checked
+    "seasonal_naive_backtest",  # never checked
     "pipeline_report",  # last green r3
     "pipeline_curate",  # last green r3
     "pipeline_curate_v2",  # last green r3
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "cross_snapshot_dedup",  # last green r4
     "embedding_quantize",  # last green r4
     "minhash_jaccard_estimate",  # last green r4
-    "neardup_semantic_verify",  # last green r4
-    "sessionize",  # last green r4
 )
 
 

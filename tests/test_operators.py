@@ -3292,3 +3292,50 @@ def test_hll_sketch_is_mergeable(spark, sf_dir):
     row = hll_distinct_report(spark, sf_dir).collect()[0]
     assert row.nonzero_regs == row.m
     assert row.err_ppm < 800_000  # 3 sigma of the 1.04/sqrt(16) budget
+
+
+def test_survivorship_elects_longest_per_true_component(spark, sf_dir):
+    """Cluster + election ground truth in pure Python: the operator's
+    clusters must equal TRUE connected components of the pair graph
+    (proving SURV_ROUNDS converged on this graph), every survivor must
+    be its component's longest doc (tie -> smallest id), and members
+    must cover exactly the pair-graph nodes."""
+    from flinkproj_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_survivorship,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()]
+    assert pairs
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, comps = set(), []
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        stack, comp = [start], set()
+        while stack:
+            v = stack.pop()
+            if v in comp:
+                continue
+            comp.add(v)
+            stack.extend(adj[v] - comp)
+        seen |= comp
+        comps.append(comp)
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    want = {}
+    for comp in comps:
+        surv = min(comp, key=lambda d: (-chars[d], d))
+        want[min(comp)] = (len(comp), surv, chars[surv], len(comp) - 1)
+    got = {
+        r.cluster_id: (r.n_members, r.survivor_doc, r.survivor_chars, r.n_dropped)
+        for r in dedup_survivorship(spark, sf_dir).collect()
+    }
+    assert got == want
