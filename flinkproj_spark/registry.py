@@ -42,56 +42,56 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    "freshness_decay_weights",  # never checked
-    "pii_scan_report",  # never checked
-    "join_explosion_audit",  # never checked
-    "hll_distinct_report",  # never checked
-    "dedup_survivorship",  # never checked
-    "embedding_pca2_deflated",  # never checked
-    "range_partition_plan",  # never checked
-    "stratified_split_assign",  # never checked
-    "token_budget_allocator",  # never checked
-    "gini_revenue_lorenz",  # never checked
-    "moment_stats_by_source",  # never checked
-    "autocorr_daily_revenue",  # never checked
-    "cusum_changepoint",  # never checked
-    "stickiness_dau_wau",  # never checked
-    "runs_test_daily",  # never checked
-    "t_closeness_report",  # never checked
-    "hhi_by_nation",  # never checked
-    "k_anonymity_repair",  # never checked
-    "mad_outlier_report",  # never checked
-    "anonymized_release",  # never checked
-    "theil_sen_trend_monthly",  # never checked
-    "winsorized_mean_by_source",  # never checked
-    "seasonal_naive_backtest",  # never checked
-    "pipeline_report",  # last green r3
-    "pipeline_curate",  # last green r3
-    "pipeline_curate_v2",  # last green r3
-    "approx_percentile_stats",  # last green r3
-    "funnel_steps",  # last green r3
-    "retention_cohorts",  # last green r3
-    "outlier_zscore",  # last green r3
-    "event_path_topk",  # last green r3
-    "anomaly_rolling_z",  # last green r3
-    "pagerank_fixed",  # last green r3
-    "chi2_lang_source",  # last green r3
-    "zorder_layout",  # last green r3
-    "json_extract",  # last green r4
-    "explode_data",  # last green r4
-    "dim_join",  # last green r4
-    "enrich_serialize",  # last green r4
-    "ts_parse",  # last green r4
-    "filter_valid",  # last green r4
-    "format_tsv",  # last green r4
-    "window_count",  # last green r4
-    "late_split",  # last green r4
-    "paragraph_dedup",  # last green r4
-    "unigram_lm_score",  # last green r4
-    "bigram_lm_score",  # last green r4
-    "cross_snapshot_dedup",  # last green r4
-    "embedding_quantize",  # last green r4
-    "minhash_jaccard_estimate",  # last green r4
+    "neardup_semantic_verify",  # last green r4
+    "sessionize",  # last green r4
+    "tpch_q1",  # last green r4
+    "tpch_q3",  # last green r4
+    "tpch_q5",  # last green r4
+    "tpch_q6",  # last green r4
+    "top_k_per_group",  # last green r4
+    "window_functions",  # last green r4
+    "session_window_agg",  # last green r4
+    "set_except",  # last green r4
+    "set_intersect",  # last green r4
+    "global_topk",  # last green r4
+    "rollup_counts",  # last green r4
+    "asof_join",  # last green r4
+    "asof_join_tolerance",  # last green r4
+    "dedup_substring",  # last green r4
+    "winnow_overlap_pairs",  # last green r4
+    "dedup_cluster_sizes",  # last green r4
+    "pair_strategy_agreement",  # last green r4
+    "substring_dedup_clean",  # last green r4
+    "ann_topk_pq",  # last green r4
+    "ann_pq_recall_eval",  # last green r4
+    "ivf_pq_topk",  # last green r4
+    "embedding_outliers",  # last green r4
+    "char_gini_concentration",  # last green r4
+    "bpe_pair_counts",  # last green r4
+    "doc_length_survival",  # last green r4
+    "quality_classifier_linear",  # last green r4
+    "query_expansion_prf",  # last green r4
+    "temperature_mix",  # last green r4
+    "pipeline_curate_v3",  # last green r4
+    "incremental_rollup_merge",  # last green r4
+    "schema_drift_report",  # last green r4
+    "rolling_median",  # last green r4
+    "event_cooccurrence_lift",  # last green r4
+    "distinct_counts",  # last green r5
+    "salted_skew_join",  # last green r5
+    "dedup_exact",  # last green r5
+    "dedup_keyed_latest",  # last green r5
+    "dedup_cluster",  # last green r5
+    "dedup_simhash",  # last green r5
+    "dedup_ngram_jaccard",  # last green r5
+    "dedup_pair_degree_hist",  # last green r5
+    "pair_graph_triangles",  # last green r5
+    "decontaminate",  # last green r5
+    "ann_topk_brute",  # last green r5
+    "ann_topk_lsh",  # last green r5
+    "ann_topk_ivf",  # last green r5
+    "ann_recall_eval",  # last green r5
+    "embedding_neardup",  # last green r5
 )
 
 
