@@ -176,6 +176,19 @@ def morton2(x: Column, y: Column, bits: int = 16) -> Column:
     return z
 
 
+def _require_bucket(bucket: Column) -> Column:
+    """Fail-fast guard for the two-pass bucketed helpers: a NULL
+    bucket value would vanish through the inner offset join instead
+    of erroring, so raise in-row the moment one appears. One codegen'd
+    null-check per row — free next to the window it feeds."""
+    return F.when(bucket.isNotNull(), bucket).otherwise(
+        F.raise_error(
+            "bucketed rank/cumsum bucket expression evaluated to NULL;"
+            " coalesce nullable ordering values into a sentinel bucket"
+        )
+    )
+
+
 def bucketed_row_number(
     df: DataFrame,
     bucket: Column,
@@ -203,11 +216,20 @@ def bucketed_row_number(
     physical plan changes. Bucket width tunes balance, never
     correctness; exact ties necessarily stay in one bucket (rank among
     ties is decided by the tie-break columns inside that bucket's sort).
+
+    `bucket` must be NON-NULL for every row: the offsets come back via
+    an inner equi-join on the bucket column, and a NULL bucket never
+    equi-matches, so its rows would be silently DROPPED — unlike the
+    single-window reference, which ranks NULL ordering values (FIRST
+    or LAST per direction). Callers with a nullable ordering value
+    must coalesce it into a sentinel bucket themselves; the assert
+    below fails fast in the common case of a literally-nullable
+    bucket expression rather than losing rows.
     """
     from pyspark.sql.window import Window
 
     pcols = list(partition)
-    work = df.withColumn("_rkb", bucket)
+    work = df.withColumn("_rkb", _require_bucket(bucket))
     counts = work.groupBy(*pcols, "_rkb").agg(F.count("*").alias("_bn"))
     border = F.col("_rkb").desc() if descending else F.col("_rkb").asc()
     woff = (
@@ -246,10 +268,12 @@ def bucketed_cumsum(
     sum of that column over all rows at-or-before the row in the
     (bucket, *order) total order — bit-identical to a single
     unpartitioned cumulative window. `bucket` must be weakly monotone
-    ascending in the ordering."""
+    ascending in the ordering, and NON-NULL for every row (the offset
+    join is an inner equi-join; a NULL bucket would silently drop its
+    rows — see bucketed_row_number)."""
     from pyspark.sql.window import Window
 
-    work = df.withColumn("_csb", bucket)
+    work = df.withColumn("_csb", _require_bucket(bucket))
     coarse = work.groupBy("_csb").agg(
         *[F.sum(c).alias(f"_cs_{c}") for c in cols]
     )

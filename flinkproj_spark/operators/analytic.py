@@ -3554,7 +3554,12 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("med").cast("long").alias("med_chars"),
         F.col("mad").cast("long").alias("mad_chars"),
         F.col("n_out").cast("long").alias("n_outliers"),
-        F.expr("n_out * 1000000 div n").alias("outlier_ppm"),
+        # DECIMAL(38,0) numerator: n_out * 1e6 wraps BIGINT once a
+        # source holds ~9.2e12 outliers (round-9 advice fix — the
+        # oracle sums in HUGEINT, so the engines would diverge first).
+        F.expr(
+            "CAST(CAST(n_out AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("outlier_ppm"),
     )
 
 

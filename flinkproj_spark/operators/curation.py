@@ -925,10 +925,15 @@ def freshness_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
         .withColumn(
+            # Exponent clamped at 20: w_ppm is already 0 for any shift
+            # >= 20 (1e6 < 2^20), and an unclamped shift breaks both
+            # engines past age 441d — DuckDB raises Out of Range at
+            # 1<<63 and Spark masks the shift mod 64, handing the
+            # OLDEST data full weight (round-9 advice fix).
             "w_ppm",
             F.expr(
                 f"1000000 div shiftleft(CAST(1 AS BIGINT),"
-                f" CAST(age_d div {FD_HALF_LIFE_D} AS INT))"
+                f" CAST(least(age_d div {FD_HALF_LIFE_D}, 20) AS INT))"
             ),
         )
         .withColumn("day_mass", F.expr("n * w_ppm"))
@@ -958,8 +963,8 @@ ORACLE["freshness_decay_weights"] = f"""
     mx AS (SELECT MAX(d) AS mxd FROM daily),
     aged AS (
       SELECT d, date_diff('day', d, mxd) AS age_d, n,
-             1000000 // (1 << (date_diff('day', d, mxd) // {FD_HALF_LIFE_D}))
-               AS w_ppm
+             1000000 // (1 << least(
+               date_diff('day', d, mxd) // {FD_HALF_LIFE_D}, 20)) AS w_ppm
       FROM daily CROSS JOIN mx),
     wt AS (SELECT *, n * w_ppm AS day_mass FROM aged),
     tot AS (SELECT SUM(day_mass) AS tot_mass FROM wt)

@@ -2009,7 +2009,12 @@ def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring("h", 1, 1), 16, 10).cast("long").alias("b"),
         F.conv(F.substring("h", 2, 13), 16, 10).cast("long").alias("x"),
     )
-    rank = F.when(F.col("x") == 0, F.lit(HLL_BITS + 1)).otherwise(
+    # x = 0 is capped at HLL_BITS, not BITS+1: rank 53 would make the
+    # register term shiftleft(1, 52 - mx) a NEGATIVE shift — DuckDB
+    # errors, Spark masks mod 64 and corrupts the sum. Probability
+    # 2^-52 per row, but it is the only input that breaks the
+    # estimator, and the cap changes nothing else (round-9 advice fix).
+    rank = F.when(F.col("x") == 0, F.lit(HLL_BITS)).otherwise(
         F.lit(HLL_BITS + 1) - F.length(F.bin("x"))
     )
     regs = fields.select("b", rank.alias("m")).groupBy("b").agg(
@@ -2050,7 +2055,7 @@ ORACLE["hll_distinct_report"] = f"""
              ('0x' || substr(h, 2, 13))::BIGINT AS x
       FROM fp),
     ranks AS (
-      SELECT b, CASE WHEN x = 0 THEN {HLL_BITS + 1}
+      SELECT b, CASE WHEN x = 0 THEN {HLL_BITS}
                      ELSE {HLL_BITS + 1} - length(bin(x)) END AS m
       FROM fields),
     regs AS (SELECT b, MAX(m) AS mx FROM ranks GROUP BY 1),

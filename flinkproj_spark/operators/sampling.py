@@ -894,7 +894,13 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lo_v",
             "hi_v",
             "n_rows",
-            F.expr(f"n_rows * {RP_PARTS} * 1000000 div _n").alias("load_ppm"),
+            # DECIMAL(38,0) numerator: n_rows * PARTS * 1e6 wraps
+            # BIGINT near ~1.2e9 rows per part at 8 parts (round-9
+            # advice fix; oracle already sums in HUGEINT).
+            F.expr(
+                f"CAST(CAST(n_rows AS DECIMAL(38,0)) * {RP_PARTS}"
+                " * 1000000 div _n AS BIGINT)"
+            ).alias("load_ppm"),
         )
     )
 
@@ -930,6 +936,13 @@ ORACLE["range_partition_plan"] = f"""
 SPLIT_DENOM = 10
 SPLIT_TRAIN, SPLIT_VAL = 8, 9  # slice < 8 train, 8 val, 9 test
 
+#: Dedicated salt for the split RANK. Must differ from every sampling
+#: coin (_SALT, _MIX_SALT, ...): if the rank reused a keep-coin salt,
+#: rank order would be a monotone function of that coin and the docs a
+#: composed stratified_sample keeps would all land in 'train',
+#: silently biasing val/test (round-9 advice fix).
+_SPLITRANK_SALT = "splitrank0"
+
 
 def stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified train/val/test assignment with EXACT
@@ -950,7 +963,8 @@ def stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the lang-dimension aggregate."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     keyed = docs.withColumn(
-        "_h", F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SALT)))
+        "_h",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLITRANK_SALT))),
     )
     ranked = fx.bucketed_row_number(
         keyed,
@@ -979,8 +993,8 @@ ORACLE["stratified_split_assign"] = f"""
     WITH ranked AS (
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SALT}'), doc_id)
-               AS rk,
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SPLITRANK_SALT}'),
+                        doc_id) AS rk,
              COUNT(*) OVER (PARTITION BY lang) AS n
       FROM documents)
     SELECT doc_id, lang,

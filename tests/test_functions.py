@@ -284,3 +284,24 @@ def test_bucketed_cumsum_equals_global_window(spark):
             cb += b
             expect[ok] = (ca, cb)
         assert got == expect, width
+
+
+def test_bucketed_helpers_reject_null_bucket(spark):
+    """Contract guard (round-9 advice): a NULL bucket would silently
+    drop its rows through the inner offset join — both helpers must
+    raise in-row instead."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "ok long, v long"
+    )
+    nullable_bucket = F.col("v")  # NULL for ok=2
+    with pytest.raises(SparkRuntimeException, match="NULL"):
+        fx.bucketed_row_number(
+            df, nullable_bucket, [F.col("ok").asc()], "rk"
+        ).collect()
+    with pytest.raises(SparkRuntimeException, match="NULL"):
+        fx.bucketed_cumsum(
+            df, nullable_bucket, [F.col("ok").asc()], ["ok"]
+        ).collect()

@@ -3154,6 +3154,31 @@ def test_stratified_split_quotas_are_exact(spark, sf_dir):
     assert again == {(r.doc_id, r.split) for r in rows}
 
 
+def test_split_rank_independent_of_keep_coin(spark, sf_dir):
+    """Regression (round-9 advice): the split rank must use its OWN
+    salt. When it reused the keep-coin salt, rank order was a monotone
+    function of the sampling coin, so within each language the docs
+    stratified_sample keeps were exactly the lowest-ranked docs — a
+    composed sample-then-split put every kept doc in 'train' and left
+    val/test with zero kept docs. With an independent salt, kept docs
+    land in all three splits at roughly the 80/10/10 quota."""
+    from collections import Counter
+
+    from flinkproj_spark.operators.sampling import (
+        stratified_sample,
+        stratified_split_assign,
+    )
+
+    kept = {r.doc_id for r in stratified_sample(spark, sf_dir).collect()}
+    split = stratified_split_assign(spark, sf_dir).collect()
+    by_split = Counter(r.split for r in split if r.doc_id in kept)
+    # the old bug made these exactly zero; independence makes each
+    # split hold ~ its quota share of the kept set
+    assert by_split["val"] > 0 and by_split["test"] > 0
+    n_kept = sum(by_split.values())
+    assert by_split["train"] < n_kept  # not the whole kept set
+
+
 def test_token_budget_sums_exactly(spark, sf_dir):
     """Largest-remainder apportionment: quotas sum to EXACTLY the
     budget, every language's quota is its floor share or floor+1, and
@@ -3269,7 +3294,7 @@ def test_hll_sketch_is_mergeable(spark, sf_dir):
             .cast("long")
             .alias("x"),
         )
-        rank = F.when(F.col("x") == 0, F.lit(HLL_BITS + 1)).otherwise(
+        rank = F.when(F.col("x") == 0, F.lit(HLL_BITS)).otherwise(
             F.lit(HLL_BITS + 1) - F.length(F.bin("x"))
         )
         return {
@@ -3339,3 +3364,29 @@ def test_survivorship_elects_longest_per_true_component(spark, sf_dir):
         for r in dedup_survivorship(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_freshness_decay_clamps_ancient_ages(spark, tmp_path):
+    """Regression (round-9 advice): the decay exponent is clamped at
+    20. Unclamped, age_d >= 448 shifted 1<<64+ — DuckDB raised Out of
+    Range and Spark masked the shift mod 64, so the OLDEST day got
+    w_ppm = 1e6 (full weight), inverting the decay. A planted corpus
+    spanning 500 days must give the ancient day weight 0 and zero
+    share of the corpus mass."""
+    import pandas as pd
+
+    from flinkproj_spark.operators.curation import freshness_decay_weights
+
+    old = tmp_path / "old_sf"
+    old.mkdir()
+    ts = pd.to_datetime(
+        ["2026-01-01 12:00:00"] * 3 + ["2024-08-20 09:00:00"] * 2
+    )
+    pd.DataFrame({"ts": ts}).to_parquet(old / "events.parquet", index=False)
+
+    rows = {r.age_d: r for r in freshness_decay_weights(spark, str(old)).collect()}
+    assert rows[0].w_ppm == 1_000_000 and rows[0].share_ppm == 1_000_000
+    ancient = rows[max(rows)]
+    assert max(rows) >= 448
+    assert ancient.w_ppm == 0
+    assert ancient.day_mass == 0 and ancient.share_ppm == 0
