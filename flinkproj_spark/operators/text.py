@@ -1349,12 +1349,21 @@ def vocab_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cutoff frequency have the same count), so the sweep needs only
     the count-of-counts histogram: word counts → groupBy(count) →
     (n_words, tokens) per distinct frequency — a frame bounded by the
-    number of DISTINCT frequencies (≈ O(sqrt(corpus)) under Zipf, a few
-    thousand rows at petabyte scale), never by vocabulary size. The
-    running sums over that histogram are a single-task window over the
-    aggregate-bounded frame (whitelisted), and each budget's coverage
-    is exact integer arithmetic on the straddling histogram row:
+    number of DISTINCT frequencies (≈ O(sqrt(corpus)) under Zipf),
+    never by vocabulary size. The running sums over that histogram are
+    the two-pass bucketed cumsum (functions.bucketed_cumsum, the r8
+    helper — round-9 verdict fix): descending-frequency order with the
+    NEGATED log2-magnitude bucket -length(bin(c)) (ascending exactly
+    when c descends, ties share a bucket), so the only unpartitioned
+    window left is the ≤64-row magnitude-bucket offset frame — the
+    same value-grid shape zipf_fit_report ranks this histogram with —
+    and no task ever sums more than one magnitude's worth of distinct
+    frequencies. total_tokens is a 1-row broadcast aggregate, not an
+    unbounded window. Each budget's coverage is exact integer
+    arithmetic on the straddling histogram row:
     covered = full_rows_tokens + cutoff · (N - words_above)."""
+    from flinkproj_spark.functions import bucketed_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(_words()).alias("w"))
@@ -1366,22 +1375,25 @@ def vocab_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_words"),
         (F.col("c") * F.count("*")).alias("toks"),
     )
-    from pyspark.sql import Window
-
-    cum_w = Window.orderBy(F.col("c").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    tot = hist.agg(F.sum("toks").alias("total_tokens"))
+    cum = (
+        bucketed_cumsum(
+            hist,
+            -F.length(F.bin("c")),
+            [F.col("c").desc()],
+            ["n_words", "toks"],
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "n_words",
+            "toks",
+            F.col("cum_n_words").alias("cum_words"),
+            "cum_toks",
+            "total_tokens",
+        )
+        .withColumn("cum_words_before", F.col("cum_words") - F.col("n_words"))
     )
-    tot_w = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
-        "c",
-        "n_words",
-        "toks",
-        F.sum("n_words").over(cum_w).alias("cum_words"),
-        F.sum("toks").over(cum_w).alias("cum_toks"),
-        F.sum("toks").over(tot_w).alias("total_tokens"),
-    ).withColumn("cum_words_before", F.col("cum_words") - F.col("n_words"))
     sizes = spark.createDataFrame(
         [(int(n),) for n in _PRUNE_SIZES], "vocab_size BIGINT"
     )

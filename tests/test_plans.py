@@ -1177,3 +1177,23 @@ def test_vocab_growth_cumsum_is_bucket_partitioned(spark, sf_dir):
             if " ASC" in head or " DESC" in head:
                 # coarse frame only: its aggregates are the _cs_ sums
                 assert "_cs_" in l, l
+
+
+def test_vocab_prune_cumsum_is_bucket_partitioned(spark, sf_dir):
+    # Round-9 verdict fix: the running sums over the count-of-counts
+    # histogram must run within the -length(bin(c)) magnitude bucket
+    # (two-pass cumsum) — any unpartitioned ordered window may touch
+    # only the bucket offset frame (_cs_*), never histogram columns,
+    # and total_tokens must arrive as a 1-row broadcast, not an
+    # unbounded window.
+    from flinkproj_spark.operators.text import vocab_prune_sweep
+
+    plan = _plan(vocab_prune_sweep(spark, sf_dir))
+    assert "_csb" in plan, plan
+    assert "unboundedfollowing" not in plan.lower(), plan
+    for l in plan.splitlines():
+        if "windowspecdefinition(" in l:
+            head = l.split("windowspecdefinition(")[1]
+            if (" ASC" in head.split(",")[0]) or (" DESC" in head.split(",")[0]):
+                # unpartitioned ordered window => offset frame only
+                assert "_cs_" in l or "_csb" in l, l

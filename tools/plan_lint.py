@@ -49,10 +49,12 @@ ALLOWED_BOUND_CLASSES = {
     "score-grid",      # distinct quantized scores / thresholds
     "value-grid",      # fixed-width integer ranges of a domain-bounded value
     "fixed-dim",       # genuinely tiny dimension (nations ~25, regions 5)
-    "corpus-sqrt",     # distinct-count-of-counts frames: ≤ sqrt(2·N) rows
     "corpus-scaled",   # corpus/K for K ≥ 1e5 — honest caveat, K in the reason
 }
-FORBIDDEN_BOUND_CLASSES = {"dimension", "corpus-linear"}
+# corpus-sqrt (distinct-count-of-counts frames) was retired in round 9:
+# its only carrier, vocab_prune_sweep, now runs the two-pass bucketed
+# cumsum, and a class nobody may claim keeps the revert unwritable.
+FORBIDDEN_BOUND_CLASSES = {"dimension", "corpus-linear", "corpus-sqrt"}
 
 # key -> {flag: (bound_class, reason)}; both are part of the audit record.
 WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
@@ -66,7 +68,7 @@ WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
     "quality_rank_per_lang": {"GLOBAL_WIN": ("score-grid", "per-(lang) offset frame, bucket-bounded")},
     "quality_threshold_sweep": {"GLOBAL_WIN": ("score-grid", "threshold-grid frame (bounded)")},
     "range_partition_plan": {"GLOBAL_WIN": ("value-grid", "distinct word-count histogram (max-doc-length-bounded), never corpus rows")},
-    "vocab_prune_sweep": {"GLOBAL_WIN": ("corpus-sqrt", "count-of-counts histogram frame (distinct frequencies ≤ sqrt(2·tokens))")},
+    "vocab_prune_sweep": {"GLOBAL_WIN": ("value-grid", "-length(bin(c)) magnitude buckets — ≤64-row offset frame (two-pass cumsum, round-9; was corpus-sqrt)")},
     # two-pass bucketed ranks (round-8): the only unpartitioned window
     # left is the bucket-count offset frame.
     "zipf_fit_report": {"GLOBAL_WIN": ("value-grid", "length(bin(c)) magnitude buckets — ≤64-row offset frame (two-pass rank)")},
