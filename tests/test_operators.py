@@ -3390,3 +3390,65 @@ def test_freshness_decay_clamps_ancient_ages(spark, tmp_path):
     assert max(rows) >= 448
     assert ancient.w_ppm == 0
     assert ancient.day_mass == 0 and ancient.share_ppm == 0
+
+
+def test_k_anonymity_ladder_rungs_live_at_sf01(spark, tmp_path):
+    """Round-9 verdict task: the repair ladder's deeper rungs must be
+    PROVABLY live above the driver's correctness SF — at sf0.1 the
+    organic corpus satisfies K=10 too early, so a stale ladder could
+    go dead there unnoticed. Planted sparse-QID discipline: three
+    synthetic nations appended to the sf0.1 customer table, one
+    engineered for each rung — 3x4 rows inside one $8000 band (level
+    1: bands merge), 4x3 rows across four $8000 bands (level 2: band
+    dropped, nation holds), 2 rows total (level 3: suppressed) — and
+    the released class sizes must be exactly the engineered sums."""
+    import shutil
+
+    import pandas as pd
+
+    from flinkproj_spark.operators.analytic import k_anonymity_repair
+
+    src = "/root/testdata/sf0.1"
+    planted = tmp_path / "planted_sf"
+    planted.mkdir()
+    shutil.copy(f"{src}/customer.parquet", planted / "customer.parquet")
+    pdf = pd.read_parquet(planted / "customer.parquet")
+    template = pdf.iloc[0].copy()
+    next_key = int(pdf.c_custkey.max()) + 1
+    extra = []
+
+    def plant(nat, band_k, n):
+        nonlocal next_key
+        for _ in range(n):
+            row = template.copy()
+            row.c_custkey = next_key
+            next_key += 1
+            row.c_nationkey = nat
+            row.c_acctbal = band_k * 2000.0 + 100.0  # mid-band, bal_b = band_k
+            extra.append(row)
+
+    for k in (80, 81, 82):          # one b1 group (80..83 // 4 == 20)
+        plant(101, k, 4)            # level 1: 3 classes of 4, merge to 12
+    for k in (100, 108, 116, 124):  # four distinct b1 groups
+        plant(102, k, 3)            # level 2: nation total 12
+    plant(103, 140, 2)              # level 3: nation total 2 -> suppress
+    pd.concat([pdf, pd.DataFrame(extra)], ignore_index=True).to_parquet(
+        planted / "customer.parquet", index=False
+    )
+
+    rows = k_anonymity_repair(spark, str(planted)).collect()
+    mine = [r for r in rows if r.nat in (101, 102, 103)]
+    by_nat = {}
+    for r in mine:
+        by_nat.setdefault(r.nat, []).append(r)
+    assert [(r.final_level, r.anon_k, r.n_rows) for r in by_nat[101]] == [
+        (1, 12, 4)
+    ] * 3
+    assert [(r.final_level, r.anon_k, r.n_rows) for r in by_nat[102]] == [
+        (2, 12, 3)
+    ] * 4
+    assert [(r.final_level, r.anon_k, r.n_rows) for r in by_nat[103]] == [
+        (3, 0, 2)
+    ]
+    # every rung of the ladder is represented in the released table
+    assert {r.final_level for r in rows} == {0, 1, 2, 3}
