@@ -3962,3 +3962,145 @@ ORACLE["seasonal_naive_backtest"] = """
                 // a.rev_c AS BIGINT) AS ape_ppm
     FROM monthly a JOIN monthly b ON b.mi = a.mi - 12
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch audit (round 9): the quantile member of
+# the sketch-audit family — cms_heavy_hitters (counts),
+# hll_distinct_report (distincts), and now deciles — each a mergeable
+# summary whose estimate is audited against the exact answer in the
+# same oracled key.
+# ---------------------------------------------------------------------------
+
+#: Sub-buckets per power-of-two octave for quantile_sketch_audit.
+#: 16 linear sub-buckets bound the relative error of any estimate by
+#: the widest bucket's width/lo = 1/16 = 62_500 ppm.
+QSK_SUB = 16
+
+
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style mergeable quantile sketch audited against exact
+    deciles of order revenue (o_totalprice in cents): values land in
+    log2-octave x 16-linear-sub-bucket bins — a DETERMINISTIC,
+    order-independent register set (unlike GK/KLL, whose compactions
+    depend on arrival order or randomness), so shards/streams merge by
+    ADDING bucket counts and two engines agree bit-for-bit. Per decile
+    d in 1..9: the exact nearest-rank value, the sketch estimate (the
+    straddling bucket's upper bound — always >= exact, relative error
+    < 1/QSK_SUB by construction), and err_ppm. The register count is
+    bounded by the VALUE DOMAIN (octaves x 16 ~ 1k buckets for any
+    corpus), which is what makes the sketch worth shipping at 100 TB:
+    a distributed groupBy onto ~1k cells with map-side combine, no
+    distinct shuffle, no sort of the data. Mergeability is pinned by
+    tests/test_operators.py::test_quantile_sketch_is_mergeable.
+
+    Shape: one scan -> ~1k-cell sketch aggregate; the exact side is
+    the one count-of-values histogram (present only because this key
+    IS the audit of sketch vs truth), cumulated with the two-pass
+    bucketed cumsum (log2-magnitude buckets), so the only
+    unpartitioned windows are the <=64-row octave/magnitude offset
+    frames; the 9-row decile grid and 1-row total ride broadcasts."""
+    from flinkproj_spark.functions import bucketed_cumsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v")
+    )
+    bid = F.expr(
+        f"CASE WHEN v < {QSK_SUB} THEN v"
+        f" ELSE length(bin(v)) * {QSK_SUB}"
+        f" + (shiftright(v, length(bin(v)) - 5) - {QSK_SUB}) END"
+    )
+    sk = vals.select(bid.alias("bid")).groupBy("bid").agg(
+        F.count("*").alias("cnt")
+    )
+    rep = sk.withColumn(
+        "hi",
+        F.expr(
+            f"CASE WHEN bid < {QSK_SUB} THEN bid"
+            f" ELSE shiftleft({QSK_SUB} + bid % {QSK_SUB},"
+            f" CAST(bid div {QSK_SUB} AS INT) - 5)"
+            f" + shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(bid div {QSK_SUB} AS INT) - 5) - 1 END"
+        ),
+    )
+    cum_sk = bucketed_cumsum(
+        rep, F.expr(f"bid div {QSK_SUB}"), [F.col("bid").asc()], ["cnt"]
+    ).select(
+        "bid", "hi", "cnt",
+        F.col("cum_cnt").alias("cum"),
+        (F.col("cum_cnt") - F.col("cnt")).alias("cumb"),
+    )
+    tot = vals.agg(F.count("*").alias("n"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    tgt = grid.crossJoin(F.broadcast(tot)).select(
+        "decile", F.expr("(decile * n + 9) div 10").alias("r")
+    )
+    est = cum_sk.join(
+        F.broadcast(tgt),
+        (F.col("cum") >= F.col("r")) & (F.col("cumb") < F.col("r")),
+    ).select("decile", F.col("hi").alias("est_c"))
+
+    hist = vals.groupBy("v").agg(F.count("*").alias("hc"))
+    cum_ex = bucketed_cumsum(
+        hist, F.length(F.bin("v")), [F.col("v").asc()], ["hc"]
+    )
+    exact = (
+        cum_ex.join(F.broadcast(tgt), F.col("cum_hc") >= F.col("r"))
+        .groupBy("decile")
+        .agg(F.min("v").alias("exact_c"))
+    )
+    return exact.join(est, "decile").select(
+        "decile",
+        F.col("exact_c").cast("long").alias("exact_c"),
+        F.col("est_c").cast("long").alias("est_c"),
+        F.expr(
+            "CAST(CAST(est_c - exact_c AS DECIMAL(38,0)) * 1000000"
+            " div exact_c AS BIGINT)"
+        ).alias("err_ppm"),
+    )
+
+
+QUERIES["quantile_sketch_audit"] = quantile_sketch_audit
+ORACLE["quantile_sketch_audit"] = f"""
+    WITH vals AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders),
+    sk AS (
+      SELECT CASE WHEN v < {QSK_SUB} THEN v
+                  ELSE length(bin(v)) * {QSK_SUB}
+                       + ((v >> (length(bin(v)) - 5)) - {QSK_SUB}) END AS bid,
+             COUNT(*) AS cnt
+      FROM vals GROUP BY 1),
+    rep AS (
+      SELECT bid, cnt,
+             CASE WHEN bid < {QSK_SUB} THEN bid
+                  ELSE (({QSK_SUB} + bid % {QSK_SUB})
+                        << (bid // {QSK_SUB} - 5))
+                       + (1::BIGINT << (bid // {QSK_SUB} - 5)) - 1 END AS hi
+      FROM sk),
+    cum AS (
+      SELECT bid, hi, cnt,
+             SUM(cnt) OVER (ORDER BY bid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rep),
+    tot AS (SELECT COUNT(*) AS n FROM vals),
+    tgt AS (
+      SELECT dec, (dec * n + 9) // 10 AS r
+      FROM (SELECT unnest(range(1, 10)) AS dec) g CROSS JOIN tot),
+    est AS (
+      SELECT t.dec, c.hi AS est_c
+      FROM tgt t JOIN cum c ON c.cum >= t.r AND c.cum - c.cnt < t.r),
+    hist AS (
+      SELECT v, SUM(COUNT(*)) OVER (ORDER BY v) AS cumv
+      FROM vals GROUP BY v),
+    exact AS (
+      SELECT t.dec, MIN(h.v) AS exact_c
+      FROM tgt t JOIN hist h ON h.cumv >= t.r GROUP BY 1)
+    SELECT CAST(x.dec AS INT) AS decile,
+           CAST(x.exact_c AS BIGINT) AS exact_c,
+           CAST(e.est_c AS BIGINT) AS est_c,
+           CAST(CAST(e.est_c - x.exact_c AS HUGEINT) * 1000000
+                // x.exact_c AS BIGINT) AS err_ppm
+    FROM exact x JOIN est e USING (dec)
+"""

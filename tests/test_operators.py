@@ -3452,3 +3452,52 @@ def test_k_anonymity_ladder_rungs_live_at_sf01(spark, tmp_path):
     ]
     # every rung of the ladder is represented in the released table
     assert {r.final_level for r in rows} == {0, 1, 2, 3}
+
+
+def test_quantile_sketch_is_mergeable(spark, sf_dir):
+    """The sketch contract that makes the quantile member worth
+    shipping (round-9 verdict task): bucket registers of the full
+    corpus equal the ELEMENTWISE SUM of per-half registers (union =
+    count-add, no rescan, no order sensitivity), every decile estimate
+    is >= its exact value, and the relative error honors the
+    1/QSK_SUB = 62_500 ppm construction bound."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.analytic import (
+        QSK_SUB,
+        quantile_sketch_audit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def registers(df):
+        vals = df.select(
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v")
+        )
+        bid = F.expr(
+            f"CASE WHEN v < {QSK_SUB} THEN v"
+            f" ELSE length(bin(v)) * {QSK_SUB}"
+            f" + (shiftright(v, length(bin(v)) - 5) - {QSK_SUB}) END"
+        )
+        return {
+            r.bid: r.cnt
+            for r in vals.select(bid.alias("bid"))
+            .groupBy("bid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    mid = orders.selectExpr("percentile(o_orderkey, 0.5) AS m").collect()[0][0]
+    full = registers(orders)
+    h1 = registers(orders.filter(F.col("o_orderkey") < mid))
+    h2 = registers(orders.filter(F.col("o_orderkey") >= mid))
+    merged = {
+        b: h1.get(b, 0) + h2.get(b, 0) for b in set(h1) | set(h2)
+    }
+    assert merged == full
+
+    rows = quantile_sketch_audit(spark, sf_dir).collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 10))
+    for r in rows:
+        assert r.est_c >= r.exact_c, r
+        assert 0 <= r.err_ppm <= 1_000_000 // QSK_SUB, r
