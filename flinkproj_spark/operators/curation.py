@@ -1041,3 +1041,144 @@ ORACLE["pii_scan_report"] = f"""
              AS docs_flagged
     FROM documents GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Data card (round 9): the per-snapshot summary a training-data owner
+# publishes — pure composition of the already-green one-row reports.
+# ---------------------------------------------------------------------------
+
+
+def data_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row "data card" for a corpus snapshot: the publishable
+    summary composed from the existing audit reports — corpus health
+    (docs/langs/words/dup/short/mean-chars), the curation-funnel
+    survival rate, corpus-level exact/near duplicate counts, tokenizer
+    fertility and OOV over all languages, PII-flagged docs, and the
+    dominant language with its share. Every number is the SAME plan a
+    standalone green key computes (corpus_health_report,
+    filter_funnel_report, dedup_impact_report, tokenizer_fertility,
+    pii_scan_report) collapsed to scalars — composition, not
+    re-derivation, so the card can never disagree with the audits it
+    summarizes.
+
+    Shape: each component collapses to a 1-row aggregate before the
+    crossJoins, so the card is five broadcast-joined scalar rows plus
+    the |languages|-row mix aggregate — the component scans dominate
+    and each is individually plan-audited under its own key; ratios
+    route through DECIMAL(38,0) numerators like every house ppm."""
+    from flinkproj_spark.operators.dedup import dedup_impact_report
+    from flinkproj_spark.operators.retrieval import corpus_health_report
+    from flinkproj_spark.operators.text import tokenizer_fertility
+
+    ch = corpus_health_report(spark, sf_dir)
+    fn = filter_funnel_report(spark, sf_dir).select("n_total", "n_unique")
+    di = dedup_impact_report(spark, sf_dir).agg(
+        F.sum("n_exact_dup").cast("long").alias("exact_dups"),
+        F.sum("n_near_flagged").cast("long").alias("near_flagged"),
+    )
+    tf = tokenizer_fertility(spark, sf_dir).agg(
+        F.sum("n_tokens").alias("_tok"),
+        F.sum("n_words").alias("_w"),
+        F.sum("n_oov").alias("_oov"),
+    )
+    pii = pii_scan_report(spark, sf_dir).agg(
+        F.sum("docs_flagged").cast("long").alias("pii_docs_flagged")
+    )
+    mix = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.min(F.struct((-F.col("n")).alias("neg"), F.col("lang"))).alias(
+                "t"
+            )
+        )
+        .select(
+            F.col("t.lang").alias("top_lang"),
+            (-F.col("t.neg")).cast("long").alias("_topn"),
+        )
+    )
+    return (
+        ch.crossJoin(F.broadcast(fn))
+        .crossJoin(F.broadcast(di))
+        .crossJoin(F.broadcast(tf))
+        .crossJoin(F.broadcast(pii))
+        .crossJoin(F.broadcast(mix))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("total_words").cast("long").alias("total_words"),
+            F.col("mean_chars").cast("long").alias("mean_chars"),
+            F.col("dup_ppm").cast("long").alias("dup_ppm"),
+            F.col("short_ppm").cast("long").alias("short_ppm"),
+            F.expr(
+                "CAST(CAST(n_unique AS DECIMAL(38,0)) * 1000000"
+                " div n_total AS BIGINT)"
+            ).alias("funnel_keep_ppm"),
+            "exact_dups",
+            "near_flagged",
+            F.expr(
+                "CAST(CAST(_tok AS DECIMAL(38,0)) * 1000000 div _w AS BIGINT)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "CAST(CAST(_oov AS DECIMAL(38,0)) * 1000000 div _tok"
+                " AS BIGINT)"
+            ).alias("oov_ppm"),
+            "pii_docs_flagged",
+            "top_lang",
+            F.expr(
+                "CAST(CAST(_topn AS DECIMAL(38,0)) * 1000000 div n_docs"
+                " AS BIGINT)"
+            ).alias("top_lang_ppm"),
+        )
+    )
+
+
+QUERIES["data_card_report"] = data_card_report
+
+
+def _data_card_oracle() -> str:
+    from flinkproj_spark.operators import dedup as _dd
+    from flinkproj_spark.operators import retrieval as _rt
+    from flinkproj_spark.operators import text as _tx
+
+    return f"""
+    WITH ch AS (SELECT * FROM ({_rt.ORACLE["corpus_health_report"]}) t),
+    fn AS (SELECT n_total, n_unique
+           FROM ({ORACLE["filter_funnel_report"]}) t),
+    di AS (SELECT CAST(SUM(n_exact_dup) AS BIGINT) AS exact_dups,
+                  CAST(SUM(n_near_flagged) AS BIGINT) AS near_flagged
+           FROM ({_dd.ORACLE["dedup_impact_report"]}) t),
+    tf AS (SELECT SUM(n_tokens) AS _tok, SUM(n_words) AS _w,
+                  SUM(n_oov) AS _oov
+           FROM ({_tx.ORACLE["tokenizer_fertility"]}) t),
+    pii AS (SELECT CAST(SUM(docs_flagged) AS BIGINT) AS pii_docs_flagged
+            FROM ({ORACLE["pii_scan_report"]}) t),
+    mix AS (SELECT lang AS top_lang, n AS _topn
+            FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)
+            ORDER BY n DESC, lang ASC LIMIT 1)
+    SELECT CAST(ch.n_docs AS BIGINT) AS n_docs,
+           CAST(ch.n_langs AS BIGINT) AS n_langs,
+           CAST(ch.total_words AS BIGINT) AS total_words,
+           CAST(ch.mean_chars AS BIGINT) AS mean_chars,
+           CAST(ch.dup_ppm AS BIGINT) AS dup_ppm,
+           CAST(ch.short_ppm AS BIGINT) AS short_ppm,
+           CAST(CAST(fn.n_unique AS HUGEINT) * 1000000 // fn.n_total
+                AS BIGINT) AS funnel_keep_ppm,
+           di.exact_dups,
+           di.near_flagged,
+           CAST(CAST(tf._tok AS HUGEINT) * 1000000 // tf._w AS BIGINT)
+             AS fertility_ppm,
+           CAST(CAST(tf._oov AS HUGEINT) * 1000000 // tf._tok AS BIGINT)
+             AS oov_ppm,
+           pii.pii_docs_flagged,
+           mix.top_lang,
+           CAST(CAST(mix._topn AS HUGEINT) * 1000000 // ch.n_docs AS BIGINT)
+             AS top_lang_ppm
+    FROM ch CROSS JOIN fn CROSS JOIN di CROSS JOIN tf
+    CROSS JOIN pii CROSS JOIN mix
+"""
+
+
+ORACLE["data_card_report"] = _data_card_oracle()

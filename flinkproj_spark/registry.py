@@ -42,6 +42,7 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
+    "data_card_report",  # never checked
     "quantile_sketch_audit",  # never checked
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "ann_topk_brute",  # last green r5
     "ann_topk_lsh",  # last green r5
     "ann_topk_ivf",  # last green r5
-    "ann_recall_eval",  # last green r5
 )
 
 
