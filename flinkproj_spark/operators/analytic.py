@@ -3978,6 +3978,60 @@ ORACLE["seasonal_naive_backtest"] = """
 QSK_SUB = 16
 
 
+def qsk_bucket_col() -> F.Column:
+    """Sketch bucket id for a positive BIGINT column `v`: log2 octave
+    (length(bin(v))) x QSK_SUB linear sub-buckets from the top 5 bits,
+    exact below QSK_SUB. Monotone (weakly) in v, deterministic, and
+    order-independent — shared by the batch audit and the streaming
+    register build so the two provably sketch identically."""
+    return F.expr(
+        f"CASE WHEN v < {QSK_SUB} THEN v"
+        f" ELSE length(bin(v)) * {QSK_SUB}"
+        f" + (shiftright(v, length(bin(v)) - 5) - {QSK_SUB}) END"
+    )
+
+
+def qsk_hi_col() -> F.Column:
+    """Upper bound of sketch bucket `bid` — the decile estimate
+    representative (>= every member value, < (1+1/QSK_SUB)x the
+    smallest member)."""
+    return F.expr(
+        f"CASE WHEN bid < {QSK_SUB} THEN bid"
+        f" ELSE shiftleft({QSK_SUB} + bid % {QSK_SUB},"
+        f" CAST(bid div {QSK_SUB} AS INT) - 5)"
+        f" + shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(bid div {QSK_SUB} AS INT) - 5) - 1 END"
+    )
+
+
+def qsk_decile_estimates(sk: DataFrame) -> DataFrame:
+    """Decile estimates from a (bid, cnt) register frame — the read
+    side shared by the batch audit and the streaming monitor's view.
+    Nearest-rank targets over the register cumulative; the two-pass
+    bucketed cumsum keeps the only unpartitioned window on the ≤64-row
+    octave offset frame."""
+    from flinkproj_spark.functions import bucketed_cumsum
+
+    spark = sk.sparkSession
+    rep = sk.withColumn("hi", qsk_hi_col())
+    cum_sk = bucketed_cumsum(
+        rep, F.expr(f"bid div {QSK_SUB}"), [F.col("bid").asc()], ["cnt"]
+    ).select(
+        "bid", "hi", "cnt",
+        F.col("cum_cnt").alias("cum"),
+        (F.col("cum_cnt") - F.col("cnt")).alias("cumb"),
+    )
+    tot = sk.agg(F.sum("cnt").alias("n"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    tgt = grid.crossJoin(F.broadcast(tot)).select(
+        "decile", F.expr("(decile * n + 9) div 10").alias("r")
+    )
+    return cum_sk.join(
+        F.broadcast(tgt),
+        (F.col("cum") >= F.col("r")) & (F.col("cumb") < F.col("r")),
+    ).select("decile", F.col("hi").alias("est_c"))
+
+
 def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style mergeable quantile sketch audited against exact
     deciles of order revenue (o_totalprice in cents): values land in
@@ -4006,41 +4060,15 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = orders.select(
         F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v")
     )
-    bid = F.expr(
-        f"CASE WHEN v < {QSK_SUB} THEN v"
-        f" ELSE length(bin(v)) * {QSK_SUB}"
-        f" + (shiftright(v, length(bin(v)) - 5) - {QSK_SUB}) END"
-    )
-    sk = vals.select(bid.alias("bid")).groupBy("bid").agg(
+    sk = vals.select(qsk_bucket_col().alias("bid")).groupBy("bid").agg(
         F.count("*").alias("cnt")
     )
-    rep = sk.withColumn(
-        "hi",
-        F.expr(
-            f"CASE WHEN bid < {QSK_SUB} THEN bid"
-            f" ELSE shiftleft({QSK_SUB} + bid % {QSK_SUB},"
-            f" CAST(bid div {QSK_SUB} AS INT) - 5)"
-            f" + shiftleft(CAST(1 AS BIGINT),"
-            f" CAST(bid div {QSK_SUB} AS INT) - 5) - 1 END"
-        ),
-    )
-    cum_sk = bucketed_cumsum(
-        rep, F.expr(f"bid div {QSK_SUB}"), [F.col("bid").asc()], ["cnt"]
-    ).select(
-        "bid", "hi", "cnt",
-        F.col("cum_cnt").alias("cum"),
-        (F.col("cum_cnt") - F.col("cnt")).alias("cumb"),
-    )
+    est = qsk_decile_estimates(sk)
     tot = vals.agg(F.count("*").alias("n"))
     grid = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
     tgt = grid.crossJoin(F.broadcast(tot)).select(
         "decile", F.expr("(decile * n + 9) div 10").alias("r")
     )
-    est = cum_sk.join(
-        F.broadcast(tgt),
-        (F.col("cum") >= F.col("r")) & (F.col("cumb") < F.col("r")),
-    ).select("decile", F.col("hi").alias("est_c"))
-
     hist = vals.groupBy("v").agg(F.count("*").alias("hc"))
     cum_ex = bucketed_cumsum(
         hist, F.length(F.bin("v")), [F.col("v").asc()], ["hc"]

@@ -141,3 +141,26 @@ def stream_source_sketch(docs: DataFrame) -> DataFrame:
             for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     )
+
+
+def stream_quantile_sketch(orders: DataFrame) -> DataFrame:
+    """Streaming revenue-quantile sketch build — the ingest-time twin
+    of operators/analytic.py::quantile_sketch_audit's register stage.
+    The DDSketch-style bucket id (qsk_bucket_col, shared expression)
+    runs stateless per record; the streaming aggregation keeps ONE
+    counter per log2-octave x sub-bucket cell — bounded at ~1k keys
+    forever, no watermark needed, the same geometry-sized-state
+    argument as stream_cms_sketch. Counters are decomposable counts,
+    so micro-batch merging is exact and the streamed registers equal
+    the batch build over the same orders (pinned in
+    tests/test_streaming_ext.py); reading live decile estimates is
+    the SAME qsk_decile_estimates the batch audit uses, so the
+    monitor can never disagree with the nightly audit."""
+    from flinkproj_spark.operators.analytic import qsk_bucket_col
+
+    vals = orders.select(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").alias("v")
+    )
+    return vals.select(qsk_bucket_col().alias("bid")).groupBy("bid").agg(
+        F.count("*").alias("cnt")
+    )

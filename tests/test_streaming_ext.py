@@ -1200,3 +1200,67 @@ class TestStreamPiiGate:
             F.sum("ssn_hits"), F.sum("ipv4_hits"), F.sum("pii_flagged")
         ).collect()[0]
         assert tuple(batch) == tuple(stream_tot)
+
+
+class TestStreamQuantileSketch:
+    def test_sketch_converges_to_batch_registers_and_deciles(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Streamed quantile registers must equal the batch build over
+        the same orders (decomposable counts, order-independent — the
+        property GK/KLL compactors lack), and decile estimates read
+        from the streamed sketch must equal the batch audit's est_c
+        column exactly."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.analytic import (
+            qsk_bucket_col,
+            qsk_decile_estimates,
+            quantile_sketch_audit,
+        )
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_quantile_sketch
+
+        src = str(tmp_path / "src")
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        # two files -> at least two micro-batches merge registers
+        orders.filter(F.col("o_orderkey") % 2 == 0).write.parquet(src)
+        orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_quantile_sketch(
+                spark.readStream.schema(
+                    "o_orderkey long, o_totalprice double"
+                ).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("qsk_sketch")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.sql("select * from qsk_sketch")
+        got = {(r.bid): r.cnt for r in streamed.collect()}
+        want = {
+            (r.bid): r.cnt
+            for r in orders.select(
+                F.expr(
+                    "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                ).alias("v")
+            )
+            .select(qsk_bucket_col().alias("bid"))
+            .groupBy("bid")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        assert got == want and len(got) > 10
+        est_stream = {
+            r.decile: r.est_c for r in qsk_decile_estimates(streamed).collect()
+        }
+        est_batch = {
+            r.decile: r.est_c
+            for r in quantile_sketch_audit(spark, sf_dir).collect()
+        }
+        assert est_stream == est_batch
