@@ -1075,3 +1075,93 @@ ORACLE["token_budget_allocator"] = f"""
                 THEN 1 ELSE 0 END AS BIGINT) AS quota
     FROM based CROSS JOIN short
 """
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction planning (round 9): the layout-maintenance
+# sibling of range_partition_plan — given a file inventory, group
+# adjacent small files into ~target-sized rewrite bins.
+# ---------------------------------------------------------------------------
+
+#: Compaction target size in bytes for compaction_plan. Real lakes use
+#: 128 MiB-1 GiB; 4 KiB keeps the planner live at EVERY test SF (sf0.001
+#: days are ~450 bytes, so types still split into multiple bins there).
+CP_TARGET_BYTES = 4_096
+#: Fixed per-row overhead added to the payload estimate, in bytes.
+CP_ROW_OVERHEAD = 64
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction (small-files) plan over a day-partitioned ingest
+    layout: the event stream lands one file per (event_type, day) — the
+    classic too-many-tiny-files shape — and the planner groups
+    CONSECUTIVE days within each type into rewrite bins of
+    ~CP_TARGET_BYTES via next-fit on the running size: bin =
+    cum_bytes_before div target. Consecutive-day grouping (vs best-fit
+    by size) is deliberate: compacted files then cover contiguous day
+    ranges, so day-predicate scans still prune by parquet min/max after
+    the rewrite — a bin-packing that destroys time locality saves the
+    same bytes but breaks data skipping. Per bin: file/row/byte counts,
+    covered day span, and fill_ppm against the target (oversize days
+    yield fill_ppm > 1e6 and their own bin-id gap — the jumbo-file
+    signal a planner routes to splitting instead).
+
+    Shape: the scan collapses to the (type x day) inventory grid
+    (calendar-bounded) in one map-side-combined pass; the running size
+    is a window PARTITIONED by type over that grid (frame = days per
+    type, calendar-bounded, never event rows); the bin rollup regroups
+    the same grid. Nothing corpus-sized moves past the first
+    aggregate, which is exactly why planning compaction is cheap even
+    when executing it rewrites the whole table."""
+    events = load_table(spark, sf_dir, "events")
+    inv = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = inv.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn("bin_id", F.expr(f"cum_before div {CP_TARGET_BYTES}"))
+    return planned.groupBy("event_type", "bin_id").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("bytes").cast("long").alias("bytes"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_day"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("last_day"),
+        F.expr(
+            f"CAST(CAST(SUM(bytes) AS DECIMAL(38,0)) * 1000000"
+            f" div {CP_TARGET_BYTES} AS BIGINT)"
+        ).alias("fill_ppm"),
+    ).withColumn("bin_id", F.col("bin_id").cast("long"))
+
+
+QUERIES["compaction_plan"] = compaction_plan
+ORACLE["compaction_plan"] = f"""
+    WITH inv AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n_rows,
+             SUM(len(props) + {CP_ROW_OVERHEAD}) AS bytes
+      FROM events GROUP BY 1, 2),
+    planned AS (
+      SELECT *,
+             COALESCE(SUM(bytes) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {CP_TARGET_BYTES} AS bin_id
+      FROM inv)
+    SELECT event_type,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(bytes) AS BIGINT) AS bytes,
+           strftime(MIN(d), '%Y-%m-%d') AS first_day,
+           strftime(MAX(d), '%Y-%m-%d') AS last_day,
+           CAST(CAST(SUM(bytes) AS HUGEINT) * 1000000
+                // {CP_TARGET_BYTES} AS BIGINT) AS fill_ppm
+    FROM planned GROUP BY 1, 2
+"""

@@ -3501,3 +3501,69 @@ def test_quantile_sketch_is_mergeable(spark, sf_dir):
     for r in rows:
         assert r.est_c >= r.exact_c, r
         assert 0 <= r.err_ppm <= 1_000_000 // QSK_SUB, r
+
+
+def test_compaction_plan_is_exact_next_fit(spark, sf_dir):
+    """compaction_plan ground truth in pure Python: bins must equal
+    next-fit-by-running-size over the day-ordered inventory (no file
+    split, no reorder), day spans within a type must be contiguous and
+    non-overlapping across ascending bins, totals must reconcile with
+    the inventory, and the packing must be LIVE (some bin holds >1
+    file, some type spans >1 bin)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.sampling import (
+        CP_ROW_OVERHEAD,
+        CP_TARGET_BYTES,
+        compaction_plan,
+    )
+
+    inv = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("d"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes"),
+        )
+        .collect()
+    )
+    want = {}
+    by_type = {}
+    for r in inv:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, files in by_type.items():
+        cum = 0
+        for r in sorted(files, key=lambda x: x.d):
+            b = cum // CP_TARGET_BYTES
+            k = (et, b)
+            agg = want.setdefault(k, [0, 0, 0, None, None])
+            agg[0] += 1
+            agg[1] += r.n_rows
+            agg[2] += r.bytes
+            agg[3] = min(agg[3] or r.d, r.d)
+            agg[4] = max(agg[4] or r.d, r.d)
+            cum += r.bytes
+    got = {
+        (r.event_type, r.bin_id): [
+            r.n_files,
+            r.n_rows,
+            r.bytes,
+            r.first_day,
+            r.last_day,
+        ]
+        for r in compaction_plan(spark, sf_dir).collect()
+    }
+    assert got == {
+        k: [a, b, c, str(d0), str(d1)] for k, (a, b, c, d0, d1) in want.items()
+    }
+    # liveness + locality
+    assert any(v[0] > 1 for v in got.values())
+    assert any(
+        len({k[1] for k in got if k[0] == et}) > 1 for et in by_type
+    )
+    for et in by_type:
+        bins = sorted(
+            (k[1], v[3], v[4]) for k, v in got.items() if k[0] == et
+        )
+        for (b1, f1, l1), (b2, f2, l2) in zip(bins, bins[1:]):
+            assert l1 < f2  # contiguous, non-overlapping day ranges
