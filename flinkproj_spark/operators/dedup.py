@@ -2188,3 +2188,104 @@ def _survivorship_oracle() -> str:
     )
 
 ORACLE["dedup_survivorship"] = _survivorship_oracle()
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph (round 9): the robustness
+# screen that completes the graph-audit family (degree hist →
+# triangles → modularity → link prediction → survivorship).
+# ---------------------------------------------------------------------------
+
+#: Core order for dedup_graph_kcore. k=2 separates pendant pairs
+#: (safely handled pairwise) from the densely tangled region where
+#: survivorship elections and transitive merges actually matter.
+KCORE_K = 2
+#: Synchronous peel rounds. The ngram graph's periphery is 1-2 levels
+#: deep at every test SF; the fixpoint test fails if the corpus ever
+#: needs more.
+KCORE_ROUNDS = 3
+
+
+def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=KCORE_K) of the thresholded ngram-
+    Jaccard near-dup graph: KCORE_ROUNDS synchronous peel rounds —
+    drop every node with degree < k, delete its edges, repeat — with
+    per-doc verdicts: initial degree, whether the doc survives in the
+    2-core, and its within-core degree. The core is the graph region
+    where pairwise dedup reasoning breaks down (chains/clusters that
+    need survivorship elections or transitive merges); the peeled
+    periphery is pendant near-dup pairs a cheap keep-first rule
+    handles. Synchronous peeling is exact: after enough rounds the
+    survivor set IS the maximal k-core (Matula/Beck), and the fixpoint
+    on this corpus is pinned by
+    tests/test_operators.py::test_kcore_matches_true_fixpoint.
+
+    Shape: the graph is the DUP-SUBSET (nodes = docs with at least one
+    near-dup pair), orders of magnitude smaller than the corpus, and
+    each round is one map-side-combined degree aggregate plus two
+    semi-joins on (doc_id) — bounded shuffles of 2-long rows, the
+    dedup_survivorship discipline. Document text never enters the
+    plan (edges arrive as id pairs)."""
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    und = edges.select(
+        F.col("doc_a").alias("m"), F.col("doc_b").alias("n")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("m"), F.col("doc_a").alias("n"))
+    )
+    deg0 = und.groupBy("m").agg(F.count("*").alias("deg0"))
+    cur = und
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            cur.groupBy("m")
+            .agg(F.count("*").alias("_d"))
+            .filter(F.col("_d") >= KCORE_K)
+            .select("m")
+        )
+        cur = cur.join(keep, "m", "left_semi").join(
+            keep.select(F.col("m").alias("n")), "n", "left_semi"
+        )
+    core_deg = cur.groupBy("m").agg(F.count("*").alias("core_deg"))
+    return (
+        deg0.join(core_deg, "m", "left")
+        .select(
+            F.col("m").cast("long").alias("doc_id"),
+            F.col("deg0").cast("long").alias("deg0"),
+            F.when(F.col("core_deg").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("in_core"),
+            F.coalesce("core_deg", F.lit(0)).cast("long").alias("core_deg"),
+        )
+    )
+
+
+QUERIES["dedup_graph_kcore"] = dedup_graph_kcore
+ORACLE["dedup_graph_kcore"] = f"""
+    WITH prs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard"]})),
+    e0 AS MATERIALIZED (
+      SELECT doc_a AS m, doc_b AS n FROM prs
+      UNION ALL SELECT doc_b AS m, doc_a AS n FROM prs),
+    deg0 AS (SELECT m, COUNT(*) AS deg0 FROM e0 GROUP BY 1),
+    k1 AS MATERIALIZED (
+      SELECT m FROM e0 GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    e1 AS MATERIALIZED (
+      SELECT e.m, e.n FROM e0 e
+      JOIN k1 a ON e.m = a.m JOIN k1 b ON e.n = b.m),
+    k2 AS MATERIALIZED (
+      SELECT m FROM e1 GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    e2 AS MATERIALIZED (
+      SELECT e.m, e.n FROM e1 e
+      JOIN k2 a ON e.m = a.m JOIN k2 b ON e.n = b.m),
+    k3 AS MATERIALIZED (
+      SELECT m FROM e2 GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}),
+    e3 AS MATERIALIZED (
+      SELECT e.m, e.n FROM e2 e
+      JOIN k3 a ON e.m = a.m JOIN k3 b ON e.n = b.m),
+    cd AS (SELECT m, COUNT(*) AS core_deg FROM e3 GROUP BY 1)
+    SELECT CAST(d.m AS BIGINT) AS doc_id,
+           CAST(d.deg0 AS BIGINT) AS deg0,
+           CAST(CASE WHEN cd.m IS NULL THEN 0 ELSE 1 END AS INT) AS in_core,
+           CAST(COALESCE(cd.core_deg, 0) AS BIGINT) AS core_deg
+    FROM deg0 d LEFT JOIN cd ON cd.m = d.m
+"""

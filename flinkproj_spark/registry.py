@@ -43,6 +43,7 @@ _EXTENSION_MODULES = (
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
     "data_card_report",  # never checked
+    "dedup_graph_kcore",  # never checked
     "compaction_plan",  # never checked
     "quantile_sketch_audit",  # never checked
     "neardup_semantic_verify",  # last green r4
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "pair_graph_triangles",  # last green r5
     "decontaminate",  # last green r5
     "ann_topk_brute",  # last green r5
-    "ann_topk_lsh",  # last green r5
 )
 
 

@@ -3567,3 +3567,46 @@ def test_compaction_plan_is_exact_next_fit(spark, sf_dir):
         )
         for (b1, f1, l1), (b2, f2, l2) in zip(bins, bins[1:]):
             assert l1 < f2  # contiguous, non-overlapping day ranges
+
+
+def test_kcore_matches_true_fixpoint(spark, sf_dir):
+    """dedup_graph_kcore ground truth in pure Python: peel to the TRUE
+    fixpoint (unbounded rounds) and require the operator's bounded
+    KCORE_ROUNDS to have converged to exactly that maximal 2-core —
+    membership AND within-core degrees — with the periphery live
+    (some docs peeled) and the core live (some docs kept)."""
+    from flinkproj_spark.operators.dedup import (
+        KCORE_K,
+        dedup_graph_kcore,
+        dedup_ngram_jaccard,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg0 = {n: len(s) for n, s in adj.items()}
+    cur = {n: set(s) for n, s in adj.items()}
+    while True:
+        drop = [n for n, s in cur.items() if len(s) < KCORE_K]
+        if not drop:
+            break
+        for n in drop:
+            for m in cur.get(n, ()):
+                cur[m].discard(n)
+            cur.pop(n, None)
+    want = {
+        n: (deg0[n], 1 if n in cur else 0, len(cur[n]) if n in cur else 0)
+        for n in adj
+    }
+    got = {
+        r.doc_id: (r.deg0, r.in_core, r.core_deg)
+        for r in dedup_graph_kcore(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert any(v[1] == 0 for v in got.values())  # periphery live
+    assert any(v[1] == 1 for v in got.values())  # core live
