@@ -4132,3 +4132,130 @@ ORACLE["quantile_sketch_audit"] = f"""
                 // x.exact_c AS BIGINT) AS err_ppm
     FROM exact x JOIN est e USING (dec)
 """
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor (round 9): the consumer of
+# analyze_tables_report's statistics — per FK edge of the star schema,
+# the physical join strategy a cost-based planner would pick.
+# ---------------------------------------------------------------------------
+
+#: Broadcast ceiling in build-side ROWS — the row-count proxy for the
+#: session's 10 MB autoBroadcastJoinThreshold at the ~1 KB star-schema
+#: row. An advisor on a real catalog would read bytes; the stats table
+#: this composes over carries rows/NDV, so the proxy is documented
+#: rather than hidden.
+JSA_BROADCAST_MAX_ROWS = 10_000
+#: Average probe-side fanout (rows per distinct key) at or above which
+#: the edge gets a skew hint (salting / AQE skew-join).
+JSA_SKEW_FANOUT = 16
+
+#: The star schema's FK join graph: (fact_table, fact_key, dim_table,
+#: dim_key) — every equi-join the TPC-H-ish queries in this repo run.
+JSA_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-join advisor over the star schema's FK graph: for each
+    edge, the statistics a CBO consults (probe rows, probe-key NDV,
+    build rows, average fanout, referenced-dim coverage) and the
+    verdicts — broadcast vs shuffle by build-side size, a skew hint
+    when the average fanout says the probe key is hot (salting / AQE
+    skew-join territory), and a bucket-both hint for the big-big edges
+    where co-partitioned layouts amortize the shuffle across queries.
+    This is the advisor that reads what analyze_tables_report writes:
+    composing the two keys is exactly the ANALYZE -> plan loop a real
+    warehouse runs, and the verdict thresholds are the ones this
+    repo's own operators apply by hand (F.broadcast on dims, salting
+    on skewed keys, bucketing for lineitem><orders).
+
+    Shape: the stats frame is ~35 rows (tables x profiled columns) and
+    the edge grid is a 7-row literal — every join here is a broadcast
+    of dimension-free frames; the table scans happened once, inside
+    analyze_tables_report's one-aggregate-per-table pass. Advice is
+    integer arithmetic (div / ppm) end to end."""
+    stats = analyze_tables_report(spark, sf_dir)
+    edges = spark.createDataFrame(
+        list(JSA_EDGES), "fact_table string, fact_key string,"
+        " dim_table string, dim_key string"
+    )
+    fact = stats.select(
+        F.col("table_name").alias("fact_table"),
+        F.col("column_name").alias("fact_key"),
+        F.col("n_rows").alias("fact_rows"),
+        F.col("n_distinct").alias("fact_key_ndv"),
+    )
+    dim = stats.select(
+        F.col("table_name").alias("dim_table"),
+        F.col("column_name").alias("dim_key"),
+        F.col("n_rows").alias("dim_rows"),
+    )
+    return (
+        edges.join(F.broadcast(fact), ["fact_table", "fact_key"])
+        .join(F.broadcast(dim), ["dim_table", "dim_key"])
+        .select(
+            "fact_table",
+            "fact_key",
+            "dim_table",
+            "dim_key",
+            F.col("fact_rows").cast("long").alias("fact_rows"),
+            F.col("fact_key_ndv").cast("long").alias("fact_key_ndv"),
+            F.col("dim_rows").cast("long").alias("dim_rows"),
+            F.expr("fact_rows div fact_key_ndv").alias("avg_fanout"),
+            F.expr(
+                "CAST(CAST(fact_key_ndv AS DECIMAL(38,0)) * 1000000"
+                " div dim_rows AS BIGINT)"
+            ).alias("ref_cover_ppm"),
+            F.expr(
+                f"CASE WHEN dim_rows <= {JSA_BROADCAST_MAX_ROWS}"
+                " THEN 'broadcast' ELSE 'shuffle' END"
+            ).alias("strategy"),
+            F.expr(
+                f"CAST(CASE WHEN fact_rows div fact_key_ndv >="
+                f" {JSA_SKEW_FANOUT} THEN 1 ELSE 0 END AS INT)"
+            ).alias("skew_salt_hint"),
+            F.expr(
+                f"CAST(CASE WHEN dim_rows > {JSA_BROADCAST_MAX_ROWS}"
+                f" AND fact_rows div fact_key_ndv < {JSA_SKEW_FANOUT}"
+                " THEN 1 ELSE 0 END AS INT)"
+            ).alias("bucket_both_hint"),
+        )
+    )
+
+
+QUERIES["join_strategy_advisor"] = join_strategy_advisor
+_JSA_VALUES = ", ".join(
+    f"('{ft}', '{fk}', '{dt}', '{dk}')" for ft, fk, dt, dk in JSA_EDGES
+)
+ORACLE["join_strategy_advisor"] = f"""
+    WITH stats AS ({ORACLE["analyze_tables_report"]}),
+    edges(fact_table, fact_key, dim_table, dim_key) AS (
+      VALUES {_JSA_VALUES})
+    SELECT e.fact_table, e.fact_key, e.dim_table, e.dim_key,
+           CAST(f.n_rows AS BIGINT) AS fact_rows,
+           CAST(f.n_distinct AS BIGINT) AS fact_key_ndv,
+           CAST(d.n_rows AS BIGINT) AS dim_rows,
+           CAST(f.n_rows // f.n_distinct AS BIGINT) AS avg_fanout,
+           CAST(CAST(f.n_distinct AS HUGEINT) * 1000000 // d.n_rows
+                AS BIGINT) AS ref_cover_ppm,
+           CASE WHEN d.n_rows <= {JSA_BROADCAST_MAX_ROWS}
+                THEN 'broadcast' ELSE 'shuffle' END AS strategy,
+           CAST(CASE WHEN f.n_rows // f.n_distinct >= {JSA_SKEW_FANOUT}
+                THEN 1 ELSE 0 END AS INT) AS skew_salt_hint,
+           CAST(CASE WHEN d.n_rows > {JSA_BROADCAST_MAX_ROWS}
+                AND f.n_rows // f.n_distinct < {JSA_SKEW_FANOUT}
+                THEN 1 ELSE 0 END AS INT) AS bucket_both_hint
+    FROM edges e
+    JOIN stats f ON f.table_name = e.fact_table
+                AND f.column_name = e.fact_key
+    JOIN stats d ON d.table_name = e.dim_table
+                AND d.column_name = e.dim_key
+"""

@@ -46,6 +46,7 @@ _PRIORITY_KEYS = (
     "dedup_graph_kcore",  # never checked
     "compaction_plan",  # never checked
     "quantile_sketch_audit",  # never checked
+    "join_strategy_advisor",  # never checked
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
     "tpch_q1",  # last green r4
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "dedup_pair_degree_hist",  # last green r5
     "pair_graph_triangles",  # last green r5
     "decontaminate",  # last green r5
-    "ann_topk_brute",  # last green r5
 )
 
 

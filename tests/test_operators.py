@@ -3610,3 +3610,29 @@ def test_kcore_matches_true_fixpoint(spark, sf_dir):
     assert got == want
     assert any(v[1] == 0 for v in got.values())  # periphery live
     assert any(v[1] == 1 for v in got.values())  # core live
+
+
+def test_join_advisor_matches_house_strategies(spark, sf_dir):
+    """join_strategy_advisor must reproduce the decisions this repo's
+    own operators hard-code: every genuine dimension edge broadcasts,
+    the one big-big edge (lineitem><orders) is a shuffle with the
+    bucket-both hint, hot-fanout keys (l_suppkey at 600x) carry the
+    skew hint, and referenced-dim coverage is in (0, 1e6]."""
+    from flinkproj_spark.operators.analytic import join_strategy_advisor
+
+    # sf0.01: the smallest SF where orders crosses the broadcast
+    # ceiling — at sf0.001 every build side fits and all-broadcast is
+    # itself the correct advice (rule-liveness needs the bigger dir)
+    rows = {
+        (r.fact_table, r.fact_key): r
+        for r in join_strategy_advisor(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert len(rows) == 7
+    big = rows[("lineitem", "l_orderkey")]
+    assert big.strategy == "shuffle" and big.bucket_both_hint == 1
+    assert rows[("lineitem", "l_suppkey")].skew_salt_hint == 1
+    assert rows[("lineitem", "l_suppkey")].strategy == "broadcast"
+    assert rows[("nation", "n_regionkey")].strategy == "broadcast"
+    for r in rows.values():
+        assert 0 < r.ref_cover_ppm <= 1_000_000
+        assert r.avg_fanout >= 1
