@@ -2225,7 +2225,11 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is one map-side-combined degree aggregate plus two
     semi-joins on (doc_id) — bounded shuffles of 2-long rows, the
     dedup_survivorship discipline. Document text never enters the
-    plan (edges arrive as id pairs)."""
+    plan (edges arrive as id pairs). Persisting the symmetrized edge
+    frame was A/B'd at sf0.1 (round 9): parity with the plain plan
+    (5.43 vs 5.74 s minima) — exchange reuse already dedupes the
+    shingle-join subtree, the survivorship/funnel lesson repeating —
+    so the plain plan ships."""
     edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     und = edges.select(
         F.col("doc_a").alias("m"), F.col("doc_b").alias("n")
