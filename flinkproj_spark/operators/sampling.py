@@ -1120,6 +1120,15 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes"),
     )
+    return compaction_bins(inv)
+
+
+def compaction_bins(inv: DataFrame) -> DataFrame:
+    """Bin derivation from a (event_type, d, n_rows, bytes) inventory
+    frame — shared by the batch planner and the streaming small-files
+    monitor (streaming/warehouse-fed inventories are decomposable
+    count/sum registers, so the monitor's view calls this on exactly
+    converged inputs)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")

@@ -164,3 +164,24 @@ def stream_quantile_sketch(orders: DataFrame) -> DataFrame:
     return vals.select(qsk_bucket_col().alias("bid")).groupBy("bid").agg(
         F.count("*").alias("cnt")
     )
+
+
+def stream_file_inventory(events: DataFrame) -> DataFrame:
+    """Streaming small-files inventory — the ingest-time feed of
+    operators/sampling.py::compaction_plan. Each event folds into its
+    (event_type, day) cell's row/byte counters: decomposable sums, so
+    micro-batch merging is exact and state is the calendar x type grid
+    forever (geometry-sized, no watermark — the stream_cms_sketch
+    argument, here for layout monitoring). Run in complete/update
+    mode; reading the live compaction plan is the SAME
+    sampling.compaction_bins the batch planner uses (pinned equal in
+    tests/test_streaming_ext.py), so the "should we compact yet"
+    dashboard can never disagree with the nightly planner."""
+    from flinkproj_spark.operators.sampling import CP_ROW_OVERHEAD
+
+    return events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes"),
+    )

@@ -1264,3 +1264,62 @@ class TestStreamQuantileSketch:
             for r in quantile_sketch_audit(spark, sf_dir).collect()
         }
         assert est_stream == est_batch
+
+
+class TestStreamFileInventory:
+    def test_inventory_converges_and_plans_match(self, spark, sf_dir, tmp_path):
+        """The streamed (type, day) inventory must equal the batch
+        aggregate over the same events (decomposable count/sum), and
+        compaction_bins over the streamed inventory must equal the
+        batch compaction_plan bin for bin."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.sampling import (
+            compaction_bins,
+            compaction_plan,
+        )
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_file_inventory
+
+        src = str(tmp_path / "src")
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "props"
+        )
+        events.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+        events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_file_inventory(
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, event_type string,"
+                    " props string"
+                ).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("file_inventory")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.sql("select * from file_inventory")
+        got_inv = {
+            (r.event_type, r.d): (r.n_rows, r.bytes)
+            for r in streamed.collect()
+        }
+        want_inv = {
+            (r.event_type, r.d): (r.n_rows, r.bytes)
+            for r in stream_file_inventory(events).collect()
+        }
+        assert got_inv == want_inv and len(got_inv) > 50
+        key = lambda r: (r.event_type, r.bin_id)
+        got_plan = {
+            key(r): (r.n_files, r.n_rows, r.bytes, r.first_day, r.last_day)
+            for r in compaction_bins(streamed).collect()
+        }
+        want_plan = {
+            key(r): (r.n_files, r.n_rows, r.bytes, r.first_day, r.last_day)
+            for r in compaction_plan(spark, sf_dir).collect()
+        }
+        assert got_plan == want_plan
