@@ -4259,3 +4259,319 @@ ORACLE["join_strategy_advisor"] = f"""
     JOIN stats d ON d.table_name = e.dim_table
                 AND d.column_name = e.dim_key
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 9: experiment/release governance trio — DP sensitivity audit,
+# A/B sample-ratio-mismatch check, and split-conformal coverage.
+# ---------------------------------------------------------------------------
+
+#: Salt for the experiment bucket coin — deliberately DISTINCT from
+#: every sampling/split salt (sampling._SALT, _SPLIT_SALT), so variant
+#: assignment is independent of all other hash coins (the round-9
+#: ADVICE lesson on salt reuse).
+SRM_SALT = "exp0"
+
+#: Salt for the conformal calibration/test coin — same independence rule.
+CONF_SALT = "conf0"
+
+#: Conformal target: the calibration q90 should cover ~90% of test.
+CONF_PCT = 90
+
+
+def dp_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation L1-sensitivity audit for a differentially-private
+    revenue release: each nation's exact revenue, its contributor
+    count, the largest single-customer contribution, and that
+    maximum's share (ppm) — the Δf that calibrates Laplace/Gaussian
+    noise for a SUM release, and the "one whale dominates this cell"
+    flag that says clamp contributions before adding noise. The audit
+    UPSTREAM of the k/l/t privacy ladder: those grade the released
+    table, this grades the aggregation's exposure to one individual.
+
+    Not in the reference (no aggregation surface beyond windowed
+    count+max, SURVEY.md §2.9); privacy-governance extension on the
+    k_anonymity family.
+
+    Shape: one map-side-combined groupBy(custkey) collapses orders to
+    per-customer totals BEFORE the customer join (orders-sized
+    exchange, then a key-sized join — both data-sized at 100 TB, no
+    broadcast), then a ~25-row nation aggregate. The ppm routes
+    through DECIMAL(38,0) (nation revenue × 1e6 wraps BIGINT at
+    scale, the round-8 ADVICE class)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    per_cust = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("rev_c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c").alias("rev_c"))
+        .join(cust, "o_custkey")
+    )
+    return (
+        per_cust.groupBy("nat")
+        .agg(
+            F.count("*").alias("n_contributors"),
+            F.sum("rev_c").alias("rev_c"),
+            F.max("rev_c").alias("max_contrib_c"),
+        )
+        .select(
+            F.col("nat").cast("int").alias("nat"),
+            "n_contributors",
+            F.col("rev_c").cast("long").alias("rev_c"),
+            F.col("max_contrib_c").cast("long").alias("max_contrib_c"),
+            F.expr(
+                "CAST(CAST(max_contrib_c AS DECIMAL(38,0)) * 1000000"
+                " div CAST(rev_c AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("sens_ppm"),
+        )
+    )
+
+
+QUERIES["dp_sensitivity_report"] = dp_sensitivity_report
+ORACLE["dp_sensitivity_report"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1),
+    j AS (
+      SELECT c.c_nationkey AS nat, p.rev_c
+      FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey)
+    SELECT CAST(nat AS INT) AS nat,
+           COUNT(*) AS n_contributors,
+           CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+           CAST(MAX(rev_c) AS BIGINT) AS max_contrib_c,
+           CAST(CAST(MAX(rev_c) AS HUGEINT) * 1000000 // SUM(rev_c)
+                AS BIGINT) AS sens_ppm
+    FROM j GROUP BY nat
+"""
+
+
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment health check: deterministic 50/50 hash
+    assignment of users to control/treatment, per-variant user/event/
+    purchase tallies with user-level conversion ppm, and the
+    sample-ratio-mismatch chi-square — for a 2-cell 50/50 design chi²
+    reduces EXACTLY to (a−b)²/(a+b), reported ×1e6 as the pure
+    integer srm_chi2_e6 (≥ 3.84e6 ≈ p<0.05 means the assignment is
+    broken and every downstream metric is untrustworthy). The gate an
+    experimentation pipeline runs before reading any lift number.
+
+    Not in the reference (SURVEY.md §2.9 — no analytics surface);
+    experimentation-governance extension over the events table.
+
+    Shape: ONE corpus shuffle (groupBy user_id folds events to
+    per-user rows with the variant computed in-row from the md5
+    coin), then a 2-row variant aggregate; the chi² cross-term rides
+    a broadcast 1-row pivot of that same 2-row frame. ppm/chi²
+    numerators route through DECIMAL(38,0)."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(SRM_SALT))), 1, 1
+        )
+        < "8",
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_ev"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purch"),
+        )
+        .select(variant.alias("variant"), "n_ev", "n_purch")
+    )
+    per_var = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+        F.sum("n_purch").alias("n_purchases"),
+        F.sum((F.col("n_purch") > 0).cast("long")).alias("n_converted"),
+    )
+    tot = per_var.agg(
+        F.sum("n_users").alias("tot_users"),
+        F.coalesce(
+            F.max(F.when(F.col("variant") == "control", F.col("n_users"))), F.lit(0)
+        ).alias("a"),
+        F.coalesce(
+            F.max(F.when(F.col("variant") == "treatment", F.col("n_users"))), F.lit(0)
+        ).alias("b"),
+    )
+    return per_var.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        "n_users",
+        "n_events",
+        "n_purchases",
+        "n_converted",
+        F.expr(
+            "CAST(CAST(n_converted AS DECIMAL(38,0)) * 1000000"
+            " div n_users AS BIGINT)"
+        ).alias("conv_ppm"),
+        F.expr(
+            "CAST(CAST(a - b AS DECIMAL(38,0)) * (a - b) * 1000000"
+            " div tot_users AS BIGINT)"
+        ).alias("srm_chi2_e6"),
+    )
+
+
+QUERIES["srm_check"] = srm_check
+ORACLE["srm_check"] = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)
+                                     || '{SRM_SALT}'), 1, 1) < '8'
+                  THEN 'control' ELSE 'treatment' END AS variant,
+             COUNT(*) AS n_ev,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purch
+      FROM events GROUP BY 1, 2),
+    per_var AS (
+      SELECT variant, COUNT(*) AS n_users, SUM(n_ev) AS n_events,
+             SUM(n_purch) AS n_purchases,
+             SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS n_converted
+      FROM per_user GROUP BY 1),
+    tot AS (
+      SELECT SUM(n_users) AS tot_users,
+             COALESCE(MAX(CASE WHEN variant = 'control'
+                               THEN n_users END), 0) AS a,
+             COALESCE(MAX(CASE WHEN variant = 'treatment'
+                               THEN n_users END), 0) AS b
+      FROM per_var)
+    SELECT variant,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_purchases AS BIGINT) AS n_purchases,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           CAST(CAST(n_converted AS HUGEINT) * 1000000 // n_users
+                AS BIGINT) AS conv_ppm,
+           CAST(CAST(a - b AS HUGEINT) * (a - b) * 1000000 // tot_users
+                AS BIGINT) AS srm_chi2_e6
+    FROM per_var CROSS JOIN tot
+"""
+
+
+def conformal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit per event type: a deterministic
+    hash coin splits events into calibration/test halves, the
+    calibration side yields the exact nearest-rank q90 of the value
+    (integer cents), and the test side measures how many of its
+    values that threshold actually covers (ppm — should sit near
+    900000; a type drifting away means the calibration quantile no
+    longer transfers, the basic health check of any conformal
+    prediction deployment).
+
+    Not in the reference (SURVEY.md §2.9); ML-evaluation extension in
+    the quantile family (nearest-rank machinery shared with
+    shipping_lag_report / quantile_sketch_audit).
+
+    Shape: the calibration side collapses to a (type, cents)
+    HISTOGRAM — bounded by the value domain (~49k distinct cents),
+    corpus-size-independent — and the per-type threshold comes from
+    the histogram's running count (cum·100 ≥ p·N integer comparison,
+    window partitioned per type over histogram rows, never event
+    rows). Thresholds broadcast back onto the test scan; one
+    map-side-combined groupBy(type) folds coverage. Two scans of
+    events, zero corpus-sized sorts."""
+    ev = load_table(spark, sf_dir, "events")
+    is_cal = (
+        F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(CONF_SALT))), 1, 1
+        )
+        < "8"
+    )
+    base = ev.select(
+        "event_type", _cents("value").alias("v_c"), is_cal.alias("is_cal")
+    )
+    cal_hist = (
+        base.filter(F.col("is_cal"))
+        .groupBy("event_type", "v_c")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    thr = (
+        cal_hist.select(
+            "event_type",
+            "v_c",
+            F.sum("n").over(w_cum).alias("cum_n"),
+            F.sum("n").over(w_tot).alias("n_cal"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.min(
+                F.when(
+                    F.col("cum_n") * 100 >= F.lit(CONF_PCT) * F.col("n_cal"),
+                    F.col("v_c"),
+                )
+            ).alias("q90_c"),
+        )
+    )
+    test = base.filter(~F.col("is_cal")).select("event_type", "v_c")
+    return (
+        test.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count("*").alias("n_test"),
+            F.max("q90_c").alias("q90_c"),
+            F.sum((F.col("v_c") <= F.col("q90_c")).cast("long")).alias("n_covered"),
+        )
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "q90_c",
+            "n_covered",
+            F.expr(
+                "CAST(CAST(n_covered AS DECIMAL(38,0)) * 1000000"
+                " div n_test AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+QUERIES["conformal_coverage_report"] = conformal_coverage_report
+ORACLE["conformal_coverage_report"] = f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c,
+             substring(md5(CAST(event_id AS VARCHAR)
+                           || '{CONF_SALT}'), 1, 1) < '8' AS is_cal
+      FROM events),
+    hist AS (
+      SELECT event_type, v_c, COUNT(*) AS n
+      FROM base WHERE is_cal GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, v_c,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY v_c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             SUM(n) OVER (PARTITION BY event_type) AS n_cal
+      FROM hist),
+    thr AS (
+      SELECT event_type, MAX(n_cal) AS n_cal,
+             MIN(CASE WHEN cum_n * 100 >= {CONF_PCT} * n_cal
+                      THEN v_c END) AS q90_c
+      FROM cum GROUP BY 1)
+    SELECT b.event_type,
+           CAST(MAX(t.n_cal) AS BIGINT) AS n_cal,
+           COUNT(*) AS n_test,
+           CAST(MAX(t.q90_c) AS BIGINT) AS q90_c,
+           CAST(SUM(CASE WHEN b.v_c <= t.q90_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(CAST(SUM(CASE WHEN b.v_c <= t.q90_c THEN 1 ELSE 0 END)
+                     AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+             AS coverage_ppm
+    FROM base b JOIN thr t ON t.event_type = b.event_type
+    WHERE NOT b.is_cal
+    GROUP BY b.event_type
+"""

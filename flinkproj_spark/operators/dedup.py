@@ -2293,3 +2293,181 @@ ORACLE["dedup_graph_kcore"] = f"""
            CAST(COALESCE(cd.core_deg, 0) AS BIGINT) AS core_deg
     FROM deg0 d LEFT JOIN cd ON cd.m = d.m
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup + degree assortativity over the near-dup graph
+# (round 9): the near-SUPERSET detector Jaccard misses, and the
+# hub-structure audit of the pair graph itself.
+# ---------------------------------------------------------------------------
+
+#: Containment threshold: |A∩B| / min(|A|,|B|) ≥ 0.8 flags a pair where
+#: the smaller word set is almost entirely inside the larger one.
+CONTAINMENT_MIN = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact set-containment pairs: |A∩B| / min(|A|,|B|) ≥ 0.8
+    over distinct word sets — the near-SUPERSET detector. Jaccard
+    under-scores a short doc embedded in a long one (the union is
+    dominated by the long side), so boilerplate-wrapped reposts and
+    quote-expansions pass a Jaccard gate; containment normalizes by
+    the SMALLER set and catches exactly those. `superset_only` marks
+    the pairs invisible to the Jaccard ≥ 0.5 key (probed live before
+    wiring: 9 of 39 containment pairs at sf0.01 are superset-only).
+
+    Not in the reference (1,000-LoC streaming demo, no set similarity
+    anywhere — SURVEY.md §2.9); extension mandated by the build plan.
+
+    Shape: identical to dedup_ngram_jaccard's blocked expansion — ONE
+    shuffle of (doc_id, bkey, wset), per-block in-row i<j pair
+    expansion hard-capped at BUCKET_CAP, both measures computed inline
+    on the same array_intersect. Never an all-pairs join."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = _words()
+    keyed = docs.filter(F.size(words) >= 2).select(
+        "doc_id",
+        F.concat(
+            "lang", F.lit("|"), F.element_at(words, 1), F.lit(" "), F.element_at(words, 2)
+        ).alias("bkey"),
+        F.array_distinct(words).alias("wset"),
+    )
+    blocks = (
+        keyed.groupBy("bkey")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "wset"))).alias("members"))
+        .filter(F.size("members").between(2, BUCKET_CAP))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + F.lit(2), F.size("members")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.round(
+                        F.size(F.array_intersect(x["wset"], y["wset"])).cast("double")
+                        / F.least(F.size(x["wset"]), F.size(y["wset"])),
+                        4,
+                    ).alias("containment"),
+                    F.round(
+                        F.size(F.array_intersect(x["wset"], y["wset"])).cast("double")
+                        / F.size(F.array_union(x["wset"], y["wset"])),
+                        4,
+                    ).alias("jaccard"),
+                ),
+            ),
+        )
+    )
+    return (
+        blocks.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.containment", "p.jaccard")
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+        .withColumn("superset_only", (F.col("jaccard") < 0.5).cast("int"))
+    )
+
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLE["dedup_containment"] = f"""
+    WITH k AS (
+      SELECT doc_id,
+             lang || '|' || ({_WORDS_SQL})[1] || ' ' || ({_WORDS_SQL})[2] AS bkey,
+             list_distinct({_WORDS_SQL}) AS wset
+      FROM documents WHERE len({_WORDS_SQL}) >= 2),
+    ok AS (
+      SELECT bkey FROM k GROUP BY bkey
+      HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP}),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                   least(len(a.wset), len(b.wset)), 4) AS containment,
+             ROUND(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE) /
+                   len(list_distinct(list_concat(a.wset, b.wset))), 4) AS jaccard
+      FROM k a JOIN k b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      JOIN ok ON a.bkey = ok.bkey)
+    SELECT doc_a, doc_b, containment, jaccard,
+           CAST(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END AS INT)
+             AS superset_only
+    FROM p WHERE containment >= {CONTAINMENT_MIN}
+"""
+
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the n-gram Jaccard near-dup graph: the
+    Pearson correlation of endpoint degrees over symmetrized edges —
+    negative (disassortative) means hubs attach to satellites (one
+    boilerplate template spraying near-dups at many singletons, the
+    star shape dedup_pair_degree_hist hints at), positive means dup
+    mass forms dense cliques of mutually-similar docs. The one-number
+    structure audit that decides whether hub-excision or clique
+    -collapse is the right dedup strategy.
+
+    Exactness: over symmetrized ends both marginals are identical, so
+    Pearson reduces to the PURE RATIONAL (n·Σxy − (Σx)²) / (n·Σx² −
+    (Σx)²) — no square roots. cov/var are exact BIGINTs (degree is
+    BUCKET_CAP-bounded by the blocked pair construction, so Σx² ≤
+    cap²·n), the ppm is one DECIMAL(38,0) cross-multiplied div
+    (truncation toward zero matches DuckDB HUGEINT //).
+
+    Shape: the edge list is pair-graph-sized (sparse by construction);
+    ends explode in-row, the degree groupBy and the two endpoint-degree
+    hash joins all move only (doc_id, long) rows; one final 1-row
+    aggregate. The corpus text never shuffles."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    pairs = _ngram_jaccard_pairs(
+        docs.select("doc_id", "lang", _words().alias("ws"))
+    ).select("doc_a", "doc_b")
+    ends = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    ).unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+    deg = ends.groupBy("s").agg(F.count("*").alias("deg"))
+    ed = ends.join(
+        deg.select(F.col("s"), F.col("deg").alias("dx")), "s"
+    ).join(
+        deg.select(F.col("s").alias("d"), F.col("deg").alias("dy")), "d"
+    )
+    m = ed.agg(
+        F.count("*").alias("n_ends"),
+        F.sum("dx").alias("sum_deg"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sum_deg2"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sum_dxdy"),
+    )
+    return m.select(
+        F.col("n_ends").cast("long").alias("n_ends"),
+        F.col("sum_deg").cast("long").alias("sum_deg"),
+        F.col("sum_deg2").cast("long").alias("sum_deg2"),
+        F.col("sum_dxdy").cast("long").alias("sum_dxdy"),
+        F.expr(
+            "CAST((CAST(n_ends AS DECIMAL(38,0)) * sum_dxdy"
+            " - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg) * 1000000"
+            " div nullif(CAST(n_ends AS DECIMAL(38,0)) * sum_deg2"
+            " - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg, 0) AS BIGINT)"
+        ).alias("assort_ppm"),
+    )
+
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+ORACLE["graph_degree_assortativity"] = f"""
+    WITH e AS (SELECT doc_a, doc_b FROM ({ORACLE["dedup_ngram_jaccard"]})),
+    ends AS (
+      SELECT doc_a AS s, doc_b AS d FROM e
+      UNION ALL SELECT doc_b AS s, doc_a AS d FROM e),
+    deg AS (SELECT s, COUNT(*) AS deg FROM ends GROUP BY 1),
+    ed AS (
+      SELECT da.deg AS dx, db.deg AS dy
+      FROM ends JOIN deg da ON ends.s = da.s JOIN deg db ON ends.d = db.s),
+    m AS (
+      SELECT COUNT(*) AS n_ends, SUM(dx) AS sum_deg,
+             SUM(dx * dx) AS sum_deg2, SUM(dx * dy) AS sum_dxdy
+      FROM ed)
+    SELECT CAST(n_ends AS BIGINT) AS n_ends,
+           CAST(sum_deg AS BIGINT) AS sum_deg,
+           CAST(sum_deg2 AS BIGINT) AS sum_deg2,
+           CAST(sum_dxdy AS BIGINT) AS sum_dxdy,
+           CAST((CAST(n_ends AS HUGEINT) * sum_dxdy
+                 - CAST(sum_deg AS HUGEINT) * sum_deg) * 1000000
+                // nullif(CAST(n_ends AS HUGEINT) * sum_deg2
+                          - CAST(sum_deg AS HUGEINT) * sum_deg, 0)
+                AS BIGINT) AS assort_ppm
+    FROM m
+"""

@@ -44,9 +44,14 @@ _EXTENSION_MODULES = (
 _PRIORITY_KEYS = (
     "data_card_report",  # never checked
     "dedup_graph_kcore",  # never checked
+    "dedup_containment",  # never checked
+    "graph_degree_assortativity",  # never checked
     "compaction_plan",  # never checked
     "quantile_sketch_audit",  # never checked
     "join_strategy_advisor",  # never checked
+    "dp_sensitivity_report",  # never checked
+    "srm_check",  # never checked
+    "conformal_coverage_report",  # never checked
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
     "tpch_q1",  # last green r4
@@ -87,11 +92,6 @@ _PRIORITY_KEYS = (
     "dedup_exact",  # last green r5
     "dedup_keyed_latest",  # last green r5
     "dedup_cluster",  # last green r5
-    "dedup_simhash",  # last green r5
-    "dedup_ngram_jaccard",  # last green r5
-    "dedup_pair_degree_hist",  # last green r5
-    "pair_graph_triangles",  # last green r5
-    "decontaminate",  # last green r5
 )
 
 

@@ -3636,3 +3636,121 @@ def test_join_advisor_matches_house_strategies(spark, sf_dir):
     for r in rows.values():
         assert 0 < r.ref_cover_ppm <= 1_000_000
         assert r.avg_fanout >= 1
+
+
+def test_containment_catches_supersets_jaccard_misses(spark, sf_dir):
+    """Every containment pair must satisfy containment >= jaccard and
+    the threshold; the superset_only flag must be live (pairs a
+    Jaccard >= 0.5 gate would never see) and must agree with the
+    jaccard column."""
+    from flinkproj_spark.operators.dedup import (
+        CONTAINMENT_MIN,
+        dedup_containment,
+    )
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.containment >= CONTAINMENT_MIN
+        assert r.containment >= r.jaccard - 1e-9
+        assert r.superset_only == (1 if r.jaccard < 0.5 else 0)
+        assert r.doc_a < r.doc_b
+    assert any(r.superset_only == 1 for r in rows)  # the new signal is live
+
+
+def test_assortativity_matches_pure_python(spark, sf_dir):
+    """assort_ppm must equal the Pearson rational recomputed from the
+    edge list in pure Python, and lie in [-1e6, 1e6]."""
+    from flinkproj_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        graph_degree_assortativity,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    ]
+    assert pairs
+    ends = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg = {}
+    for s, _ in ends:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(ends)
+    sx = sum(deg[s] for s, _ in ends)
+    sxx = sum(deg[s] * deg[s] for s, _ in ends)
+    sxy = sum(deg[s] * deg[d] for s, d in ends)
+    cov = n * sxy - sx * sx
+    var = n * sxx - sx * sx
+    row = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    assert (row.n_ends, row.sum_deg, row.sum_deg2, row.sum_dxdy) == (
+        n,
+        sx,
+        sxx,
+        sxy,
+    )
+    if var == 0:
+        assert row.assort_ppm is None
+    else:
+        want = abs(cov) * 1_000_000 // var * (1 if cov >= 0 else -1)
+        assert row.assort_ppm == want
+        assert -1_000_000 <= row.assort_ppm <= 1_000_000
+
+
+def test_srm_check_chi2_and_partition(spark, sf_dir):
+    """srm_check: exactly two variants partitioning the user universe,
+    chi2 = (a-b)^2*1e6/(a+b) recomputed from the per-variant counts,
+    and conversion counts bounded by user counts."""
+    from flinkproj_spark.operators.analytic import srm_check
+    from flinkproj_spark.sources.tables import load_table
+
+    rows = {r.variant: r for r in srm_check(spark, sf_dir).collect()}
+    assert set(rows) == {"control", "treatment"}
+    n_users_total = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    a = rows["control"].n_users
+    b = rows["treatment"].n_users
+    assert a + b == n_users_total
+    want_chi2 = (a - b) * (a - b) * 1_000_000 // (a + b)
+    for r in rows.values():
+        assert r.srm_chi2_e6 == want_chi2
+        assert 0 <= r.n_converted <= r.n_users
+        assert r.n_purchases <= r.n_events
+        assert 0 <= r.conv_ppm <= 1_000_000
+
+
+def test_conformal_coverage_near_nominal(spark, sf_dir):
+    """The calibration q90 must cover roughly 90% of the held-out test
+    half for every event type (wide tolerance at toy SF), and the
+    cal/test split must partition each type's events."""
+    from flinkproj_spark.operators.analytic import conformal_coverage_report
+    from flinkproj_spark.sources.tables import load_table
+
+    rows = conformal_coverage_report(spark, sf_dir).collect()
+    assert len(rows) == 5
+    per_type = {
+        r.event_type: r["count"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    for r in rows:
+        assert r.n_cal + r.n_test == per_type[r.event_type]
+        assert r.q90_c is not None
+        assert 700_000 <= r.coverage_ppm <= 1_000_000
+        assert r.n_covered <= r.n_test
+
+
+def test_dp_sensitivity_bounds(spark, sf_dir):
+    """Per-nation sensitivity: the max contribution is <= the nation
+    total, sens_ppm is its exact ppm share, and a single-contributor
+    nation (if any) would show ppm 1e6 — all rows in (0, 1e6]."""
+    from flinkproj_spark.operators.analytic import dp_sensitivity_report
+
+    rows = dp_sensitivity_report(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.max_contrib_c <= r.rev_c
+        assert r.sens_ppm == r.max_contrib_c * 1_000_000 // r.rev_c
+        assert 0 < r.sens_ppm <= 1_000_000
+        assert r.n_contributors >= 1
