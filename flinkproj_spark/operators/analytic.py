@@ -4575,3 +4575,137 @@ ORACLE["conformal_coverage_report"] = f"""
     WHERE NOT b.is_cal
     GROUP BY b.event_type
 """
+
+
+#: Clamp-grid width for dp_clamped_release: per-customer revenue is
+#: quantized to 2^20-cent ($10.5k) buckets before the nearest-rank
+#: scan, so the cumulative window runs over a domain-bounded histogram
+#: (per-customer revenue is order-history-bounded, not corpus-sized) —
+#: the same value-grid class as gini_revenue_lorenz's 2^24 frame.
+DP_CLAMP_GRID = 1 << 20
+
+#: Clamp percentile: contributions above the grid-aligned p99 ceiling
+#: are clipped.
+DP_CLAMP_PCT = 99
+
+
+def dp_clamped_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair step on top of dp_sensitivity_report: per-customer
+    revenue contributions are CLAMPED at the grid-aligned p99 ceiling
+    (the smallest 2^20-cent bucket boundary covering 99% of
+    customers), and the per-nation release is recomputed from the
+    clamped values — with the clipped mass (ppm) and clipped-customer
+    count that quantify what the clamp cost. Contribution clamping is
+    THE standard precondition for a DP sum release: it caps Δf at the
+    threshold instead of the worst whale, so the audit → clamp pair
+    mirrors the k-anonymity audit → repair ladder.
+
+    Not in the reference (SURVEY.md §2.9); privacy-governance
+    extension completing the dp_sensitivity family.
+
+    Exactness: the threshold is DETERMINISTIC — nearest-rank on the
+    quantized revenue histogram, reported as threshold_c on every row
+    — and all clipped/clamped arithmetic is BIGINT cents with the ppm
+    through DECIMAL(38,0).
+
+    Shape: one groupBy(custkey) collapse, a domain-bounded histogram
+    (≤ max_rev/2^20 rows) whose cumulative window never sees customer
+    rows, the 1-row threshold broadcast back, in-row clamping, then
+    the customer join and ~25-row nation aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nat"),
+    )
+    per_cust = (
+        orders.select("o_custkey", _cents("o_totalprice").alias("rev_c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    hist = per_cust.groupBy(
+        F.expr(f"rev_c div {DP_CLAMP_GRID}").alias("b")
+    ).agg(F.count("*").alias("n"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    thr = (
+        hist.select(
+            "b",
+            F.sum("n").over(w_cum).alias("cum_n"),
+            F.sum("n").over(w_tot).alias("total"),
+        )
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_n") * 100 >= F.lit(DP_CLAMP_PCT) * F.col("total"),
+                    (F.col("b") + 1) * DP_CLAMP_GRID,
+                )
+            ).alias("threshold_c")
+        )
+    )
+    clamped = per_cust.crossJoin(F.broadcast(thr)).select(
+        "o_custkey",
+        "rev_c",
+        "threshold_c",
+        F.least(F.col("rev_c"), F.col("threshold_c")).alias("clamped_c"),
+    )
+    return (
+        clamped.join(cust, "o_custkey")
+        .groupBy("nat")
+        .agg(
+            F.max("threshold_c").alias("threshold_c"),
+            F.sum("rev_c").alias("rev_c"),
+            F.sum("clamped_c").alias("clamped_rev_c"),
+            F.sum((F.col("rev_c") > F.col("threshold_c")).cast("long")).alias(
+                "n_clipped"
+            ),
+        )
+        .select(
+            F.col("nat").cast("int").alias("nat"),
+            "threshold_c",
+            F.col("rev_c").cast("long").alias("rev_c"),
+            F.col("clamped_rev_c").cast("long").alias("clamped_rev_c"),
+            "n_clipped",
+            F.expr(
+                "CAST(CAST(rev_c - clamped_rev_c AS DECIMAL(38,0)) * 1000000"
+                " div CAST(rev_c AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("clipped_ppm"),
+        )
+    )
+
+
+QUERIES["dp_clamped_release"] = dp_clamped_release
+ORACLE["dp_clamped_release"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1),
+    hist AS (
+      SELECT rev_c // {DP_CLAMP_GRID} AS b, COUNT(*) AS n
+      FROM per_cust GROUP BY 1),
+    cum AS (
+      SELECT b,
+             SUM(n) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+             SUM(n) OVER () AS total
+      FROM hist),
+    thr AS (
+      SELECT MIN(CASE WHEN cum_n * 100 >= {DP_CLAMP_PCT} * total
+                      THEN (b + 1) * {DP_CLAMP_GRID} END) AS threshold_c
+      FROM cum),
+    clamped AS (
+      SELECT p.o_custkey, p.rev_c, t.threshold_c,
+             least(p.rev_c, t.threshold_c) AS clamped_c
+      FROM per_cust p CROSS JOIN thr t)
+    SELECT CAST(c.c_nationkey AS INT) AS nat,
+           CAST(MAX(cl.threshold_c) AS BIGINT) AS threshold_c,
+           CAST(SUM(cl.rev_c) AS BIGINT) AS rev_c,
+           CAST(SUM(cl.clamped_c) AS BIGINT) AS clamped_rev_c,
+           CAST(SUM(CASE WHEN cl.rev_c > cl.threshold_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(CAST(SUM(cl.rev_c) - SUM(cl.clamped_c) AS HUGEINT) * 1000000
+                // SUM(cl.rev_c) AS BIGINT) AS clipped_ppm
+    FROM clamped cl JOIN customer c ON c.c_custkey = cl.o_custkey
+    GROUP BY c.c_nationkey
+"""

@@ -1182,3 +1182,113 @@ def _data_card_oracle() -> str:
 
 
 ORACLE["data_card_report"] = _data_card_oracle()
+
+
+def minhash_containment_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment estimated from MinHash signatures + exact set
+    sizes, for every LSH candidate pair: Ĵ = n_match/N rewrites via
+    the inclusion-exclusion identity |A∩B| = J(|A|+|B|)/(1+J) into
+    Ĉ = n_match·(|A|+|B|) / ((N+n_match)·min(|A|,|B|)) — all INTEGER
+    (set sizes are exact per-doc distinct-shingle counts; only J is
+    estimated). The sketch-side screen for the near-superset pairs
+    dedup_containment verifies exactly: signatures + two longs per doc
+    travel, never shingle sets.
+
+    Not in the reference (SURVEY.md §2.9); estimate-vs-exact audit
+    twin in the minhash_jaccard_estimate family.
+
+    Shape: identical to minhash_jaccard_estimate — the signature
+    groupBy additionally folds count(distinct x) (same shuffle, one
+    more aggregate), the persisted signature frame feeds banding and
+    both join sides, and the estimate is an in-row integer formula
+    (capped at 100: a noisy Ĵ can push the identity past certainty).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from flinkproj_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = fx.tokenize_ws()
+    base = F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long")
+    sig = (
+        docs.filter(F.size(words) >= 3)
+        .select("doc_id", F.explode(_shingles(words)).alias("sh"))
+        .select("doc_id", base.alias("x"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)
+                ).alias(f"s{i}")
+                for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+            ],
+            F.countDistinct("x").alias("sz"),
+        )
+        # marker keeps this cached plan from hijacking the shared
+        # signature subtree of other minhash keys (CacheManager
+        # substitutes logically-equal subtrees — see
+        # minhash_jaccard_estimate's cache contract).
+        .withColumn("_mce", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    pairs = lsh_candidate_pairs(sig)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matched = pairs.join(a.hint("merge"), "doc_a").join(b.hint("merge"), "doc_b")
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_HASHES)
+    )
+    return matched.select(
+        "doc_a",
+        "doc_b",
+        n_match.cast("long").alias("n_match"),
+        F.col("sz_a").cast("long").alias("sz_a"),
+        F.col("sz_b").cast("long").alias("sz_b"),
+    ).selectExpr(
+        "doc_a",
+        "doc_b",
+        "n_match",
+        "sz_a",
+        "sz_b",
+        f"least((n_match * (sz_a + sz_b) * 100)"
+        f" div (({N_HASHES} + n_match) * least(sz_a, sz_b)), 100)"
+        " AS est_containment_pct",
+    )
+
+
+QUERIES["minhash_containment_estimate"] = minhash_containment_estimate
+ORACLE["minhash_containment_estimate"] = f"""
+    WITH x2 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest({_SHINGLES_SQL})), 1, 8))::BIGINT AS x
+      FROM documents WHERE len({_WORDS_SQL}) >= 3),
+    sig2 AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(({a} * x + {b}) % {MINHASH_P}) AS s{i}" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))},
+             COUNT(DISTINCT x) AS sz
+      FROM x2 GROUP BY doc_id),
+    pairs AS ({_MINHASH_PAIRS_SQL}),
+    m AS (
+      SELECT p.doc_a, p.doc_b,
+             ({" + ".join(f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))}) AS n_match,
+             a.sz AS sz_a, b.sz AS sz_b
+      FROM pairs p
+      JOIN sig2 a ON p.doc_a = a.doc_id
+      JOIN sig2 b ON p.doc_b = b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(n_match AS BIGINT) AS n_match,
+           CAST(sz_a AS BIGINT) AS sz_a,
+           CAST(sz_b AS BIGINT) AS sz_b,
+           CAST(least(n_match * (sz_a + sz_b) * 100
+                      // (({N_HASHES} + n_match) * least(sz_a, sz_b)), 100)
+                AS BIGINT) AS est_containment_pct
+    FROM m
+"""

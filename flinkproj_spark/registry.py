@@ -43,6 +43,7 @@ _EXTENSION_MODULES = (
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
     "data_card_report",  # never checked
+    "minhash_containment_estimate",  # never checked
     "dedup_graph_kcore",  # never checked
     "dedup_containment",  # never checked
     "graph_degree_assortativity",  # never checked
@@ -52,6 +53,7 @@ _PRIORITY_KEYS = (
     "dp_sensitivity_report",  # never checked
     "srm_check",  # never checked
     "conformal_coverage_report",  # never checked
+    "dp_clamped_release",  # never checked
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
     "tpch_q1",  # last green r4
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "distinct_counts",  # last green r5
     "salted_skew_join",  # last green r5
     "dedup_exact",  # last green r5
-    "dedup_keyed_latest",  # last green r5
-    "dedup_cluster",  # last green r5
 )
 
 

@@ -185,3 +185,44 @@ def stream_file_inventory(events: DataFrame) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes"),
     )
+
+
+def build_conformal_thresholds(spark: SparkSession, sf_dir: str) -> dict:
+    """Freeze the batch conformal calibration
+    (operators/analytic.py::conformal_coverage_report's threshold
+    stage) into a deploy-time model: {event_type: q90_c}. Bounded
+    driver sync — one row per event type, never event rows."""
+    from flinkproj_spark.operators.analytic import conformal_coverage_report
+
+    rows = conformal_coverage_report(spark, sf_dir).collect()
+    return {r.event_type: int(r.q90_c) for r in rows}
+
+
+def stream_conformal_gate(new_events: DataFrame, thresholds: dict) -> DataFrame:
+    """Streaming twin of conformal_coverage_report's DEPLOYED side:
+    every incoming event is tagged against the FROZEN per-type
+    calibration q90 at ingest — `exceeds_q90 = 1` is the conformal
+    outlier verdict (at a healthy calibration ~10% of events fire).
+    Entirely stateless: the threshold table compiles into a chained
+    CASE literal, the cents quantization and comparison run in-row,
+    arithmetically identical to the batch operator per event. The
+    frozen-model semantics (same as stream_dsir_gate): a drifting
+    live quantile would make the verdict non-deterministic and hide
+    exactly the drift the downstream coverage monitor exists to see.
+    Input stream needs (event_id, ts, event_type, value)."""
+    thr = F.lit(None).cast("long")
+    for etype, q in sorted(thresholds.items()):
+        thr = F.when(F.col("event_type") == etype, F.lit(q)).otherwise(thr)
+    v_c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return new_events.select(
+        "event_id",
+        "ts",
+        "event_type",
+        v_c.alias("v_c"),
+        thr.alias("q90_c"),
+    ).withColumn(
+        "exceeds_q90",
+        F.when(F.col("q90_c").isNull(), F.lit(None).cast("int")).otherwise(
+            (F.col("v_c") > F.col("q90_c")).cast("int")
+        ),
+    )

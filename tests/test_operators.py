@@ -3754,3 +3754,75 @@ def test_dp_sensitivity_bounds(spark, sf_dir):
         assert r.sens_ppm == r.max_contrib_c * 1_000_000 // r.rev_c
         assert 0 < r.sens_ppm <= 1_000_000
         assert r.n_contributors >= 1
+
+
+def test_dp_clamp_threshold_and_mass(spark, sf_dir):
+    """The clamp threshold must be the grid-aligned nearest-rank p99
+    of per-customer revenue (recomputed in pure Python), the clamp
+    must actually clip someone (live), and per-nation clamped sums
+    must equal clamping applied row-wise."""
+    from flinkproj_spark.operators.analytic import (
+        DP_CLAMP_GRID,
+        DP_CLAMP_PCT,
+        dp_clamped_release,
+    )
+    from flinkproj_spark.operators.relational import _cents
+    from flinkproj_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", _cents("o_totalprice").alias("rev_c"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c").alias("rev_c"))
+        .collect()
+    )
+    revs = sorted(r.rev_c for r in per_cust)
+    n = len(revs)
+    from collections import Counter
+
+    hist = Counter(v // DP_CLAMP_GRID for v in revs)
+    cum = 0
+    want_thr = None
+    for b in sorted(hist):
+        cum += hist[b]
+        if cum * 100 >= DP_CLAMP_PCT * n:
+            want_thr = (b + 1) * DP_CLAMP_GRID
+            break
+    rows = dp_clamped_release(spark, sf_dir).collect()
+    assert rows and all(r.threshold_c == want_thr for r in rows)
+    assert sum(r.n_clipped for r in rows) == sum(1 for v in revs if v > want_thr)
+    assert sum(r.n_clipped for r in rows) >= 1  # the clamp is live
+    assert sum(r.rev_c - r.clamped_rev_c for r in rows) == sum(
+        v - want_thr for v in revs if v > want_thr
+    )
+    for r in rows:
+        assert 0 < r.clamped_rev_c <= r.rev_c
+        assert r.clipped_ppm == (r.rev_c - r.clamped_rev_c) * 1_000_000 // r.rev_c
+
+
+def test_containment_estimate_dominates_jaccard_estimate(spark, sf_dir):
+    """Ĉ from the inclusion-exclusion identity must dominate Ĵ for
+    every candidate pair (containment >= jaccard carries through the
+    integer formula for m <= N_HASHES), match the formula recomputed
+    in Python, and stay in [0, 100]."""
+    from flinkproj_spark.operators.curation import minhash_containment_estimate
+    from flinkproj_spark.operators.dedup import N_HASHES
+
+    rows = minhash_containment_estimate(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    assert rows
+    for r in rows:
+        want = min(
+            r.n_match
+            * (r.sz_a + r.sz_b)
+            * 100
+            // ((N_HASHES + r.n_match) * min(r.sz_a, r.sz_b)),
+            100,
+        )
+        assert r.est_containment_pct == want
+        assert 0 <= r.est_containment_pct <= 100
+        assert r.est_containment_pct >= r.n_match * 100 // N_HASHES
+        assert r.sz_a >= 1 and r.sz_b >= 1
+    assert any(r.est_containment_pct > 0 for r in rows)

@@ -1323,3 +1323,66 @@ class TestStreamFileInventory:
             for r in compaction_plan(spark, sf_dir).collect()
         }
         assert got_plan == want_plan
+
+
+class TestStreamConformalGate:
+    def test_gate_matches_batch_coverage(self, spark, sf_dir, tmp_path):
+        """The frozen-threshold streaming gate must agree with the
+        batch conformal report: on the test half, per-type non-flagged
+        counts equal n_covered; every verdict equals the direct
+        comparison; the flag is live in both directions."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.analytic import (
+            CONF_SALT,
+            conformal_coverage_report,
+        )
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import (
+            build_conformal_thresholds,
+            stream_conformal_gate,
+        )
+
+        thresholds = build_conformal_thresholds(spark, sf_dir)
+        assert set(thresholds) == {"click", "signup", "purchase", "error", "view"}
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        ).write.parquet(src)
+        schema = "event_id long, ts timestamp, event_type string, value double"
+        _run(
+            stream_conformal_gate(
+                spark.readStream.schema(schema).parquet(src), thresholds
+            ),
+            out,
+            ckpt,
+        )
+        gated = spark.read.parquet(out)
+        rows = gated.collect()
+        assert all(r.exceeds_q90 == (1 if r.v_c > r.q90_c else 0) for r in rows)
+        assert any(r.exceeds_q90 == 1 for r in rows)
+        assert any(r.exceeds_q90 == 0 for r in rows)
+        # test-half agreement with the batch report
+        is_test = (
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(CONF_SALT))),
+                1,
+                1,
+            )
+            >= "8"
+        )
+        got = {
+            r.event_type: (r.n, r.n_ok)
+            for r in gated.filter(is_test)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(1 - F.col("exceeds_q90")).alias("n_ok"),
+            )
+            .collect()
+        }
+        want = {
+            r.event_type: (r.n_test, r.n_covered)
+            for r in conformal_coverage_report(spark, sf_dir).collect()
+        }
+        assert got == want

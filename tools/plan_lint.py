@@ -74,6 +74,7 @@ WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
     "zipf_fit_report": {"GLOBAL_WIN": ("value-grid", "length(bin(c)) magnitude buckets — ≤64-row offset frame (two-pass rank)")},
     "rfm_segmentation": {"GLOBAL_WIN": ("value-grid", "16-day/4-order/2^24-cent bucket offset frames (two-pass ranks)")},
     "gini_revenue_lorenz": {"GLOBAL_WIN": ("value-grid", "2^24-cent bucket offset frame (two-pass rank) + 10-row decile grid")},
+    "dp_clamped_release": {"GLOBAL_WIN": ("value-grid", "2^20-cent per-customer revenue histogram (order-history-bounded), never customer rows")},
     "cusum_changepoint": {"GLOBAL_WIN": ("calendar", "date-grid cumulative frame (~2.4k distinct days, never order rows)")},
     "runs_test_daily": {"GLOBAL_WIN": ("calendar", "date-grid lag frame (~2.4k distinct days, never order rows)")},
     "hhi_by_nation": {"GLOBAL_WIN": ("fixed-dim", "nation-dimension rank frame (~25 rows, never order rows)")},
