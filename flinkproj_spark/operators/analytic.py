@@ -4709,3 +4709,87 @@ ORACLE["dp_clamped_release"] = f"""
     FROM clamped cl JOIN customer c ON c.c_custkey = cl.o_custkey
     GROUP BY c.c_nationkey
 """
+
+
+def interevent_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-event burstiness: within each (user, event_type)
+    stream the whole-second gaps between consecutive events, reduced
+    to exact moments and the Fano factor (variance-to-mean ratio,
+    ×1e6) — Fano ≈ mean (for exponential gaps, fano_e6 ≈ mean_gap_s ×
+    1e6 / 2... strictly: var=mean² → fano=mean) says Poisson arrivals,
+    far above says bursts (retry storms for `error`, bot loops for
+    `click`), far below says a metronome (scheduled jobs pretending to
+    be users). The traffic-shape screen upstream of anomaly_rolling_z.
+
+    Not in the reference (SURVEY.md §2.9); temporal-statistics
+    extension in the moment_stats family.
+
+    Exactness: gaps are unix_micros diffs floored to whole seconds
+    (micros-exact on both engines — the relational.py asof idiom);
+    Fano = (n·Σg² − (Σg)²)/(n·Σg) cross-multiplied in DECIMAL(38,0)
+    (Σg² is corpus × domain²-sized — wraps BIGINT long before the
+    output does).
+
+    Shape: one window partitioned by (user_id, event_type) — a
+    corpus-sized frame but partitioned on a key whose cardinality
+    scales with the data, never single-task — then one
+    map-side-combined 5-row groupBy(event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.expr(
+        "(unix_micros(ts) - unix_micros(lag_ts)) div 1000000"
+    )
+    gaps = (
+        ev.select(
+            "event_type", "ts", "event_id", F.lag("ts").over(w).alias("lag_ts")
+        )
+        .filter(F.col("lag_ts").isNotNull())
+        .select("event_type", gap.alias("g"))
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("g").alias("sum_gap_s"),
+            F.sum(F.col("g").cast("decimal(38,0)") * F.col("g")).alias("_ss"),
+            F.min("g").alias("min_gap_s"),
+            F.max("g").alias("max_gap_s"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.col("sum_gap_s").cast("long").alias("sum_gap_s"),
+            F.col("_ss").cast("long").alias("sum_gap2"),
+            "min_gap_s",
+            "max_gap_s",
+            F.expr("sum_gap_s div n_gaps").alias("mean_gap_s"),
+            F.expr(
+                "CAST((CAST(n_gaps AS DECIMAL(38,0)) * _ss"
+                " - CAST(sum_gap_s AS DECIMAL(38,0)) * sum_gap_s) * 1000000"
+                " div (CAST(n_gaps AS DECIMAL(38,0)) * sum_gap_s) AS BIGINT)"
+            ).alias("fano_e6"),
+        )
+    )
+
+
+QUERIES["interevent_gap_profile"] = interevent_gap_profile
+ORACLE["interevent_gap_profile"] = """
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id)) // 1000000 AS g
+      FROM events),
+    gaps AS (SELECT event_type, g FROM g WHERE g IS NOT NULL)
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           CAST(SUM(g) AS BIGINT) AS sum_gap_s,
+           CAST(SUM(CAST(g AS HUGEINT) * g) AS BIGINT) AS sum_gap2,
+           CAST(MIN(g) AS BIGINT) AS min_gap_s,
+           CAST(MAX(g) AS BIGINT) AS max_gap_s,
+           CAST(SUM(g) // COUNT(*) AS BIGINT) AS mean_gap_s,
+           CAST((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(g AS HUGEINT) * g)
+                 - CAST(SUM(g) AS HUGEINT) * SUM(g)) * 1000000
+                // (CAST(COUNT(*) AS HUGEINT) * SUM(g)) AS BIGINT) AS fano_e6
+    FROM gaps GROUP BY event_type
+"""

@@ -1983,6 +1983,24 @@ HLL_ALPHA_PPM = 673_000
 HLL_BITS = 52
 
 
+def hll_register_rows(docs: DataFrame) -> DataFrame:
+    """(b, m) register-update rows for the HLL sketch: md5(text) →
+    4-bit register index + 52-bit rank field with the x=0 rank capped
+    at HLL_BITS (the round-9 negative-shift guard). Shared by the
+    batch audit and the streaming register build
+    (streaming/monitor.py::stream_hll_registers) so the two can never
+    disagree on the hash-to-register mapping."""
+    fp = docs.select(F.md5("text").alias("h"))
+    fields = fp.select(
+        F.conv(F.substring("h", 1, 1), 16, 10).cast("long").alias("b"),
+        F.conv(F.substring("h", 2, 13), 16, 10).cast("long").alias("x"),
+    )
+    rank = F.when(F.col("x") == 0, F.lit(HLL_BITS)).otherwise(
+        F.lit(HLL_BITS + 1) - F.length(F.bin("x"))
+    )
+    return fields.select("b", rank.alias("m"))
+
+
 def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-text estimate audited against the exact
     count: md5(text) splits into a 4-bit register index and a 52-bit
@@ -2004,22 +2022,13 @@ def hll_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup; the exact count is the one distinct shuffle, present only
     because this key IS the audit of sketch vs truth."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(F.md5("text").alias("h"))
-    fields = fp.select(
-        F.conv(F.substring("h", 1, 1), 16, 10).cast("long").alias("b"),
-        F.conv(F.substring("h", 2, 13), 16, 10).cast("long").alias("x"),
-    )
-    # x = 0 is capped at HLL_BITS, not BITS+1: rank 53 would make the
-    # register term shiftleft(1, 52 - mx) a NEGATIVE shift — DuckDB
-    # errors, Spark masks mod 64 and corrupts the sum. Probability
-    # 2^-52 per row, but it is the only input that breaks the
-    # estimator, and the cap changes nothing else (round-9 advice fix).
-    rank = F.when(F.col("x") == 0, F.lit(HLL_BITS)).otherwise(
-        F.lit(HLL_BITS + 1) - F.length(F.bin("x"))
-    )
-    regs = fields.select("b", rank.alias("m")).groupBy("b").agg(
-        F.max("m").alias("mx")
-    )
+    # x = 0 is capped at HLL_BITS, not BITS+1 (inside
+    # hll_register_rows): rank 53 would make the register term
+    # shiftleft(1, 52 - mx) a NEGATIVE shift — DuckDB errors, Spark
+    # masks mod 64 and corrupts the sum. Probability 2^-52 per row,
+    # but it is the only input that breaks the estimator, and the cap
+    # changes nothing else (round-9 advice fix).
+    regs = hll_register_rows(docs).groupBy("b").agg(F.max("m").alias("mx"))
     grid = spark.range(HLL_M).select(F.col("id").alias("b"))
     dense = grid.join(regs, "b", "left").select(
         F.coalesce("mx", F.lit(0)).alias("mx")

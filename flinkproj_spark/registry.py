@@ -54,6 +54,7 @@ _PRIORITY_KEYS = (
     "srm_check",  # never checked
     "conformal_coverage_report",  # never checked
     "dp_clamped_release",  # never checked
+    "interevent_gap_profile",  # never checked
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
     "tpch_q1",  # last green r4
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "event_cooccurrence_lift",  # last green r4
     "distinct_counts",  # last green r5
     "salted_skew_join",  # last green r5
-    "dedup_exact",  # last green r5
 )
 
 

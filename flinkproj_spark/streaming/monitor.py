@@ -226,3 +226,20 @@ def stream_conformal_gate(new_events: DataFrame, thresholds: dict) -> DataFrame:
             (F.col("v_c") > F.col("q90_c")).cast("int")
         ),
     )
+
+
+def stream_hll_registers(docs: DataFrame) -> DataFrame:
+    """Streaming HLL register build — the ingest-time twin of
+    operators/dedup.py::hll_distinct_report's sketch stage. The
+    hash-to-register mapping is the SHARED hll_register_rows
+    expression; the streaming aggregation keeps ONE max per register —
+    16 keys forever, no watermark (the geometry-sized-state argument
+    of stream_cms_sketch/stream_quantile_sketch, here at its
+    smallest). Register max is idempotent AND commutative, so
+    micro-batch merging is exact regardless of arrival order, and the
+    streamed registers equal the batch build over the same documents
+    (pinned in tests/test_streaming_ext.py, estimate included). Run
+    in complete/update mode; input stream needs (text)."""
+    from flinkproj_spark.operators.dedup import hll_register_rows
+
+    return hll_register_rows(docs).groupBy("b").agg(F.max("m").alias("mx"))

@@ -3826,3 +3826,51 @@ def test_containment_estimate_dominates_jaccard_estimate(spark, sf_dir):
         assert r.est_containment_pct >= r.n_match * 100 // N_HASHES
         assert r.sz_a >= 1 and r.sz_b >= 1
     assert any(r.est_containment_pct > 0 for r in rows)
+
+
+def test_interevent_gap_profile_moments(spark, sf_dir):
+    """Gap moments per event type must match a pure-Python recompute
+    from the raw events, and Fano must be live (neither zero nor
+    degenerate) for every type."""
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.analytic import interevent_gap_profile
+    from flinkproj_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[(r.user_id, r.event_type)].append((r.us, r.event_id))
+    moments = defaultdict(lambda: [0, 0, 0, None, None])  # n, s, ss, mn, mx
+    for k, rows in seqs.items():
+        rows.sort()
+        for (a, _), (b, _) in zip(rows, rows[1:]):
+            g = (b - a) // 1_000_000
+            m = moments[k[1]]
+            m[0] += 1
+            m[1] += g
+            m[2] += g * g
+            m[3] = g if m[3] is None else min(m[3], g)
+            m[4] = g if m[4] is None else max(m[4], g)
+    got = {r.event_type: r for r in interevent_gap_profile(spark, sf_dir).collect()}
+    assert set(got) == set(moments)
+    for t, (n, s, ss, mn, mx) in moments.items():
+        r = got[t]
+        assert (r.n_gaps, r.sum_gap_s, r.sum_gap2, r.min_gap_s, r.max_gap_s) == (
+            n,
+            s,
+            ss,
+            mn,
+            mx,
+        )
+        assert r.mean_gap_s == s // n
+        assert r.fano_e6 == (n * ss - s * s) * 1_000_000 // (n * s)
+        assert r.fano_e6 > 0

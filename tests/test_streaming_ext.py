@@ -1386,3 +1386,57 @@ class TestStreamConformalGate:
             for r in conformal_coverage_report(spark, sf_dir).collect()
         }
         assert got == want
+
+
+class TestStreamHllRegisters:
+    def test_registers_and_estimate_converge_to_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Streamed HLL registers must equal the batch build over the
+        same documents (register max is idempotent + commutative), and
+        the integer raw estimator computed from the streamed registers
+        must equal the batch audit's hll_est exactly."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.dedup import (
+            HLL_ALPHA_PPM,
+            HLL_BITS,
+            HLL_M,
+            hll_distinct_report,
+            hll_register_rows,
+        )
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_hll_registers
+
+        src = str(tmp_path / "src")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        # two files -> at least two micro-batches merge register maxima
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_hll_registers(
+                spark.readStream.schema("doc_id long, text string").parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("hll_regs")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {r.b: r.mx for r in spark.sql("select * from hll_regs").collect()}
+        want = {
+            r.b: r.mx
+            for r in hll_register_rows(docs)
+            .groupBy("b")
+            .agg(F.max("m").alias("mx"))
+            .collect()
+        }
+        assert got == want and len(got) >= 2
+        # integer raw estimator from the streamed registers
+        s = sum(1 << (HLL_BITS - got.get(b, 0)) for b in range(HLL_M))
+        est = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_BITS) // (1_000_000 * s)
+        batch = hll_distinct_report(spark, sf_dir).collect()[0]
+        assert est == batch.hll_est
