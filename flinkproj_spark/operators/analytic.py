@@ -4793,3 +4793,118 @@ ORACLE["interevent_gap_profile"] = """
                 // (CAST(COUNT(*) AS HUGEINT) * SUM(g)) AS BIGINT) AS fano_e6
     FROM gaps GROUP BY event_type
 """
+
+
+#: zonemap_effectiveness parameters: probe workload size (smallest-k
+#: distinct users — literal-k bounded) and the Morton dimension width
+#: (8 bits per dim: uid & 255 interleaved with hour & 255, so the
+#: curve partitions the live uid domain — the audit's point is the
+#: CONTRAST between layouts, not a production curve; the production
+#: 16-bit curve is zorder_layout/write_zorder_layout).
+ZM_PROBES = 20
+ZM_BITS = 8
+
+
+def zonemap_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit: for the SAME point-lookup workload (the
+    ZM_PROBES smallest user ids), what fraction of file-level zone
+    maps (min/max user_id per file bin) must be scanned under (a) the
+    natural time-partitioned layout — one bin per day — versus (b) a
+    Morton-curve layout interleaving user and hour bits. Each bin's
+    (min_uid, max_uid) IS the parquet footer statistic a lake scan
+    planner consults; `scan_ppm` is the fraction of bins the probe
+    cannot prune. Probed live before wiring: at sf0.01 the time
+    layout scans 985000 ppm (every day-file spans every user) while
+    the z-order layout scans ~100000 ppm — the 10× skip that
+    justifies write_zorder_layout, here measured instead of asserted.
+
+    Not in the reference (SURVEY.md §2.9); lake-layout extension in
+    the zorder_layout/compaction_plan family.
+
+    Shape: two bounded bin frames (≤ calendar days and ≤ 2^ZM_BITS
+    curve buckets) built by map-side-combined groupBys, a literal-k
+    probe frame (TakeOrderedAndProject), and broadcast range joins of
+    probes × bins — nothing corpus-sized moves after the scans."""
+    from flinkproj_spark import functions as fx
+
+    events = load_table(spark, sf_dir, "events")
+    minute = (F.unix_timestamp("ts") / 60).cast("long")
+    base = events.select(F.col("user_id").alias("uid"), minute.alias("minute"))
+    bins_t = base.groupBy(F.expr("minute div 1440").alias("b")).agg(
+        F.min("uid").alias("mn"), F.max("uid").alias("mx")
+    )
+    zc = fx.morton2(F.col("uid"), F.expr("minute div 60"), ZM_BITS)
+    bins_z = (
+        base.select(zc.alias("zc"), "uid")
+        .groupBy(F.shiftright("zc", ZM_BITS).alias("b"))
+        .agg(F.min("uid").alias("mn"), F.max("uid").alias("mx"))
+    )
+    probes = base.select("uid").distinct().orderBy("uid").limit(ZM_PROBES)
+
+    def _row(label: str, bins: DataFrame) -> DataFrame:
+        nb = bins.agg(F.count("*").alias("n_bins"))
+        npr = probes.agg(F.count("*").alias("n_probes"))
+        sc = probes.join(
+            F.broadcast(bins),
+            (F.col("uid") >= F.col("mn")) & (F.col("uid") <= F.col("mx")),
+        ).agg(F.count("*").alias("n_scanned"))
+        return (
+            sc.crossJoin(F.broadcast(nb))
+            .crossJoin(F.broadcast(npr))
+            .select(
+                F.lit(label).alias("layout"),
+                "n_bins",
+                "n_probes",
+                "n_scanned",
+                F.expr(
+                    "CAST(CAST(n_scanned AS DECIMAL(38,0)) * 1000000"
+                    " div (n_bins * n_probes) AS BIGINT)"
+                ).alias("scan_ppm"),
+            )
+        )
+
+    return _row("time", bins_t).unionAll(_row("zorder", bins_z))
+
+
+QUERIES["zonemap_effectiveness"] = zonemap_effectiveness
+_ZM_INTERLEAVE_SQL = " | ".join(
+    f"(((u >> {i}) & 1) << {2 * i}) | (((m >> {i}) & 1) << {2 * i + 1})"
+    for i in range(ZM_BITS)
+)
+ORACLE["zonemap_effectiveness"] = f"""
+    WITH sec AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events),
+    base AS (SELECT user_id AS uid, s // 60 AS minute FROM sec),
+    bins_t AS (
+      SELECT minute // 1440 AS b, MIN(uid) AS mn, MAX(uid) AS mx
+      FROM base GROUP BY 1),
+    coded AS (
+      SELECT ({_ZM_INTERLEAVE_SQL}) AS zc, uid
+      FROM (SELECT uid & {(1 << ZM_BITS) - 1} AS u,
+                   (minute // 60) & {(1 << ZM_BITS) - 1} AS m, uid
+            FROM base)),
+    bins_z AS (
+      SELECT zc >> {ZM_BITS} AS b, MIN(uid) AS mn, MAX(uid) AS mx
+      FROM coded GROUP BY 1),
+    probes AS (
+      SELECT DISTINCT uid FROM base ORDER BY uid LIMIT {ZM_PROBES}),
+    t AS (
+      SELECT 'time' AS layout,
+             (SELECT COUNT(*) FROM bins_t) AS n_bins,
+             (SELECT COUNT(*) FROM probes) AS n_probes,
+             (SELECT COUNT(*) FROM probes p
+              JOIN bins_t ON p.uid BETWEEN bins_t.mn AND bins_t.mx)
+               AS n_scanned),
+    z AS (
+      SELECT 'zorder' AS layout,
+             (SELECT COUNT(*) FROM bins_z) AS n_bins,
+             (SELECT COUNT(*) FROM probes) AS n_probes,
+             (SELECT COUNT(*) FROM probes p
+              JOIN bins_z ON p.uid BETWEEN bins_z.mn AND bins_z.mx)
+               AS n_scanned),
+    u AS (SELECT * FROM t UNION ALL SELECT * FROM z)
+    SELECT layout, n_bins, n_probes, CAST(n_scanned AS BIGINT) AS n_scanned,
+           CAST(CAST(n_scanned AS HUGEINT) * 1000000
+                // (n_bins * n_probes) AS BIGINT) AS scan_ppm
+    FROM u
+"""

@@ -1339,3 +1339,112 @@ ORACLE["join_explosion_audit"] = "\nUNION ALL\n".join(
     """
     for label, lt, lk, rt, rk in JE_EDGES
 )
+
+
+def order_total_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation: recompute every order's total from
+    its line items (extendedprice × (1−discount) × (1+tax), integer
+    cents) and reconcile against o_totalprice, per order status —
+    order counts, headerless/itemless orders, exact matches,
+    mismatches with max and summed absolute drift, and the mismatch
+    ppm. BOTH failure directions are live on this corpus (probed
+    before wiring: at sf0.01, 14,743/15,000 orders drift from their
+    recomputed total and 257 orders have no line items at all) — the
+    reconciliation report a finance/DQ pipeline runs nightly, and the
+    complement of fk_integrity_report (that key proves every line item
+    has an order; this one proves every order's MONEY adds up).
+
+    Not in the reference (single-stream demo, no joins across facts —
+    SURVEY.md §2.9); data-quality extension in the audit family.
+
+    Exactness: all money in integer cents via the shared floor(x·100
+    +0.5) quantization; the product is quantized ONCE per line item
+    (after the double multiply, which is IEEE-identical across
+    engines for the same literal parenthesization).
+
+    Shape: lineitem collapses per order (one corpus-sized map-side-
+    combined shuffle), LEFT-joins orders on the orderkey hash (both
+    sides data-sized at 100 TB — no broadcast), and reduces to a
+    ≤3-row status rollup. ppm routes through DECIMAL(38,0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    calc = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1) - F.col("l_discount"))
+        * (F.lit(1) + F.col("l_tax"))
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(calc).alias("calc_c"), F.count("*").alias("n_items")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", _cents("o_totalprice").alias("ot_c")
+    )
+    j = orders.join(
+        per_order, orders.o_orderkey == per_order.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        "ot_c",
+        "calc_c",
+        F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        F.when(
+            F.col("calc_c").isNotNull(), F.abs(F.col("ot_c") - F.col("calc_c"))
+        ).alias("adiff"),
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("n_items") == 0).cast("long")).alias("n_itemless"),
+            F.sum((F.col("adiff") == 0).cast("long")).alias("n_exact"),
+            F.sum((F.col("adiff") > 0).cast("long")).alias("n_mismatch"),
+            F.max("adiff").alias("max_abs_diff_c"),
+            F.sum("adiff").alias("sum_abs_diff_c"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            "n_itemless",
+            "n_exact",
+            "n_mismatch",
+            F.col("max_abs_diff_c").cast("long").alias("max_abs_diff_c"),
+            F.col("sum_abs_diff_c").cast("long").alias("sum_abs_diff_c"),
+            F.expr(
+                "CAST(CAST(n_mismatch AS DECIMAL(38,0)) * 1000000"
+                " div n_orders AS BIGINT)"
+            ).alias("mismatch_ppm"),
+        )
+    )
+
+
+QUERIES["order_total_audit"] = order_total_audit
+ORACLE["order_total_audit"] = """
+    WITH per_order AS (
+      SELECT l_orderkey,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS calc_c,
+             COUNT(*) AS n_items
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderstatus,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS ot_c,
+             p.calc_c,
+             COALESCE(p.n_items, 0) AS n_items,
+             CASE WHEN p.calc_c IS NOT NULL
+                  THEN ABS(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                           - p.calc_c) END AS adiff
+      FROM orders o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN n_items = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_itemless,
+           CAST(SUM(CASE WHEN adiff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN adiff > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           CAST(MAX(adiff) AS BIGINT) AS max_abs_diff_c,
+           CAST(SUM(adiff) AS BIGINT) AS sum_abs_diff_c,
+           CAST(CAST(SUM(CASE WHEN adiff > 0 THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // COUNT(*) AS BIGINT) AS mismatch_ppm
+    FROM j GROUP BY o_orderstatus
+"""

@@ -44,6 +44,7 @@ _EXTENSION_MODULES = (
 _PRIORITY_KEYS = (
     "data_card_report",  # never checked
     "minhash_containment_estimate",  # never checked
+    "order_total_audit",  # never checked
     "dedup_graph_kcore",  # never checked
     "dedup_containment",  # never checked
     "graph_degree_assortativity",  # never checked
@@ -55,6 +56,7 @@ _PRIORITY_KEYS = (
     "conformal_coverage_report",  # never checked
     "dp_clamped_release",  # never checked
     "interevent_gap_profile",  # never checked
+    "zonemap_effectiveness",  # never checked
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
     "tpch_q1",  # last green r4
@@ -90,8 +92,6 @@ _PRIORITY_KEYS = (
     "schema_drift_report",  # last green r4
     "rolling_median",  # last green r4
     "event_cooccurrence_lift",  # last green r4
-    "distinct_counts",  # last green r5
-    "salted_skew_join",  # last green r5
 )
 
 

@@ -3874,3 +3874,73 @@ def test_interevent_gap_profile_moments(spark, sf_dir):
         assert r.mean_gap_s == s // n
         assert r.fano_e6 == (n * ss - s * s) * 1_000_000 // (n * s)
         assert r.fano_e6 > 0
+
+
+def test_order_total_audit_recompute_and_liveness(spark, sf_dir):
+    """Reconciliation counts must match a pure-Python recompute, both
+    failure directions (mismatching totals AND itemless orders) must
+    be live on the raw corpus, and the partition must be exhaustive:
+    itemless + exact + mismatch == n_orders per status."""
+    import math
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.relational import order_total_audit
+    from flinkproj_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    calc = defaultdict(int)
+    for r in li:
+        calc[r.l_orderkey] += int(
+            math.floor(
+                r.l_extendedprice * (1 - r.l_discount) * (1 + r.l_tax) * 100 + 0.5
+            )
+        )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).collect()
+    want = defaultdict(lambda: [0, 0, 0, 0])  # n, itemless, exact, mismatch
+    for o in orders:
+        w = want[o.o_orderstatus]
+        w[0] += 1
+        if o.o_orderkey not in calc:
+            w[1] += 1
+        elif calc[o.o_orderkey] == int(math.floor(o.o_totalprice * 100 + 0.5)):
+            w[2] += 1
+        else:
+            w[3] += 1
+    got = {r.o_orderstatus: r for r in order_total_audit(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for st, (n, itemless, exact, mismatch) in want.items():
+        r = got[st]
+        assert (r.n_orders, r.n_itemless, r.n_exact, r.n_mismatch) == (
+            n,
+            itemless,
+            exact,
+            mismatch,
+        )
+        assert r.n_itemless + r.n_exact + r.n_mismatch == r.n_orders
+        assert r.mismatch_ppm == r.n_mismatch * 1_000_000 // r.n_orders
+    assert sum(w[3] for w in want.values()) > 0  # drifted totals are live
+    assert sum(w[1] for w in want.values()) > 0  # itemless orders are live
+
+
+def test_zonemap_zorder_prunes_where_time_layout_cannot(spark):
+    """At sf0.01 (probed liveness SF) the z-order layout must scan a
+    far smaller fraction of its zone maps than the day-partitioned
+    layout for the same user-id probes, time bins must span ~every
+    probe, and scan_ppm must be the exact ratio of its own columns."""
+    from flinkproj_spark.operators.analytic import zonemap_effectiveness
+
+    rows = {
+        r.layout: r
+        for r in zonemap_effectiveness(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(rows) == {"time", "zorder"}
+    for r in rows.values():
+        assert r.scan_ppm == r.n_scanned * 1_000_000 // (r.n_bins * r.n_probes)
+        assert 0 < r.n_scanned <= r.n_bins * r.n_probes
+    # the contrast IS the finding: z-order skips, the time layout can't
+    assert rows["time"].scan_ppm > 900_000
+    assert rows["zorder"].scan_ppm < rows["time"].scan_ppm // 3
