@@ -4805,6 +4805,22 @@ ZM_PROBES = 20
 ZM_BITS = 8
 
 
+def zm_zorder_rows(events: DataFrame) -> DataFrame:
+    """(b, uid) zone-map update rows for the Morton layout — the
+    bin id and probe dimension zonemap_effectiveness aggregates and
+    streaming/monitor.py::stream_zonemap_monitor maintains live, as
+    ONE shared expression so the nightly audit and the ingest-time
+    monitor can never disagree on the binning."""
+    from flinkproj_spark import functions as fx
+
+    minute = (F.unix_timestamp("ts") / 60).cast("long")
+    base = events.select(F.col("user_id").alias("uid"), minute.alias("minute"))
+    zc = fx.morton2(F.col("uid"), F.expr("minute div 60"), ZM_BITS)
+    return base.select(zc.alias("zc"), "uid").select(
+        F.shiftright("zc", ZM_BITS).alias("b"), "uid"
+    )
+
+
 def zonemap_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-skipping audit: for the SAME point-lookup workload (the
     ZM_PROBES smallest user ids), what fraction of file-level zone
@@ -4825,19 +4841,14 @@ def zonemap_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve buckets) built by map-side-combined groupBys, a literal-k
     probe frame (TakeOrderedAndProject), and broadcast range joins of
     probes × bins — nothing corpus-sized moves after the scans."""
-    from flinkproj_spark import functions as fx
-
     events = load_table(spark, sf_dir, "events")
     minute = (F.unix_timestamp("ts") / 60).cast("long")
     base = events.select(F.col("user_id").alias("uid"), minute.alias("minute"))
     bins_t = base.groupBy(F.expr("minute div 1440").alias("b")).agg(
         F.min("uid").alias("mn"), F.max("uid").alias("mx")
     )
-    zc = fx.morton2(F.col("uid"), F.expr("minute div 60"), ZM_BITS)
-    bins_z = (
-        base.select(zc.alias("zc"), "uid")
-        .groupBy(F.shiftright("zc", ZM_BITS).alias("b"))
-        .agg(F.min("uid").alias("mn"), F.max("uid").alias("mx"))
+    bins_z = zm_zorder_rows(events).groupBy("b").agg(
+        F.min("uid").alias("mn"), F.max("uid").alias("mx")
     )
     probes = base.select("uid").distinct().orderBy("uid").limit(ZM_PROBES)
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from flinkproj_spark import functions as fx
 from flinkproj_spark.operators.dedup import (
+    MB_CONFIGS,
     MINHASH_A,
     MINHASH_B,
     MINHASH_P,
@@ -1292,3 +1293,77 @@ ORACLE["minhash_containment_estimate"] = f"""
                 AS BIGINT) AS est_containment_pct
     FROM m
 """
+
+
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic S-curve behind the banding choice: for every
+    (bands, rows_per_band) configuration in MB_CONFIGS and a Jaccard
+    grid j = 0.1 … 0.9, the per-band signature-match probability j^r
+    and the candidate-collision probability 1 − (1 − j^r)^b — the
+    design table that says WHERE each banding's recall cliff sits,
+    the analytic twin of minhash_banding_sensitivity's empirical
+    sweep (that key measures the corpus; this one is the closed form
+    the parameters were chosen from, so planner vs measurement drift
+    is itself a signal). Takes no corpus input by design — the grid
+    is the workload.
+
+    Not in the reference (SURVEY.md §2.9); LSH-design extension in
+    the minhash family.
+
+    Exactness: powers run as UNROLLED truncating ppm products
+    (x·j div 1e6 per step — every intermediate ≤ 1e12, BIGINT-safe at
+    any r, identical to DuckDB's HUGEINT //), so the table is
+    engine-reproducible to the last ppm.
+
+    Shape: a 27-row literal grid; no scan, no shuffle beyond the
+    3-way union of 9-row frames."""
+    parts = []
+    for b, r in MB_CONFIGS:
+        s = "j_ppm"
+        for _ in range(r - 1):
+            s = f"(({s}) * j_ppm div 1000000)"
+        q = f"(1000000 - ({s}))"
+        t = q
+        for _ in range(b - 1):
+            t = f"(({t}) * {q} div 1000000)"
+        parts.append(
+            spark.range(1, 10)
+            .select((F.col("id") * 100000).alias("j_ppm"))
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "j_ppm",
+                F.expr(f"CAST({s} AS BIGINT)").alias("band_match_ppm"),
+                F.expr(f"CAST(1000000 - ({t}) AS BIGINT)").alias(
+                    "collision_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _lsh_planner_oracle() -> str:
+    selects = []
+    for b, r in MB_CONFIGS:
+        s = "j_ppm"
+        for _ in range(r - 1):
+            s = f"(({s}) * j_ppm // 1000000)"
+        q = f"(1000000 - ({s}))"
+        t = q
+        for _ in range(b - 1):
+            t = f"(({t}) * {q} // 1000000)"
+        selects.append(
+            f"SELECT CAST({b} AS INT) AS bands,"
+            f" CAST({r} AS INT) AS rows_per_band, j_ppm,"
+            f" CAST({s} AS BIGINT) AS band_match_ppm,"
+            f" CAST(1000000 - ({t}) AS BIGINT) AS collision_ppm"
+            " FROM (SELECT range * 100000 AS j_ppm FROM range(1, 10))"
+        )
+    return " UNION ALL ".join(selects)
+
+
+QUERIES["lsh_parameter_planner"] = lsh_parameter_planner
+ORACLE["lsh_parameter_planner"] = _lsh_planner_oracle()

@@ -44,6 +44,7 @@ _EXTENSION_MODULES = (
 _PRIORITY_KEYS = (
     "data_card_report",  # never checked
     "minhash_containment_estimate",  # never checked
+    "lsh_parameter_planner",  # never checked
     "order_total_audit",  # never checked
     "dedup_graph_kcore",  # never checked
     "dedup_containment",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "incremental_rollup_merge",  # last green r4
     "schema_drift_report",  # last green r4
     "rolling_median",  # last green r4
-    "event_cooccurrence_lift",  # last green r4
 )
 
 

@@ -243,3 +243,23 @@ def stream_hll_registers(docs: DataFrame) -> DataFrame:
     from flinkproj_spark.operators.dedup import hll_register_rows
 
     return hll_register_rows(docs).groupBy("b").agg(F.max("m").alias("mx"))
+
+
+def stream_zonemap_monitor(events: DataFrame) -> DataFrame:
+    """Streaming zone-map maintenance for the Morton layout — the
+    ingest-time feed of operators/analytic.py::zonemap_effectiveness.
+    Each event folds into its curve bin's (min_uid, max_uid): min/max
+    are idempotent AND commutative, so micro-batch merging is exact
+    in any arrival order and the live zone maps equal the batch
+    audit's bins over the same events (pinned in
+    tests/test_streaming_ext.py). State is ≤ 2^ZM_BITS bins of two
+    longs forever — geometry-sized, no watermark (the
+    stream_cms_sketch argument, here for scan-planning metadata: a
+    lake that maintains footer stats AT INGEST can plan prunes
+    without waiting for the nightly stats job). Run in
+    complete/update mode; input stream needs (user_id, ts)."""
+    from flinkproj_spark.operators.analytic import zm_zorder_rows
+
+    return zm_zorder_rows(events).groupBy("b").agg(
+        F.min("uid").alias("mn"), F.max("uid").alias("mx")
+    )

@@ -1440,3 +1440,75 @@ class TestStreamHllRegisters:
         est = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << HLL_BITS) // (1_000_000 * s)
         batch = hll_distinct_report(spark, sf_dir).collect()[0]
         assert est == batch.hll_est
+
+
+class TestStreamZonemapMonitor:
+    def test_zone_maps_converge_to_batch_bins(self, spark, sf_dir, tmp_path):
+        """Streamed per-bin (min_uid, max_uid) must equal the batch
+        zone-map build over the same events — min/max merge exactly
+        across micro-batches in any order."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.analytic import zm_zorder_rows
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_zonemap_monitor
+
+        src = str(tmp_path / "src")
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts"
+        )
+        events.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+        events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_zonemap_monitor(
+                spark.readStream.schema(
+                    "event_id long, user_id long, ts timestamp"
+                ).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("zm_bins")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r.b: (r.mn, r.mx)
+            for r in spark.sql("select * from zm_bins").collect()
+        }
+        want = {
+            r.b: (r.mn, r.mx)
+            for r in zm_zorder_rows(events)
+            .groupBy("b")
+            .agg(F.min("uid").alias("mn"), F.max("uid").alias("mx"))
+            .collect()
+        }
+        assert got == want and len(got) >= 2
+
+
+def test_lsh_planner_scurve_shape(spark, sf_dir):
+    """The planner grid must reproduce hand-computed S-curve points
+    (j=0.5: 9x1 collision ~1-(0.5)^... etc), be monotone in j for
+    every config, and rank recall max-bands > production > one-band
+    at the production threshold j=0.5."""
+    from flinkproj_spark.operators.curation import lsh_parameter_planner
+
+    rows = lsh_parameter_planner(spark, sf_dir).collect()
+    assert len(rows) == 27
+    by = {(r.bands, r.rows_per_band, r.j_ppm): r for r in rows}
+    # hand-computed truncating-ppm points
+    assert by[(3, 3, 500_000)].band_match_ppm == 125_000  # 0.5^3
+    assert by[(3, 3, 500_000)].collision_ppm == 330_079  # 1-0.875^3 (trunc)
+    assert by[(1, 9, 500_000)].band_match_ppm == 1_953  # 0.5^9 (trunc)
+    assert by[(9, 1, 500_000)].band_match_ppm == 500_000
+    for b, r in [(9, 1), (3, 3), (1, 9)]:
+        seq = [by[(b, r, j * 100_000)].collision_ppm for j in range(1, 10)]
+        assert seq == sorted(seq)  # monotone in j
+    # recall ordering at the production threshold
+    assert (
+        by[(9, 1, 500_000)].collision_ppm
+        > by[(3, 3, 500_000)].collision_ppm
+        > by[(1, 9, 500_000)].collision_ppm
+    )
