@@ -4919,3 +4919,90 @@ ORACLE["zonemap_effectiveness"] = f"""
                 // (n_bins * n_probes) AS BIGINT) AS scan_ppm
     FROM u
 """
+
+
+#: activity_migration_matrix parameters: the year pair being compared
+#: and the order-count tier edges (1 order = low, 2 = mid, 3+ = high —
+#: probed live: all 15 matrix cells populated at sf0.01).
+AM_YEAR_FROM = 1996
+AM_YEAR_TO = 1997
+
+
+def activity_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer activity migration: each customer's
+    order-count tier in AM_YEAR_FROM (absent/low/mid/high) against
+    their tier in AM_YEAR_TO — the churn/acquisition/upgrade matrix a
+    retention team reads (absent→x rows are acquisition, x→absent are
+    churn, the diagonal is retention). Live in every cell on this
+    corpus because ORDERS span 1995–2001 (the events table's 30-day
+    span is why the weekly-churn report was dropped in round 8 — this
+    is that report rebuilt on the table whose history supports it).
+
+    Not in the reference (SURVEY.md §2.9); product-analytics extension
+    in the retention_cohorts/rfm family.
+
+    Shape: ONE scan with the two year filters as conditional
+    aggregates of a single groupBy(custkey) — no self-join, no pivot
+    — then tier classification in-row and a ≤16-row matrix rollup
+    with the share over a broadcast 1-row total."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date"))
+    per_cust = (
+        orders.select("o_custkey", yr.alias("yr"))
+        .filter(F.col("yr").isin(AM_YEAR_FROM, AM_YEAR_TO))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((F.col("yr") == AM_YEAR_FROM).cast("long")).alias("n_from"),
+            F.sum((F.col("yr") == AM_YEAR_TO).cast("long")).alias("n_to"),
+        )
+    )
+
+    def tier(n):
+        return (
+            F.when(n == 0, "absent")
+            .when(n <= 1, "low")
+            .when(n <= 2, "mid")
+            .otherwise("high")
+        )
+
+    mat = per_cust.select(
+        tier(F.col("n_from")).alias("tier_from"),
+        tier(F.col("n_to")).alias("tier_to"),
+    ).groupBy("tier_from", "tier_to").agg(F.count("*").alias("n_customers"))
+    tot = mat.agg(F.sum("n_customers").alias("total"))
+    return mat.crossJoin(F.broadcast(tot)).select(
+        "tier_from",
+        "tier_to",
+        "n_customers",
+        F.expr(
+            "CAST(CAST(n_customers AS DECIMAL(38,0)) * 1000000"
+            " div total AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+QUERIES["activity_migration_matrix"] = activity_migration_matrix
+ORACLE["activity_migration_matrix"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN EXTRACT(year FROM CAST(o_orderdate AS DATE))
+                      = {AM_YEAR_FROM} THEN 1 ELSE 0 END) AS n_from,
+             SUM(CASE WHEN EXTRACT(year FROM CAST(o_orderdate AS DATE))
+                      = {AM_YEAR_TO} THEN 1 ELSE 0 END) AS n_to
+      FROM orders
+      WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE))
+            IN ({AM_YEAR_FROM}, {AM_YEAR_TO})
+      GROUP BY 1),
+    mat AS (
+      SELECT CASE WHEN n_from = 0 THEN 'absent' WHEN n_from <= 1 THEN 'low'
+                  WHEN n_from <= 2 THEN 'mid' ELSE 'high' END AS tier_from,
+             CASE WHEN n_to = 0 THEN 'absent' WHEN n_to <= 1 THEN 'low'
+                  WHEN n_to <= 2 THEN 'mid' ELSE 'high' END AS tier_to,
+             COUNT(*) AS n_customers
+      FROM per_cust GROUP BY 1, 2),
+    tot AS (SELECT SUM(n_customers) AS total FROM mat)
+    SELECT tier_from, tier_to, CAST(n_customers AS BIGINT) AS n_customers,
+           CAST(CAST(n_customers AS HUGEINT) * 1000000 // total AS BIGINT)
+             AS share_ppm
+    FROM mat CROSS JOIN tot
+"""

@@ -58,6 +58,7 @@ _PRIORITY_KEYS = (
     "dp_clamped_release",  # never checked
     "interevent_gap_profile",  # never checked
     "zonemap_effectiveness",  # never checked
+    "activity_migration_matrix",  # never checked
     "neardup_semantic_verify",  # last green r4
     "sessionize",  # last green r4
     "tpch_q1",  # last green r4
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "pipeline_curate_v3",  # last green r4
     "incremental_rollup_merge",  # last green r4
     "schema_drift_report",  # last green r4
-    "rolling_median",  # last green r4
 )
 
 

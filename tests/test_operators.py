@@ -3944,3 +3944,48 @@ def test_zonemap_zorder_prunes_where_time_layout_cannot(spark):
     # the contrast IS the finding: z-order skips, the time layout can't
     assert rows["time"].scan_ppm > 900_000
     assert rows["zorder"].scan_ppm < rows["time"].scan_ppm // 3
+
+
+def test_activity_migration_matrix_live_in_all_directions(spark, sf_dir):
+    """Churn (x->absent), acquisition (absent->x), and retention
+    (diagonal) must all be live; cells recompute from raw orders; the
+    absent->absent cell must NOT exist (customers with no orders in
+    either year are out of frame by construction)."""
+    from collections import Counter, defaultdict
+
+    from flinkproj_spark.operators.analytic import (
+        AM_YEAR_FROM,
+        AM_YEAR_TO,
+        activity_migration_matrix,
+    )
+    from flinkproj_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", F.year(F.col("o_orderdate").cast("date")).alias("yr"))
+        .filter(F.col("yr").isin(AM_YEAR_FROM, AM_YEAR_TO))
+        .collect()
+    )
+    per = defaultdict(lambda: [0, 0])
+    for r in orders:
+        per[r.o_custkey][0 if r.yr == AM_YEAR_FROM else 1] += 1
+
+    def tier(n):
+        return "absent" if n == 0 else "low" if n <= 1 else "mid" if n <= 2 else "high"
+
+    want = Counter((tier(a), tier(b)) for a, b in per.values())
+    got = {
+        (r.tier_from, r.tier_to): r.n_customers
+        for r in activity_migration_matrix(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert ("absent", "absent") not in got
+    assert any(k[1] == "absent" for k in got)  # churn live
+    assert any(k[0] == "absent" for k in got)  # acquisition live
+    assert any(k[0] == k[1] for k in got)  # retention live
+    total = sum(got.values())
+    rows = activity_migration_matrix(spark, sf_dir).collect()
+    for r in rows:
+        assert r.share_ppm == r.n_customers * 1_000_000 // total
