@@ -1448,3 +1448,75 @@ ORACLE["order_total_audit"] = """
                 * 1000000 // COUNT(*) AS BIGINT) AS mismatch_ppm
     FROM j GROUP BY o_orderstatus
 """
+
+
+def backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap backfill plan: the contiguous runs of calendar
+    days inside the orders table's own [min, max] date span that have
+    NO orders at all — each run is one backfill job (start_day,
+    end_day, n_days). LIVE on the raw corpus (probed before wiring:
+    6 missing single days at sf0.01, hundreds of multi-day islands in
+    the sparse sf0.001 slice), so both the detection AND the
+    run-length coalescing are exercised without planting. The
+    partition-completeness check every scheduled-ingest pipeline runs
+    before declaring a dataset queryable.
+
+    Not in the reference (SURVEY.md §2.9); lake-operations extension
+    in the compaction_plan/fk_integrity family.
+
+    Shape: one map-side-combined distinct over (day) — the only
+    corpus-sized step — then everything is calendar-bounded: the day
+    grid explodes from a broadcast 1-row [min, max] aggregate via
+    sequence() (no driver sync), the anti-join finds missing days,
+    and the gaps-and-islands grouping (day − row_number) runs one
+    window over the ≤|calendar| missing-day frame (plan-lint
+    whitelisted, calendar class)."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    bounds = days.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    missing = grid.join(days, "d", "left_anti")
+    w = Window.orderBy("d")
+    grp = F.date_sub(F.col("d"), F.row_number().over(w))
+    return (
+        missing.select("d", grp.alias("grp"))
+        .groupBy("grp")
+        .agg(
+            F.min("d").alias("start_day"),
+            F.max("d").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+        .select(
+            # ISO strings: DuckDB DATE surfaces as datetime64 in pandas
+            # while Spark dates stay objects — the driver's value hash
+            # sees different renderings (the house rule for date
+            # outputs: format in BOTH engines)
+            F.col("start_day").cast("string").alias("start_day"),
+            F.col("end_day").cast("string").alias("end_day"),
+            "n_days",
+        )
+    )
+
+
+QUERIES["backfill_planner"] = backfill_planner
+ORACLE["backfill_planner"] = """
+    WITH days AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+    b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM days),
+    grid AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS d
+      FROM b),
+    miss AS (
+      SELECT d FROM grid WHERE d NOT IN (SELECT d FROM days)),
+    g AS (
+      SELECT d, d - CAST(ROW_NUMBER() OVER (ORDER BY d) AS INT) AS grp
+      FROM miss)
+    SELECT strftime(MIN(d), '%Y-%m-%d') AS start_day,
+           strftime(MAX(d), '%Y-%m-%d') AS end_day,
+           COUNT(*) AS n_days
+    FROM g GROUP BY grp
+"""

@@ -46,6 +46,7 @@ _PRIORITY_KEYS = (
     "minhash_containment_estimate",  # never checked
     "lsh_parameter_planner",  # never checked
     "order_total_audit",  # never checked
+    "backfill_planner",  # never checked
     "dedup_graph_kcore",  # never checked
     "dedup_containment",  # never checked
     "graph_degree_assortativity",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "temperature_mix",  # last green r4
     "pipeline_curate_v3",  # last green r4
     "incremental_rollup_merge",  # last green r4
-    "schema_drift_report",  # last green r4
 )
 
 

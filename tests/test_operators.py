@@ -3989,3 +3989,46 @@ def test_activity_migration_matrix_live_in_all_directions(spark, sf_dir):
     rows = activity_migration_matrix(spark, sf_dir).collect()
     for r in rows:
         assert r.share_ppm == r.n_customers * 1_000_000 // total
+
+
+def test_backfill_planner_islands(spark, sf_dir):
+    """Backfill windows must exactly cover the missing days of the
+    span (recomputed in pure Python), be disjoint and maximal (no two
+    adjacent windows), and include a multi-day island at the sparse
+    test SF so the run-length coalescing is live."""
+    import datetime as dt
+
+    from flinkproj_spark.operators.relational import backfill_planner
+    from flinkproj_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    days = {
+        r.d
+        for r in load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    }
+    lo, hi = min(days), max(days)
+    missing = {
+        lo + dt.timedelta(days=i)
+        for i in range((hi - lo).days + 1)
+        if lo + dt.timedelta(days=i) not in days
+    }
+    rows = backfill_planner(spark, sf_dir).collect()
+    covered = set()
+    spans = []
+    for r in rows:
+        s = dt.date.fromisoformat(r.start_day)
+        e = dt.date.fromisoformat(r.end_day)
+        assert (e - s).days + 1 == r.n_days
+        spans.append((s, e))
+        for i in range(r.n_days):
+            covered.add(s + dt.timedelta(days=i))
+    assert covered == missing and missing
+    spans.sort()
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert (s2 - e1).days > 1  # maximal: no adjacent windows
+    if sum(1 for d in missing) > len(spans):
+        assert any(r.n_days > 1 for r in rows)  # coalescing live

@@ -81,6 +81,7 @@ WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
     "token_budget_allocator": {"GLOBAL_WIN": ("fixed-dim", "language-dimension remainder rank (|languages| rows, never corpus rows)")},
     "vocab_growth_curve": {"GLOBAL_WIN": ("corpus-scaled", "coarse 4096-checkpoint bucket frame = n_docs/204800 rows (two-pass cumsum; K≈2e5)")},
     "conversion_lag_curve": {"GLOBAL_WIN": ("calendar", "day-offset histogram (calendar-bounded)")},
+    "backfill_planner": {"GLOBAL_WIN": ("calendar", "missing-day islands frame (bounded by the calendar span), never order rows")},
     "theil_sen_trend_monthly": {"GLOBAL_WIN": ("calendar", "pairwise-slope histogram over months² (~3.2k rows, calendar-bounded) + months intercept histogram")},
     "quantile_sketch_audit": {"GLOBAL_WIN": ("value-grid", "octave/length(bin) bucket offset frames (≤64 rows each, two-pass cumsums) over the ~1k-cell sketch grid and the exact-side histogram")},
     # rank-of-a-top-k: the window runs AFTER .limit(k) — k rows by
