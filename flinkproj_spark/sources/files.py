@@ -392,3 +392,61 @@ def write_ivf_index(assignments: DataFrame, out_path: str) -> None:
     free metadata and the probe cost drops from full-scan to
     cells-touched."""
     assignments.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+
+
+def write_compacted_files(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> None:
+    """EXECUTE the compaction plan that operators/sampling.py::
+    compaction_plan computes: tag every event with its (event_type,
+    bin_id) from the shared next-fit derivation, and rewrite the table
+    as one parquet file per bin under a (event_type, bin_id) partition
+    layout — contiguous day ranges per file, so day predicates still
+    prune by footer min/max after the rewrite (the time-locality
+    property the planner optimizes for). The plan→execute pair
+    mirrors the repo's audit→repair ladders.
+
+    Scale shape: the bin ASSIGNMENT is calendar-bounded (the same
+    (type × day) inventory grid the planner reduces to) and
+    broadcasts onto the event scan — the only corpus-sized moves are
+    the one repartition on (event_type, bin_id), which lands each
+    bin's rows in exactly one task (one output file per bin by
+    construction), and the write itself. sortWithinPartitions keeps
+    rows time-ordered inside each file for in-file skipping."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from flinkproj_spark.operators.sampling import (
+        CP_ROW_OVERHEAD,
+        CP_TARGET_BYTES,
+    )
+    from flinkproj_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    inv = events.groupBy("event_type", day.alias("d")).agg(
+        F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assign = inv.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).select(
+        "event_type",
+        "d",
+        F.expr(f"cum_before div {CP_TARGET_BYTES}").alias("bin_id"),
+    )
+    tagged = events.withColumn("d", day).join(
+        F.broadcast(assign), ["event_type", "d"]
+    )
+    (
+        tagged.drop("d")
+        .repartition("event_type", "bin_id")
+        .sortWithinPartitions("event_type", "bin_id", "ts")
+        .write.partitionBy("event_type", "bin_id")
+        .mode("overwrite")
+        .parquet(out_path)
+    )

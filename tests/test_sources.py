@@ -353,3 +353,46 @@ def test_shard_manifest_roundtrips_source(spark, sf_dir, tmp_path):
     t_total = next(r for r in tampered if r.shard == -1)
     src = corpus_receipt(docs).collect()[0]
     assert t_total.content_sum != src.content_sum
+
+
+def test_write_compacted_files_executes_the_plan(spark, sf_dir, tmp_path):
+    """The rewrite must produce EXACTLY one parquet file per planned
+    bin, per-bin row counts must equal the plan's n_rows, no rows may
+    be lost, and each file's day span must match the plan's
+    first/last day (the time-locality contract)."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.sampling import compaction_plan
+    from flinkproj_spark.sources.files import write_compacted_files
+    from flinkproj_spark.sources.tables import load_table
+
+    out = str(tmp_path / "compacted")
+    write_compacted_files(spark, sf_dir, out)
+    plan = {
+        (r.event_type, r.bin_id): r
+        for r in compaction_plan(spark, sf_dir).collect()
+    }
+    back = spark.read.parquet(out)
+    with_file = back.withColumn("_fp", F.col("_metadata.file_path"))
+    got = {
+        (r.event_type, r.bin_id): r
+        for r in with_file.groupBy("event_type", "bin_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("_fp").alias("n_files"),
+            F.date_format(
+                F.min(F.date_trunc("day", "ts").cast("date")), "yyyy-MM-dd"
+            ).alias("first_day"),
+            F.date_format(
+                F.max(F.date_trunc("day", "ts").cast("date")), "yyyy-MM-dd"
+            ).alias("last_day"),
+        )
+        .collect()
+    }
+    assert set(got) == set(plan)
+    for k, g in got.items():
+        p = plan[k]
+        assert g.n_files == 1  # one file per bin — the whole point
+        assert g.n_rows == p.n_rows
+        assert (g.first_day, g.last_day) == (p.first_day, p.last_day)
+    assert back.count() == load_table(spark, sf_dir, "events").count()
