@@ -703,3 +703,130 @@ ORACLE["multimodal_pack"] = f"""
            CAST(SUM(item.tokens) AS BIGINT) AS n_tokens
     FROM packed GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segmentation (round 9): energy VAD + run-length
+# ---------------------------------------------------------------------------
+
+#: VAD parameters: frame width in samples and the per-sample mean-abs
+#: energy threshold (frame is voiced when sum_abs > FRAME * THRESH).
+#: Probed live: 259/500 docs at the test SF have MIXED voiced/unvoiced
+#: frames at this threshold, so the run-length stage is exercised raw.
+VAD_FRAME = 8
+VAD_THRESH = 20000
+
+
+def _vad_segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Energy VAD over int16 PCM: frame the samples, threshold the
+    per-frame absolute energy, and collapse voiced runs to segments —
+    the classic pre-ASR trim. Vectorized numpy per blob (the padded
+    np.diff trick finds run starts/ends with no Python loop over
+    frames)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            v = np.frombuffer(b[: len(b) - (len(b) % 2)], dtype="<i2").astype(
+                np.int64
+            )
+            nf = v.size // VAD_FRAME
+            if nf:
+                fr = np.abs(v[: nf * VAD_FRAME]).reshape(nf, VAD_FRAME).sum(axis=1)
+                vo = (fr > VAD_FRAME * VAD_THRESH).astype(np.int8)
+            else:
+                vo = np.zeros(0, dtype=np.int8)
+            pad = np.concatenate([[0], vo, [0]])
+            d = np.diff(pad)
+            seg_lens = np.flatnonzero(d == -1) - np.flatnonzero(d == 1)
+            out.append(
+                (
+                    doc_id,
+                    int(nf),
+                    int(vo.sum()),
+                    int(seg_lens.size),
+                    int(seg_lens.max()) if seg_lens.size else 0,
+                )
+            )
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id",
+                "n_frames",
+                "n_voiced",
+                "n_segments",
+                "longest_segment",
+            ],
+        )
+
+
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over binary payloads: int16 PCM
+    decode, VAD_FRAME-sample frames, absolute-energy threshold, then
+    run-length collapse of voiced frames into segments per blob —
+    frame count, voiced count, segment count, longest segment. The
+    trim/segment step a speech pipeline runs before feature
+    extraction, with the decode in the sanctioned Arrow stage
+    (mapInPandas, batch-vectorized numpy — never per-row Python) and
+    the arithmetic value-hash-verified by a DuckDB twin that rebuilds
+    the samples with byte arithmetic (the multimodal family contract;
+    see multimodal_pcm_stats).
+
+    Not in the reference (SURVEY.md 2.9); multimodal extension.
+
+    Shape: one scan, one Arrow stage, per-doc output — embarrassingly
+    parallel, nothing shuffles."""
+    p = _payloads(spark, sf_dir)
+    return p.select("doc_id", "payload").mapInPandas(
+        _vad_segments,
+        schema=(
+            "doc_id long, n_frames long, n_voiced long,"
+            " n_segments long, longest_segment long"
+        ),
+    )
+
+
+QUERIES["multimodal_vad_segments"] = multimodal_vad_segments
+ORACLE["multimodal_vad_segments"] = f"""
+    WITH b AS (
+      SELECT doc_id, text, strlen(text) - (strlen(text) % 2) AS n2
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_transform(range(0, n2 // 2), i ->
+               CASE WHEN ord(substr(text, CAST(2*i+1 AS BIGINT), 1))
+                         + 256 * ord(substr(text, CAST(2*i+2 AS BIGINT), 1))
+                         >= 32768
+                    THEN ord(substr(text, CAST(2*i+1 AS BIGINT), 1))
+                         + 256 * ord(substr(text, CAST(2*i+2 AS BIGINT), 1))
+                         - 65536
+                    ELSE ord(substr(text, CAST(2*i+1 AS BIGINT), 1))
+                         + 256 * ord(substr(text, CAST(2*i+2 AS BIGINT), 1))
+               END) AS v
+      FROM b),
+    f AS (
+      SELECT doc_id, len(v) // {VAD_FRAME} AS nf,
+             list_transform(range(0, len(v) // {VAD_FRAME}), k ->
+               CASE WHEN list_sum(list_transform(
+                      list_slice(v, {VAD_FRAME}*k + 1, {VAD_FRAME}*k + {VAD_FRAME}),
+                      x -> abs(x))) > {VAD_FRAME * VAD_THRESH}
+                    THEN 1 ELSE 0 END) AS vo
+      FROM s),
+    seg AS (
+      SELECT doc_id, nf, vo,
+             list_filter(range(0, nf),
+               i -> vo[i + 1] = 1 AND (i = 0 OR vo[i] = 0)) AS starts,
+             list_filter(range(0, nf),
+               i -> vo[i + 1] = 1 AND (i = nf - 1 OR vo[i + 2] = 0)) AS ends
+      FROM f)
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(COALESCE(list_sum(vo), 0) AS BIGINT) AS n_voiced,
+           CAST(len(starts) AS BIGINT) AS n_segments,
+           CAST(COALESCE(list_max(list_transform(range(0, len(starts)),
+                k -> ends[k + 1] - starts[k + 1] + 1)), 0) AS BIGINT)
+             AS longest_segment
+    FROM seg
+"""

@@ -50,6 +50,7 @@ _PRIORITY_KEYS = (
     "dedup_graph_kcore",  # never checked
     "dedup_containment",  # never checked
     "graph_degree_assortativity",  # never checked
+    "multimodal_vad_segments",  # never checked
     "compaction_plan",  # never checked
     "quantile_sketch_audit",  # never checked
     "join_strategy_advisor",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "query_expansion_prf",  # last green r4
     "temperature_mix",  # last green r4
     "pipeline_curate_v3",  # last green r4
-    "incremental_rollup_merge",  # last green r4
 )
 
 

@@ -4032,3 +4032,55 @@ def test_backfill_planner_islands(spark, sf_dir):
         assert (s2 - e1).days > 1  # maximal: no adjacent windows
     if sum(1 for d in missing) > len(spans):
         assert any(r.n_days > 1 for r in rows)  # coalescing live
+
+
+def test_vad_segments_match_pure_python(spark, sf_dir):
+    """Segment counts must match a pure-Python run-length recompute of
+    the same int16 decode, and mixed (voiced+unvoiced) docs must exist
+    so the run-length stage is live."""
+    import struct
+
+    from flinkproj_spark.operators.multimodal import (
+        VAD_FRAME,
+        VAD_THRESH,
+        multimodal_vad_segments,
+    )
+    from flinkproj_spark.sources.tables import load_table
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    got = {
+        r.doc_id: (r.n_frames, r.n_voiced, r.n_segments, r.longest_segment)
+        for r in multimodal_vad_segments(spark, sf_dir).collect()
+    }
+    assert set(got) == set(texts)
+    mixed = 0
+    for doc_id, text in texts.items():
+        b = text.encode()
+        n2 = len(b) - (len(b) % 2)
+        v = [
+            struct.unpack("<h", b[2 * i : 2 * i + 2])[0] for i in range(n2 // 2)
+        ]
+        nf = len(v) // VAD_FRAME
+        vo = [
+            1
+            if sum(abs(x) for x in v[VAD_FRAME * k : VAD_FRAME * (k + 1)])
+            > VAD_FRAME * VAD_THRESH
+            else 0
+            for k in range(nf)
+        ]
+        segs = []
+        run = 0
+        for x in vo + [0]:
+            if x:
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        want = (nf, sum(vo), len(segs), max(segs) if segs else 0)
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+        if 0 < sum(vo) < nf:
+            mixed += 1
+    assert mixed > 0
