@@ -1520,3 +1520,120 @@ ORACLE["backfill_planner"] = """
            COUNT(*) AS n_days
     FROM g GROUP BY grp
 """
+
+
+#: supplier_scorecard size: the business report is a top-k, so the
+#: output is literal-k-bounded at any corpus size.
+SSC_TOP_K = 20
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-SSC_TOP_K supplier scorecard by net revenue: items shipped,
+    exact revenue cents, return rate (ppm of items with
+    l_returnflag = 'R'), mean order-to-ship lag in whole days, and the
+    negative-lag item count (ship BEFORE order — the genuine DQ bug
+    this corpus carries, live per supplier) — the vendor-review
+    one-pager, joining the procurement view (revenue, returns) with
+    the fulfillment view (lag) and the DQ sentinel in one row per
+    supplier.
+
+    Not in the reference (SURVEY.md §2.9); business-report extension
+    composing the shipping_lag_report join with the q1-style
+    aggregate family.
+
+    Shape: lineitem⋈orders on the orderkey hash (merge-pinned — both
+    sides data-sized at 100 TB), ONE map-side-combined
+    groupBy(suppkey), TakeOrderedAndProject for the top-k (per-
+    partition heaps, no global sort), then a broadcast supplier-dim
+    join and a rank window over the k-row frame (plan-lint
+    whitelisted, literal-k)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_returnflag",
+        "l_shipdate",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("net_c"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    per_supp = (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_suppkey",
+            "net_c",
+            (F.col("l_returnflag") == "R").cast("long").alias("is_ret"),
+            lag.alias("lag_d"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("net_c").alias("revenue_c"),
+            F.sum("is_ret").alias("n_returned"),
+            F.sum("lag_d").alias("sum_lag"),
+            F.sum((F.col("lag_d") < 0).cast("long")).alias("n_neg_lag"),
+        )
+    )
+    top = per_supp.orderBy(
+        F.col("revenue_c").desc(), F.col("l_suppkey")
+    ).limit(SSC_TOP_K)
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("l_suppkey"))
+    return (
+        top.join(F.broadcast(supp), "l_suppkey")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "n_items",
+            F.col("revenue_c").cast("long").alias("revenue_c"),
+            F.expr(
+                "CAST(CAST(n_returned AS DECIMAL(38,0)) * 1000000"
+                " div n_items AS BIGINT)"
+            ).alias("return_ppm"),
+            F.expr("sum_lag div n_items").alias("mean_lag_days"),
+            "n_neg_lag",
+        )
+    )
+
+
+QUERIES["supplier_scorecard"] = supplier_scorecard
+ORACLE["supplier_scorecard"] = f"""
+    WITH per_supp AS (
+      SELECT l.l_suppkey,
+             COUNT(*) AS n_items,
+             SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS revenue_c,
+             SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS n_returned,
+             SUM(date_diff('day', CAST(o.o_orderdate AS DATE),
+                           CAST(l.l_shipdate AS DATE))) AS sum_lag,
+             SUM(CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                     CAST(l.l_shipdate AS DATE)) < 0
+                      THEN 1 ELSE 0 END) AS n_neg_lag
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_c DESC, l_suppkey)
+               AS rank
+      FROM per_supp ORDER BY revenue_c DESC, l_suppkey LIMIT {SSC_TOP_K})
+    SELECT CAST(t.rank AS INT) AS rank,
+           t.l_suppkey AS suppkey,
+           s.s_name,
+           CAST(t.n_items AS BIGINT) AS n_items,
+           CAST(t.revenue_c AS BIGINT) AS revenue_c,
+           CAST(CAST(t.n_returned AS HUGEINT) * 1000000 // t.n_items
+                AS BIGINT) AS return_ppm,
+           CAST(t.sum_lag // t.n_items AS BIGINT) AS mean_lag_days,
+           CAST(t.n_neg_lag AS BIGINT) AS n_neg_lag
+    FROM top t JOIN supplier s ON s.s_suppkey = t.l_suppkey
+"""

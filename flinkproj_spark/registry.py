@@ -47,6 +47,7 @@ _PRIORITY_KEYS = (
     "lsh_parameter_planner",  # never checked
     "order_total_audit",  # never checked
     "backfill_planner",  # never checked
+    "supplier_scorecard",  # never checked
     "dedup_graph_kcore",  # never checked
     "dedup_containment",  # never checked
     "graph_degree_assortativity",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "quality_classifier_linear",  # last green r4
     "query_expansion_prf",  # last green r4
     "temperature_mix",  # last green r4
-    "pipeline_curate_v3",  # last green r4
 )
 
 

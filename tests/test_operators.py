@@ -4084,3 +4084,34 @@ def test_vad_segments_match_pure_python(spark, sf_dir):
         if 0 < sum(vo) < nf:
             mixed += 1
     assert mixed > 0
+
+
+def test_supplier_scorecard_topk_and_dq(spark, sf_dir):
+    """The scorecard must rank by exact net revenue (recomputed), its
+    ppm/lag columns must be internally consistent, and the negative-
+    lag DQ sentinel must be live for at least one top supplier."""
+    import math
+    from collections import defaultdict
+
+    from flinkproj_spark.operators.relational import (
+        SSC_TOP_K,
+        supplier_scorecard,
+    )
+    from flinkproj_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    ).collect()
+    rev = defaultdict(int)
+    for r in li:
+        rev[r.l_suppkey] += int(
+            math.floor(r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5)
+        )
+    want_order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))[:SSC_TOP_K]
+    rows = supplier_scorecard(spark, sf_dir).collect()
+    assert [(r.suppkey, r.revenue_c) for r in sorted(rows, key=lambda r: r.rank)] == want_order
+    for r in rows:
+        assert 0 <= r.return_ppm <= 1_000_000
+        assert r.s_name
+        assert r.n_neg_lag <= r.n_items
+    assert any(r.n_neg_lag > 0 for r in rows)  # the DQ sentinel is live

@@ -87,6 +87,7 @@ WHITELIST: dict[str, dict[str, tuple[str, str]]] = {
     # rank-of-a-top-k: the window runs AFTER .limit(k) — k rows by
     # construction, never corpus rows.
     "key_skew_profile": {"GLOBAL_WIN": ("literal-k", "ranks the limit-20 heavy-hitter frame")},
+    "supplier_scorecard": {"GLOBAL_WIN": ("literal-k", "ranks the limit-20 scorecard frame")},
     "bpe_token_usage": {"GLOBAL_WIN": ("literal-k", "ranks the limit-40 usage frame")},
     "rrf_fusion": {"GLOBAL_WIN": ("literal-k", "ranks bounded per-system top-k lists")},
     # intended layout/global-order work:
