@@ -1637,3 +1637,155 @@ ORACLE["supplier_scorecard"] = f"""
            CAST(t.n_neg_lag AS BIGINT) AS n_neg_lag
     FROM top t JOIN supplier s ON s.s_suppkey = t.l_suppkey
 """
+
+
+#: table_digest_report column recipes: every hash-stable column of each
+#: table, normalized to strings — integers/strings as-is, money through
+#: the shared cents quantization, fractions/values through e2/e6 fixed
+#: point, timestamps through unix microseconds. Raw DOUBLE→string is
+#: NOT engine-stable (formatting differs), so doubles only enter via
+#: fixed-point; the embeddings float array is excluded (its integrity
+#: audit is the embedding_quantize family).
+_CENTS_S = "CAST(CAST(floor({c} * 100 + 0.5) AS BIGINT) AS STRING)"
+_E6_S = "CAST(CAST(floor({c} * 1000000 + 0.5) AS BIGINT) AS STRING)"
+_US_S = "CAST(unix_micros({c}) AS STRING)"
+TD_COLUMNS: dict[str, list[str]] = {
+    "region": ["CAST(r_regionkey AS STRING)", "r_name"],
+    "nation": [
+        "CAST(n_nationkey AS STRING)",
+        "n_name",
+        "CAST(n_regionkey AS STRING)",
+    ],
+    "customer": [
+        "CAST(c_custkey AS STRING)",
+        "c_name",
+        "CAST(c_nationkey AS STRING)",
+        _CENTS_S.format(c="c_acctbal"),
+        "c_mktsegment",
+    ],
+    "supplier": [
+        "CAST(s_suppkey AS STRING)",
+        "s_name",
+        "CAST(s_nationkey AS STRING)",
+        _CENTS_S.format(c="s_acctbal"),
+    ],
+    "part": [
+        "CAST(p_partkey AS STRING)",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "CAST(p_size AS STRING)",
+        _CENTS_S.format(c="p_retailprice"),
+    ],
+    "orders": [
+        "CAST(o_orderkey AS STRING)",
+        "CAST(o_custkey AS STRING)",
+        "o_orderstatus",
+        _CENTS_S.format(c="o_totalprice"),
+        _US_S.format(c="o_orderdate"),
+        "o_orderpriority",
+    ],
+    "lineitem": [
+        "CAST(l_orderkey AS STRING)",
+        "CAST(l_partkey AS STRING)",
+        "CAST(l_suppkey AS STRING)",
+        "CAST(l_linenumber AS STRING)",
+        _CENTS_S.format(c="l_quantity"),
+        _CENTS_S.format(c="l_extendedprice"),
+        _CENTS_S.format(c="l_discount"),
+        _CENTS_S.format(c="l_tax"),
+        "l_returnflag",
+        "l_linestatus",
+        _US_S.format(c="l_shipdate"),
+    ],
+    "events": [
+        "CAST(event_id AS STRING)",
+        _US_S.format(c="ts"),
+        "CAST(user_id AS STRING)",
+        "event_type",
+        _E6_S.format(c="value"),
+        "props",
+    ],
+    "documents": [
+        "CAST(doc_id AS STRING)",
+        "text",
+        "lang",
+        "source",
+        "CAST(n_chars AS STRING)",
+    ],
+    "embeddings": ["CAST(vec_id AS STRING)", "CAST(label AS STRING)"],
+}
+#: Digest modulus: the Mersenne prime 2^61 − 1 — the summed 52-bit row
+#: hashes stay inside HUGEINT/DECIMAL(38,0) at any corpus size and the
+#: reduced digest inside BIGINT.
+TD_MOD = 2305843009213693951
+
+
+def table_digest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable snapshot digest per table: each row
+    canonicalizes to a chr(31)-joined string of its hash-stable
+    columns, md5's to a 52-bit integer, and the per-table digest is
+    the SUM of row hashes mod 2^61−1 — ADDITIVE, so it is
+    order-independent, partition-independent, and MERGEABLE (shard
+    digests sum to the table digest; the register-merge property the
+    HLL/CMS/quantile sketches in this repo share). Two replicas (or a
+    snapshot before/after a migration) compare with 10 BIGINTs
+    instead of a row diff — the cheap integrity check a lake runs
+    after every copy/compaction/backfill, complementing
+    cross_snapshot_dedup (which finds WHICH rows differ, at row-diff
+    cost).
+
+    Not in the reference (SURVEY.md §2.9); data-versioning extension.
+
+    Exactness: doubles enter only through the shared fixed-point
+    quantizations and timestamps through unix micros (raw
+    double→string formatting is not engine-stable); concat_ws skips
+    NULLs identically in both engines (corpus-null-free; planted-null
+    divergence is the schema_drift/analyze family's job).
+
+    Shape: one full scan per table (inherent to a digest) reducing to
+    a single map-side-combined DECIMAL sum — no shuffle beyond the
+    1-row aggregates; the 10-row union is driver-trivial."""
+    parts = []
+    for t, cols in TD_COLUMNS.items():
+        df = load_table(spark, sf_dir, t)
+        row_h = F.expr(
+            "conv(substring(md5(concat_ws(chr(31), "
+            + ", ".join(cols)
+            + ")), 1, 13), 16, 10)"
+        ).cast("long")
+        parts.append(
+            df.select(row_h.alias("h")).agg(
+                F.count("*").alias("n_rows"),
+                F.expr(
+                    f"CAST(SUM(CAST(h AS DECIMAL(38,0))) % {TD_MOD} AS BIGINT)"
+                ).alias("digest"),
+            ).select(F.lit(t).alias("table_name"), "n_rows", "digest")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+QUERIES["table_digest_report"] = table_digest_report
+
+
+def _table_digest_oracle() -> str:
+    selects = []
+    for t, cols in TD_COLUMNS.items():
+        dcols = ", ".join(
+            c.replace(" AS STRING)", " AS VARCHAR)")
+            .replace("unix_micros(", "epoch_us(")
+            for c in cols
+        )
+        selects.append(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows,"
+            f" CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(31), {dcols})),"
+            f" 1, 13))::BIGINT AS HUGEINT)) % {TD_MOD} AS BIGINT) AS digest"
+            f" FROM {t}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+ORACLE["table_digest_report"] = _table_digest_oracle()

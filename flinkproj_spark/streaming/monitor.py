@@ -263,3 +263,34 @@ def stream_zonemap_monitor(events: DataFrame) -> DataFrame:
     return zm_zorder_rows(events).groupBy("b").agg(
         F.min("uid").alias("mn"), F.max("uid").alias("mx")
     )
+
+
+def stream_srm_monitor(events: DataFrame, horizon: str = "40 days") -> DataFrame:
+    """Streaming sample-ratio-mismatch monitor — the ingest-time twin
+    of operators/analytic.py::srm_check's user-count stage. Each
+    user's FIRST event admits them to their hash variant
+    (dropDuplicatesWithinWatermark on user_id — state is one row per
+    user within the horizon, the experiment-population scale any SRM
+    monitor inherently pays), then a 2-key variant count that merges
+    exactly across micro-batches. Run in complete/update mode and
+    feed the two counters into the same (a−b)²·1e6/(a+b) decision the
+    batch check applies — an assignment bug shows up DURING the ramp,
+    not in tomorrow's experiment readout. The variant coin is the
+    SHARED srm expression (same salt), so monitor and nightly check
+    can never disagree on assignment. Input stream needs
+    (user_id, ts)."""
+    from flinkproj_spark.operators.analytic import SRM_SALT
+
+    variant = F.when(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(SRM_SALT))), 1, 1
+        )
+        < "8",
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    first_seen = events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    return first_seen.select(variant.alias("variant")).groupBy("variant").agg(
+        F.count("*").alias("n_users")
+    )

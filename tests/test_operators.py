@@ -4115,3 +4115,73 @@ def test_supplier_scorecard_topk_and_dq(spark, sf_dir):
         assert r.s_name
         assert r.n_neg_lag <= r.n_items
     assert any(r.n_neg_lag > 0 for r in rows)  # the DQ sentinel is live
+
+
+def test_table_digest_is_additive_and_detects_any_change(spark, sf_dir, tmp_path):
+    """The digest must be mergeable (digests of two disjoint halves
+    sum mod p to the full digest) and must CHANGE when a single row is
+    tampered — the two properties that make it a replica check."""
+    import pyspark.sql.functions as F
+
+    from flinkproj_spark.operators.relational import (
+        TD_MOD,
+        table_digest_report,
+    )
+    from flinkproj_spark.sources.tables import load_table
+
+    full = {
+        r.table_name: (r.n_rows, r.digest)
+        for r in table_digest_report(spark, sf_dir).collect()
+    }
+    assert len(full) == 10 and all(v[0] > 0 for v in full.values())
+
+    # additivity: split documents by doc_id parity into a tmp corpus
+    # copy and digest each half with the SAME operator
+    import shutil
+
+    for half, pred in (("even", "doc_id % 2 = 0"), ("odd", "doc_id % 2 = 1")):
+        d = tmp_path / half
+        d.mkdir()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events embeddings"
+        ).split():
+            shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+        load_table(spark, sf_dir, "documents").filter(pred).write.parquet(
+            str(d / "documents.parquet")
+        )
+    even = {
+        r.table_name: (r.n_rows, r.digest)
+        for r in table_digest_report(spark, str(tmp_path / "even")).collect()
+    }
+    odd = {
+        r.table_name: (r.n_rows, r.digest)
+        for r in table_digest_report(spark, str(tmp_path / "odd")).collect()
+    }
+    assert even["documents"][0] + odd["documents"][0] == full["documents"][0]
+    assert (even["documents"][1] + odd["documents"][1]) % TD_MOD == full[
+        "documents"
+    ][1]
+
+    # tamper detection: flip one character of one doc
+    d = tmp_path / "tampered"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events embeddings"
+    ).split():
+        shutil.copy(f"{sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    docs = load_table(spark, sf_dir, "documents")
+    tampered = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("x"))).otherwise(
+            F.col("text")
+        ),
+    )
+    tampered.write.parquet(str(d / "documents.parquet"))
+    t_dig = {
+        r.table_name: r.digest
+        for r in table_digest_report(spark, str(d)).collect()
+    }
+    assert t_dig["documents"] != full["documents"][1]
+    assert t_dig["orders"] == full["orders"][1]  # untouched tables agree

@@ -1512,3 +1512,41 @@ def test_lsh_planner_scurve_shape(spark, sf_dir):
         > by[(3, 3, 500_000)].collision_ppm
         > by[(1, 9, 500_000)].collision_ppm
     )
+
+
+class TestStreamSrmMonitor:
+    def test_variant_counts_converge_to_batch(self, spark, sf_dir, tmp_path):
+        """Streamed per-variant user counts (first-event admission)
+        must equal the batch srm_check's n_users over the same events,
+        across multiple micro-batches."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.analytic import srm_check
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_srm_monitor
+
+        src = str(tmp_path / "src")
+        events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        events.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+        events.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_srm_monitor(
+                spark.readStream.schema(
+                    "event_id long, user_id long, ts timestamp"
+                ).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("srm_mon")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            r.variant: r.n_users
+            for r in spark.sql("select * from srm_mon").collect()
+        }
+        want = {r.variant: r.n_users for r in srm_check(spark, sf_dir).collect()}
+        assert got == want and set(got) == {"control", "treatment"}
