@@ -1721,6 +1721,17 @@ TD_COLUMNS: dict[str, list[str]] = {
 TD_MOD = 2305843009213693951
 
 
+def td_row_hash(table: str):
+    """The 52-bit canonical row hash for `table` (TD_COLUMNS recipe) —
+    shared by the batch digest and the streaming digest monitor so the
+    two can never disagree on row canonicalization."""
+    return F.expr(
+        "conv(substring(md5(concat_ws(chr(31), "
+        + ", ".join(TD_COLUMNS[table])
+        + ")), 1, 13), 16, 10)"
+    ).cast("long")
+
+
 def table_digest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressable snapshot digest per table: each row
     canonicalizes to a chr(31)-joined string of its hash-stable
@@ -1747,13 +1758,9 @@ def table_digest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single map-side-combined DECIMAL sum — no shuffle beyond the
     1-row aggregates; the 10-row union is driver-trivial."""
     parts = []
-    for t, cols in TD_COLUMNS.items():
+    for t in TD_COLUMNS:
         df = load_table(spark, sf_dir, t)
-        row_h = F.expr(
-            "conv(substring(md5(concat_ws(chr(31), "
-            + ", ".join(cols)
-            + ")), 1, 13), 16, 10)"
-        ).cast("long")
+        row_h = td_row_hash(t)
         parts.append(
             df.select(row_h.alias("h")).agg(
                 F.count("*").alias("n_rows"),

@@ -294,3 +294,31 @@ def stream_srm_monitor(events: DataFrame, horizon: str = "40 days") -> DataFrame
     return first_seen.select(variant.alias("variant")).groupBy("variant").agg(
         F.count("*").alias("n_users")
     )
+
+
+def stream_digest_monitor(docs: DataFrame) -> DataFrame:
+    """Streaming table digest — the ingest-time twin of
+    operators/relational.py::table_digest_report for the documents
+    stream. The digest is an ADDITIVE register (sum of canonical
+    52-bit row hashes), so the streaming aggregation is exact by
+    construction: micro-batches merge by summation in any order,
+    state is ONE (count, sum) pair forever, and the live digest
+    equals the batch digest over the same rows mod 2^61−1 (pinned in
+    tests/test_streaming_ext.py). A replica ingesting the same feed
+    can be compared MID-STREAM — the continuous version of the
+    nightly replica check. Row canonicalization is the SHARED
+    td_row_hash expression. Input stream needs the documents
+    columns."""
+    from flinkproj_spark.operators.relational import TD_MOD, td_row_hash
+
+    return (
+        docs.select(td_row_hash("documents").alias("h"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            "n_rows",
+            F.expr(f"CAST(_s % {TD_MOD} AS BIGINT)").alias("digest"),
+        )
+    )

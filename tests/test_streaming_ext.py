@@ -1550,3 +1550,42 @@ class TestStreamSrmMonitor:
         }
         want = {r.variant: r.n_users for r in srm_check(spark, sf_dir).collect()}
         assert got == want and set(got) == {"control", "treatment"}
+
+
+class TestStreamDigestMonitor:
+    def test_live_digest_equals_batch(self, spark, sf_dir, tmp_path):
+        """The streamed running digest must equal the batch
+        table_digest_report row for documents — additivity makes the
+        convergence exact across micro-batches."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.relational import table_digest_report
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_digest_monitor
+
+        src = str(tmp_path / "src")
+        docs = load_table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_digest_monitor(
+                spark.readStream.schema(
+                    "doc_id long, text string, lang string,"
+                    " source string, n_chars long"
+                ).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("digest_mon")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("select * from digest_mon").collect()[0]
+        want = {
+            r.table_name: (r.n_rows, r.digest)
+            for r in table_digest_report(spark, sf_dir).collect()
+        }["documents"]
+        assert (got.n_rows, got.digest) == want
