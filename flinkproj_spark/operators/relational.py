@@ -1796,3 +1796,97 @@ def _table_digest_oracle() -> str:
 
 
 ORACLE["table_digest_report"] = _table_digest_oracle()
+
+
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full supplier-nation × customer-nation trade matrix:
+    exact revenue cents and item counts for every nation pair with
+    any trade — TPC-H q7 generalized from two hand-picked nations to
+    the complete ≤625-row flow matrix plus each pair's share (ppm) of
+    total trade. The market-structure view a logistics/BI team reads
+    whole, instead of re-running q7 per pair.
+
+    Extends the reference surface (SURVEY.md §2.9 — the reference has
+    one broadcast dim join and no multi-join analytics); TPC-H-family
+    extension composing the q5/q7 join graph.
+
+    Shape: lineitem⋈orders on the orderkey hash (both sides
+    data-sized — merge-pinned), then customer and supplier resolve
+    via key joins with their ≤25-row nation dims BROADCAST onto them;
+    the final rollup is the bounded nation×nation grid and the share
+    rides a broadcast 1-row total. ppm through DECIMAL(38,0)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("net_c"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("cust_nk")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_nationkey").alias("supp_nk")
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flows = (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .join(cust, "o_custkey")
+        .join(supp, "l_suppkey")
+        .groupBy("supp_nk", "cust_nk")
+        .agg(F.count("*").alias("n_items"), F.sum("net_c").alias("revenue_c"))
+    )
+    tot = flows.agg(F.sum("revenue_c").alias("total_c"))
+    return (
+        flows.join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("supp_nk"),
+                                   F.col("n_name").alias("supp_nation"))),
+            "supp_nk",
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("cust_nk"),
+                                   F.col("n_name").alias("cust_nation"))),
+            "cust_nk",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "n_items",
+            F.col("revenue_c").cast("long").alias("revenue_c"),
+            F.expr(
+                "CAST(CAST(revenue_c AS DECIMAL(38,0)) * 1000000"
+                " div CAST(total_c AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+QUERIES["trade_flow_matrix"] = trade_flow_matrix
+ORACLE["trade_flow_matrix"] = """
+    WITH flows AS (
+      SELECT s.s_nationkey AS supp_nk, c.c_nationkey AS cust_nk,
+             COUNT(*) AS n_items,
+             SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS revenue_c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    tot AS (SELECT SUM(revenue_c) AS total_c FROM flows)
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(f.n_items AS BIGINT) AS n_items,
+           CAST(f.revenue_c AS BIGINT) AS revenue_c,
+           CAST(CAST(f.revenue_c AS HUGEINT) * 1000000 // t.total_c
+                AS BIGINT) AS share_ppm
+    FROM flows f
+    JOIN nation ns ON ns.n_nationkey = f.supp_nk
+    JOIN nation nc ON nc.n_nationkey = f.cust_nk
+    CROSS JOIN tot t
+"""

@@ -49,6 +49,7 @@ _PRIORITY_KEYS = (
     "backfill_planner",  # never checked
     "supplier_scorecard",  # never checked
     "table_digest_report",  # never checked
+    "trade_flow_matrix",  # never checked
     "dedup_graph_kcore",  # never checked
     "dedup_containment",  # never checked
     "graph_degree_assortativity",  # never checked
@@ -91,7 +92,6 @@ _PRIORITY_KEYS = (
     "bpe_pair_counts",  # last green r4
     "doc_length_survival",  # last green r4
     "quality_classifier_linear",  # last green r4
-    "query_expansion_prf",  # last green r4
 )
 
 

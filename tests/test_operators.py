@@ -4185,3 +4185,29 @@ def test_table_digest_is_additive_and_detects_any_change(spark, sf_dir, tmp_path
     }
     assert t_dig["documents"] != full["documents"][1]
     assert t_dig["orders"] == full["orders"][1]  # untouched tables agree
+
+
+def test_trade_flow_matrix_conserves_revenue(spark, sf_dir):
+    """The matrix must partition total net revenue exactly: cell
+    revenues sum to the corpus total (recomputed), shares are each
+    cell's exact ppm, and the matrix covers multiple supplier AND
+    customer nations (live in both dimensions)."""
+    import math
+
+    from flinkproj_spark.operators.relational import trade_flow_matrix
+    from flinkproj_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount"
+    ).collect()
+    total = sum(
+        int(math.floor(r.l_extendedprice * (1 - r.l_discount) * 100 + 0.5))
+        for r in li
+    )
+    rows = trade_flow_matrix(spark, sf_dir).collect()
+    assert sum(r.revenue_c for r in rows) == total
+    assert sum(r.n_items for r in rows) == len(li)
+    for r in rows:
+        assert r.share_ppm == r.revenue_c * 1_000_000 // total
+    assert len({r.supp_nation for r in rows}) > 1
+    assert len({r.cust_nation for r in rows}) > 1
