@@ -42,56 +42,56 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    "data_card_report",  # never checked
-    "minhash_containment_estimate",  # never checked
-    "lsh_parameter_planner",  # never checked
-    "order_total_audit",  # never checked
-    "backfill_planner",  # never checked
-    "supplier_scorecard",  # never checked
-    "table_digest_report",  # never checked
-    "trade_flow_matrix",  # never checked
-    "dedup_graph_kcore",  # never checked
-    "dedup_containment",  # never checked
-    "graph_degree_assortativity",  # never checked
-    "multimodal_vad_segments",  # never checked
-    "compaction_plan",  # never checked
-    "quantile_sketch_audit",  # never checked
-    "join_strategy_advisor",  # never checked
-    "dp_sensitivity_report",  # never checked
-    "srm_check",  # never checked
-    "conformal_coverage_report",  # never checked
-    "dp_clamped_release",  # never checked
-    "interevent_gap_profile",  # never checked
-    "zonemap_effectiveness",  # never checked
-    "activity_migration_matrix",  # never checked
-    "neardup_semantic_verify",  # last green r4
-    "sessionize",  # last green r4
-    "tpch_q1",  # last green r4
-    "tpch_q3",  # last green r4
-    "tpch_q5",  # last green r4
-    "tpch_q6",  # last green r4
-    "top_k_per_group",  # last green r4
-    "window_functions",  # last green r4
-    "session_window_agg",  # last green r4
-    "set_except",  # last green r4
-    "set_intersect",  # last green r4
-    "global_topk",  # last green r4
-    "rollup_counts",  # last green r4
-    "asof_join",  # last green r4
-    "asof_join_tolerance",  # last green r4
-    "dedup_substring",  # last green r4
-    "winnow_overlap_pairs",  # last green r4
-    "dedup_cluster_sizes",  # last green r4
-    "pair_strategy_agreement",  # last green r4
-    "substring_dedup_clean",  # last green r4
-    "ann_topk_pq",  # last green r4
-    "ann_pq_recall_eval",  # last green r4
-    "ivf_pq_topk",  # last green r4
-    "embedding_outliers",  # last green r4
-    "char_gini_concentration",  # last green r4
-    "bpe_pair_counts",  # last green r4
-    "doc_length_survival",  # last green r4
-    "quality_classifier_linear",  # last green r4
+    "query_expansion_prf",  # last green r4
+    "temperature_mix",  # last green r4
+    "pipeline_curate_v3",  # last green r4
+    "incremental_rollup_merge",  # last green r4
+    "schema_drift_report",  # last green r4
+    "rolling_median",  # last green r4
+    "event_cooccurrence_lift",  # last green r4
+    "distinct_counts",  # last green r5
+    "salted_skew_join",  # last green r5
+    "dedup_exact",  # last green r5
+    "dedup_keyed_latest",  # last green r5
+    "dedup_cluster",  # last green r5
+    "dedup_simhash",  # last green r5
+    "dedup_ngram_jaccard",  # last green r5
+    "dedup_pair_degree_hist",  # last green r5
+    "pair_graph_triangles",  # last green r5
+    "decontaminate",  # last green r5
+    "ann_topk_brute",  # last green r5
+    "ann_topk_lsh",  # last green r5
+    "ann_topk_ivf",  # last green r5
+    "ann_recall_eval",  # last green r5
+    "embedding_neardup",  # last green r5
+    "embedding_centroids",  # last green r5
+    "semdedup_cells",  # last green r5
+    "text_token_count",  # last green r5
+    "bpe_apply",  # last green r5
+    "bpe_token_usage",  # last green r5
+    "quality_threshold_sweep",  # last green r5
+    "quality_rank_per_lang",  # last green r5
+    "text_repetition",  # last green r5
+    "text_quality",  # last green r5
+    "multimodal_pack",  # last green r5
+    "pipeline_curate_v4",  # last green r5
+    "filter_funnel_v3",  # last green r5
+    "tpch_q4",  # last green r5
+    "tpch_q7",  # last green r5
+    "tpch_q10",  # last green r5
+    "tpch_q13",  # last green r5
+    "tpch_q14",  # last green r5
+    "tpch_q18",  # last green r5
+    "tpch_q19",  # last green r5
+    "tpch_q22",  # last green r5
+    "tpch_q2",  # last green r5
+    "tpch_q8",  # last green r5
+    "tpch_q9",  # last green r5
+    "tpch_q11",  # last green r5
+    "tpch_q12",  # last green r5
+    "tpch_q15",  # last green r5
+    "tpch_q16",  # last green r5
+    "tpch_q17",  # last green r5
 )
 
 
