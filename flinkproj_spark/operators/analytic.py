@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flinkproj_spark.operators.relational import _cents
+from flinkproj_spark.operators.relational import TD_MOD, _cents
 from flinkproj_spark.sources.tables import load_table
 
 
@@ -3977,17 +3977,24 @@ ORACLE["seasonal_naive_backtest"] = """
 #: the widest bucket's width/lo = 1/16 = 62_500 ppm.
 QSK_SUB = 16
 
+#: Bits kept from the top of v to index a sub-bucket: log2(QSK_SUB)+1
+#: (the leading 1 plus log2(QSK_SUB) linear bits). Derived, not
+#: hardcoded, so changing QSK_SUB keeps the bucket geometry consistent
+#: everywhere the pair is interpolated (Spark, oracle, streaming twin).
+QSK_TOP = QSK_SUB.bit_length()
+assert QSK_SUB & (QSK_SUB - 1) == 0, "QSK_SUB must be a power of two"
+
 
 def qsk_bucket_col() -> F.Column:
     """Sketch bucket id for a positive BIGINT column `v`: log2 octave
-    (length(bin(v))) x QSK_SUB linear sub-buckets from the top 5 bits,
-    exact below QSK_SUB. Monotone (weakly) in v, deterministic, and
-    order-independent — shared by the batch audit and the streaming
+    (length(bin(v))) x QSK_SUB linear sub-buckets from the top QSK_TOP
+    bits, exact below QSK_SUB. Monotone (weakly) in v, deterministic,
+    and order-independent — shared by the batch audit and the streaming
     register build so the two provably sketch identically."""
     return F.expr(
         f"CASE WHEN v < {QSK_SUB} THEN v"
         f" ELSE length(bin(v)) * {QSK_SUB}"
-        f" + (shiftright(v, length(bin(v)) - 5) - {QSK_SUB}) END"
+        f" + (shiftright(v, length(bin(v)) - {QSK_TOP}) - {QSK_SUB}) END"
     )
 
 
@@ -3998,9 +4005,9 @@ def qsk_hi_col() -> F.Column:
     return F.expr(
         f"CASE WHEN bid < {QSK_SUB} THEN bid"
         f" ELSE shiftleft({QSK_SUB} + bid % {QSK_SUB},"
-        f" CAST(bid div {QSK_SUB} AS INT) - 5)"
+        f" CAST(bid div {QSK_SUB} AS INT) - {QSK_TOP})"
         f" + shiftleft(CAST(1 AS BIGINT),"
-        f" CAST(bid div {QSK_SUB} AS INT) - 5) - 1 END"
+        f" CAST(bid div {QSK_SUB} AS INT) - {QSK_TOP}) - 1 END"
     )
 
 
@@ -4097,15 +4104,15 @@ ORACLE["quantile_sketch_audit"] = f"""
     sk AS (
       SELECT CASE WHEN v < {QSK_SUB} THEN v
                   ELSE length(bin(v)) * {QSK_SUB}
-                       + ((v >> (length(bin(v)) - 5)) - {QSK_SUB}) END AS bid,
+                       + ((v >> (length(bin(v)) - {QSK_TOP})) - {QSK_SUB}) END AS bid,
              COUNT(*) AS cnt
       FROM vals GROUP BY 1),
     rep AS (
       SELECT bid, cnt,
              CASE WHEN bid < {QSK_SUB} THEN bid
                   ELSE (({QSK_SUB} + bid % {QSK_SUB})
-                        << (bid // {QSK_SUB} - 5))
-                       + (1::BIGINT << (bid // {QSK_SUB} - 5)) - 1 END AS hi
+                        << (bid // {QSK_SUB} - {QSK_TOP}))
+                       + (1::BIGINT << (bid // {QSK_SUB} - {QSK_TOP})) - 1 END AS hi
       FROM sk),
     cum AS (
       SELECT bid, hi, cnt,
@@ -4728,7 +4735,12 @@ def interevent_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (micros-exact on both engines — the relational.py asof idiom);
     Fano = (n·Σg² − (Σg)²)/(n·Σg) cross-multiplied in DECIMAL(38,0)
     (Σg² is corpus × domain²-sized — wraps BIGINT long before the
-    output does).
+    output does). The sum_gap2 OUTPUT is reduced mod 2⁶¹−1 (TD_MOD,
+    the table_digest_report trick) before the BIGINT cast — identity
+    below 2.3e18, and past it both engines agree on the residue
+    instead of diverging (Spark NULL vs DuckDB cast error). The Fano
+    denominator is nullif-guarded on both sides: a theoretical
+    all-zero-gap type yields NULL, not an engine split.
 
     Shape: one window partitioned by (user_id, event_type) — a
     corpus-sized frame but partitioned on a key whose cardinality
@@ -4759,21 +4771,22 @@ def interevent_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_gaps",
             F.col("sum_gap_s").cast("long").alias("sum_gap_s"),
-            F.col("_ss").cast("long").alias("sum_gap2"),
+            F.expr(f"CAST(_ss % {TD_MOD} AS BIGINT)").alias("sum_gap2"),
             "min_gap_s",
             "max_gap_s",
             F.expr("sum_gap_s div n_gaps").alias("mean_gap_s"),
             F.expr(
                 "CAST((CAST(n_gaps AS DECIMAL(38,0)) * _ss"
                 " - CAST(sum_gap_s AS DECIMAL(38,0)) * sum_gap_s) * 1000000"
-                " div (CAST(n_gaps AS DECIMAL(38,0)) * sum_gap_s) AS BIGINT)"
+                " div nullif(CAST(n_gaps AS DECIMAL(38,0)) * sum_gap_s, 0)"
+                " AS BIGINT)"
             ).alias("fano_e6"),
         )
     )
 
 
 QUERIES["interevent_gap_profile"] = interevent_gap_profile
-ORACLE["interevent_gap_profile"] = """
+ORACLE["interevent_gap_profile"] = f"""
     WITH g AS (
       SELECT event_type,
              (epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -4784,13 +4797,14 @@ ORACLE["interevent_gap_profile"] = """
     SELECT event_type,
            COUNT(*) AS n_gaps,
            CAST(SUM(g) AS BIGINT) AS sum_gap_s,
-           CAST(SUM(CAST(g AS HUGEINT) * g) AS BIGINT) AS sum_gap2,
+           CAST(SUM(CAST(g AS HUGEINT) * g) % {TD_MOD} AS BIGINT) AS sum_gap2,
            CAST(MIN(g) AS BIGINT) AS min_gap_s,
            CAST(MAX(g) AS BIGINT) AS max_gap_s,
            CAST(SUM(g) // COUNT(*) AS BIGINT) AS mean_gap_s,
            CAST((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(g AS HUGEINT) * g)
                  - CAST(SUM(g) AS HUGEINT) * SUM(g)) * 1000000
-                // (CAST(COUNT(*) AS HUGEINT) * SUM(g)) AS BIGINT) AS fano_e6
+                // NULLIF(CAST(COUNT(*) AS HUGEINT) * SUM(g), 0)
+                AS BIGINT) AS fano_e6
     FROM gaps GROUP BY event_type
 """
 

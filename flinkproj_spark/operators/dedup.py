@@ -748,10 +748,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ngram_jaccard_pairs(tok: DataFrame) -> DataFrame:
-    """Blocked Jaccard pair stage over a pre-tokenized (doc_id, lang,
-    ws) frame — shared between the standalone key and
-    pair_strategy_agreement's common-scan path."""
+def _pair_jaccard(x: F.Column, y: F.Column) -> F.Column:
+    """Exact word-set Jaccard between two (doc_id, wset) member structs."""
+    return F.round(
+        F.size(F.array_intersect(x["wset"], y["wset"])).cast("double")
+        / F.size(F.array_union(x["wset"], y["wset"])),
+        4,
+    )
+
+
+def _blocked_pair_expand(tok: DataFrame, pair_struct) -> DataFrame:
+    """THE shared blocking stage for the exact word-set near-dup family
+    (n-gram Jaccard, containment): block on lang + first-two-words
+    prefix, ONE shuffle of (doc_id, bkey, wset), per-block in-row i<j
+    pair expansion hard-capped at BUCKET_CAP members. `pair_struct(x,
+    y)` builds the per-pair measure struct from two (doc_id, wset)
+    member structs and must lead with doc_a/doc_b — the expanded
+    struct's fields become the output columns. One recipe, every
+    detector: a change to the block key or cap lands in all consumers
+    at once (the lsh_candidate_pairs/zm_zorder_rows pattern)."""
     words = F.col("ws")
     keyed = tok.filter(F.size(words) >= 2).select(
         "doc_id",
@@ -770,23 +785,25 @@ def _ngram_jaccard_pairs(tok: DataFrame) -> DataFrame:
             "members",
             lambda x, i: F.transform(
                 F.slice(F.col("members"), i + F.lit(2), F.size("members")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.round(
-                        F.size(F.array_intersect(x["wset"], y["wset"])).cast("double")
-                        / F.size(F.array_union(x["wset"], y["wset"])),
-                        4,
-                    ).alias("jaccard"),
-                ),
+                lambda y: pair_struct(x, y),
             ),
         )
     )
-    return (
-        blocks.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.jaccard")
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    return blocks.select(F.explode(pair_arr).alias("p")).select("p.*")
+
+
+def _ngram_jaccard_pairs(tok: DataFrame) -> DataFrame:
+    """Blocked Jaccard pair stage over a pre-tokenized (doc_id, lang,
+    ws) frame — shared between the standalone key and
+    pair_strategy_agreement's common-scan path."""
+    return _blocked_pair_expand(
+        tok,
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            _pair_jaccard(x, y).alias("jaccard"),
+        ),
+    ).filter(F.col("jaccard") >= 0.5)
 
 
 def dedup_pair_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2328,49 +2345,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not in the reference (1,000-LoC streaming demo, no set similarity
     anywhere — SURVEY.md §2.9); extension mandated by the build plan.
 
-    Shape: identical to dedup_ngram_jaccard's blocked expansion — ONE
-    shuffle of (doc_id, bkey, wset), per-block in-row i<j pair
-    expansion hard-capped at BUCKET_CAP, both measures computed inline
-    on the same array_intersect. Never an all-pairs join."""
+    Shape: _blocked_pair_expand, the SAME shared stage as
+    dedup_ngram_jaccard — ONE shuffle of (doc_id, bkey, wset), per-block
+    in-row i<j pair expansion hard-capped at BUCKET_CAP, both measures
+    computed inline on the same array_intersect. Never an all-pairs
+    join."""
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
-    words = _words()
-    keyed = docs.filter(F.size(words) >= 2).select(
-        "doc_id",
-        F.concat(
-            "lang", F.lit("|"), F.element_at(words, 1), F.lit(" "), F.element_at(words, 2)
-        ).alias("bkey"),
-        F.array_distinct(words).alias("wset"),
-    )
-    blocks = (
-        keyed.groupBy("bkey")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "wset"))).alias("members"))
-        .filter(F.size("members").between(2, BUCKET_CAP))
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            "members",
-            lambda x, i: F.transform(
-                F.slice(F.col("members"), i + F.lit(2), F.size("members")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    F.round(
-                        F.size(F.array_intersect(x["wset"], y["wset"])).cast("double")
-                        / F.least(F.size(x["wset"]), F.size(y["wset"])),
-                        4,
-                    ).alias("containment"),
-                    F.round(
-                        F.size(F.array_intersect(x["wset"], y["wset"])).cast("double")
-                        / F.size(F.array_union(x["wset"], y["wset"])),
-                        4,
-                    ).alias("jaccard"),
-                ),
+    return (
+        _blocked_pair_expand(
+            docs.select("doc_id", "lang", _words().alias("ws")),
+            lambda x, y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                F.round(
+                    F.size(F.array_intersect(x["wset"], y["wset"])).cast("double")
+                    / F.least(F.size(x["wset"]), F.size(y["wset"])),
+                    4,
+                ).alias("containment"),
+                _pair_jaccard(x, y).alias("jaccard"),
             ),
         )
-    )
-    return (
-        blocks.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.containment", "p.jaccard")
         .filter(F.col("containment") >= CONTAINMENT_MIN)
         .withColumn("superset_only", (F.col("jaccard") < 0.5).cast("int"))
     )

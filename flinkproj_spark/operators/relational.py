@@ -1586,10 +1586,15 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
     )
+    # Rank on the limit-k frame BEFORE the dim join (mirroring the
+    # oracle's top CTE): a top-k suppkey missing from supplier then
+    # surfaces as a dropped rank/name, never as silently renumbered
+    # ranks — parity must not depend on the FK integrity a sibling key
+    # (fk_integrity_report) audits rather than guarantees.
     w = Window.orderBy(F.col("revenue_c").desc(), F.col("l_suppkey"))
     return (
-        top.join(F.broadcast(supp), "l_suppkey")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(supp), "l_suppkey")
         .select(
             "rank",
             F.col("l_suppkey").alias("suppkey"),

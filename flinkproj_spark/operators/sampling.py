@@ -1114,13 +1114,37 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, which is exactly why planning compaction is cheap even
     when executing it rewrites the whole table."""
     events = load_table(spark, sf_dir, "events")
-    inv = events.groupBy(
+    return compaction_bins(event_day_inventory(events))
+
+
+def event_day_inventory(events: DataFrame) -> DataFrame:
+    """THE (event_type, day) ingest-inventory grid: row/byte counters
+    per cell. One shared derivation for the batch planner
+    (compaction_plan), the streaming monitor (stream_file_inventory),
+    and the executor (write_compacted_files) — the three can never
+    disagree on what a "file" weighs."""
+    return events.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
     ).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes"),
     )
-    return compaction_bins(inv)
+
+
+def compaction_bin_assign(inv: DataFrame) -> DataFrame:
+    """Next-fit bin assignment over the inventory grid — adds
+    (cum_before, bin_id) columns. Shared between the planner
+    (compaction_bins) and the executor (write_compacted_files) so the
+    bin an event lands in is BY CONSTRUCTION the bin the plan promised,
+    not a re-derivation a future edit could desynchronize."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return inv.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn("bin_id", F.expr(f"cum_before div {CP_TARGET_BYTES}"))
 
 
 def compaction_bins(inv: DataFrame) -> DataFrame:
@@ -1129,14 +1153,7 @@ def compaction_bins(inv: DataFrame) -> DataFrame:
     monitor (streaming/warehouse-fed inventories are decomposable
     count/sum registers, so the monitor's view calls this on exactly
     converged inputs)."""
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    planned = inv.withColumn(
-        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
-    ).withColumn("bin_id", F.expr(f"cum_before div {CP_TARGET_BYTES}"))
+    planned = compaction_bin_assign(inv)
     return planned.groupBy("event_type", "bin_id").agg(
         F.count("*").cast("long").alias("n_files"),
         F.sum("n_rows").cast("long").alias("n_rows"),

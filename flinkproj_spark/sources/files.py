@@ -414,30 +414,17 @@ def write_compacted_files(
     construction), and the write itself. sortWithinPartitions keeps
     rows time-ordered inside each file for in-file skipping."""
     import pyspark.sql.functions as F
-    from pyspark.sql import Window
 
     from flinkproj_spark.operators.sampling import (
-        CP_ROW_OVERHEAD,
-        CP_TARGET_BYTES,
+        compaction_bin_assign,
+        event_day_inventory,
     )
     from flinkproj_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").cast("date")
-    inv = events.groupBy("event_type", day.alias("d")).agg(
-        F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes")
-    )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    assign = inv.withColumn(
-        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
-    ).select(
-        "event_type",
-        "d",
-        F.expr(f"cum_before div {CP_TARGET_BYTES}").alias("bin_id"),
+    assign = compaction_bin_assign(event_day_inventory(events)).select(
+        "event_type", "d", "bin_id"
     )
     tagged = events.withColumn("d", day).join(
         F.broadcast(assign), ["event_type", "d"]

@@ -173,18 +173,14 @@ def stream_file_inventory(events: DataFrame) -> DataFrame:
     micro-batch merging is exact and state is the calendar x type grid
     forever (geometry-sized, no watermark — the stream_cms_sketch
     argument, here for layout monitoring). Run in complete/update
-    mode; reading the live compaction plan is the SAME
+    mode; the inventory is sampling.event_day_inventory ITSELF and
+    reading the live compaction plan is the SAME
     sampling.compaction_bins the batch planner uses (pinned equal in
     tests/test_streaming_ext.py), so the "should we compact yet"
     dashboard can never disagree with the nightly planner."""
-    from flinkproj_spark.operators.sampling import CP_ROW_OVERHEAD
+    from flinkproj_spark.operators.sampling import event_day_inventory
 
-    return events.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
-    ).agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.length("props") + CP_ROW_OVERHEAD).alias("bytes"),
-    )
+    return event_day_inventory(events)
 
 
 def build_conformal_thresholds(spark: SparkSession, sf_dir: str) -> dict:
