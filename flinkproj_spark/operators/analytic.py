@@ -256,27 +256,57 @@ def outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n", "mean_value", "std_value", "n_outliers")
 
 
+#: approx_percentile_stats error band: the GK estimate must sit within
+#: 5% of the exact interpolated quantile (with a 100-cent absolute
+#: floor for near-zero quantiles). GK at accuracy=10000 guarantees rank
+#: error <= n/10000; on the fixture corpus the measured value error is
+#: far below 5% at every SF, while a broken sketch (wrong accuracy,
+#: wrong fraction) lands whole segments away.
+APS_BAND_PCT = 5
+
+
 def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate median / p90 per market segment via Spark's
-    Greenwald-Khanna quantile sketch (`approx_percentile`) — the 100 TB
-    path where exact percentile's full per-group sort/collect is too
-    big. Fixed-size mergeable sketch per group, map-side combinable,
-    constant memory at any cardinality. No oracle entry (DuckDB's
-    approx sketch differs); the error bound vs the exact twin
-    (percentile_stats) is pinned by a test, mirroring the
-    approx_distinct_counts/HLL treatment."""
+    Greenwald-Khanna quantile sketch (`approx_percentile`),
+    SELF-AUDITING: the 100 TB path where exact percentile's full
+    per-group sort is too big — fixed-size mergeable sketch per group,
+    map-side combinable, constant memory at any cardinality.
+
+    The raw estimate can never hash-match a DuckDB oracle (engine
+    sketches differ), so — the audit-twin pattern of
+    quantile_sketch_audit / approx_distinct_counts — the key outputs
+    the exact interpolated quantiles plus the estimate's GUARANTEE: a
+    within-APS_BAND_PCT verdict on the GK values, which the oracle pins
+    to 1. A sketch regression flips the flag and hash-mismatches
+    instead of hiding behind a rows-only check.
+
+    Shape: ONE map-side-combined aggregate carries both the GK sketch
+    and the exact percentile; at true 100 TB the exact anchor is the
+    expensive half — this key is the VALIDATION run, the production
+    path calls the sketch alone."""
     cust = load_table(spark, sf_dir, "customer")
     bal_c = _cents("c_acctbal")
     agg = cust.groupBy("c_mktsegment").agg(
-        F.approx_percentile(bal_c, F.lit(0.5), F.lit(10000)).alias("_p50_c"),
-        F.approx_percentile(bal_c, F.lit(0.9), F.lit(10000)).alias("_p90_c"),
+        F.approx_percentile(bal_c, F.lit(0.5), F.lit(10000)).alias("_a50_c"),
+        F.approx_percentile(bal_c, F.lit(0.9), F.lit(10000)).alias("_a90_c"),
+        F.percentile(bal_c, F.lit(0.5)).alias("_p50_c"),
+        F.percentile(bal_c, F.lit(0.9)).alias("_p90_c"),
         F.count("*").alias("n_cust"),
+    )
+    pct = F.lit(APS_BAND_PCT / 100.0)
+    within = (
+        F.abs(F.col("_a50_c") - F.col("_p50_c"))
+        <= F.greatest(F.lit(100.0), pct * F.abs(F.col("_p50_c")))
+    ) & (
+        F.abs(F.col("_a90_c") - F.col("_p90_c"))
+        <= F.greatest(F.lit(100.0), pct * F.abs(F.col("_p90_c")))
     )
     return agg.select(
         "c_mktsegment",
-        (F.col("_p50_c").cast("double") / F.lit(100.0)).alias("median_bal_approx"),
-        (F.col("_p90_c").cast("double") / F.lit(100.0)).alias("p90_bal_approx"),
         "n_cust",
+        F.round(F.col("_p50_c") / F.lit(100.0), 6).alias("median_bal"),
+        F.round(F.col("_p90_c") / F.lit(100.0), 6).alias("p90_bal"),
+        within.cast("int").alias("gk_within_band"),
     )
 
 
@@ -563,7 +593,8 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 hashed counters, so est ≥ true always (pinned in tests);
     over_ppm quantifies collision damage per user.
 
-    Unlike the HLL key (approx_distinct_counts, rows-only), a CMS is
+    Unlike the HLL estimate (engine sketches differ; its key
+    approx_distinct_counts is oracled via a within-band verdict), a CMS is
     DETERMINISTIC given its hash functions — md5-derived buckets make
     the whole sketch bit-identical in both engines, so this key is
     fully oracle-checked. Shape: the build is one map-side-combined
@@ -1232,9 +1263,6 @@ QUERIES = {
     "rolling_median": rolling_median,
     "event_cooccurrence_lift": event_cooccurrence_lift,
 }
-# approx_percentile_stats: intentionally no ORACLE entry — rows-only
-# check (sketch implementations differ across engines); accuracy vs the
-# exact twin is pinned by tests/test_operators.py.
 
 _FUNNEL_SQL = """
         WITH u AS (
@@ -1312,6 +1340,21 @@ ORACLE = {
         FROM orders o1 JOIN orders o2 ON o1.o_custkey = o2.o_custkey
         WHERE o2.o_orderdate > o1.o_orderdate
           AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+        GROUP BY 1
+    """,
+    # approx_percentile_stats: the GK estimate itself can't cross
+    # engines (sketches differ), so the key outputs the exact
+    # interpolated quantiles + the within-band verdict, which the
+    # oracle pins to 1.
+    "approx_percentile_stats": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               ROUND(quantile_cont(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT), 0.5)
+                     / 100.0, 6) AS median_bal,
+               ROUND(quantile_cont(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT), 0.9)
+                     / 100.0, 6) AS p90_bal,
+               CAST(1 AS INT) AS gk_within_band
+        FROM customer
         GROUP BY 1
     """,
     "percentile_stats": """

@@ -295,6 +295,107 @@ def filter_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fx.eager_report(spark, out, [deduped])
 
 
+def pipeline_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end lake-maintenance pipeline composing the round-9 lake
+    family the way pipeline_curate composes the curation funnel:
+    PLAN (compaction_bins over the shared day inventory) → EXECUTE
+    (write_compacted_files rewrites events to a scratch lake, one file
+    per bin under an (event_type, bin_id) layout) → VERIFY (the
+    additive mod-(2^61−1) digest of the REWRITTEN table must equal the
+    input's — the mergeable row-hash property table_digest_report
+    pins; a rewrite that drops, duplicates, or mangles one row flips
+    digest_match and hash-mismatches) → AUDIT (file-level day zone
+    maps read back FROM the compacted files: the fraction a
+    day-predicate probe cannot prune, the time-locality property the
+    next-fit planner optimizes for).
+
+    Not in the reference (SURVEY.md §2.9); the plan→execute→verify
+    loop every real lake runs after compaction.
+
+    The oracle computes the plan grid, the input digest, and the zone
+    maps RELATIONALLY from the source table and pins the two match
+    verdicts to 1 — valid because next-fit makes each bin's day range
+    a pure function of the inventory, so a correct execution's
+    read-back zone maps must equal the plan's. The Spark side earns
+    those columns from the actual rewritten parquet.
+
+    Shape at 100 TB: the rewrite is the one corpus-sized move (a
+    single repartition on (event_type, bin_id) + write — inherent to
+    compaction); everything else reduces to the calendar-bounded
+    inventory grid, 1-row digest aggregates, and a broadcast
+    probes×bins range join."""
+    import os
+    import tempfile
+
+    from flinkproj_spark.operators.relational import TD_MOD, td_row_hash
+    from flinkproj_spark.operators.sampling import (
+        compaction_bins,
+        event_day_inventory,
+    )
+    from flinkproj_spark.sources.files import write_compacted_files
+
+    events = load_table(spark, sf_dir, "events")
+    out_path = os.path.join(
+        tempfile.gettempdir(),
+        "flinkproj_spark_lake",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_compacted_files(spark, sf_dir, out_path)
+    compacted = spark.read.parquet(out_path)
+
+    digest = f"CAST(SUM(CAST(h AS DECIMAL(38,0))) % {TD_MOD} AS BIGINT)"
+    h = td_row_hash("events")
+    dig_in = events.select(h.alias("h")).agg(
+        F.expr(digest).alias("digest"),
+    )
+    dig_out = compacted.select(h.alias("h")).agg(
+        F.count("*").alias("_n_rows_out"),
+        F.expr(digest).alias("_digest_out"),
+    )
+
+    plan = compaction_bins(event_day_inventory(events)).agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("n_files").cast("long").alias("n_files_in"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("bytes").cast("long").alias("bytes"),
+    )
+
+    day = F.date_trunc("day", "ts").cast("date")
+    zone_maps = compacted.groupBy("event_type", "bin_id").agg(
+        F.min(day).alias("mn"), F.max(day).alias("mx")
+    )
+    probes = events.select(day.alias("d")).distinct()
+    scan = (
+        probes.join(
+            F.broadcast(zone_maps),
+            (F.col("d") >= F.col("mn")) & (F.col("d") <= F.col("mx")),
+        )
+        .agg(F.count("*").alias("_n_scanned"))
+        .crossJoin(F.broadcast(probes.agg(F.count("*").alias("_n_probes"))))
+    )
+
+    return (
+        plan.crossJoin(F.broadcast(dig_in))
+        .crossJoin(F.broadcast(dig_out))
+        .crossJoin(F.broadcast(scan))
+        .select(
+            "n_bins",
+            "n_files_in",
+            "n_rows",
+            "bytes",
+            "digest",
+            (F.col("_digest_out") == F.col("digest")).cast("int")
+            .alias("digest_match"),
+            (F.col("_n_rows_out") == F.col("n_rows")).cast("int")
+            .alias("rows_match"),
+            F.expr(
+                "CAST(CAST(_n_scanned AS DECIMAL(38,0)) * 1000000"
+                " div (n_bins * _n_probes) AS BIGINT)"
+            ).alias("day_scan_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "pipeline_clean": pipeline_clean,
     "pipeline_report": pipeline_report,
@@ -303,7 +404,57 @@ QUERIES = {
     "pipeline_curate_v3": pipeline_curate_v3,
     "pipeline_curate_v4": pipeline_curate_v4,
     "filter_funnel_v3": filter_funnel_v3,
+    "pipeline_lake": pipeline_lake,
 }
+
+
+def _lake_oracle() -> str:
+    from flinkproj_spark.operators.relational import TD_MOD, td_row_hash_sql
+    from flinkproj_spark.operators.sampling import (
+        CP_ROW_OVERHEAD,
+        CP_TARGET_BYTES,
+    )
+
+    return f"""
+        WITH inv AS (
+          SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                 COUNT(*) AS n_rows,
+                 SUM(len(props) + {CP_ROW_OVERHEAD}) AS bytes
+          FROM events GROUP BY 1, 2),
+        planned AS (
+          SELECT *,
+                 COALESCE(SUM(bytes) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // {CP_TARGET_BYTES} AS bin_id
+          FROM inv),
+        bins AS (
+          SELECT event_type, bin_id, MIN(d) AS mn, MAX(d) AS mx,
+                 COUNT(*) AS n_files, SUM(n_rows) AS n_rows,
+                 SUM(bytes) AS bytes
+          FROM planned GROUP BY 1, 2),
+        probes AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d
+          FROM events),
+        dig AS (
+          SELECT COUNT(*) AS n_rows,
+                 CAST(SUM(CAST({td_row_hash_sql("events")} AS HUGEINT))
+                      % {TD_MOD} AS BIGINT) AS digest
+          FROM events),
+        sc AS (
+          SELECT COUNT(*) AS n_scanned
+          FROM probes p JOIN bins b ON p.d BETWEEN b.mn AND b.mx)
+        SELECT CAST((SELECT COUNT(*) FROM bins) AS BIGINT) AS n_bins,
+               CAST((SELECT SUM(n_files) FROM bins) AS BIGINT) AS n_files_in,
+               (SELECT CAST(n_rows AS BIGINT) FROM dig) AS n_rows,
+               CAST((SELECT SUM(bytes) FROM bins) AS BIGINT) AS bytes,
+               (SELECT digest FROM dig) AS digest,
+               CAST(1 AS INT) AS digest_match,
+               CAST(1 AS INT) AS rows_match,
+               CAST((SELECT CAST(n_scanned AS HUGEINT) FROM sc) * 1000000
+                    // ((SELECT COUNT(*) FROM bins)
+                        * (SELECT COUNT(*) FROM probes)) AS BIGINT)
+                 AS day_scan_ppm
+    """
 
 _DIM_SQL = """(VALUES ('US','AREA_US'), ('TW','AREA_CT'), ('HK','AREA_CT'),
     ('PK','AREA_AR'), ('KW','AREA_AR'), ('SA','AREA_AR'),
@@ -447,3 +598,5 @@ ORACLE["filter_funnel_v3"] = f"""
       (SELECT COUNT(*) FROM ({_curate_v2_oracle()})) AS n_after_semantic,
       (SELECT COUNT(*) FROM ({_curate_v3_oracle()})) AS n_after_decontam
 """
+
+ORACLE["pipeline_lake"] = _lake_oracle()

@@ -1822,18 +1822,29 @@ def table_digest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["table_digest_report"] = table_digest_report
 
 
+def td_row_hash_sql(table: str) -> str:
+    """DuckDB twin of td_row_hash: the 52-bit canonical row-hash
+    EXPRESSION for `table` — shared by the digest-report oracle and the
+    pipeline_lake oracle so the two can never disagree on row
+    canonicalization (the same single-source rule td_row_hash enforces
+    on the Spark side)."""
+    dcols = ", ".join(
+        c.replace(" AS STRING)", " AS VARCHAR)")
+        .replace("unix_micros(", "epoch_us(")
+        for c in TD_COLUMNS[table]
+    )
+    return (
+        f"('0x' || substr(md5(concat_ws(chr(31), {dcols})), 1, 13))::BIGINT"
+    )
+
+
 def _table_digest_oracle() -> str:
     selects = []
-    for t, cols in TD_COLUMNS.items():
-        dcols = ", ".join(
-            c.replace(" AS STRING)", " AS VARCHAR)")
-            .replace("unix_micros(", "epoch_us(")
-            for c in cols
-        )
+    for t in TD_COLUMNS:
         selects.append(
             f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows,"
-            f" CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(31), {dcols})),"
-            f" 1, 13))::BIGINT AS HUGEINT)) % {TD_MOD} AS BIGINT) AS digest"
+            f" CAST(SUM(CAST({td_row_hash_sql(t)} AS HUGEINT))"
+            f" % {TD_MOD} AS BIGINT) AS digest"
             f" FROM {t}"
         )
     return " UNION ALL ".join(selects)

@@ -45,8 +45,11 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
     # rows-only keys must stay an explicit, named set — additions here
-    # need a justification (sketches / non-SQL-expressible only)
-    assert rows_only == {"approx_distinct_counts", "approx_percentile_stats"}
+    # need a justification (sketches / non-SQL-expressible only). Since
+    # round 10 the set is EMPTY: the two sketch keys were re-shaped into
+    # the self-auditing audit-twin pattern (exact anchor + within-band
+    # verdict the oracle pins to 1), so every registered key is oracled.
+    assert rows_only == set()
 
 
 def test_cli_list_and_oracle(capsys, sf_dir):

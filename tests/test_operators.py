@@ -121,32 +121,35 @@ def test_sql_api_runs_arbitrary_queries(spark, sf_dir):
 
 
 def test_approx_percentile_within_error_bound(spark, sf_dir):
+    """The self-auditing key carries its own exact anchor: every
+    segment's GK estimate must sit inside the APS_BAND_PCT band (the
+    verdict column the DuckDB oracle pins to 1), and the exact columns
+    must agree with the exact twin."""
     from flinkproj_spark.operators.analytic import (
         approx_percentile_stats, percentile_stats)
 
     exact = {r.c_mktsegment: r for r in percentile_stats(spark, sf_dir).collect()}
-    approx = {r.c_mktsegment: r for r in approx_percentile_stats(spark, sf_dir).collect()}
-    assert set(exact) == set(approx)
-    for seg, e in exact.items():
-        a = approx[seg]
-        assert a.n_cust == e.n_cust
-        # GK sketch at accuracy=10000 on sf0.01-sized groups: the
-        # approximate quantile must sit within 5% of the exact one
-        # (both are interpolation-free rank statistics over cents).
-        for ex, ap in ((e.median_bal, a.median_bal_approx), (e.p90_bal, a.p90_bal_approx)):
-            assert abs(ap - ex) <= max(1.0, 0.05 * abs(ex)), (seg, ex, ap)
+    rows = {r.c_mktsegment: r for r in approx_percentile_stats(spark, sf_dir).collect()}
+    assert set(exact) == set(rows)
+    for seg, a in rows.items():
+        e = exact[seg]
+        assert a.gk_within_band == 1, (seg, a)
+        assert (a.n_cust, a.median_bal, a.p90_bal) == (e.n_cust, e.median_bal, e.p90_bal)
 
 
 def test_approx_distinct_within_error_bound(spark, sf_dir):
+    """Same audit-twin contract for the HLL++ key: the within-band
+    verdict holds on every event_type, and the exact anchor agrees with
+    the exact twin."""
     from flinkproj_spark.operators.relational import (
         approx_distinct_counts, distinct_counts)
 
     exact = {r.event_type: r.n_users for r in distinct_counts(spark, sf_dir).collect()}
-    approx = {r.event_type: r.n_users_approx
-              for r in approx_distinct_counts(spark, sf_dir).collect()}
-    assert set(exact) == set(approx)
-    for t, n in exact.items():
-        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, n, approx[t])
+    rows = {r.event_type: r for r in approx_distinct_counts(spark, sf_dir).collect()}
+    assert set(exact) == set(rows)
+    for t, a in rows.items():
+        assert a.hll_within_band == 1, (t, a)
+        assert a.n_users_exact == exact[t]
 
 
 def test_ann_recall_floors_vs_brute(spark, sf_dir):
@@ -4211,3 +4214,30 @@ def test_trade_flow_matrix_conserves_revenue(spark, sf_dir):
         assert r.share_ppm == r.revenue_c * 1_000_000 // total
     assert len({r.supp_nation for r in rows}) > 1
     assert len({r.cust_nation for r in rows}) > 1
+
+
+def test_pipeline_lake_digest_invariance_and_layout(spark, sf_dir):
+    """The lake pipeline's two verdicts must hold at test SF: the
+    additive digest of the REWRITTEN table equals the input's (rewrite
+    lost/duplicated nothing) — and the executed layout must be exactly
+    what the plan promised: one parquet data file per (event_type,
+    bin_id) bin, n_bins directories on disk."""
+    import glob
+    import os
+    import tempfile
+
+    from flinkproj_spark.operators.e2e import pipeline_lake
+
+    row = pipeline_lake(spark, sf_dir).collect()[0]
+    assert row.digest_match == 1 and row.rows_match == 1, row
+    assert row.n_bins >= 2  # the planner actually split something
+
+    out_path = os.path.join(
+        tempfile.gettempdir(), "flinkproj_spark_lake",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    bin_dirs = glob.glob(os.path.join(out_path, "event_type=*", "bin_id=*"))
+    assert len(bin_dirs) == row.n_bins
+    for d in bin_dirs:
+        parts = [f for f in os.listdir(d) if f.startswith("part-")]
+        assert len(parts) == 1, (d, parts)
