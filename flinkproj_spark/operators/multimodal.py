@@ -256,24 +256,38 @@ PHASH_BITS = 60  # gradient bits; 60 keeps 2^k inside a signed BIGINT
 PHASH_SCHEMA = "doc_id long, phash long"
 
 
-def _phash_pgm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """dHash-style perceptual hash inside the Arrow decode stage: parse
-    the PGM header, then 60 gradient bits (pixel[k] < pixel[k+1]) packed
-    into one BIGINT — the difference-hash every image-dedup pipeline
-    computes after decode. numpy over the zero-copy byte view."""
+def phash60(b: bytes) -> int | None:
+    """The 60-bit dHash of ONE PGM payload (None if fewer than
+    PHASH_BITS+1 pixel bytes — no hash is defined): parse past the
+    header, then 60 gradient bits (pixel[k] < pixel[k+1]) packed into
+    one BIGINT — the difference-hash every image-dedup pipeline
+    computes after decode. The single hashing core shared by the batch
+    Arrow stage (_phash_pgm) and the streaming admission gate
+    (streaming/multimodal.py::stream_phash_gate), so the two can never
+    disagree on what an image hashes to. numpy over the zero-copy byte
+    view."""
     import numpy as np
 
+    nl = b.index(b"\n")
+    data = np.frombuffer(b, dtype=np.uint8, offset=nl + 1)
+    if data.size < PHASH_BITS + 1:
+        return None
+    bits = data[: PHASH_BITS] < data[1 : PHASH_BITS + 1]
+    return sum(int(bit) << k for k, bit in enumerate(bits))
+
+
+def _phash_pgm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow stage around phash60: (doc_id, payload) → (doc_id, phash),
+    skipping payloads too short to hash."""
     for pdf in batches:
         ids: list[int] = []
         hashes: list[int] = []
         for did, b in zip(pdf["doc_id"], pdf["payload"]):
-            nl = b.index(b"\n")
-            data = np.frombuffer(b, dtype=np.uint8, offset=nl + 1)
-            if data.size < PHASH_BITS + 1:
+            h = phash60(b)
+            if h is None:
                 continue
-            bits = data[: PHASH_BITS] < data[1 : PHASH_BITS + 1]
             ids.append(int(did))
-            hashes.append(sum(int(bit) << k for k, bit in enumerate(bits)))
+            hashes.append(h)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),
@@ -302,6 +316,32 @@ def multimodal_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHASH_BANDS = 4          # 4 bands x 15 bits
 PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
 PHASH_MAX_HAMMING = 3    # pigeonhole: <=3 flipped bits leave >=1 band intact
+
+
+def phash_band_rows(df: DataFrame, keep: list[str]) -> DataFrame:
+    """Explode a frame carrying a `phash` column into its 4×15-bit
+    pigeonhole band rows (band, bval), keeping `keep` + phash — the
+    ONE banding geometry, shared by the batch pair build
+    (dedup_phash_hamming) and the streaming admission gate so a future
+    band-count change can never desynchronize the two detectors (the
+    shared-helper rule _blocked_pair_expand set for the text family)."""
+    return df.select(
+        *keep,
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("phash", i * PHASH_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("bval"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select(*keep, "phash", "bv.band", "bv.bval")
 
 
 def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,23 +379,7 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != F.col("doc_a"))
         .select("doc_a", F.col("doc_id").alias("doc_b"), F.lit(0).alias("hamming"))
     )
-    bands = rep.select(
-        "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright("phash", i * PHASH_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
-                        .alias("bval"),
-                    )
-                    for i in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("bv"),
-    ).select("doc_id", "phash", "bv.band", "bv.bval")
+    bands = phash_band_rows(rep, ["doc_id"])
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"), "band", "bval"
     )

@@ -1589,3 +1589,65 @@ class TestStreamDigestMonitor:
             for r in table_digest_report(spark, sf_dir).collect()
         }["documents"]
         assert (got.n_rows, got.digest) == want
+
+
+class TestStreamPhashGate:
+    @staticmethod
+    def _pgm(bits):
+        """Synthesize a PGM payload whose 60-bit dHash is exactly
+        `bits`: each gradient bit k is (pixel[k] < pixel[k+1]), so walk
+        ±1 from 128."""
+        vals = [128]
+        for b in bits:
+            vals.append(vals[-1] + (1 if b else -1))
+        return b"P5 8 8 255\n" + bytes(vals)
+
+    def test_admits_only_images_far_from_base(self, spark, tmp_path):
+        """Convergence to the batch dedup_phash_hamming verdicts: the
+        gate must reject exactly the incoming images whose dHash is
+        within PHASH_MAX_HAMMING of some base image (computed brute
+        force via the shared phash60 core), drop within-stream exact
+        copies, and admit the rest — across a micro-batch boundary."""
+        from flinkproj_spark.operators.multimodal import (
+            PHASH_MAX_HAMMING, phash60)
+        from flinkproj_spark.streaming.multimodal import stream_phash_gate
+
+        a_bits = [1] * 60
+        b_bits = [0] * 60
+        near_a = list(a_bits); near_a[0] = near_a[1] = near_a[2] = 0   # d=3
+        far_a = list(a_bits)
+        far_a[10] = far_a[11] = far_a[12] = far_a[13] = 0              # d=4
+        fresh = [1, 0] * 30                                            # d=30
+
+        base_rows = [(100, self._pgm(a_bits)), (101, self._pgm(b_bits))]
+        incoming = [
+            (1, _sec(0), self._pgm(fresh)),    # admitted
+            (2, _sec(1), self._pgm(a_bits)),   # exact copy of base -> rejected
+            (3, _sec(2), self._pgm(near_a)),   # 3 bits off base -> rejected
+            (4, _sec(3), self._pgm(fresh)),    # within-stream copy -> dropped
+            (5, _sec(4), self._pgm(far_a)),    # 4 bits off base -> admitted
+        ]
+
+        # batch-definition verdicts via the SAME hashing core
+        base_ph = [phash60(p) for _, p in base_rows]
+        expected = sorted(
+            did for did, _, p in incoming
+            if did != 4  # the within-stream copy
+            and min(bin(phash60(p) ^ bp).count("1") for bp in base_ph)
+            > PHASH_MAX_HAMMING
+        )
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        schema = "doc_id long, ts timestamp, payload binary"
+        base = spark.createDataFrame(base_rows, "doc_id long, payload binary")
+        _feed(spark, src, incoming, schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        _run(stream_phash_gate(stream, base, horizon="0 seconds"), out, ckpt)
+        # advance the watermark so every run-1 verdict finalizes (the
+        # admission NEGATION emits on expiry); the flush row itself
+        # stays pending, which is the correct append-mode semantics
+        _feed(spark, src, [(99, _sec(7200), self._pgm(b_bits))], schema)
+        _run(stream_phash_gate(stream, base, horizon="0 seconds"), out, ckpt)
+
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == expected == [1, 5]
