@@ -29,6 +29,13 @@ _EXTENSION_MODULES = (
     "tpch",
     "tpch2",
     "analytic",
+    # round-10 family-seam split of the old monolithic analytic.py —
+    # order here only affects fallback key ordering, never key identity
+    "stats",
+    "timeseries",
+    "graph",
+    "privacy",
+    "screens",
 )
 
 # Key order == driver check order, and the driver's per-round
@@ -46,10 +53,10 @@ _PRIORITY_KEYS = (
     "query_expansion_prf",  # last green r4
     "temperature_mix",  # last green r4
     "pipeline_curate_v3",  # last green r4
+    "event_cooccurrence_lift",  # last green r4
+    "rolling_median",  # last green r4
     "incremental_rollup_merge",  # last green r4
     "schema_drift_report",  # last green r4
-    "rolling_median",  # last green r4
-    "event_cooccurrence_lift",  # last green r4
     "distinct_counts",  # last green r5
     "salted_skew_join",  # last green r5
     "dedup_exact",  # last green r5
