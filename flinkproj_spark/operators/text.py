@@ -2680,3 +2680,124 @@ ORACLE["auc_length_by_source"] = """
     FROM cum c JOIN tot t USING (source) CROSS JOIN n_all a
     GROUP BY c.source, t.n_s, a.n_tot
 """
+
+
+def hapax_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-health profile per language: vocabulary size, hapax
+    legomena count (words seen exactly once), hapax share of the
+    vocabulary, and type-token ratio — the corpus-health quartet a
+    tokenizer/data team reads before freezing a vocab (a ballooning
+    hapax share means noise/OCR junk; a collapsing TTR means heavy
+    duplication). Complements vocab_growth_curve (growth over ingest
+    order) with the steady-state distributional view.
+
+    Not in the reference (SURVEY.md §2.9); LLM-pipeline text-analysis
+    extension.
+
+    Shape: ONE map-side-combined exchange on (lang, word) builds the
+    per-type counts (the count of a word is combinable, so the shuffle
+    carries unique types, not tokens), then a 5-row rollup per lang.
+    Integer ppm via div. At 100 TB the type table is the only moved
+    data — vocabulary grows ~Heaps' law, sublinear in corpus size."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = F.transform(_words(), lambda w: F.lower(w))
+    types = (
+        docs.select("lang", F.explode(words).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = types.groupBy("lang").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return agg.select(
+        "lang",
+        "vocab_size",
+        "n_hapax",
+        "n_tokens",
+        F.expr(
+            "CAST(CAST(n_hapax AS DECIMAL(38,0)) * 1000000"
+            " div vocab_size AS BIGINT)"
+        ).alias("hapax_ppm"),
+        F.expr(
+            "CAST(CAST(vocab_size AS DECIMAL(38,0)) * 1000000"
+            " div n_tokens AS BIGINT)"
+        ).alias("ttr_ppm"),
+    )
+
+
+QUERIES["hapax_rate_by_lang"] = hapax_rate_by_lang
+ORACLE["hapax_rate_by_lang"] = f"""
+    WITH types AS (
+      SELECT lang, w, COUNT(*) AS c
+      FROM (SELECT lang,
+                   unnest(list_transform({_WORDS_SQL}, x -> lower(x))) AS w
+            FROM documents)
+      GROUP BY 1, 2)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // COUNT(*) AS BIGINT) AS hapax_ppm,
+           CAST(CAST(COUNT(*) AS HUGEINT) * 1000000 // SUM(c) AS BIGINT)
+             AS ttr_ppm
+    FROM types GROUP BY 1
+"""
+
+
+def lang_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual contamination screen: per document, how many
+    DISTINCT languages have marker-word evidence (the text_lang_id
+    marker sets), rolled up to (labeled lang, n_langs_detected) cells
+    with doc counts and total marker hits. Docs whose evidence spans
+    ≥ 2 languages are the code-switched / boilerplate-contaminated
+    candidates an LLM pipeline routes to special handling — and a
+    label whose docs consistently detect ≠ 1 languages is a mislabeled
+    ingest source (lang_id_eval measures argmax accuracy; this
+    measures evidence AMBIGUITY).
+
+    Not in the reference (SURVEY.md §2.9); LLM-pipeline text-analysis
+    extension.
+
+    Shape: marker counting is IN-ROW over the token array (compile-time
+    constant marker arrays, no explode); the rollup key space is
+    langs × (n_langs+1) — corpus-size-independent, one map-side-combined
+    exchange. Map-heavy scan → fanned out like text_lang_id."""
+    docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
+    words = F.transform(_words(), lambda w: F.lower(w))
+    hits = []
+    for lang in _LANG_ORDER:
+        arr = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        hits.append(
+            F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+        )
+    n_langs = sum((h > 0).cast("int") for h in hits)
+    total = sum(hits)
+    per_doc = docs.select(
+        "lang",
+        n_langs.cast("int").alias("n_langs_detected"),
+        total.cast("long").alias("hits"),
+    )
+    return per_doc.groupBy("lang", "n_langs_detected").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("hits").alias("sum_marker_hits"),
+    )
+
+
+QUERIES["lang_mix_report"] = lang_mix_report
+_MIX_NL = " + ".join(
+    f"CASE WHEN _s_{l} > 0 THEN 1 ELSE 0 END" for l in _LANG_ORDER
+)
+_MIX_TOT = " + ".join(f"_s_{l}" for l in _LANG_ORDER)
+ORACLE["lang_mix_report"] = f"""
+    WITH scored AS (
+      SELECT lang, {_LANG_SCORES}
+      FROM documents)
+    SELECT lang,
+           CAST({_MIX_NL} AS INT) AS n_langs_detected,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_MIX_TOT}) AS BIGINT) AS sum_marker_hits
+    FROM scored GROUP BY 1, 2
+"""
