@@ -371,7 +371,17 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty and the star pairs carry the dedup signal; the planted-
     payload unit test proves the ≤3-bit recovery path end to end."""
     p = _pgm_payloads(spark, sf_dir)
-    ph = p.mapInPandas(_phash_pgm, schema=PHASH_SCHEMA)
+    return phash_pair_rows(p.mapInPandas(_phash_pgm, schema=PHASH_SCHEMA))
+
+
+def phash_pair_rows(ph: DataFrame) -> DataFrame:
+    """The dHash dedup-pair builder over any (doc_id, phash) frame:
+    exact-dup star pairs to the min-id representative (hamming 0) plus
+    banded rep-rep near pairs at hamming ≤ PHASH_MAX_HAMMING — the ONE
+    pair stage shared by the corpus-wide detector (dedup_phash_hamming)
+    and the multimodal curation funnel (pipeline_multimodal), so the
+    two can never desynchronize on dedup semantics (the shared-helper
+    rule phash_band_rows set for the banding geometry)."""
     # exact-duplicate collapse: one representative per distinct hash
     rep = ph.groupBy("phash").agg(F.min("doc_id").alias("doc_id"))
     star = (
@@ -853,4 +863,88 @@ ORACLE["multimodal_vad_segments"] = f"""
                 k -> ends[k + 1] - starts[k + 1] + 1)), 0) AS BIGINT)
              AS longest_segment
     FROM seg
+"""
+
+
+#: pipeline_multimodal admission gate: minimum decoded frame count and
+#: minimum mean pixel byte. Probed live before wiring (house rule):
+#: at sf0.01 the corpus is 500 docs → 493 hashable → 486 with ≥2
+#: frames → 373 above the mean-byte floor; every stage drops rows at
+#: every test SF, and the thresholds sit mid-distribution (corpus mean
+#: ≈ 94.5, range ≈ 92–99) so the gate is a real classifier, not a
+#: tautology.
+MM_GATE_FRAMES = 2
+MM_GATE_MEAN = 94.0
+
+
+def pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image-curation funnel — the multimodal twin of
+    pipeline_curate: DECODE (the audited Arrow stage extracts pixel
+    stats) → GATE (≥ MM_GATE_FRAMES frames and mean byte ≥
+    MM_GATE_MEAN — the too-short / too-dark screen a real image
+    pipeline runs on decoded features, never raw bytes) → EXACT DEDUP
+    (keep the min-id representative per dHash) → NEAR-DUP REMOVAL
+    (drop the younger member of every rep-rep pair within Hamming ≤ 3,
+    via the shared phash_pair_rows builder). Returns the surviving
+    (doc_id, width, height, n_frames, phash).
+
+    Not in the reference (SURVEY.md §2.9); composes the audited
+    multimodal stages exactly as data_card_report composes its audit
+    subplans — the funnel cannot disagree with the per-stage keys.
+
+    Shape: two Arrow mapInPandas passes over the payloads (stats +
+    hash; payload bytes projected away inside each stage — a
+    production fuse would combine them into one pass, this funnel
+    deliberately reuses the two individually-audited stages), then
+    everything downstream operates on narrow stats rows: one hash
+    exchange for the dedup groupBy, the banded rep-rep join on a
+    bounded integer key, and a doc_id anti join. The near-dup drop set
+    is corpus-proportional → NOT broadcast (pipeline_curate's rule)."""
+    p = _pgm_payloads(spark, sf_dir)
+    feats = p.mapInPandas(_decode_pgm, schema=DECODE_SCHEMA)
+    ph = p.mapInPandas(_phash_pgm, schema=PHASH_SCHEMA)
+    gated = feats.filter(
+        (F.col("n_frames") >= MM_GATE_FRAMES)
+        & (F.col("mean_byte") >= MM_GATE_MEAN)
+    ).join(ph, "doc_id")  # inner join also enforces "hashable"
+    pairs = phash_pair_rows(gated.select("doc_id", "phash"))
+    dropped = pairs.select("doc_b").distinct()
+    return (
+        gated.join(dropped, gated.doc_id == dropped.doc_b, "left_anti")
+        .select("doc_id", "width", "height", "n_frames", "phash")
+    )
+
+
+QUERIES["pipeline_multimodal"] = pipeline_multimodal
+ORACLE["pipeline_multimodal"] = f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(32 + doc_id % 64 AS INTEGER) AS width,
+             CAST(32 + doc_id % 48 AS INTEGER) AS height,
+             strlen(text) AS nd,
+             CAST((strlen(text) + 63) // 64 AS INTEGER) AS n_frames,
+             CASE WHEN strlen(text) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+                         i -> ord(substr(text, CAST(i AS BIGINT), 1)))) AS DOUBLE)
+                       / strlen(text) END AS mean_byte,
+             text
+      FROM documents),
+    gated AS (
+      SELECT doc_id, width, height, n_frames, {_PHASH_SQL} AS phash
+      FROM s
+      WHERE n_frames >= {MM_GATE_FRAMES} AND mean_byte >= {MM_GATE_MEAN}
+        AND nd >= {PHASH_BITS + 1}),
+    rep AS (SELECT phash, MIN(doc_id) AS doc_id FROM gated GROUP BY 1),
+    near_b AS (
+      SELECT b.doc_id AS doc_b
+      FROM rep a JOIN rep b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}),
+    star_b AS (
+      SELECT g.doc_id AS doc_b
+      FROM gated g JOIN rep r ON g.phash = r.phash
+      WHERE g.doc_id <> r.doc_id)
+    SELECT doc_id, width, height, n_frames, phash
+    FROM gated
+    WHERE doc_id NOT IN (SELECT doc_b FROM near_b
+                         UNION ALL SELECT doc_b FROM star_b)
 """

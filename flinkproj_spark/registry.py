@@ -51,6 +51,7 @@ _EXTENSION_MODULES = (
 _PRIORITY_KEYS = (
     "hapax_rate_by_lang",  # never checked
     "lang_mix_report",  # never checked
+    "pipeline_multimodal",  # never checked
     "pipeline_lake",  # never checked
     "query_expansion_prf",  # last green r4
     "temperature_mix",  # last green r4
@@ -98,7 +99,6 @@ _PRIORITY_KEYS = (
     "tpch_q8",  # last green r5
     "tpch_q9",  # last green r5
     "tpch_q11",  # last green r5
-    "tpch_q12",  # last green r5
 )
 
 

@@ -4241,3 +4241,28 @@ def test_pipeline_lake_digest_invariance_and_layout(spark, sf_dir):
     for d in bin_dirs:
         parts = [f for f in os.listdir(d) if f.startswith("part-")]
         assert len(parts) == 1, (d, parts)
+
+
+def test_pipeline_multimodal_funnel_invariants(spark, sf_dir):
+    """The image-curation funnel's three stage invariants at test SF:
+    every survivor passes the gate (re-derived from the decode stats),
+    survivors are phash-unique (exact dedup held), and no two
+    survivors sit within PHASH_MAX_HAMMING bits (near-dup removal
+    held) — brute-force verified over the survivor set."""
+    from flinkproj_spark.operators.multimodal import (
+        MM_GATE_FRAMES, MM_GATE_MEAN, PHASH_MAX_HAMMING,
+        multimodal_decode, pipeline_multimodal)
+
+    rows = pipeline_multimodal(spark, sf_dir).collect()
+    assert len(rows) > 0
+    stats = {r.doc_id: r for r in multimodal_decode(spark, sf_dir).collect()}
+    hashes = [r.phash for r in rows]
+    assert len(set(hashes)) == len(hashes)  # exact dedup
+    for r in rows:
+        s = stats[r.doc_id]
+        assert s.n_frames >= MM_GATE_FRAMES and s.mean_byte >= MM_GATE_MEAN
+        assert (r.width, r.height, r.n_frames) == (s.width, s.height, s.n_frames)
+    hs = sorted(hashes)
+    for i, a in enumerate(hs):
+        for b in hs[i + 1 :]:
+            assert bin(a ^ b).count("1") > PHASH_MAX_HAMMING, (a, b)
