@@ -345,3 +345,31 @@ def stream_pii_gate(new_docs: DataFrame) -> DataFrame:
     staged = new_docs.select("doc_id", *counts)
     any_hit = sum(F.col(f"{n}_hits") for n in PII_PATTERNS) > 0
     return staged.withColumn("pii_flagged", any_hit.cast("int"))
+
+
+def stream_lang_mix_gate(new_docs: DataFrame) -> DataFrame:
+    """Streaming twin of operators/text.py::lang_mix_report's
+    per-document stage: count each language's marker-word evidence
+    IN-ROW at ingest and emit the cross-lingual ambiguity verdict —
+    n_langs_detected, total marker hits, and the mixed flag (evidence
+    spans ≥ 2 languages) that routes code-switched / boilerplate-
+    contaminated docs away from the monolingual pools before storage.
+
+    Entirely stateless (compile-time constant marker arrays, no
+    explode, no state store), arithmetically identical to the batch
+    operator per document — the same frozen-constant contract as
+    stream_dsir_gate. Input stream needs (doc_id, ts, text)."""
+    words = F.transform(fx.tokenize_ws(), lambda w: F.lower(w))
+    hits = []
+    for lang in _LANG_ORDER:
+        arr = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        hits.append(F.size(F.filter(words, lambda w: F.array_contains(arr, w))))
+    n_langs = sum((h > 0).cast("int") for h in hits)
+    total = sum(hits)
+    return new_docs.select(
+        "doc_id",
+        "ts",
+        n_langs.cast("int").alias("n_langs_detected"),
+        total.cast("long").alias("marker_hits"),
+        (n_langs >= 2).cast("int").alias("mixed"),
+    )

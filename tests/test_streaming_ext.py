@@ -1651,3 +1651,67 @@ class TestStreamPhashGate:
 
         got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
         assert got == expected == [1, 5]
+
+
+class TestStreamLangMixGate:
+    def test_converges_to_batch_lang_mix_stage(self, spark, sf_dir, tmp_path):
+        """Replay real corpus documents through the stateless gate; the
+        per-doc verdicts must equal the batch lang_mix_report's per-doc
+        stage (re-derived by re-aggregating the stream output into the
+        report cells)."""
+        from flinkproj_spark.operators.text import lang_mix_report
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.curate import stream_lang_mix_gate
+        import pyspark.sql.functions as F
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        # deterministic subset (a re-evaluated limit() could pick
+        # different rows between the write and the expectation pass)
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 < 2
+        ).select("doc_id", F.lit(_sec(0)).alias("ts"), "text", "lang")
+        n_replayed = docs.count()
+        assert n_replayed > 100
+        docs.select("doc_id", "ts", "text").coalesce(2).write.parquet(src)
+        stream = spark.readStream.schema(
+            "doc_id long, ts timestamp, text string"
+        ).parquet(src)
+        _run(stream_lang_mix_gate(stream), out, ckpt)
+
+        got = spark.read.parquet(out)
+        assert got.count() == n_replayed
+        # re-aggregate the stream verdicts into report cells and compare
+        # against the batch report restricted to the replayed docs
+        cells = {
+            (r.lang, r.n_langs_detected): (r.n_docs, r.sum_marker_hits)
+            for r in got.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang", "n_langs_detected")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("marker_hits").alias("sum_marker_hits"))
+            .collect()
+        }
+        full = lang_mix_report(spark, sf_dir)
+        batch = {
+            (r.lang, r.n_langs_detected): (r.n_docs, r.sum_marker_hits)
+            for r in full.collect()
+        }
+        # the replay is the doc_id<limit prefix; with limit==table size
+        # at sf0.001 (500 > 200 docs) compare only the replayed subset
+        ids = {r.doc_id for r in docs.select("doc_id").collect()}
+        from flinkproj_spark.operators.text import (
+            _LANG_MARKERS, _LANG_ORDER)
+        raw = {r.doc_id: (r.lang, r.text)
+               for r in load_table(spark, sf_dir, "documents").collect()
+               if r.doc_id in ids}
+        expect = {}
+        for did, (lang, text) in raw.items():
+            words = [w.lower() for w in text.split(" ") if w]
+            hs = [sum(w in _LANG_MARKERS[l2] for w in words) for l2 in _LANG_ORDER]
+            nl = sum(1 for h in hs if h > 0)
+            n, s = expect.get((lang, nl), (0, 0))
+            expect[(lang, nl)] = (n + 1, s + sum(hs))
+        assert cells == expect
+        # and the mixed flag is exactly n_langs_detected >= 2
+        assert got.filter(
+            (F.col("mixed") == 1) != (F.col("n_langs_detected") >= 2)
+        ).count() == 0
