@@ -1191,3 +1191,74 @@ ORACLE["compaction_plan"] = f"""
                 // {CP_TARGET_BYTES} AS BIGINT) AS fill_ppm
     FROM planned GROUP BY 1, 2
 """
+
+
+#: vacuum_plan retention horizon, in days, measured back from the
+#: corpus's max ingest day (fixture-relative, like AM_YEAR_FROM's
+#: year anchors — a wall-clock cutoff would make the plan
+#: non-deterministic). The events table spans 30 days at every SF, so
+#: a 21-day retention keeps ~2/3 and deletes ~1/3 of the day-files —
+#: both branches live at sf0.001/0.01/0.1.
+VACUUM_RETAIN_DAYS = 21
+
+
+def vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention (VACUUM) plan over the day-partitioned ingest layout —
+    the deletion sibling of compaction_plan, run from the SAME
+    (event_type, day) inventory grid (event_day_inventory, the shared
+    derivation rule): per event_type, which day-files fall behind the
+    VACUUM_RETAIN_DAYS horizon (measured from the corpus max day, so
+    the plan is replay-deterministic), how many files/rows/bytes the
+    sweep reclaims, the kept counterparts, and the cutoff day. A lake
+    runs this plan → delete → digest-verify loop exactly as it runs
+    plan → compact → digest-verify (pipeline_lake).
+
+    Not in the reference (SURVEY.md §2.9); lake-operations extension.
+
+    Shape: one map-side-combined scan collapse to the calendar-bounded
+    inventory, a broadcast 1-row max-day join, and a ≤|event_type|-row
+    conditional rollup. Nothing corpus-sized moves past the first
+    aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    inv = event_day_inventory(events)
+    cutoff = inv.agg(
+        F.date_sub(F.max("d"), VACUUM_RETAIN_DAYS - 1).alias("cutoff")
+    )
+    old = F.col("d") < F.col("cutoff")
+    return (
+        inv.crossJoin(F.broadcast(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.date_format(F.first("cutoff"), "yyyy-MM-dd").alias("cutoff_day"),
+            F.sum(old.cast("long")).alias("n_files_delete"),
+            F.sum(F.when(old, F.col("n_rows")).otherwise(0)).alias("n_rows_delete"),
+            F.sum(F.when(old, F.col("bytes")).otherwise(0)).alias("bytes_reclaimed"),
+            F.sum((~old).cast("long")).alias("n_files_keep"),
+            F.sum(F.when(~old, F.col("bytes")).otherwise(0)).alias("bytes_kept"),
+        )
+    )
+
+
+QUERIES["vacuum_plan"] = vacuum_plan
+ORACLE["vacuum_plan"] = f"""
+    WITH inv AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n_rows,
+             SUM(len(props) + {CP_ROW_OVERHEAD}) AS bytes
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT MAX(d) - {VACUUM_RETAIN_DAYS - 1} AS cutoff FROM inv)
+    SELECT event_type,
+           strftime(ANY_VALUE(cutoff), '%Y-%m-%d') AS cutoff_day,
+           CAST(SUM(CASE WHEN d < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_files_delete,
+           CAST(SUM(CASE WHEN d < cutoff THEN n_rows ELSE 0 END) AS BIGINT)
+             AS n_rows_delete,
+           CAST(SUM(CASE WHEN d < cutoff THEN bytes ELSE 0 END) AS BIGINT)
+             AS bytes_reclaimed,
+           CAST(SUM(CASE WHEN d >= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_files_keep,
+           CAST(SUM(CASE WHEN d >= cutoff THEN bytes ELSE 0 END) AS BIGINT)
+             AS bytes_kept
+    FROM inv CROSS JOIN c
+    GROUP BY 1
+"""

@@ -52,6 +52,7 @@ _PRIORITY_KEYS = (
     "hapax_rate_by_lang",  # never checked
     "lang_mix_report",  # never checked
     "pipeline_multimodal",  # never checked
+    "vacuum_plan",  # never checked
     "pipeline_lake",  # never checked
     "query_expansion_prf",  # last green r4
     "temperature_mix",  # last green r4
@@ -98,7 +99,6 @@ _PRIORITY_KEYS = (
     "tpch_q2",  # last green r5
     "tpch_q8",  # last green r5
     "tpch_q9",  # last green r5
-    "tpch_q11",  # last green r5
 )
 
 
