@@ -898,15 +898,29 @@ def pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately reuses the two individually-audited stages), then
     everything downstream operates on narrow stats rows: one hash
     exchange for the dedup groupBy, the banded rep-rep join on a
-    bounded integer key, and a doc_id anti join. The near-dup drop set
-    is corpus-proportional → NOT broadcast (pipeline_curate's rule)."""
+    bounded integer key, and a doc_id anti join. The gated frame is
+    PERSISTED (MEMORY_AND_DISK — narrow stats rows, never payloads):
+    the pair builder and the anti join consume it through four
+    subtrees, and a persist is the only contractual way to run each
+    payload decode ONCE (ReusedExchange is best-effort; the plan pin
+    in test_plans counts the Arrow stages). Callers own cache
+    lifetime (bench/oracle harness clearCache per key — the house
+    rule). The near-dup drop set is corpus-proportional → NOT
+    broadcast (pipeline_curate's rule)."""
+    from pyspark.storagelevel import StorageLevel
+
     p = _pgm_payloads(spark, sf_dir)
     feats = p.mapInPandas(_decode_pgm, schema=DECODE_SCHEMA)
     ph = p.mapInPandas(_phash_pgm, schema=PHASH_SCHEMA)
-    gated = feats.filter(
-        (F.col("n_frames") >= MM_GATE_FRAMES)
-        & (F.col("mean_byte") >= MM_GATE_MEAN)
-    ).join(ph, "doc_id")  # inner join also enforces "hashable"
+    gated = (
+        feats.filter(
+            (F.col("n_frames") >= MM_GATE_FRAMES)
+            & (F.col("mean_byte") >= MM_GATE_MEAN)
+        )
+        .join(ph, "doc_id")  # inner join also enforces "hashable"
+        .withColumn("_mm_funnel", F.lit(1))  # operator-unique cache marker
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = phash_pair_rows(gated.select("doc_id", "phash"))
     dropped = pairs.select("doc_b").distinct()
     return (

@@ -1262,3 +1262,65 @@ ORACLE["vacuum_plan"] = f"""
     FROM inv CROSS JOIN c
     GROUP BY 1
 """
+
+
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit over the train_shard_shuffle layout: per
+    shard, doc and token counts plus their skew against a perfectly
+    uniform split (ppm of ideal; 1e6 = exactly balanced) — the check a
+    training team runs before freezing shard files, because one hot
+    shard gates every epoch's wall-clock (stragglers). Uses the SAME
+    md5-bucket assignment expression as train_shard_shuffle, so the
+    audit can never drift from the layout it audits.
+
+    Not in the reference (SURVEY.md §2.9); training-output extension.
+
+    Shape: in-row hash + token count, ONE map-side-combined groupBy on
+    the _N_SHARDS-value key, totals re-attached by broadcast 1-row
+    crossJoin. Integer ppm via DECIMAL(38,0) div."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % _N_SHARDS)
+    per = docs.select(
+        shard.alias("shard"),
+        F.size(fx.tokenize_ws()).cast("long").alias("toks"),
+    ).groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"CAST(CAST(n_docs AS DECIMAL(38,0)) * {_N_SHARDS} * 1000000"
+            " div _td AS BIGINT)"
+        ).alias("docs_skew_ppm"),
+        F.expr(
+            f"CAST(CAST(n_tokens AS DECIMAL(38,0)) * {_N_SHARDS} * 1000000"
+            " div _tt AS BIGINT)"
+        ).alias("tokens_skew_ppm"),
+    )
+
+
+QUERIES["shard_balance_report"] = shard_balance_report
+ORACLE["shard_balance_report"] = f"""
+    WITH per AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                 || '{_SHUFFLE_SALT}'), 1, 8))::BIGINT % {_N_SHARDS} AS shard,
+             COUNT(*) AS n_docs,
+             SUM(len({_WORDS_SQL})) AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM per)
+    SELECT shard,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(CAST(n_docs AS HUGEINT) * {_N_SHARDS} * 1000000
+                // td AS BIGINT) AS docs_skew_ppm,
+           CAST(CAST(n_tokens AS HUGEINT) * {_N_SHARDS} * 1000000
+                // tt AS BIGINT) AS tokens_skew_ppm
+    FROM per CROSS JOIN tot
+"""

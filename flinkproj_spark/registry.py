@@ -53,6 +53,7 @@ _PRIORITY_KEYS = (
     "lang_mix_report",  # never checked
     "pipeline_multimodal",  # never checked
     "vacuum_plan",  # never checked
+    "shard_balance_report",  # never checked
     "pipeline_lake",  # never checked
     "query_expansion_prf",  # last green r4
     "temperature_mix",  # last green r4
@@ -98,7 +99,6 @@ _PRIORITY_KEYS = (
     "tpch_q22",  # last green r5
     "tpch_q2",  # last green r5
     "tpch_q8",  # last green r5
-    "tpch_q9",  # last green r5
 )
 
 

@@ -1197,3 +1197,32 @@ def test_vocab_prune_cumsum_is_bucket_partitioned(spark, sf_dir):
             if (" ASC" in head.split(",")[0]) or (" DESC" in head.split(",")[0]):
                 # unpartitioned ordered window => offset frame only
                 assert "_cs_" in l or "_csb" in l, l
+
+
+def test_pipeline_multimodal_gated_frame_is_persisted(spark, sf_dir):
+    """The image funnel's plan shape: the gated frame (the output of
+    the two Arrow stages) is PERSISTED, so every downstream consumer —
+    the pair builder's rep/star/band subtrees and the final anti join
+    — reads the cache and each payload decode runs ONCE regardless of
+    how many subtrees reference it. Plus: an anti join for the
+    near-dup drop, and no row-at-a-time Python anywhere."""
+    from flinkproj_spark.operators.multimodal import pipeline_multimodal
+
+    df = pipeline_multimodal(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 4, plan.count("InMemoryTableScan")
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+    spark.catalog.clearCache()
+
+
+def test_shard_balance_single_pass_no_doc_sort(spark, sf_dir):
+    """The audit's only exchanges are the map-side-combined shard agg
+    (its subtree appears twice — totals re-aggregate the same 8-row
+    frame; AQE reuses the exchange at runtime) — never a doc-level
+    sort and never a third fact pass."""
+    from flinkproj_spark.operators.sampling import shard_balance_report
+
+    plan = _plan(shard_balance_report(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Sort " not in plan
