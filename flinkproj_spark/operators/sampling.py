@@ -1220,7 +1220,17 @@ def vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional rollup. Nothing corpus-sized moves past the first
     aggregate."""
     events = load_table(spark, sf_dir, "events")
-    inv = event_day_inventory(events)
+    return vacuum_sweep(event_day_inventory(events))
+
+
+def vacuum_sweep(inv: DataFrame) -> DataFrame:
+    """Retention rollup from a (event_type, d, n_rows, bytes)
+    inventory frame — shared by the batch planner (vacuum_plan) and
+    the streaming small-files monitor (streaming/monitor.py::
+    stream_file_inventory feeds exactly converged inputs), the same
+    one-derivation rule as compaction_bins: the live "what would a
+    vacuum reclaim right now" dashboard can never disagree with the
+    nightly sweep."""
     cutoff = inv.agg(
         F.date_sub(F.max("d"), VACUUM_RETAIN_DAYS - 1).alias("cutoff")
     )

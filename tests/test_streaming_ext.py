@@ -1323,6 +1323,20 @@ class TestStreamFileInventory:
             for r in compaction_plan(spark, sf_dir).collect()
         }
         assert got_plan == want_plan
+        # the retention view over the SAME live inventory equals the
+        # nightly vacuum plan (vacuum_sweep is the one shared rollup)
+        from flinkproj_spark.operators.sampling import (
+            vacuum_plan, vacuum_sweep)
+
+        vrow = lambda r: (r.cutoff_day, r.n_files_delete, r.n_rows_delete,
+                          r.bytes_reclaimed, r.n_files_keep, r.bytes_kept)
+        got_vac = {r.event_type: vrow(r)
+                   for r in vacuum_sweep(streamed).collect()}
+        want_vac = {r.event_type: vrow(r)
+                    for r in vacuum_plan(spark, sf_dir).collect()}
+        assert got_vac == want_vac
+        assert any(v[1] > 0 for v in got_vac.values())  # deletes live
+        assert any(v[4] > 0 for v in got_vac.values())  # keeps live
 
 
 class TestStreamConformalGate:
