@@ -1028,6 +1028,16 @@ def token_budget_allocator(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.groupBy("lang").agg(
         F.sum(F.size(fx.tokenize_ws())).cast("long").alias("t")
     )
+    return token_budget_from_counts(tok)
+
+
+def token_budget_from_counts(tok: DataFrame) -> DataFrame:
+    """Largest-remainder apportionment from a (lang, t) token-mass
+    frame — shared by the batch allocator and the live data-mix
+    dashboard (streaming/monitor.py::stream_token_mass feeds exactly
+    converged per-lang sums), the compaction_bins one-derivation rule:
+    the live "current quota at corpus proportions" view can never
+    disagree with the batch allocator."""
     tot = tok.agg(F.sum("t").alias("tt"))
     based = tok.crossJoin(F.broadcast(tot)).selectExpr(
         "lang",

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flinkproj_spark import functions as fx
 from flinkproj_spark.operators.similarity import dim_moments, drift_verdicts
 from flinkproj_spark.streaming.warehouse import (
     _commit_version,
@@ -317,4 +318,22 @@ def stream_digest_monitor(docs: DataFrame) -> DataFrame:
             "n_rows",
             F.expr(f"CAST(_s % {TD_MOD} AS BIGINT)").alias("digest"),
         )
+    )
+
+
+def stream_token_mass(docs: DataFrame) -> DataFrame:
+    """Streaming per-language token-mass counters — the ingest-time
+    feed of operators/sampling.py::token_budget_allocator. Each doc
+    folds its whitespace-token count into its language's sum:
+    decomposable, so micro-batch merging is exact and state is one
+    long per language forever (dimension-sized, no watermark — the
+    stream_file_inventory argument, here for the data-mix dashboard).
+    Run in complete/update mode; reading the live quota allocation is
+    the SAME sampling.token_budget_from_counts the batch allocator
+    uses (pinned equal in tests/test_streaming_ext.py), so the
+    "current 100k-token mixture at corpus proportions" view can never
+    disagree with the nightly allocator. Input stream needs
+    (lang, text)."""
+    return docs.groupBy("lang").agg(
+        F.sum(F.size(fx.tokenize_ws())).cast("long").alias("t")
     )

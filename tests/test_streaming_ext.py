@@ -1729,3 +1729,46 @@ class TestStreamLangMixGate:
         assert got.filter(
             (F.col("mixed") == 1) != (F.col("n_langs_detected") >= 2)
         ).count() == 0
+
+
+class TestStreamTokenMass:
+    def test_live_quota_equals_batch_allocator(self, spark, sf_dir, tmp_path):
+        """Replay the documents table through the streaming token-mass
+        counters split across two micro-batch files; the converged
+        per-lang sums must equal the batch scan's, and the shared
+        largest-remainder rollup over them must equal
+        token_budget_allocator exactly (quota conservation included)."""
+        from flinkproj_spark.operators.sampling import (
+            TB_BUDGET, token_budget_allocator, token_budget_from_counts)
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_token_mass
+        import pyspark.sql.functions as F
+
+        src = str(tmp_path / "src")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_token_mass(
+                spark.readStream.schema(
+                    "doc_id long, lang string, text string"
+                ).parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("token_mass")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.sql("select * from token_mass")
+
+        row = lambda r: (r.t, r.floor_quota, r.extra, r.quota)
+        got = {r.lang: row(r)
+               for r in token_budget_from_counts(streamed).collect()}
+        want = {r.lang: row(r)
+                for r in token_budget_allocator(spark, sf_dir).collect()}
+        assert got == want and len(got) >= 3
+        assert sum(v[3] for v in got.values()) == TB_BUDGET
