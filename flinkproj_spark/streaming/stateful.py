@@ -478,3 +478,70 @@ def stream_twap(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---- funnel-stage stream (the stateful twin of operators/
+# analytic.funnel_steps) -------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = "user_id long, stage int, ts timestamp"
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long"
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_for_key(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Replay this user's events in (ts, event_id) order against the
+    (t1, t2, t3) earliest-qualifying-stage state: a stage advances on
+    the first event of the right type STRICTLY after the previous
+    stage's timestamp — exactly the batch funnel's MIN(CASE ...)
+    chain, because an in-order replay's first qualifying hit IS that
+    minimum. Emits one row per stage ADVANCE (the live funnel edge a
+    growth dashboard increments on), nothing on non-advancing events."""
+    (uid,) = key
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    rows: list[tuple[int, object]] = []
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for etype, ts in zip(pdf["event_type"], pdf["ts"]):
+        us = int(ts.value // 1000)  # pandas ns -> micros
+        if etype == "view" and t1 is None:
+            t1 = us
+            rows.append((1, ts))
+        elif etype == "click" and t1 is not None and us > t1 and t2 is None:
+            t2 = us
+            rows.append((2, ts))
+        elif etype == "purchase" and t2 is not None and us > t2 and t3 is None:
+            t3 = us
+            rows.append((3, ts))
+    state.update((t1, t2, t3))
+    if rows:
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([int(uid)] * len(rows), dtype="int64"),
+                "stage": pd.Series([r[0] for r in rows], dtype="int32"),
+                "ts": pd.Series([r[1] for r in rows]),
+            }
+        )
+
+
+def stream_funnel_stage(events: DataFrame) -> DataFrame:
+    """events(event_id, ts, user_id, event_type) stream → per-user
+    funnel-stage ADVANCE events (view → click → purchase, each stage
+    strictly after the previous — the temporal-order semantics of the
+    batch funnel_steps). The count of users whose emitted max stage is
+    ≥ k converges to the batch funnel's stage-k counter (pinned in
+    tests). State is three nullable longs per live user — O(1) per
+    key; Arrow batches carry each user's rows into Python once per
+    micro-batch. Same in-order-replay watermark contract as
+    stream_rolling_anomaly (the batch op is the backfill path)."""
+    return (
+        events.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_for_key,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

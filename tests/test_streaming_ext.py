@@ -1772,3 +1772,66 @@ class TestStreamTokenMass:
                 for r in token_budget_allocator(spark, sf_dir).collect()}
         assert got == want and len(got) >= 3
         assert sum(v[3] for v in got.values()) == TB_BUDGET
+
+
+class TestStreamFunnelStage:
+    def test_converges_to_batch_funnel_counters(self, spark, sf_dir, tmp_path):
+        """Replay the events table in event-time order split across
+        three micro-batches; users' max emitted stages must reproduce
+        the batch funnel_steps counters exactly, each stage must fire
+        at most once per user, and stage timestamps must be strictly
+        increasing within a user."""
+        from flinkproj_spark.operators.analytic import funnel_steps
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.stateful import stream_funnel_stage
+        import pyspark.sql.functions as F
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+            .orderBy("ts", "event_id")
+        )
+        n = ev.count()
+        pdf = ev.toPandas()
+        for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+            chunk = pdf.iloc[lo : lo + (n + 2) // 3]
+            spark.createDataFrame(chunk).coalesce(1).write.parquet(
+                f"{src}/b{i}", mode="overwrite"
+            )
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = (
+            stream_funnel_stage(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        rows = spark.read.parquet(out).collect()
+        per_user: dict[int, dict[int, object]] = {}
+        for r in rows:
+            per_user.setdefault(r.user_id, {})
+            assert r.stage not in per_user[r.user_id]  # fires once
+            per_user[r.user_id][r.stage] = r.ts
+        for stages in per_user.values():
+            if 2 in stages:
+                assert 1 in stages and stages[2] > stages[1]
+            if 3 in stages:
+                assert 2 in stages and stages[3] > stages[2]
+        got = [
+            sum(1 for s in per_user.values() if k in s) for k in (1, 2, 3)
+        ]
+        b = funnel_steps(spark, sf_dir).collect()[0]
+        assert got == [b.n_view, b.n_view_click, b.n_view_click_purchase]
+        # monotone and live (at sf0.001 every viewer eventually
+        # purchases — 15/15/15 — so strict drop-off can't be asserted)
+        assert got[0] >= got[1] >= got[2] > 0
