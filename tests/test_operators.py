@@ -1319,7 +1319,8 @@ def test_deploy_entrypoints_parse(tmp_path):
     import subprocess
     import sys
 
-    for script in ("deploy/run_clean.py", "deploy/run_report.py"):
+    for script in ("deploy/run_clean.py", "deploy/run_report.py",
+               "deploy/run_lake_maintenance.py"):
         r = subprocess.run(
             [sys.executable, script, "--help"], capture_output=True
         )
