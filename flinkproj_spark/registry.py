@@ -49,56 +49,56 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    "hapax_rate_by_lang",  # never checked
-    "lang_mix_report",  # never checked
-    "pipeline_multimodal",  # never checked
-    "vacuum_plan",  # never checked
-    "shard_balance_report",  # never checked
-    "pipeline_lake",  # never checked
-    "query_expansion_prf",  # last green r4
-    "temperature_mix",  # last green r4
-    "pipeline_curate_v3",  # last green r4
-    "event_cooccurrence_lift",  # last green r4
-    "rolling_median",  # last green r4
-    "incremental_rollup_merge",  # last green r4
-    "schema_drift_report",  # last green r4
-    "distinct_counts",  # last green r5
-    "salted_skew_join",  # last green r5
-    "dedup_exact",  # last green r5
-    "dedup_keyed_latest",  # last green r5
-    "dedup_cluster",  # last green r5
-    "dedup_simhash",  # last green r5
-    "dedup_ngram_jaccard",  # last green r5
-    "dedup_pair_degree_hist",  # last green r5
-    "pair_graph_triangles",  # last green r5
-    "decontaminate",  # last green r5
-    "ann_topk_brute",  # last green r5
-    "ann_topk_lsh",  # last green r5
-    "ann_topk_ivf",  # last green r5
-    "ann_recall_eval",  # last green r5
-    "embedding_neardup",  # last green r5
-    "embedding_centroids",  # last green r5
-    "semdedup_cells",  # last green r5
-    "text_token_count",  # last green r5
-    "bpe_apply",  # last green r5
-    "bpe_token_usage",  # last green r5
-    "quality_threshold_sweep",  # last green r5
-    "quality_rank_per_lang",  # last green r5
-    "text_repetition",  # last green r5
-    "text_quality",  # last green r5
-    "multimodal_pack",  # last green r5
-    "pipeline_curate_v4",  # last green r5
-    "filter_funnel_v3",  # last green r5
-    "tpch_q4",  # last green r5
-    "tpch_q7",  # last green r5
-    "tpch_q10",  # last green r5
-    "tpch_q13",  # last green r5
-    "tpch_q14",  # last green r5
-    "tpch_q18",  # last green r5
-    "tpch_q19",  # last green r5
-    "tpch_q22",  # last green r5
-    "tpch_q2",  # last green r5
-    "tpch_q8",  # last green r5
+    "approx_distinct_counts",  # oracled, never hash-verified (rows-only green r6)
+    "approx_percentile_stats",  # oracled, never hash-verified (rows-only green r8)
+    "tpch_q9",  # last green r5
+    "tpch_q11",  # last green r5
+    "tpch_q12",  # last green r5
+    "tpch_q15",  # last green r5
+    "tpch_q16",  # last green r5
+    "tpch_q17",  # last green r5
+    "tpch_q20",  # last green r5
+    "tpch_q21",  # last green r5
+    "grouping_sets_counts",  # last green r5
+    "interval_join_pairs",  # last green r5
+    "percentile_stats",  # last green r5
+    "histogram_value",  # last green r5
+    "time_rollup_multires",  # last green r5
+    "ngram_novelty_score",  # last green r6
+    "filter_funnel_report",  # last green r6
+    "cube_counts",  # last green r6
+    "pivot_counts",  # last green r6
+    "attribution_first_last",  # last green r6
+    "scd2_history",  # last green r6
+    "cdc_merge_latest",  # last green r6
+    "key_skew_profile",  # last green r6
+    "dedup_minhash_lsh",  # last green r6
+    "eval_leak_report",  # last green r6
+    "minhash_banding_sensitivity",  # last green r6
+    "ann_topk_lsh_banded",  # last green r6
+    "embedding_dim_stats",  # last green r6
+    "knn_label_vote",  # last green r6
+    "embedding_drift_report",  # last green r6
+    "ivf_cell_balance_report",  # last green r6
+    "text_lang_id",  # last green r6
+    "doc_fingerprint",  # last green r6
+    "text_tf_top_terms",  # last green r6
+    "ngram_counts",  # last green r6
+    "text_pii_redact",  # last green r6
+    "doc_winnow_fingerprints",  # last green r6
+    "lang_id_eval",  # last green r6
+    "bigram_pmi_top",  # last green r6
+    "gopher_quality_filter",  # last green r6
+    "vocab_coverage",  # last green r6
+    "rrf_fusion",  # last green r6
+    "bm25_topk",  # last green r6
+    "corpus_stats",  # last green r6
+    "corpus_health_report",  # last green r6
+    "sample_exact_k",  # last green r6
+    "tfidf_topk",  # last green r6
+    "multimodal_meta",  # last green r6
+    "multimodal_decode",  # last green r6
+    "multimodal_frame_sample",  # last green r6
 )
 
 

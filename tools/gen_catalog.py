@@ -58,46 +58,81 @@ def _correctness_files() -> list[str]:
         return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
 
 
+def _ledgers() -> tuple[dict[str, int | None], dict[str, int | None]]:
+    """(last_any_green, last_hash_green) per key, from the git-tracked
+    CORRECTNESS_r*.json files.
+
+    last_any_green counts rows-only ``no_oracle`` rows (the pre-round-10
+    evidence grade for the sketch keys); last_hash_green counts only
+    value-hash-matched rows — the strong grade every key is held to now
+    that the whole registry is oracled.
+    """
+    last_any: dict[str, int | None] = {k: None for k in registry.raw_keys()}
+    last_hash: dict[str, int | None] = dict(last_any)
+    for path in _correctness_files():
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        for key, row in json.load(open(path)).items():
+            if key not in last_any or not _row_green(row):
+                continue
+            prev = last_any[key]
+            last_any[key] = rnd if prev is None else max(prev, rnd)
+            if row.get("err") is None and row.get("hash_match"):
+                prev_h = last_hash[key]
+                last_hash[key] = rnd if prev_h is None else max(prev_h, rnd)
+    return last_any, last_hash
+
+
 def ledger() -> dict[str, int | None]:
     """key -> last round with a driver-GREEN row (None if never green).
 
     Reads every git-tracked CORRECTNESS_r*.json. A key whose only rows
     are failures stays None — it is as urgent as a never-checked key.
     """
-    last: dict[str, int | None] = {k: None for k in registry.raw_keys()}
-    for path in _correctness_files():
-        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        for key, row in json.load(open(path)).items():
-            if key in last and _row_green(row):
-                prev = last[key]
-                last[key] = rnd if prev is None else max(prev, rnd)
-    return last
+    return _ledgers()[0]
 
 
 def expected_window(n: int = WINDOW) -> tuple[str, ...]:
-    """The window _PRIORITY_KEYS must equal: never-green keys first,
-    then stalest-green, tie-broken by module order (registry.raw_keys).
+    """The window _PRIORITY_KEYS must equal, ranked by evidence grade:
+
+    tier 0 — never driver-green at all;
+    tier 1 — oracled key whose only green rows are retired rows-only
+             ``no_oracle`` rows (no hash-verified row ever): the oracle
+             exists but the driver has never confirmed it, so these
+             lead every hash-green key (round-11 verdict task 1);
+    tier 2 — hash-green, stalest first.
+
+    Ties broken by module order (registry.raw_keys).
     """
     raw = registry.raw_keys()
     idx = {k: i for i, k in enumerate(raw)}
-    last = ledger()
+    last_any, last_hash = _ledgers()
+    oracled = set(registry.oracle_sql())
+
+    def tier(k: str) -> int:
+        if last_any[k] is None:
+            return 0
+        if k in oracled and last_hash[k] is None:
+            return 1
+        return 2
+
     ranked = sorted(
         raw,
-        key=lambda k: (
-            0 if last[k] is None else 1,  # never-green leads
-            last[k] if last[k] is not None else 0,  # then oldest green
-            idx[k],  # stable tie-break: module order
-        ),
+        key=lambda k: (tier(k), last_any[k] or 0, idx[k]),
     )
     return tuple(ranked[:n])
 
 
 def main(argv: list[str]) -> None:
     if "--window" in argv:
-        last = ledger()
+        last_any, last_hash = _ledgers()
         print(f"# expected _PRIORITY_KEYS window ({WINDOW} keys) — paste into registry.py")
         for k in expected_window():
-            age = "never checked" if last[k] is None else f"last green r{last[k]}"
+            if last_any[k] is None:
+                age = "never checked"
+            elif last_hash[k] is None:
+                age = f"oracled, never hash-verified (rows-only green r{last_any[k]})"
+            else:
+                age = f"last green r{last_hash[k]}"
             print(f'    "{k}",  # {age}')
         return
 
