@@ -1259,6 +1259,85 @@ def vacuum_sweep(inv: DataFrame) -> DataFrame:
     )
 
 
+def lake_file_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-file maintenance verdicts over the ingest layout — the
+    row-level view the vacuum/compaction planners summarize: for every
+    (event_type, day) file in the inventory grid, its size, its age
+    against the corpus max day, and the verdict the nightly
+    lake-maintenance job would hand it — 'vacuum' (behind the
+    VACUUM_RETAIN_DAYS horizon), 'compact' (kept but below its type's
+    mean day-file size — a small file worth packing with neighbours),
+    or 'keep'. The smallness rule is RELATIVE (bytes x n_days <
+    type_bytes, an exact integer comparison) rather than an absolute
+    byte floor, so all three verdicts stay live at every SF and the
+    rule is scale-free: the same query classifies a 100 TB lake's
+    day-files without retuning a constant.
+
+    Not in the reference (SURVEY.md §2.9); lake-operations extension.
+    The streaming twin is streaming/monitor.py::stream_vacuum_monitor —
+    the SAME lake_file_verdicts_from_inventory finisher read over the
+    live stream_file_inventory state, so the dashboard's verdicts can
+    never disagree with the nightly plan.
+
+    Shape: one map-side-combined scan collapse to the calendar-bounded
+    inventory, then a broadcast ≤|event_type|-row totals join and a
+    broadcast 1-row max-day join; verdicts are in-row CASE logic.
+    Output is inventory-sized (calendar x type), never event rows."""
+    events = load_table(spark, sf_dir, "events")
+    return lake_file_verdicts_from_inventory(event_day_inventory(events))
+
+
+def lake_file_verdicts_from_inventory(inv: DataFrame) -> DataFrame:
+    """Verdict derivation from a (event_type, d, n_rows, bytes)
+    inventory frame — shared by the batch key (lake_file_verdicts) and
+    the streaming monitor read (stream_vacuum_monitor), the same
+    one-derivation rule as compaction_bins / vacuum_sweep."""
+    mx = inv.agg(F.max("d").alias("max_d"))
+    # Per-type totals via a window PARTITIONED by event_type (frame =
+    # days per type, calendar-bounded) rather than a self-join: the
+    # inventory may be a streaming-state memory view, whose attributes
+    # a self-aggregate join cannot disambiguate.
+    wt = Window.partitionBy("event_type")
+    age = F.datediff(F.col("max_d"), F.col("d"))
+    small = F.col("bytes") * F.count("*").over(wt) < F.sum("bytes").over(wt)
+    return inv.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("bytes").cast("long").alias("bytes"),
+        age.cast("long").alias("age_days"),
+        F.when(age >= VACUUM_RETAIN_DAYS, F.lit("vacuum"))
+        .when(small, F.lit("compact"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )
+
+
+QUERIES["lake_file_verdicts"] = lake_file_verdicts
+ORACLE["lake_file_verdicts"] = f"""
+    WITH inv AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n_rows,
+             SUM(len(props) + {CP_ROW_OVERHEAD}) AS bytes
+      FROM events GROUP BY 1, 2),
+    t AS (SELECT event_type, COUNT(*) AS n_days, SUM(bytes) AS type_bytes
+          FROM inv GROUP BY 1),
+    c AS (SELECT MAX(d) AS max_d FROM inv)
+    SELECT inv.event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(bytes AS BIGINT) AS bytes,
+           CAST(date_diff('day', d, max_d) AS BIGINT) AS age_days,
+           CASE
+             WHEN date_diff('day', d, max_d) >= {VACUUM_RETAIN_DAYS}
+               THEN 'vacuum'
+             WHEN bytes * n_days < type_bytes THEN 'compact'
+             ELSE 'keep'
+           END AS verdict
+    FROM inv JOIN t ON inv.event_type = t.event_type CROSS JOIN c
+"""
+
+
 QUERIES["vacuum_plan"] = vacuum_plan
 ORACLE["vacuum_plan"] = f"""
     WITH inv AS (

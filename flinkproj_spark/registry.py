@@ -49,6 +49,7 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
+    "lake_file_verdicts",  # never checked
     "approx_distinct_counts",  # oracled, never hash-verified (rows-only green r6)
     "approx_percentile_stats",  # oracled, never hash-verified (rows-only green r8)
     "tpch_q9",  # last green r5
@@ -98,7 +99,6 @@ _PRIORITY_KEYS = (
     "tfidf_topk",  # last green r6
     "multimodal_meta",  # last green r6
     "multimodal_decode",  # last green r6
-    "multimodal_frame_sample",  # last green r6
 )
 
 

@@ -184,6 +184,30 @@ def stream_file_inventory(events: DataFrame) -> DataFrame:
     return event_day_inventory(events)
 
 
+def stream_vacuum_monitor(inv_state: DataFrame) -> DataFrame:
+    """Continuous lake-maintenance verdicts — the streaming twin of
+    operators/sampling.py::lake_file_verdicts and the monitor the
+    nightly deploy/run_lake_maintenance.py job reads between runs.
+    Composes with stream_file_inventory: the streaming query maintains
+    the (event_type, day) inventory state (decomposable count/sum
+    registers, exact under any micro-batch order, calendar x type
+    sized forever); THIS function is the read side — point it at the
+    materialized state table (memory/Delta sink of the inventory
+    query) and it emits every day-file's live verdict
+    ('vacuum'/'compact'/'keep') via the SHARED
+    lake_file_verdicts_from_inventory finisher, so the live dashboard
+    and the nightly batch plan are the same derivation by
+    construction (pinned in tests/test_streaming_ext.py). The
+    max-day anchor and per-type means recompute per read over the
+    inventory grid only — never event rows — which is what makes a
+    per-trigger verdict refresh affordable at 100 TB ingest."""
+    from flinkproj_spark.operators.sampling import (
+        lake_file_verdicts_from_inventory,
+    )
+
+    return lake_file_verdicts_from_inventory(inv_state)
+
+
 def build_conformal_thresholds(spark: SparkSession, sf_dir: str) -> dict:
     """Freeze the batch conformal calibration
     (operators/analytic.py::conformal_coverage_report's threshold

@@ -1337,6 +1337,20 @@ class TestStreamFileInventory:
         assert got_vac == want_vac
         assert any(v[1] > 0 for v in got_vac.values())  # deletes live
         assert any(v[4] > 0 for v in got_vac.values())  # keeps live
+        # the live per-file verdict monitor over the SAME inventory
+        # equals the batch lake_file_verdicts key row for row, and all
+        # three verdicts are live
+        from flinkproj_spark.operators.sampling import lake_file_verdicts
+        from flinkproj_spark.streaming.monitor import stream_vacuum_monitor
+
+        frow = lambda r: (r.n_rows, r.bytes, r.age_days, r.verdict)
+        got_f = {(r.event_type, r.day): frow(r)
+                 for r in stream_vacuum_monitor(streamed).collect()}
+        want_f = {(r.event_type, r.day): frow(r)
+                  for r in lake_file_verdicts(spark, sf_dir).collect()}
+        assert got_f == want_f
+        verdicts = {v[3] for v in got_f.values()}
+        assert verdicts == {"vacuum", "compact", "keep"}
 
 
 class TestStreamConformalGate:
