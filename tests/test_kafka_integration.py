@@ -9,6 +9,20 @@ visibly (never silently passes) unless BOTH hold:
   * the spark-sql-kafka connector is on the classpath — on a networked
     host launch pytest under e.g.
       PYSPARK_SUBMIT_ARGS="--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 pyspark-shell"
+
+In-sandbox acquisition was attempted and is impossible (round-11
+verdict task 5, probed 2026-08-16): DNS resolution itself fails
+(socket.gaierror for repo1.maven.org — no outbound network at all, so
+neither --packages nor a manual jar download can run), there is no
+~/.ivy2 or ~/.m2 cache to resurrect a jar from, a full-filesystem scan
+finds no kafka*.jar anywhere, the bundled pyspark/jars/ ships no
+kafka connector, and no broker binary exists to start even a loopback
+cluster. The missing pieces are exactly two artifacts a networked host
+supplies in minutes: the spark-sql-kafka-0-10 connector jar (+ its
+kafka-clients dependency) and any reachable broker. Until then the
+wire path is covered by the file/rate-source twins
+(tests/test_streaming.py) which exercise the same clean_transform and
+sink semantics against the same schemas.
 """
 
 from __future__ import annotations
@@ -24,7 +38,10 @@ BOOTSTRAP = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
 
 @pytest.mark.skipif(
     not BOOTSTRAP,
-    reason="set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port to run the Kafka roundtrip",
+    reason="set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port to run the Kafka "
+    "roundtrip (in-sandbox acquisition impossible: no DNS/outbound "
+    "network, no ivy/m2 cache, no kafka jar on disk, no broker — see "
+    "module docstring for the probed route)",
 )
 def test_kafka_produce_clean_consume_roundtrip(spark, tmp_path):
     import pyspark.sql.functions as F
