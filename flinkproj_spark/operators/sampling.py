@@ -1378,15 +1378,32 @@ def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the _N_SHARDS-value key, totals re-attached by broadcast 1-row
     crossJoin. Integer ppm via DECIMAL(38,0) div."""
     docs = load_table(spark, sf_dir, "documents")
+    return shard_balance_from_counts(shard_doc_counts(docs))
+
+
+def shard_doc_counts(docs: DataFrame) -> DataFrame:
+    """THE per-shard (n_docs, n_tokens) registers: one shared
+    derivation for the batch audit (shard_balance_report) and the
+    streaming monitor (streaming/monitor.py::stream_shard_balance) —
+    decomposable count/sum on the SAME md5-bucket assignment
+    expression as train_shard_shuffle, so the live view, the nightly
+    audit, and the layout itself can never disagree on which shard a
+    doc belongs to."""
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
     shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % _N_SHARDS)
-    per = docs.select(
+    return docs.select(
         shard.alias("shard"),
         F.size(fx.tokenize_ws()).cast("long").alias("toks"),
     ).groupBy("shard").agg(
         F.count("*").alias("n_docs"),
         F.sum("toks").alias("n_tokens"),
     )
+
+
+def shard_balance_from_counts(per: DataFrame) -> DataFrame:
+    """Skew finisher from the per-shard registers — shared by the
+    batch audit and the streaming monitor read side (the
+    vacuum_sweep / token_budget_from_counts one-derivation rule)."""
     tot = per.agg(
         F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
     )

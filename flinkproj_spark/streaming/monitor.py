@@ -184,6 +184,26 @@ def stream_file_inventory(events: DataFrame) -> DataFrame:
     return event_day_inventory(events)
 
 
+def stream_shard_balance(docs: DataFrame) -> DataFrame:
+    """Streaming shard-balance registers — the ingest-time feed of
+    operators/sampling.py::shard_balance_report. Each incoming doc
+    folds (1, token_count) into its shard's (n_docs, n_tokens) cell:
+    decomposable sums on the SHARED shard_doc_counts derivation (the
+    same md5-bucket expression train_shard_shuffle lays files out
+    with), so micro-batch merging is exact in any arrival order and
+    state is _N_SHARDS rows of two longs forever — geometry-sized, no
+    watermark (the stream_file_inventory argument, here for the
+    training-shard dashboard: a hot shard shows up WHILE the corpus is
+    being written, not at the pre-freeze audit). Run in
+    complete/update mode; read the live skew verdict with the SAME
+    sampling.shard_balance_from_counts the batch audit uses (pinned
+    equal in tests/test_streaming_ext.py). Input stream needs
+    (doc_id, text)."""
+    from flinkproj_spark.operators.sampling import shard_doc_counts
+
+    return shard_doc_counts(docs)
+
+
 def stream_vacuum_monitor(inv_state: DataFrame) -> DataFrame:
     """Continuous lake-maintenance verdicts — the streaming twin of
     operators/sampling.py::lake_file_verdicts and the monitor the

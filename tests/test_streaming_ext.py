@@ -1788,6 +1788,47 @@ class TestStreamTokenMass:
         assert sum(v[3] for v in got.values()) == TB_BUDGET
 
 
+class TestStreamShardBalance:
+    def test_live_skew_equals_batch_audit(self, spark, sf_dir, tmp_path):
+        """Replay the documents table through the streaming per-shard
+        registers split across two micro-batch files; the converged
+        (n_docs, n_tokens) cells must equal the batch derivation, and
+        the shared skew finisher over them must equal
+        shard_balance_report row for row (all shards present)."""
+        from flinkproj_spark.operators.sampling import (
+            _N_SHARDS, shard_balance_from_counts, shard_balance_report)
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_shard_balance
+        import pyspark.sql.functions as F
+
+        src = str(tmp_path / "src")
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_shard_balance(
+                spark.readStream.schema("doc_id long, text string").parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("shard_balance")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.sql("select * from shard_balance")
+
+        row = lambda r: (r.n_docs, r.n_tokens, r.docs_skew_ppm,
+                         r.tokens_skew_ppm)
+        got = {r.shard: row(r)
+               for r in shard_balance_from_counts(streamed).collect()}
+        want = {r.shard: row(r)
+                for r in shard_balance_report(spark, sf_dir).collect()}
+        assert got == want and len(got) == _N_SHARDS
+
+
 class TestStreamFunnelStage:
     def test_converges_to_batch_funnel_counters(self, spark, sf_dir, tmp_path):
         """Replay the events table in event-time order split across
