@@ -108,9 +108,17 @@ def window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def late_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data side output, batch twin (DataReport.java:141,146-161):
     records older than (max event time − 7 days) are routed to the late
-    channel as TSV lines — the same threshold predicate the streaming
-    foreachBatch splitter applies against the watermark. The max() is a
-    scalar subquery → broadcast, no shuffle of the fact side."""
+    channel as TSV lines — the same threshold predicate SHAPE the
+    streaming foreachBatch splitter applies against its watermark
+    bound (ts < high-water-mark − delay). The 7-day constant is
+    corpus-tuned, not reference-derived: the reference's real bound is
+    40 s (10 s disorder + 30 s allowed lateness, MyWatermark.java:15 +
+    DataReport.java:140), but the batch fixture's events table spans
+    30 days with no replayable arrival order, so a seconds-scale bound
+    would mark ~everything or ~nothing; 7 days against the 30-day span
+    keeps both branches live at every SF (the VACUUM_RETAIN_DAYS
+    pattern). The streaming twin uses the true 40 s bound. The max()
+    is a scalar subquery → broadcast, no shuffle of the fact side."""
     events = load_table(spark, sf_dir, "events")
     threshold = events.agg(
         (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")

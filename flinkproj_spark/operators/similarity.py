@@ -409,6 +409,65 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_MIN_COS = 0.35  # within-cell prune threshold (SemDeDup tau)
 
+def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's semdedup cell — (vec_id, cell) — under the
+    corpus-size-scaled √N codebook: k = ceil(√N) centroids drawn as
+    the deterministic id range [N_QUERIES, N_QUERIES + k) of the
+    corpus itself (the ivf_assignments stand-in-for-k-means
+    convention), assignment by broadcast map-side argmax. k is a 1-row
+    aggregate broadcast into the centroid filter, so the derivation is
+    fully declarative — no driver collect — and DuckDB reproduces it
+    with a scalar subquery.
+
+    Why √N and not a pinned occupancy: the two stages this geometry
+    feeds pull in opposite directions. Flat argmax assignment costs
+    N·k; the within-cell pair stage costs ~N·(N/k). k = √N balances
+    both at N^1.5 with tiny constants — the sizing the SemDeDup paper
+    itself uses. Both failure modes were MEASURED on the x30 tiled
+    corpus (SCALE_BENCH_DEEP.json / BASELINE.md round-11 record): the
+    fixed ivf codebook sends the pair stage quadratic (semdedup_cells
+    8.3→47→178 s at x1/x10/x30), and a pinned-occupancy k = N/64
+    sends the assignment stage quadratic (466 s at x30 — worse). At
+    extreme N the N^1.5 assignment term is further reducible to
+    ~N·2·√k by the standard two-level coarse quantizer, or to
+    write-time partition metadata (the write_ivf_index path), without
+    touching the pair stage."""
+    base = _quantized(spark, sf_dir)
+    k = base.agg(F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k"))
+    cent = (
+        base.crossJoin(F.broadcast(k))
+        .filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < F.col("k") + N_QUERIES)
+        )
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("q").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        (_dot("q", "cv").cast("double") / (F.col("norm") * F.col("cnorm"))).alias(
+            "csim"
+        ),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cid", F.struct(F.col("csim"), (-F.col("cid")).cast("double"))
+        ).alias("cell")
+    )
+
+
+#: The oracle twin of semdedup_assignments' centroid window — shared
+#: by both semdedup oracles so the two engines can never disagree on k.
+_SEMDEDUP_CENT_SQL = f"""
+      SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
+      WHERE vec_id >= {N_QUERIES}
+        AND vec_id < {N_QUERIES} + (SELECT CAST(CEIL(SQRT(COUNT(*)))
+              AS BIGINT) FROM base)"""
+
 
 def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-cluster dedup in the SemDeDup mold (Abbas et al.
@@ -431,19 +490,17 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     strongest such similarity, and the verdict — so the drop rate and
     its evidence are auditable.
 
-    Shape (the 100 TB formulation): cell assignment is the shared IVF
-    broadcast-argmax (ivf_assignments — corpus never cross-joins);
-    pair generation is an EQUI-JOIN on cell (merge-pinned: both sides
-    are corpus-proportional, broadcast would cap scale; pinned by
-    tests/test_plans.py), so pair cost is Σ cell²— bounded by cell
-    size, never corpus². At real scale you size the codebook so cells
-    average √N, and the verdict aggregation is a map-side-combined
-    groupBy on the larger id. Only (id, cell, quantized vec, norm)
-    rows ever move."""
+    Shape (the 100 TB formulation): cell assignment is the
+    corpus-size-scaled broadcast-argmax (semdedup_assignments — the
+    √N codebook that balances assignment and pair cost at N^1.5; the
+    fixed ivf_assignments codebook measured quadratic on the tiled
+    corpus, see semdedup_assignments); pair generation is an EQUI-JOIN
+    on cell (merge-pinned: both sides are corpus-proportional,
+    broadcast would cap scale; pinned by tests/test_plans.py). The
+    verdict aggregation is a map-side-combined groupBy on the larger
+    id. Only (id, cell, quantized vec, norm) rows ever move."""
     base = _quantized(spark, sf_dir)
-    corpus = base.join(
-        ivf_assignments(spark, sf_dir).select("vec_id", "cell"), "vec_id"
-    )
+    corpus = base.join(semdedup_assignments(spark, sf_dir), "vec_id")
     left = corpus.select(
         F.col("cell"),
         F.col("vec_id").alias("va"),
@@ -582,9 +639,7 @@ def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     base = _quantized(spark, sf_dir)
-    corpus = base.join(
-        ivf_assignments(spark, sf_dir).select("vec_id", "cell"), "vec_id"
-    )
+    corpus = base.join(semdedup_assignments(spark, sf_dir), "vec_id")
     left = corpus.select(
         "cell",
         F.col("vec_id").alias("va"),
@@ -1994,9 +2049,7 @@ ORACLE["knn_label_vote"] = f"""
 
 ORACLE["semdedup_cells"] = f"""
     WITH base AS ({_BASE_SQL}),
-    cent AS (
-      SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
-      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+    cent AS ({_SEMDEDUP_CENT_SQL}),
     scored_cells AS (
       SELECT b.vec_id, c.cid,
              CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim
@@ -2036,9 +2089,7 @@ ORACLE["semdedup_cells"] = f"""
 # [v0] exactly the kept list after step one).
 ORACLE["semdedup_greedy_keep"] = f"""
     WITH base AS ({_BASE_SQL}),
-    cent AS (
-      SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
-      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}),
+    cent AS ({_SEMDEDUP_CENT_SQL}),
     scored_cells AS (
       SELECT b.vec_id, c.cid,
              CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim

@@ -90,6 +90,7 @@ def main() -> None:
     ap.add_argument("--factors", default="1,3,10")
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    ap.add_argument("--out", default="SCALE_BENCH.json")
     a = ap.parse_args()
     factors = [int(x) for x in a.factors.split(",")]
     keys = [k for k in a.keys.split(",") if k]
@@ -114,7 +115,7 @@ def main() -> None:
 
     result = {"factors": factors, "rounds": a.rounds, "src": SRC,
               "rows": rows}
-    with open(os.path.join(REPO, "SCALE_BENCH.json"), "w") as fh:
+    with open(os.path.join(REPO, a.out), "w") as fh:
         json.dump(result, fh, indent=1)
 
     hdr = "| key | " + " | ".join(f"x{f} s" for f in factors) + " | exponent |"
