@@ -184,6 +184,24 @@ def stream_file_inventory(events: DataFrame) -> DataFrame:
     return event_day_inventory(events)
 
 
+def stream_value_histogram(events: DataFrame) -> DataFrame:
+    """Streaming value-histogram registers — the ingest-time twin of
+    operators/stats.py::histogram_value. Each event folds (1,
+    value_e6) into its width-10 bucket's (n, _sum_e6) cell via the
+    SHARED histogram_registers derivation: decomposable count/sum, so
+    micro-batch merging is exact in any arrival order and state is one
+    row per occupied bucket forever — value-range-sized, no watermark
+    (the stream_file_inventory argument, here for the live value-
+    distribution dashboard an anomaly responder reads instead of
+    waiting for the nightly profile). Run in complete/update mode;
+    read with the SAME stats.histogram_from_registers finisher (pinned
+    equal to the batch key in tests/test_streaming_ext.py). Input
+    stream needs (value)."""
+    from flinkproj_spark.operators.stats import histogram_registers
+
+    return histogram_registers(events)
+
+
 def stream_shard_balance(docs: DataFrame) -> DataFrame:
     """Streaming shard-balance registers — the ingest-time feed of
     operators/sampling.py::shard_balance_report. Each incoming doc

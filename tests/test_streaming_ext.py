@@ -1788,6 +1788,45 @@ class TestStreamTokenMass:
         assert sum(v[3] for v in got.values()) == TB_BUDGET
 
 
+class TestStreamValueHistogram:
+    def test_live_histogram_equals_batch_key(self, spark, sf_dir, tmp_path):
+        """Replay the events table through the streaming per-bucket
+        registers split across two micro-batch files; the shared
+        finisher over the converged state must equal the batch
+        histogram_value key row for row."""
+        from flinkproj_spark.operators.stats import (
+            histogram_from_registers, histogram_value)
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.monitor import stream_value_histogram
+        import pyspark.sql.functions as F
+
+        src = str(tmp_path / "src")
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        ev.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = (
+            stream_value_histogram(
+                spark.readStream.schema("event_id long, value double")
+                .parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("value_histogram")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.sql("select * from value_histogram")
+
+        got = {r.bucket: (r.n, r.sum_value)
+               for r in histogram_from_registers(streamed).collect()}
+        want = {r.bucket: (r.n, r.sum_value)
+                for r in histogram_value(spark, sf_dir).collect()}
+        assert got == want and len(got) > 1
+
+
 class TestStreamShardBalance:
     def test_live_skew_equals_batch_audit(self, spark, sf_dir, tmp_path):
         """Replay the documents table through the streaming per-shard
