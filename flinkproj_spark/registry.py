@@ -49,56 +49,56 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    "lake_file_verdicts",  # never checked
-    "approx_distinct_counts",  # oracled, never hash-verified (rows-only green r6)
-    "approx_percentile_stats",  # oracled, never hash-verified (rows-only green r8)
-    "tpch_q9",  # last green r5
-    "tpch_q11",  # last green r5
-    "tpch_q12",  # last green r5
-    "tpch_q15",  # last green r5
-    "tpch_q16",  # last green r5
-    "tpch_q17",  # last green r5
-    "tpch_q20",  # last green r5
-    "tpch_q21",  # last green r5
-    "grouping_sets_counts",  # last green r5
-    "interval_join_pairs",  # last green r5
-    "percentile_stats",  # last green r5
-    "histogram_value",  # last green r5
-    "time_rollup_multires",  # last green r5
-    "ngram_novelty_score",  # last green r6
-    "filter_funnel_report",  # last green r6
-    "cube_counts",  # last green r6
-    "pivot_counts",  # last green r6
-    "attribution_first_last",  # last green r6
-    "scd2_history",  # last green r6
-    "cdc_merge_latest",  # last green r6
-    "key_skew_profile",  # last green r6
-    "dedup_minhash_lsh",  # last green r6
-    "eval_leak_report",  # last green r6
-    "minhash_banding_sensitivity",  # last green r6
-    "ann_topk_lsh_banded",  # last green r6
-    "embedding_dim_stats",  # last green r6
-    "knn_label_vote",  # last green r6
-    "embedding_drift_report",  # last green r6
-    "ivf_cell_balance_report",  # last green r6
-    "text_lang_id",  # last green r6
-    "doc_fingerprint",  # last green r6
-    "text_tf_top_terms",  # last green r6
-    "ngram_counts",  # last green r6
-    "text_pii_redact",  # last green r6
-    "doc_winnow_fingerprints",  # last green r6
-    "lang_id_eval",  # last green r6
-    "bigram_pmi_top",  # last green r6
-    "gopher_quality_filter",  # last green r6
-    "vocab_coverage",  # last green r6
-    "rrf_fusion",  # last green r6
-    "bm25_topk",  # last green r6
-    "corpus_stats",  # last green r6
-    "corpus_health_report",  # last green r6
-    "sample_exact_k",  # last green r6
-    "tfidf_topk",  # last green r6
-    "multimodal_meta",  # last green r6
-    "multimodal_decode",  # last green r6
+    "multimodal_frame_sample",  # last green r6
+    "multimodal_resize",  # last green r6
+    "multimodal_pcm_stats",  # last green r6
+    "multimodal_phash_buckets",  # last green r6
+    "dedup_phash_hamming",  # last green r6
+    "stratified_sample",  # last green r6
+    "importance_sample",  # last green r6
+    "domain_mix",  # last green r6
+    "train_shard_shuffle",  # last green r6
+    "doc_chunking",  # last green r6
+    "sequence_pack",  # last green r6
+    "sliding_window_agg",  # last green r6
+    "quantile_bucketize",  # last green r6
+    "stratified_split",  # last green r6
+    "pipeline_clean",  # last green r6
+    "dsir_importance_weights",  # last green r7
+    "bloom_semi_join",  # last green r7
+    "fk_integrity_report",  # last green r7
+    "shipping_lag_report",  # last green r7
+    "dedup_impact_report",  # last green r7
+    "dedup_edit_distance",  # last green r7
+    "source_jaccard_matrix",  # last green r7
+    "split_leakage_report",  # last green r7
+    "link_prediction_jaccard",  # last green r7
+    "graph_modularity_report",  # last green r7
+    "hard_negative_mining",  # last green r7
+    "semdedup_greedy_keep",  # last green r7
+    "kcenter_coreset",  # last green r7
+    "embedding_top_component",  # last green r7
+    "kmeans_lloyd",  # last green r7
+    "embedding_matryoshka_eval",  # last green r7
+    "vocab_prune_sweep",  # last green r7
+    "bpe_learn_merges",  # last green r7
+    "quality_calibration_curve",  # last green r7
+    "tokenizer_fertility",  # last green r7
+    "detokenize_roundtrip",  # last green r7
+    "pareto_frontier",  # last green r7
+    "quality_drift_by_source",  # last green r7
+    "vocab_growth_curve",  # last green r7
+    "kn_bigram_smoothed",  # last green r7
+    "next_word_suggest",  # last green r7
+    "zipf_fit_report",  # last green r7
+    "simpson_diversity_by_source",  # last green r7
+    "ks_drift_by_source",  # last green r7
+    "auc_length_by_source",  # last green r7
+    "epoch_schedule",  # last green r7
+    "curriculum_order",  # last green r7
+    "packing_efficiency_report",  # last green r7
+    "cep_pattern_matches",  # last green r7
+    "basket_pair_lift",  # last green r7
 )
 
 
