@@ -49,16 +49,28 @@ DEFAULT_KEYS = [
 ]
 
 
+#: bumped when gen_scaled.py's replication contract changes (v2: fixed
+#: the sign-hash parity collapse + short-doc perturbation) so stale
+#: tiled corpora regenerate instead of being silently reused.
+GEN_VERSION = "v2"
+
+
 def sf_dir(factor: int) -> str:
     if factor == 1:
         return SRC
     out = os.path.join(REPO, ".scaled", f"x{factor}")
-    if not os.path.exists(os.path.join(out, "documents.parquet")):
+    sentinel = os.path.join(out, f".complete-{GEN_VERSION}")
+    # the sentinel is written only after generate() finishes ALL three
+    # tables + symlinks — documents.parquet alone is written first and
+    # would mask a crash mid-generation.
+    if not os.path.exists(sentinel):
         subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "gen_scaled.py"),
              "--factor", str(factor), "--out", out],
             check=True,
         )
+        with open(sentinel, "w") as fh:
+            fh.write("ok\n")
     return out
 
 

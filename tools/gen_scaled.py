@@ -7,7 +7,9 @@ have.
 
 Replication contract (round-11 verdict task 4):
   * `documents` — doc_id offset by a per-replica stride; for replica
-    r > 0 every 3rd whitespace token gets a `~r` suffix. Two docs that
+    r > 0 every 3rd whitespace token gets a `~r` suffix (docs shorter
+    than 3 tokens tag their last token, so even they differ pairwise
+    across replicas). Two docs that
     were (near-)duplicates inside a replica STAY duplicates (the
     perturbation is the same function of position for every doc), but
     cross-replica pairs lose almost every shingle in common, so the
@@ -61,19 +63,36 @@ def _perturb_text(text: str, r: int) -> str:
         return text
     toks = text.split(" ")
     tag = f"~{r}"
+    if len(toks) < 3:
+        # short docs have no position i % 3 == 2 — tag the last token so
+        # they too differ across replicas (else exact cross-replica dup
+        # pairs for short docs grow quadratically in the factor).
+        toks[-1] = toks[-1] + tag
+        return " ".join(toks)
     return " ".join(t + tag if i % 3 == 2 else t for i, t in enumerate(toks))
 
 
 def _sign_row(r: int, dim: int) -> np.ndarray:
     """Deterministic ±1 per (replica, dimension) — replica 0 is the
-    identity; replicas differ pairwise (mixing both r and j)."""
+    identity; replicas differ pairwise.
+
+    The hash must MIX r and j before the 1-bit reduction: the earlier
+    `(r*odd1 + j*odd2) % 2` collapsed to `(r + j) % 2` (both multipliers
+    odd), making all same-parity replicas share one sign vector — i.e.
+    bitwise-identical embeddings across replicas for factor >= 4, which
+    inflated cross-replica ANN/near-dup candidate pairs quadratically.
+    Now: multiply-xor mix, then take a HIGH bit (the low bit of a
+    product of odds is parity again).
+    """
     if r == 0:
         return np.ones(dim, dtype=np.float32)
     j = np.arange(dim, dtype=np.uint64)
-    h = (np.uint64(r) * np.uint64(1315423911) + j * np.uint64(2654435761)) % np.uint64(
-        2
-    )
-    return np.where(h == 0, 1.0, -1.0).astype(np.float32)
+    h = np.uint64(r) * np.uint64(0x9E3779B1) ^ j * np.uint64(0x85EBCA6B)
+    h ^= h >> np.uint64(16)
+    h *= np.uint64(0x27D4EB2F165667C5)
+    h ^= h >> np.uint64(29)
+    bit = (h >> np.uint64(17)) & np.uint64(1)
+    return np.where(bit == 0, 1.0, -1.0).astype(np.float32)
 
 
 def tile_documents(src: str, out: str, factor: int) -> int:
