@@ -409,33 +409,57 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_MIN_COS = 0.35  # within-cell prune threshold (SemDeDup tau)
 
-def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every vector's semdedup cell — (vec_id, cell) — under the
-    corpus-size-scaled √N codebook: k = ceil(√N) centroids drawn as
-    the deterministic id range [N_QUERIES, N_QUERIES + k) of the
-    corpus itself (the ivf_assignments stand-in-for-k-means
-    convention), assignment by broadcast map-side argmax. k is a 1-row
-    aggregate broadcast into the centroid filter, so the derivation is
-    fully declarative — no driver collect — and DuckDB reproduces it
-    with a scalar subquery.
 
-    Why √N and not a pinned occupancy: the two stages this geometry
-    feeds pull in opposite directions. Flat argmax assignment costs
-    N·k; the within-cell pair stage costs ~N·(N/k). k = √N balances
-    both at N^1.5 with tiny constants — the sizing the SemDeDup paper
-    itself uses. Both failure modes were MEASURED on the x30 tiled
-    corpus (SCALE_BENCH_DEEP.json / BASELINE.md round-11 record): the
-    fixed ivf codebook sends the pair stage quadratic (semdedup_cells
-    8.3→47→178 s at x1/x10/x30), and a pinned-occupancy k = N/64
-    sends the assignment stage quadratic (466 s at x30 — worse). At
-    extreme N the N^1.5 assignment term is further reducible to
-    ~N·2·√k by the standard two-level coarse quantizer, or to
-    write-time partition metadata (the write_ivf_index path), without
-    touching the pair stage."""
-    base = _quantized(spark, sf_dir)
-    k = base.agg(F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k"))
+def _argmax_cos(arr, id_field: str, v_field: str, n_field: str, q, norm):
+    """In-row argmax-by-cosine over an ascending-id-sorted array of
+    (id, vec, norm) centroid structs: strict `>` keeps the earlier
+    (smaller-id) entry on ties — the house argmax tie-break (higher
+    cosine, then smaller centroid id), identical to the oracles'
+    ROW_NUMBER ... ORDER BY csim DESC, cid."""
+    best = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(-2.0).alias("s"), F.lit(-1).cast("long").alias("i")
+        ),
+        lambda acc, c: F.when(
+            (_dot(c[v_field], q).cast("double") / (c[n_field] * norm))
+            > acc["s"],
+            F.struct(
+                (_dot(c[v_field], q).cast("double") / (c[n_field] * norm)).alias(
+                    "s"
+                ),
+                c[id_field].cast("long").alias("i"),
+            ),
+        ).otherwise(acc),
+    )
+    return best["i"]
+
+
+def _semdedup_codebook(base: DataFrame) -> DataFrame:
+    """The frozen two-level semdedup quantizer as ONE broadcastable
+    row: `_coarse` — the c = ceil(√k) coarse centroids (ascending-id
+    struct array) — and `_cmap` — a map from coarse id to that group's
+    fine centroids (each group array ascending-id too). k = ceil(√N)
+    fine centroids are the deterministic id range
+    [N_QUERIES, N_QUERIES + k) of the corpus itself (the
+    ivf_assignments stand-in-for-k-means convention); the first c of
+    them double as the coarse level, and each fine centroid belongs to
+    its nearest coarse centroid (argmax cosine, ties to the smaller
+    id). k and c are 1-row aggregates broadcast into the centroid
+    filters — fully declarative, no driver collect — and DuckDB
+    reproduces the whole derivation with the shared scalar-subquery
+    fragment (_SEMDEDUP_ASSIGN_SQL).
+
+    The single row costs O(k·d): the standard IVF deployment artifact
+    (every production ANN system ships its quantizer as exactly this
+    broadcast structure). At extreme N where √N·d outgrows a broadcast,
+    the map splits into a grp-keyed frame and the fine stage becomes an
+    equi-join on grp — same math, one extra shuffle of the arrivals."""
+    kc = base.agg(
+        F.ceil(F.sqrt(F.count("*"))).cast("long").alias("k")
+    ).select("k", F.ceil(F.sqrt(F.col("k"))).cast("long").alias("c"))
     cent = (
-        base.crossJoin(F.broadcast(k))
+        base.crossJoin(F.broadcast(kc))
         .filter(
             (F.col("vec_id") >= N_QUERIES)
             & (F.col("vec_id") < F.col("k") + N_QUERIES)
@@ -446,27 +470,127 @@ def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm").alias("cnorm"),
         )
     )
-    scored = base.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cid",
-        (_dot("q", "cv").cast("double") / (F.col("norm") * F.col("cnorm"))).alias(
-            "csim"
+    coarse_row = (
+        base.crossJoin(F.broadcast(kc))
+        .filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < F.col("c") + N_QUERIES)
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("ccid"),
+                        F.col("q").alias("ccv"),
+                        F.col("norm").alias("ccnorm"),
+                    )
+                )
+            ).alias("_coarse")
+        )
+    )
+    cmap_row = (
+        cent.crossJoin(F.broadcast(coarse_row))
+        .select(
+            "cid",
+            "cv",
+            "cnorm",
+            _argmax_cos(
+                F.col("_coarse"), "ccid", "ccv", "ccnorm",
+                F.col("cv"), F.col("cnorm"),
+            ).alias("grp"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cv", "cnorm"))
+            ).alias("cl")
+        )
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("grp", "cl"))
+            ).alias("_cmap")
+        )
+    )
+    return coarse_row.crossJoin(F.broadcast(cmap_row))
+
+
+def _with_cells(base: DataFrame) -> DataFrame:
+    """`base` plus its semdedup `cell` column, computed entirely
+    IN-ROW against the broadcast two-level codebook: coarse argmax
+    over c = ⁴√N-ish centroids picks the group, fine argmax over only
+    that group's ~√k fine centroids picks the cell — ~2·√k dots per
+    vector instead of the flat argmax's k, and ZERO shuffles on the
+    corpus side (the r11 flat version shuffled N rows through a
+    groupBy(vec_id) and its consumers re-joined on vec_id; this is a
+    pure projection over the scan).
+
+    The cell FUNCTION changes vs the flat argmax (a vector near a
+    group boundary can land in a different — equally valid — cell):
+    the standard IVF coarse-quantization trade, sound here because the
+    codebook is a partitioner, not a model — cell geometry (√N cells,
+    ~√N occupancy) is what the pair stage's Σcell² bound needs, not
+    any particular cell identity. Oracle parity stays exact at every
+    SF because DuckDB replays the identical two-level derivation
+    (shared fragment, shared tie-breaks).
+
+    Every group a vector can select is non-empty: a coarse centroid
+    that WINS some vector has no smaller-id duplicate among the coarse
+    set (ties go to the smaller id in both stages), so it self-assigns
+    as a fine centroid — its group contains at least itself."""
+    staged = base.crossJoin(F.broadcast(_semdedup_codebook(base)))
+    staged = staged.withColumn(
+        "_grp",
+        _argmax_cos(
+            F.col("_coarse"), "ccid", "ccv", "ccnorm",
+            F.col("q"), F.col("norm"),
         ),
     )
-    return scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cid", F.struct(F.col("csim"), (-F.col("cid")).cast("double"))
-        ).alias("cell")
-    )
+    return staged.withColumn(
+        "cell",
+        _argmax_cos(
+            F.element_at(F.col("_cmap"), F.col("_grp")),
+            "cid", "cv", "cnorm", F.col("q"), F.col("norm"),
+        ),
+    ).drop("_coarse", "_cmap", "_grp")
 
 
-#: The oracle twin of semdedup_assignments' centroid window — shared
-#: by both semdedup oracles so the two engines can never disagree on k.
+def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector's semdedup cell — (vec_id, cell) — under the
+    corpus-size-scaled √N codebook, assigned through the standard
+    TWO-LEVEL coarse quantizer (_with_cells / _semdedup_codebook).
+
+    Why √N cells: the two stages this geometry feeds pull in opposite
+    directions — the within-cell pair stage costs ~N·(N/k), so
+    k = √N balances pair cost at N^1.5 (the SemDeDup paper's own
+    sizing). Both failure modes were MEASURED on the x30 tiled corpus
+    (BASELINE.md round-11 record): a fixed codebook sends the pair
+    stage quadratic (semdedup_cells 8.3→47→178 s at x1/x10/x30), and a
+    pinned-occupancy k = N/64 sends assignment quadratic (466 s at
+    x30). Why two-level assignment: the r11 flat argmax's N·k = N^1.5
+    scoring term dominated the measured exponent (0.87 at x30);
+    hierarchical assignment scores N·(c + E[group]) ≈ N·2·√k ≈ N^1.25
+    with the same cell geometry feeding the pair stage — the reduction
+    the r11 record documented as the path past N^1.5."""
+    base = _quantized(spark, sf_dir)
+    return _with_cells(base).select("vec_id", "cell")
+
+
+#: The oracle twins of _semdedup_codebook's centroid windows — shared
+#: by both semdedup oracles so the two engines can never disagree on
+#: k, c, or the two-level assignment itself.
 _SEMDEDUP_CENT_SQL = f"""
       SELECT vec_id AS cid, q AS cv, norm AS cnorm FROM base
       WHERE vec_id >= {N_QUERIES}
         AND vec_id < {N_QUERIES} + (SELECT CAST(CEIL(SQRT(COUNT(*)))
               AS BIGINT) FROM base)"""
+
+_SEMDEDUP_COARSE_SQL = f"""
+      SELECT vec_id AS ccid, q AS ccv, norm AS ccnorm FROM base
+      WHERE vec_id >= {N_QUERIES}
+        AND vec_id < {N_QUERIES} + (SELECT CAST(CEIL(SQRT(CEIL(SQRT(
+              COUNT(*))))) AS BIGINT) FROM base)"""
 
 
 def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,17 +614,18 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     strongest such similarity, and the verdict — so the drop rate and
     its evidence are auditable.
 
-    Shape (the 100 TB formulation): cell assignment is the
-    corpus-size-scaled broadcast-argmax (semdedup_assignments — the
-    √N codebook that balances assignment and pair cost at N^1.5; the
-    fixed ivf_assignments codebook measured quadratic on the tiled
-    corpus, see semdedup_assignments); pair generation is an EQUI-JOIN
-    on cell (merge-pinned: both sides are corpus-proportional,
-    broadcast would cap scale; pinned by tests/test_plans.py). The
-    verdict aggregation is a map-side-combined groupBy on the larger
-    id. Only (id, cell, quantized vec, norm) rows ever move."""
+    Shape (the 100 TB formulation): cell assignment is the IN-ROW
+    two-level broadcast-codebook argmax (_with_cells — √N cells so the
+    pair stage stays N^1.5-bounded, ~2·√k dots per vector, zero
+    corpus-side shuffles; the fixed ivf_assignments codebook measured
+    quadratic on the tiled corpus, see semdedup_assignments); pair
+    generation is an EQUI-JOIN on cell (merge-pinned: both sides are
+    corpus-proportional, broadcast would cap scale; pinned by
+    tests/test_plans.py). The verdict aggregation is a
+    map-side-combined groupBy on the larger id. Only (id, cell,
+    quantized vec, norm) rows ever move."""
     base = _quantized(spark, sf_dir)
-    corpus = base.join(semdedup_assignments(spark, sf_dir), "vec_id")
+    corpus = _with_cells(base)
     left = corpus.select(
         F.col("cell"),
         F.col("vec_id").alias("va"),
@@ -639,7 +764,7 @@ def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     base = _quantized(spark, sf_dir)
-    corpus = base.join(semdedup_assignments(spark, sf_dir), "vec_id")
+    corpus = _with_cells(base)
     left = corpus.select(
         "cell",
         F.col("vec_id").alias("va"),
@@ -2047,20 +2172,42 @@ ORACLE["knn_label_vote"] = f"""
     WHERE vrank = 1
 """
 
-ORACLE["semdedup_cells"] = f"""
-    WITH base AS ({_BASE_SQL}),
-    cent AS ({_SEMDEDUP_CENT_SQL}),
-    scored_cells AS (
-      SELECT b.vec_id, c.cid,
-             CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim
-      FROM base b CROSS JOIN cent c),
+# The two-level assignment replayed set-based, shared verbatim by both
+# semdedup oracles: fine centroids group under their nearest coarse
+# centroid, vectors pick a coarse group, then argmax over only that
+# group's fine centroids — tie-breaks (csim DESC, cid ASC) identical to
+# the Spark fold's strict-> over ascending-id arrays.
+_SEMDEDUP_ASSIGN_SQL = f"""cent AS ({_SEMDEDUP_CENT_SQL}),
+    coarse AS ({_SEMDEDUP_COARSE_SQL}),
+    cent_grp AS (
+      SELECT cid, cv, cnorm, ccid AS grp FROM (
+        SELECT c.cid, c.cv, c.cnorm, g.ccid,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                 ORDER BY CAST({_dot_sql('c.cv', 'g.ccv')} AS DOUBLE)
+                          / (c.cnorm * g.ccnorm) DESC, g.ccid) AS grn
+        FROM cent c CROSS JOIN coarse g)
+      WHERE grn = 1),
+    vgrp AS (
+      SELECT vec_id, ccid AS grp FROM (
+        SELECT b.vec_id, g.ccid,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY CAST({_dot_sql('b.q', 'g.ccv')} AS DOUBLE)
+                          / (b.norm * g.ccnorm) DESC, g.ccid) AS vrn
+        FROM base b CROSS JOIN coarse g)
+      WHERE vrn = 1),
     assign AS (
       SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY csim DESC, cid) AS arn
-        FROM scored_cells)
-      WHERE arn = 1),
+        SELECT b.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                 ORDER BY CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE)
+                          / (b.norm * c.cnorm) DESC, c.cid) AS arn
+        FROM base b JOIN vgrp v USING (vec_id)
+        JOIN cent_grp c ON c.grp = v.grp)
+      WHERE arn = 1)"""
+
+ORACLE["semdedup_cells"] = f"""
+    WITH base AS ({_BASE_SQL}),
+    {_SEMDEDUP_ASSIGN_SQL},
     pairs AS (
       SELECT b.vec_id AS vb,
              ROUND(CAST({_dot_sql('ba.q', 'bb.q')} AS DOUBLE)
@@ -2089,18 +2236,7 @@ ORACLE["semdedup_cells"] = f"""
 # [v0] exactly the kept list after step one).
 ORACLE["semdedup_greedy_keep"] = f"""
     WITH base AS ({_BASE_SQL}),
-    cent AS ({_SEMDEDUP_CENT_SQL}),
-    scored_cells AS (
-      SELECT b.vec_id, c.cid,
-             CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE) / (b.norm * c.cnorm) AS csim
-      FROM base b CROSS JOIN cent c),
-    assign AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY csim DESC, cid) AS arn
-        FROM scored_cells)
-      WHERE arn = 1),
+    {_SEMDEDUP_ASSIGN_SQL},
     pairs AS (
       SELECT a.vec_id AS va, b.vec_id AS vb,
              ROUND(CAST({_dot_sql('ba.q', 'bb.q')} AS DOUBLE)

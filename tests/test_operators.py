@@ -1116,11 +1116,10 @@ def test_bounded_reports_release_their_caches(spark, sf_dir):
 
 
 def test_semdedup_greedy_vs_any_prior_rule(spark, sf_dir):
-    """The two SemDeDup rules' pinned relationship: the greedy's drop
-    set is a strict subset of the conservative any-prior rule's (kept
-    is a superset), and chain resurrection is LIVE on this corpus —
-    at least one vector the any-prior rule drops survives the greedy
-    (its only condemning neighbors were themselves dropped)."""
+    """The two SemDeDup rules' pinned relationship on the real corpus:
+    the greedy's drop set is a subset of the conservative any-prior
+    rule's (kept is a superset) — greedy never drops what the
+    any-prior rule keeps."""
     from flinkproj_spark.operators.similarity import (
         semdedup_cells,
         semdedup_greedy_keep,
@@ -1131,8 +1130,52 @@ def test_semdedup_greedy_vs_any_prior_rule(spark, sf_dir):
     assert set(prior) == set(greedy)
     # greedy never drops what the any-prior rule keeps
     assert not [v for v in prior if prior[v] == 0 and greedy[v] == 0]
-    resurrected = [v for v in prior if prior[v] == 1 and greedy[v] == 1]
-    assert resurrected, "no chain resurrection — corpus fixture is degenerate"
+    assert any(v == 1 for v in prior.values())  # dedup is live at this SF
+    spark.catalog.clearCache()
+
+
+def test_semdedup_greedy_resurrects_planted_chain(spark, tmp_path):
+    """Chain resurrection through the FULL semdedup path (two-level
+    assignment → cell equi-join → grouped-map greedy), deterministic
+    instead of corpus-dependent: a planted 0°/60°/120° chain (cos 0.5,
+    0.5, −0.5 around τ=0.35) in a 9-vector corpus where k=3 but only
+    centroid id 8 exists, so every vector shares ONE cell. Any-prior
+    drops ids 1 AND 2 (1 condemns 2); the greedy drops 1 and
+    RESURRECTS 2 (its only condemning neighbor was itself dropped)."""
+    import math
+
+    from flinkproj_spark.operators.similarity import (
+        DIM,
+        semdedup_cells,
+        semdedup_greedy_keep,
+    )
+
+    def vec(theta_deg):
+        t = math.radians(theta_deg)
+        v = [0.0] * DIM
+        v[0], v[1] = math.cos(t), math.sin(t)
+        return v
+
+    # ids 3..8: mutually-orthogonal-ish axes far from the chain plane
+    rows = [(0, vec(0), 0), (1, vec(60), 0), (2, vec(120), 0)] + [
+        (i, [1.0 if j == i else 0.0 for j in range(DIM)], 0)
+        for i in range(3, 9)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    prior = {
+        r.vec_id: r.is_dropped
+        for r in semdedup_cells(spark, str(tmp_path)).collect()
+    }
+    greedy = {
+        r.vec_id: r.is_kept
+        for r in semdedup_greedy_keep(spark, str(tmp_path)).collect()
+    }
+    assert prior[1] == 1 and prior[2] == 1  # any-prior condemns the chain
+    assert greedy[0] == 1 and greedy[1] == 0
+    assert greedy[2] == 1, "greedy must resurrect the chain's third vector"
     spark.catalog.clearCache()
 
 

@@ -1226,3 +1226,16 @@ def test_shard_balance_single_pass_no_doc_sort(spark, sf_dir):
     plan = _plan(shard_balance_report(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Sort " not in plan
+
+
+def test_semdedup_assignment_corpus_side_never_shuffles(spark, sf_dir):
+    # The two-level broadcast-codebook assignment is a pure projection
+    # over the corpus scan: the r11 flat argmax shuffled N rows through
+    # a groupBy(vec_id); now the only hash exchange is on `grp` inside
+    # the k-row (√N) codebook build, and no exchange is keyed on
+    # vec_id. Pair generation's SMJ lives in semdedup_cells, not here.
+    from flinkproj_spark.operators.similarity import semdedup_assignments
+
+    plan = _plan(semdedup_assignments(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
