@@ -74,14 +74,29 @@ def sf_dir(factor: int) -> str:
     return out
 
 
-def run_once(factor: int, keys: list[str]) -> dict[str, float]:
+def run_once(
+    factor: int, keys: list[str], isolate: bool = True
+) -> dict[str, float]:
+    """One timing pass at `factor`. With isolate=True (the default
+    since round 12) every key gets its OWN fresh JVM: the shared-JVM
+    protocol measured keys run after other keys at up to 8–18× their
+    isolated time on x30 corpora (round-12 BASELINE.md record —
+    pipeline_curate_v4 437 s shared vs 54 s solo, dedup_simhash 277 vs
+    15.4), so multi-key invocations systematically inflate every key
+    but the first. isolate=False keeps the old one-JVM-per-factor mode
+    for quick relative sweeps."""
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir(factor), AB_PASSES="1")
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "ab_keys.py"),
-         REPO, f"x{factor}", *keys],
-        capture_output=True, text=True, env=env, check=True,
-    ).stdout.strip().splitlines()[-1]
-    return json.loads(out)["queries"]
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    groups = [[k] for k in keys] if isolate else [keys]
+    merged: dict[str, float] = {}
+    for group in groups:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "ab_keys.py"),
+             REPO, f"x{factor}", *group],
+            capture_output=True, text=True, env=env, check=True,
+        ).stdout.strip().splitlines()[-1]
+        merged.update(json.loads(out)["queries"])
+    return merged
 
 
 def fit_exponent(points: list[tuple[int, float]]) -> float | None:
@@ -102,6 +117,9 @@ def main() -> None:
     ap.add_argument("--factors", default="1,3,10")
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--keys", default=",".join(DEFAULT_KEYS))
+    ap.add_argument("--shared-jvm", action="store_true",
+                    help="legacy one-JVM-per-factor mode (inflates "
+                         "every key after the first; see run_once)")
     ap.add_argument("--out", default="SCALE_BENCH.json")
     a = ap.parse_args()
     factors = [int(x) for x in a.factors.split(",")]
@@ -110,7 +128,7 @@ def main() -> None:
     best: dict[int, dict[str, float]] = {f: {} for f in factors}
     for rnd in range(a.rounds):
         for f in factors:
-            got = run_once(f, keys)
+            got = run_once(f, keys, isolate=not a.shared_jvm)
             for k, t in got.items():
                 if t > 0:
                     prev = best[f].get(k)
