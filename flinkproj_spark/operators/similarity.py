@@ -571,8 +571,10 @@ def semdedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     x30). Why two-level assignment: the r11 flat argmax's N·k = N^1.5
     scoring term dominated the measured exponent (0.87 at x30);
     hierarchical assignment scores N·(c + E[group]) ≈ N·2·√k ≈ N^1.25
-    with the same cell geometry feeding the pair stage — the reduction
-    the r11 record documented as the path past N^1.5."""
+    with the same cell geometry feeding the pair stage — measured at
+    x30 on the honest v2 corpus (SCALE_BENCH_R12.json, round-12
+    BASELINE record): semdedup_cells 118→50 s, e 0.874→0.545;
+    semdedup_greedy_keep 206→45 s, e 1.066→0.584."""
     base = _quantized(spark, sf_dir)
     return _with_cells(base).select("vec_id", "cell")
 
