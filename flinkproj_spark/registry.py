@@ -49,56 +49,56 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    "multimodal_frame_sample",  # last green r6
-    "multimodal_resize",  # last green r6
-    "multimodal_pcm_stats",  # last green r6
-    "multimodal_phash_buckets",  # last green r6
-    "dedup_phash_hamming",  # last green r6
-    "stratified_sample",  # last green r6
-    "importance_sample",  # last green r6
-    "domain_mix",  # last green r6
-    "train_shard_shuffle",  # last green r6
-    "doc_chunking",  # last green r6
-    "sequence_pack",  # last green r6
-    "sliding_window_agg",  # last green r6
-    "quantile_bucketize",  # last green r6
-    "stratified_split",  # last green r6
-    "pipeline_clean",  # last green r6
-    "dsir_importance_weights",  # last green r7
-    "bloom_semi_join",  # last green r7
-    "fk_integrity_report",  # last green r7
-    "shipping_lag_report",  # last green r7
-    "dedup_impact_report",  # last green r7
-    "dedup_edit_distance",  # last green r7
-    "source_jaccard_matrix",  # last green r7
-    "split_leakage_report",  # last green r7
-    "link_prediction_jaccard",  # last green r7
-    "graph_modularity_report",  # last green r7
-    "hard_negative_mining",  # last green r7
-    "semdedup_greedy_keep",  # last green r7
-    "kcenter_coreset",  # last green r7
-    "embedding_top_component",  # last green r7
-    "kmeans_lloyd",  # last green r7
-    "embedding_matryoshka_eval",  # last green r7
-    "vocab_prune_sweep",  # last green r7
-    "bpe_learn_merges",  # last green r7
-    "quality_calibration_curve",  # last green r7
-    "tokenizer_fertility",  # last green r7
-    "detokenize_roundtrip",  # last green r7
-    "pareto_frontier",  # last green r7
-    "quality_drift_by_source",  # last green r7
-    "vocab_growth_curve",  # last green r7
-    "kn_bigram_smoothed",  # last green r7
-    "next_word_suggest",  # last green r7
-    "zipf_fit_report",  # last green r7
-    "simpson_diversity_by_source",  # last green r7
-    "ks_drift_by_source",  # last green r7
-    "auc_length_by_source",  # last green r7
-    "epoch_schedule",  # last green r7
-    "curriculum_order",  # last green r7
-    "packing_efficiency_report",  # last green r7
-    "cep_pattern_matches",  # last green r7
-    "basket_pair_lift",  # last green r7
+    "event_transition_matrix",  # last green r7
+    "conversion_lag_curve",  # last green r7
+    "rfm_segmentation",  # last green r7
+    "customer_ltv_cohort",  # last green r7
+    "ols_trend_monthly",  # last green r7
+    "corr_pairs_report",  # last green r7
+    "benford_deviation",  # last green r7
+    "ewma_daily_anomaly",  # last green r7
+    "twap_user_value",  # last green r7
+    "seasonality_profile",  # last green r7
+    "label_propagation",  # last green r7
+    "k_anonymity_report",  # last green r7
+    "l_diversity_report",  # last green r7
+    "analyze_tables_report",  # last green r7
+    "cms_heavy_hitters",  # last green r7
+    "json_extract",  # last green r8
+    "explode_data",  # last green r8
+    "dim_join",  # last green r8
+    "enrich_serialize",  # last green r8
+    "ts_parse",  # last green r8
+    "filter_valid",  # last green r8
+    "format_tsv",  # last green r8
+    "window_count",  # last green r8
+    "late_split",  # last green r8
+    "paragraph_dedup",  # last green r8
+    "unigram_lm_score",  # last green r8
+    "bigram_lm_score",  # last green r8
+    "cross_snapshot_dedup",  # last green r8
+    "embedding_quantize",  # last green r8
+    "minhash_jaccard_estimate",  # last green r8
+    "freshness_decay_weights",  # last green r8
+    "pii_scan_report",  # last green r8
+    "join_explosion_audit",  # last green r8
+    "hll_distinct_report",  # last green r8
+    "dedup_survivorship",  # last green r8
+    "embedding_pca2_deflated",  # last green r8
+    "range_partition_plan",  # last green r8
+    "stratified_split_assign",  # last green r8
+    "token_budget_allocator",  # last green r8
+    "pipeline_report",  # last green r8
+    "pipeline_curate",  # last green r8
+    "pipeline_curate_v2",  # last green r8
+    "funnel_steps",  # last green r8
+    "retention_cohorts",  # last green r8
+    "event_path_topk",  # last green r8
+    "stickiness_dau_wau",  # last green r8
+    "outlier_zscore",  # last green r8
+    "chi2_lang_source",  # last green r8
+    "gini_revenue_lorenz",  # last green r8
+    "moment_stats_by_source",  # last green r8
 )
 
 
