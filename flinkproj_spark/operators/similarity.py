@@ -535,10 +535,17 @@ def _with_cells(base: DataFrame) -> DataFrame:
     SF because DuckDB replays the identical two-level derivation
     (shared fragment, shared tie-breaks).
 
-    Every group a vector can select is non-empty: a coarse centroid
-    that WINS some vector has no smaller-id duplicate among the coarse
-    set (ties go to the smaller id in both stages), so it self-assigns
-    as a fine centroid — its group contains at least itself."""
+    A coarse centroid that WINS some vector normally self-assigns as
+    a fine centroid (cos(x,x)=1, ties to the smaller id), so its group
+    contains at least itself — but that proof covers EXACT ties only:
+    under double rounding a near-parallel smaller-id coarse centroid
+    can capture the self-assignment (cos rounds to exactly 1.0) while
+    a vector still argmax-selects the now-orphaned group. The fine
+    lookup therefore COALESCEs to the coarse centroid's own id — a
+    valid fine-centroid id, since the coarse set is the first c fine
+    centroids — instead of emitting a NULL cell; the oracle's assign
+    CTE mirrors this with a LEFT JOIN + COALESCE(cid, grp) so both
+    engines degrade identically on the orphan path."""
     staged = base.crossJoin(F.broadcast(_semdedup_codebook(base)))
     staged = staged.withColumn(
         "_grp",
@@ -549,9 +556,12 @@ def _with_cells(base: DataFrame) -> DataFrame:
     )
     return staged.withColumn(
         "cell",
-        _argmax_cos(
-            F.element_at(F.col("_cmap"), F.col("_grp")),
-            "cid", "cv", "cnorm", F.col("q"), F.col("norm"),
+        F.coalesce(
+            _argmax_cos(
+                F.element_at(F.col("_cmap"), F.col("_grp")),
+                "cid", "cv", "cnorm", F.col("q"), F.col("norm"),
+            ),
+            F.col("_grp"),
         ),
     ).drop("_coarse", "_cmap", "_grp")
 
@@ -2198,13 +2208,17 @@ _SEMDEDUP_ASSIGN_SQL = f"""cent AS ({_SEMDEDUP_CENT_SQL}),
         FROM base b CROSS JOIN coarse g)
       WHERE vrn = 1),
     assign AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT b.vec_id, c.cid,
+      -- LEFT JOIN + COALESCE(cid, grp): if double rounding orphans a
+      -- coarse group (its self-assignment captured by a near-parallel
+      -- smaller-id coarse mate), fall back to the coarse centroid's
+      -- own id — the exact twin of _with_cells' F.coalesce guard.
+      SELECT vec_id, COALESCE(cid, grp) AS cell FROM (
+        SELECT b.vec_id, v.grp, c.cid,
                ROW_NUMBER() OVER (PARTITION BY b.vec_id
                  ORDER BY CAST({_dot_sql('b.q', 'c.cv')} AS DOUBLE)
                           / (b.norm * c.cnorm) DESC, c.cid) AS arn
         FROM base b JOIN vgrp v USING (vec_id)
-        JOIN cent_grp c ON c.grp = v.grp)
+        LEFT JOIN cent_grp c ON c.grp = v.grp)
       WHERE arn = 1)"""
 
 ORACLE["semdedup_cells"] = f"""

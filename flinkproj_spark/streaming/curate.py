@@ -177,9 +177,13 @@ def build_semdedup_model(spark, sf_dir: str) -> dict:
     stream itself ingests, so both the partitioner and the mates pin
     to the snapshot; the nightly batch sweep refreshes the model, the
     same lambda split as every gate in this module. Unlike the DSIR
-    model there is NO driver collect — both artifacts stay DataFrames,
-    re-resolved per micro-batch.
-    Returns {"codebook": 1-row DF, "mates": per-cell DF}."""
+    model there is NO driver collect — all artifacts stay DataFrames,
+    re-resolved per micro-batch. `max_id` is a 1-row frame with the
+    snapshot's max vec_id, broadcast into the gate so an arrival whose
+    id violates the monotone-id assumption is flagged rather than
+    silently under-gated (stream_semdedup_gate's id_overlap column).
+    Returns {"codebook": 1-row DF, "mates": per-cell DF,
+    "max_id": 1-row DF}."""
     from flinkproj_spark.operators.similarity import (
         _quantized,
         _semdedup_codebook,
@@ -202,7 +206,12 @@ def build_semdedup_model(spark, sf_dir: str) -> dict:
             ).alias("mates")
         )
     )
-    return {"codebook": _semdedup_codebook(base), "mates": mates}
+    max_id = base.agg(F.max("vec_id").alias("_max_frozen_id"))
+    return {
+        "codebook": _semdedup_codebook(base),
+        "mates": mates,
+        "max_id": max_id,
+    }
 
 
 def stream_semdedup_gate(new_vectors: DataFrame, model: dict) -> DataFrame:
@@ -222,7 +231,14 @@ def stream_semdedup_gate(new_vectors: DataFrame, model: dict) -> DataFrame:
     every new id, so the guard is a no-op; on a snapshot replay it
     reproduces the batch smaller-id rule exactly — the convergence
     contract (tests/test_streaming_ext.py::TestStreamSemdedupGate pins
-    gate verdicts == semdedup_cells rows bit-for-bit on replay).
+    gate verdicts == semdedup_cells rows bit-for-bit on replay). That
+    monotone-id assumption is OBSERVABLE, not silent: each verdict row
+    carries `id_overlap` = 1 iff the arrival's vec_id ≤ the model's
+    max frozen id (broadcast 1-row `max_id` frame) — on live data it
+    is identically 0, and a replayed/reused-id feed shows up as
+    id_overlap=1 rows whose verdicts used only smaller-id frozen
+    mates, so an operator can alert on sum(id_overlap) > 0 instead of
+    discovering under-gating after the fact.
 
     Scale shape: the mates side is corpus-proportional and re-resolves
     per micro-batch (NOT broadcast-hinted — the stream_snapshot_dedup
@@ -231,10 +247,11 @@ def stream_semdedup_gate(new_vectors: DataFrame, model: dict) -> DataFrame:
     extreme N where one cell's array outgrows a row, the same verdict
     decomposes over the exploded (cell, mate) layout with a
     (count, max) register per arrival — the register/finisher split
-    the monitor family uses. Every cell an arrival can select is
-    non-empty (each fine centroid self-assigns, see _with_cells), but
-    the null branch is handled anyway. Input stream needs
-    (vec_id, ts, embedding)."""
+    the monitor family uses. The fine-stage lookup COALESCEs to the
+    coarse group id exactly like the batch _with_cells guard (a
+    double-rounding orphaned group must degrade identically in both
+    engines or replay convergence breaks), and the mates-null branch
+    is handled too. Input stream needs (vec_id, ts, embedding)."""
     from flinkproj_spark.operators.similarity import (
         SEMDEDUP_MIN_COS,
         _argmax_cos,
@@ -252,13 +269,20 @@ def stream_semdedup_gate(new_vectors: DataFrame, model: dict) -> DataFrame:
             F.col("_q"), F.col("_norm"),
         ),
     )
-    staged = staged.withColumn(
-        "cell",
-        _argmax_cos(
-            F.element_at(F.col("_cmap"), F.col("_grp")),
-            "cid", "cv", "cnorm", F.col("_q"), F.col("_norm"),
-        ),
-    ).drop("_coarse", "_cmap", "_grp")
+    staged = (
+        staged.withColumn(
+            "cell",
+            F.coalesce(
+                _argmax_cos(
+                    F.element_at(F.col("_cmap"), F.col("_grp")),
+                    "cid", "cv", "cnorm", F.col("_q"), F.col("_norm"),
+                ),
+                F.col("_grp"),
+            ),
+        )
+        .drop("_coarse", "_cmap", "_grp")
+        .crossJoin(F.broadcast(model["max_id"]))
+    )
 
     def _cos(m):
         return F.round(
@@ -295,6 +319,9 @@ def stream_semdedup_gate(new_vectors: DataFrame, model: dict) -> DataFrame:
             ),
             F.col("_v")["mx"].alias("max_prior_cos"),
             F.col("_v")["mx"].isNotNull().cast("int").alias("is_dropped"),
+            (F.col("vec_id") <= F.col("_max_frozen_id"))
+            .cast("int")
+            .alias("id_overlap"),
         )
     )
 

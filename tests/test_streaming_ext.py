@@ -1972,9 +1972,10 @@ class TestStreamSemdedupGate:
                 ckpt,
             )
 
+        rows = spark.read.parquet(out).collect()
         got = {
             r.vec_id: (r.cell, r.n_similar_prior, r.max_prior_cos, r.is_dropped)
-            for r in spark.read.parquet(out).collect()
+            for r in rows
         }
         want = {
             r.vec_id: (r.cell, r.n_similar_prior, r.max_prior_cos, r.is_dropped)
@@ -1983,6 +1984,9 @@ class TestStreamSemdedupGate:
         assert got == want
         assert any(v[3] == 1 for v in got.values())  # gate actually drops
         assert any(v[3] == 0 for v in got.values())
+        # replayed snapshot ids all violate the monotone-id assumption,
+        # and the gate says so on every row
+        assert all(r.id_overlap == 1 for r in rows)
 
     def test_live_arrival_gated_against_frozen_mates_only(
         self, spark, sf_dir, tmp_path
@@ -2026,3 +2030,5 @@ class TestStreamSemdedupGate:
         assert got[top + 1].max_prior_cos > 0.9
         assert got[top + 2].is_dropped in (0, 1)  # verdict emitted either way
         assert len(got) == 2  # every arrival gets exactly one verdict row
+        # genuinely-new ids: the monotone-id assumption holds, flag is 0
+        assert all(r.id_overlap == 0 for r in got.values())
