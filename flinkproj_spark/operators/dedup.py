@@ -2133,13 +2133,26 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never all-pairs); each label round is one shuffle of the
     (near-dup nodes) frame — dup-subset-sized, far below corpus rows;
     the n_chars join touches only those nodes. At 100 TB: 5 bounded
-    shuffles of the duplicate subgraph, one corpus scan."""
+    shuffles of the duplicate subgraph, one corpus scan.
+
+    The symmetrized pair frame is PERSISTED — the dedup_graph_kcore
+    round-13 lesson applied to the identical lineage shape: each
+    label round references `labels` twice (message join + union), so
+    the un-cached DAG carries 2^SURV_ROUNDS copies of the pair-
+    derivation subtree; exchange reuse dedupes them at sf0.1 but
+    collapses on tiled x10 corpora (kcore A/B: 102-485 s plain vs
+    24 s persisted; this key's own x10 probe read 256.7 s before the
+    fix, 25.6 s after — both fresh-JVM minima, BASELINE.md round-13
+    record). Cache lives for the returned frame's lifetime, the
+    dedup_cluster precedent."""
+    from pyspark.storagelevel import StorageLevel
+
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = sym.select(F.col("doc_a").alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
@@ -2251,16 +2264,34 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is one map-side-combined degree aggregate plus two
     semi-joins on (doc_id) — bounded shuffles of 2-long rows, the
     dedup_survivorship discipline. Document text never enters the
-    plan (edges arrive as id pairs). Persisting the symmetrized edge
-    frame was A/B'd at sf0.1 (round 9): parity with the plain plan
-    (5.43 vs 5.74 s minima) — exchange reuse already dedupes the
-    shingle-join subtree, the survivorship/funnel lesson repeating —
-    so the plain plan ships."""
+    plan (edges arrive as id pairs).
+
+    The symmetrized edge frame is PERSISTED — the scale lesson that
+    round 13 paid for in measurements: the peel loop references `cur`
+    twice per round (degree aggregate + semi-join), so the un-cached
+    lineage contains 2^KCORE_ROUNDS copies of the edge-derivation
+    subtree. At sf0.1 exchange reuse dedupes them (round-9 A/B: 5.43
+    vs 5.74 s, parity — which shipped the plain plan), but reuse is
+    best-effort and COLLAPSES at x10 tiled corpus: interleaved
+    fresh-JVM A/B (round 13, x10, 3 passes) measured plain at
+    102/405/485 s vs persist-und at 24.3/24.6/25.3 s — a 4-20× win,
+    and the plain plan's recompute amplification is also what made
+    its timings bimodal. Persisting each round's `cur` as well was
+    A/B'd in the same interleave: min 17.3 s but bimodal (one 177 s
+    pass — a lazy mid-plan persist races its own double reference),
+    so the single stable persist ships. The cache lives for the
+    returned frame's lifetime (the dedup_cluster precedent for
+    lazy-output iterative operators); bench/driver clearCache between
+    keys."""
+    from pyspark.storagelevel import StorageLevel
+
     edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    und = edges.select(
-        F.col("doc_a").alias("m"), F.col("doc_b").alias("n")
-    ).unionAll(
-        edges.select(F.col("doc_b").alias("m"), F.col("doc_a").alias("n"))
+    und = (
+        edges.select(F.col("doc_a").alias("m"), F.col("doc_b").alias("n"))
+        .unionAll(
+            edges.select(F.col("doc_b").alias("m"), F.col("doc_a").alias("n"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg0 = und.groupBy("m").agg(F.count("*").alias("deg0"))
     cur = und
