@@ -2135,16 +2135,27 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     the n_chars join touches only those nodes. At 100 TB: 5 bounded
     shuffles of the duplicate subgraph, one corpus scan.
 
-    The symmetrized pair frame is PERSISTED — the dedup_graph_kcore
-    round-13 lesson applied to the identical lineage shape: each
-    label round references `labels` twice (message join + union), so
-    the un-cached DAG carries 2^SURV_ROUNDS copies of the pair-
-    derivation subtree; exchange reuse dedupes them at sf0.1 but
-    collapses on tiled x10 corpora (kcore A/B: 102-485 s plain vs
-    24 s persisted; this key's own x10 probe read 256.7 s before the
-    fix, 25.6 s after — both fresh-JVM minima, BASELINE.md round-13
-    record). Cache lives for the returned frame's lifetime, the
-    dedup_cluster precedent."""
+    Iteration lineage (the round-13 optimization-round lesson, both
+    regimes measured): written as labels ∪ messages, each round
+    references `labels` TWICE, so the lazy loop carries 2^SURV_ROUNDS
+    copies of the label subtree — exchange reuse dedupes them at
+    sf0.1 but collapses on tiled x10 corpora (this key's x10 probe:
+    256.7 s plain vs 25.6 s with the edge frame persisted), while the
+    edge-only persist regressed sf0.1 2-4× with huge variance
+    (13.4/30.6 s vs 6.5/7.7 s plain, interleaved fresh-JVM A/B) —
+    the 2^rounds branches each re-shuffle the cache. The shipped
+    round is SELF-LOOP AUGMENTED: propagate over sym ∪ {(v,v)} and
+    the self-message carries the node's own previous label, so
+    labels ∪ msgs ≡ msgs alone and each round references `labels`
+    exactly ONCE. The lazy plan is linear in rounds — one join + one
+    map-side-combined min per round, no driver barrier, no reuse
+    dependence, no double-reference race — and the persisted
+    self-loop edge frame is the only thing read per round at any
+    scale. Interleaved fresh-JVM A/B at sf0.1: 4.2/4.5 s vs
+    5.2/6.2 s plain (and vs 12.7/25.8 s for the eager per-round
+    persist variant, whose ~1.4 s/round driver-action overhead
+    dominates at small SF). Cache lives for the returned frame's
+    lifetime, the dedup_cluster precedent."""
     from pyspark.storagelevel import StorageLevel
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
@@ -2152,16 +2163,25 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
+    )
+    nodes = sym.select(F.col("doc_a").alias("v")).distinct()
+    sym_loops = sym.unionByName(
+        nodes.select(F.col("v").alias("doc_a"), F.col("v").alias("doc_b"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    labels = sym.select(F.col("doc_a").alias("v")).distinct().withColumn(
-        "lbl", F.col("v")
+    # labels₀ reads the node set back out of the persisted frame (the
+    # self-loops make doc_a's distinct exactly the node set), so round
+    # 1 does not re-derive the pair subtree outside the cache.
+    labels = (
+        sym_loops.select(F.col("doc_a").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
     )
     for _ in range(SURV_ROUNDS):
-        msgs = sym.join(
-            labels, sym.doc_a == labels.v
-        ).select(F.col("doc_b").alias("v"), "lbl")
         labels = (
-            labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
+            sym_loops.join(labels, sym_loops.doc_a == labels.v)
+            .select(F.col("doc_b").alias("v"), "lbl")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"))
         )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = labels.join(docs, labels.v == docs.doc_id).select(
@@ -2266,23 +2286,26 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_survivorship discipline. Document text never enters the
     plan (edges arrive as id pairs).
 
-    The symmetrized edge frame is PERSISTED — the scale lesson that
-    round 13 paid for in measurements: the peel loop references `cur`
-    twice per round (degree aggregate + semi-join), so the un-cached
-    lineage contains 2^KCORE_ROUNDS copies of the edge-derivation
-    subtree. At sf0.1 exchange reuse dedupes them (round-9 A/B: 5.43
-    vs 5.74 s, parity — which shipped the plain plan), but reuse is
-    best-effort and COLLAPSES at x10 tiled corpus: interleaved
-    fresh-JVM A/B (round 13, x10, 3 passes) measured plain at
-    102/405/485 s vs persist-und at 24.3/24.6/25.3 s — a 4-20× win,
-    and the plain plan's recompute amplification is also what made
-    its timings bimodal. Persisting each round's `cur` as well was
-    A/B'd in the same interleave: min 17.3 s but bimodal (one 177 s
-    pass — a lazy mid-plan persist races its own double reference),
-    so the single stable persist ships. The cache lives for the
-    returned frame's lifetime (the dedup_cluster precedent for
-    lazy-output iterative operators); bench/driver clearCache between
-    keys."""
+    Iteration lineage (the round-13 optimization-round lesson, both
+    regimes measured): the peel loop references `cur` twice per round
+    (degree aggregate + semi-join), so a fully lazy loop carries
+    2^KCORE_ROUNDS copies of the edge-derivation subtree. Exchange
+    reuse dedupes the copies at sf0.1 (round-9 A/B: 5.43 vs 5.74 s
+    parity) but COLLAPSES at x10 tiled corpus: interleaved fresh-JVM
+    A/B (round 13, x10, 3 passes) measured plain at 102/405/485 s vs
+    24.3-25.3 s with the edge frame persisted. Persisting ONLY the
+    edge frame, in turn, kept a 2^rounds plan whose branches each
+    re-shuffle the cache — sf0.1 regressed to 9.9/13.0 s vs 8.6/8.8 s
+    plain, and a LAZY per-round persist was bimodal (min 17.3 s but
+    one 177 s pass at x10 — the lazy persist races its own double
+    reference). The shipped shape is the textbook synchronous-peel
+    plan: persist the symmetrized edge frame once, then persist each
+    round's surviving-edge frame EAGERLY (materialize via count(),
+    unpersist the previous round) so the executed plan is linear in
+    rounds and the race cannot happen. The per-round count() is a
+    driver scalar on the dup-subset frame — the dedup_cluster
+    trainer-sync contract. The last round's cache lives for the
+    returned frame's lifetime; bench/driver clearCache between keys."""
     from pyspark.storagelevel import StorageLevel
 
     edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
@@ -2295,6 +2318,7 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg0 = und.groupBy("m").agg(F.count("*").alias("deg0"))
     cur = und
+    prev: DataFrame | None = None
     for _ in range(KCORE_ROUNDS):
         keep = (
             cur.groupBy("m")
@@ -2304,7 +2328,11 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = cur.join(keep, "m", "left_semi").join(
             keep.select(F.col("m").alias("n")), "n", "left_semi"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cur.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cur
     core_deg = cur.groupBy("m").agg(F.count("*").alias("core_deg"))
     return (
         deg0.join(core_deg, "m", "left")
