@@ -2159,15 +2159,28 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    sym = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    )
-    nodes = sym.select(F.col("doc_a").alias("v")).distinct()
-    sym_loops = sym.unionByName(
-        nodes.select(F.col("v").alias("doc_a"), F.col("v").alias("doc_b"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Symmetrize + self-loop by ONE explode: `pairs ∪ pairs.swap ∪
+    # nodes` would reference the pair-derivation subtree three times
+    # and the round-13 pagerank plan audit showed AQE materializing
+    # each union branch separately during a cache fill. Four rows per
+    # pair — (a,b), (b,a), (a,a), (b,b) — keep it single-referenced;
+    # self-loops arrive once per incident pair instead of once per
+    # node, which is harmless because min() over a multiset ignores
+    # multiplicity.
+    sym_loops = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a"), F.col("doc_b")),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                ),
+                F.struct(F.col("doc_a"), F.col("doc_a").alias("doc_b")),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"), F.col("doc_b").alias("doc_b")
+                ),
+            )
+        ).alias("e")
+    ).select("e.doc_a", "e.doc_b").persist(StorageLevel.MEMORY_AND_DISK)
     # labels₀ reads the node set back out of the persisted frame (the
     # self-loops make doc_a's distinct exactly the node set), so round
     # 1 does not re-derive the pair subtree outside the cache.
@@ -2309,11 +2322,23 @@ def dedup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Explode-symmetrize (see dedup_survivorship): one Generate keeps
+    # the pair-derivation subtree single-referenced in the cache-fill
+    # plan instead of a self-union that executes it twice.
     und = (
-        edges.select(F.col("doc_a").alias("m"), F.col("doc_b").alias("n"))
-        .unionAll(
-            edges.select(F.col("doc_b").alias("m"), F.col("doc_a").alias("n"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("m"), F.col("doc_b").alias("n")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("m"), F.col("doc_a").alias("n")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.m", "e.n")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg0 = und.groupBy("m").agg(F.count("*").alias("deg0"))

@@ -63,10 +63,23 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Symmetrize by EXPLODE, not union: `pairs ∪ pairs.swap` references
+    # the orders⋈lineitem-distinct subtree twice, and the round-13 plan
+    # audit caught AQE materializing BOTH branches (two full SMJ+distinct
+    # executions in the cache-fill plan — exchange reuse did not fire
+    # across the union). One Generate per row keeps the derivation
+    # single-referenced at every scale. The out-degree is a window count
+    # over the same src partitioning the iteration join needs — it
+    # shares that one exchange instead of adding a groupBy+join pair
+    # (guide §2.4: operations keyed the same way share one exchange).
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     # The degree-annotated edge frame is read once PER ITERATION: without
     # a persist, every iteration's plan re-runs the orders⋈lineitem
     # distinct from scratch (measured 7.8 s → the join chain dominates).
@@ -74,8 +87,14 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes from lineage, an overflow spills instead of OOMing.
     from pyspark.storagelevel import StorageLevel
 
-    ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    ranks = deg.select(F.col("src").alias("node"), F.lit(_PR_SCALE).alias("rank"))
+    ed = edges.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("src"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ranks = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(_PR_SCALE).alias("rank"))
+    )
     base = _PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
     for _ in range(_PR_ITERS):
         contrib = ed.join(
@@ -153,9 +172,17 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Explode-symmetrize (see pagerank_fixed): one Generate instead of a
+    # self-union that executes the orders⋈lineitem-distinct subtree
+    # twice during the cache fill.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist(StorageLevel.MEMORY_AND_DISK)
     labels = (
         edges.select("src").distinct().select(F.col("src").alias("node"))
         .withColumn("label", F.col("node"))
