@@ -1493,55 +1493,69 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σᵢ sᵢ·qᵢ reaches ~10²¹, past BIGINT — the pagerank one-operand-cast
     pattern). Result is therefore partitioning- and order-independent.
 
-    Shape: the quantized frame persists once; each round is ONE scan
-    computing the per-row projection in-row plus 64 map-side-combined
-    decimal sums collapsing to a single driver row — the trainer
-    synchronization contract (round k+1's literals depend on round k);
-    nothing corpus-shaped moves. The matrix itself (64×64) is never
-    materialized: the matvec streams as scan + aggregate, which is the
-    whole point of power iteration at scale."""
-    from pyspark.storagelevel import StorageLevel
-
-    base = (
-        _quantized(spark, sf_dir).select("q").persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    base.count()
+    Shape (round-13 optimization, guide §1.2 "algorithm first"): the
+    second-moment matrix A = Σᵢ qᵢqᵢᵀ is FIXED across rounds, so it is
+    computed once by _pi_gram (ONE corpus scan) and every matvec is
+    exact driver-side integer arithmetic on the 64×64 table — the old
+    shape re-scanned the persisted corpus per matvec (one scan + one
+    64-wide DECIMAL aggregate + one codegen'd plan per round), which
+    is 2·PI_ROUNDS scans for the deflated trainer and was measured
+    build-dominated at sf0.1 (each round pays plan+codegen+decimal
+    aggregation on a corpus that never changes). One scan is also the
+    I/O floor at 100 TB: the matvec chain is a linear recurrence in a
+    fixed matrix, so nothing beyond A is ever needed from the data."""
+    base = _quantized(spark, sf_dir).select("q")
     v = [PI_SCALE] * DIM
-    try:
-        for _ in range(PI_ROUNDS):
-            u = _pi_matvec(base, v)
-            v = _pi_rescale(u)
-    finally:
-        base.unpersist()
+    G = _pi_gram(base)
+    for _ in range(PI_ROUNDS):
+        v = _pi_rescale(_gram_matvec(G, v))
     return spark.createDataFrame(
         [(d, v[d]) for d in range(DIM)], "dim int, comp_e3 bigint"
     )
 
 
-def _pi_matvec(base: DataFrame, v: list[int]) -> list[int]:
-    """One power-iteration matvec u = Σᵢ (qᵢ·v)·qᵢ: the projection is
-    computed in-row, the 64 per-dimension sums accumulate in
-    DECIMAL(38,0) (BIGINT passes ~10²¹ at 100 TB) and collapse to one
-    driver row — the trainer synchronization point."""
-    varr = F.array(*[F.lit(int(x)) for x in v])
-    s = F.aggregate(
-        F.zip_with("q", varr, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    row = (
-        base.select(s.alias("s"), "q")
+def _pi_gram(base: DataFrame) -> list[list[int]]:
+    """The 64×64 second-moment (Gram) matrix A[i][j] = Σ_rows qᵢ·qⱼ in
+    ONE scan: posexplode(q) fans each row to 64 (i, qᵢ, q) rows and a
+    map-side-combined groupBy(i) sums the 64 BIGINT products — 64 rows
+    × 65 columns ever shuffle, nothing corpus-shaped moves, and the
+    matvec chain downstream is driver-side exact-int arithmetic.
+
+    Layout note (measured): a single 2080-expression upper-triangle
+    aggregate computes the same matrix in one operator but falls out
+    of whole-stage codegen (spark.sql.codegen.maxFields) and ran
+    18.8 s LONG / 36 s DECIMAL at sf0.1 vs 0.94 s for this 64-wide
+    shape — expression count, not row count, was the cost.
+
+    Overflow: |q| ≤ ~10³ (quantize_embedding at 3 decimals on
+    unit-scale embeddings; measured max 577 on this corpus), so each
+    product is ≤ ~10⁶ and the BIGINT sums hold to ~9·10¹² rows ≈ 5 PB
+    of raw 64-dim embedding payload — two orders past the 100 TB
+    target. Past that, move the sums to DECIMAL(38,0) (measured 3.3×
+    the aggregate cost at sf0.1)."""
+    rows = (
+        base.select(F.posexplode(F.col("q")).alias("i", "qi"), F.col("q"))
+        .groupBy("i")
         .agg(
             *[
-                F.sum(
-                    F.element_at("q", d + 1).cast("decimal(38,0)") * F.col("s")
-                ).alias(f"d{d}")
-                for d in range(DIM)
+                F.sum(F.col("qi") * F.element_at("q", j + 1)).alias(f"g{j}")
+                for j in range(DIM)
             ]
         )
-        .collect()[0]
+        .collect()
     )
-    return [int(row[f"d{d}"]) for d in range(DIM)]
+    G = [[0] * DIM for _ in range(DIM)]
+    for r in rows:
+        for j in range(DIM):
+            G[int(r["i"])][j] = int(r[f"g{j}"])
+    return G
+
+
+def _gram_matvec(G: list[list[int]], v: list[int]) -> list[int]:
+    """u = A·v on the driver in exact Python ints — bit-identical to
+    the per-scan formulation Σᵢ (qᵢ·v)·qᵢ by commuting the two finite
+    sums (both are exact integer sums, no rounding anywhere)."""
+    return [sum(G[d][k] * v[k] for k in range(DIM)) for d in range(DIM)]
 
 
 def _tdiv(a: int, b: int) -> int:
@@ -1569,29 +1583,26 @@ def embedding_pca2_deflated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: per dimension, both directions (comp1_e3, comp2_e3) — the
     2-D projection basis a drift monitor or visualization samples onto.
 
-    Shape: identical to embedding_top_component per round — the
-    persisted quantized frame is scanned once per matvec (6 total),
-    64 DECIMAL(38,0) sums collapse to a driver row (the trainer
-    synchronization contract), deflation is O(DIM) driver arithmetic
-    on exact Python ints. Nothing corpus-shaped ever moves."""
-    from pyspark.storagelevel import StorageLevel
-
-    base = (
-        _quantized(spark, sf_dir).select("q").persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    base.count()
-    try:
-        v1 = [PI_SCALE] * DIM
-        for _ in range(PI_ROUNDS):
-            v1 = _pi_rescale(_pi_matvec(base, v1))
-        v1v1 = sum(x * x for x in v1)
-        w = [PI_SCALE if d % 2 == 0 else -PI_SCALE for d in range(DIM)]
-        for _ in range(PI_ROUNDS):
-            u = _pi_matvec(base, w)
-            p = _tdiv(sum(a * b for a, b in zip(v1, u)), v1v1)
-            w = _pi_rescale([u[d] - v1[d] * p for d in range(DIM)])
-    finally:
-        base.unpersist()
+    Shape (round-13 optimization): both directions iterate in the SAME
+    fixed second-moment matrix, so ONE _pi_gram scan replaces what was
+    a persisted corpus re-scanned per matvec (2·PI_ROUNDS = 6 scans,
+    each paying plan+codegen+a 64-wide DECIMAL aggregate — measured
+    build-dominated, 6.2 s of the key's 6.5 s at sf0.1); every matvec
+    including the deflation is now exact driver-side integer
+    arithmetic on the 64×64 table, bit-identical by commuting the two
+    finite integer sums. No persist either — the corpus is read
+    exactly once, the 100 TB I/O floor for this computation."""
+    base = _quantized(spark, sf_dir).select("q")
+    G = _pi_gram(base)
+    v1 = [PI_SCALE] * DIM
+    for _ in range(PI_ROUNDS):
+        v1 = _pi_rescale(_gram_matvec(G, v1))
+    v1v1 = sum(x * x for x in v1)
+    w = [PI_SCALE if d % 2 == 0 else -PI_SCALE for d in range(DIM)]
+    for _ in range(PI_ROUNDS):
+        u = _gram_matvec(G, w)
+        p = _tdiv(sum(a * b for a, b in zip(v1, u)), v1v1)
+        w = _pi_rescale([u[d] - v1[d] * p for d in range(DIM)])
     return spark.createDataFrame(
         [(d, v1[d], w[d]) for d in range(DIM)],
         "dim int, comp1_e3 bigint, comp2_e3 bigint",
@@ -1614,15 +1625,22 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy.
 
     Exactness: distances are BIGINT; the assignment argmin is
-    array_min over (d², cid) structs (total order, no float); centroid
-    means are SUM div COUNT with the sum in DECIMAL(38,0) (corpus-sized
-    member counts × 4e3 components pass BIGINT at 100 TB) — truncating
-    division identical in both engines, so the trained codebook is
-    bit-stable under any partitioning. Shape: per iteration, ONE scan
-    computes all K in-row distances against centroid literals (the
-    codebook is driver-sized by definition), then one map-side-combined
-    groupBy(cid) with 64 decimal sums; the K-row collect per iteration
-    is the trainer synchronization contract."""
+    array_min over (m, cid) structs where m = |c|² − 2·q·c — the
+    squared distance minus the per-row constant |q|², an exact integer
+    shift that cannot reorder or untie any comparison, so the argmin
+    (ties → smallest cid) is identical to the full-d² form while
+    halving the in-row work (one multiply per element instead of
+    subtract+square; round-13, guide §1.2 step 2). Centroid means are
+    SUM div COUNT with BIGINT sums — |q| ≤ ~10³ bounds Σ|q_d| under
+    BIGINT to ~9·10¹⁵ rows, four orders past 100 TB (the previous
+    DECIMAL(38,0) accumulate was measured 3.3× the aggregate cost in
+    the _pi_gram layout experiment); truncating division is identical
+    in both engines, so the trained codebook is bit-stable under any
+    partitioning. Shape: per iteration, ONE scan computes all K in-row
+    scores against centroid literals (the codebook is driver-sized by
+    definition), then one map-side-combined groupBy(cid) with 64 long
+    sums; the K-row collect per iteration is the trainer
+    synchronization contract."""
     from pyspark.storagelevel import StorageLevel
 
     base = (
@@ -1639,25 +1657,49 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts: dict[int, int] = {}
     try:
         for _ in range(KM_ITERS):
-            choices = F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                "q",
-                                F.array(*[F.lit(x) for x in v]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, x: acc + x,
-                        ).alias("d2"),
-                        F.lit(cid).alias("cid"),
+            # score m = |c|² − 2·q·c: argmin-equivalent to the squared
+            # distance (the per-row |q|² shift cancels in every
+            # comparison, ties included) at half the in-row ops; |c|²
+            # is driver arithmetic. The codebook rides in as a
+            # broadcast 1-row ARRAY column rather than 8×64 literals:
+            # the per-round plan keeps one constant codegen source
+            # (round 2+ hit the compile cache) instead of re-compiling
+            # a literal-inflated expression tree every iteration —
+            # measured 4.64→3.46 s at sf0.1 with bit-identical output
+            # (round-13; the per-round cost here is plan+codegen, not
+            # arithmetic: the corpus is small at bench SF).
+            cdf = spark.createDataFrame(
+                [
+                    (
+                        [
+                            {"cid": cid, "m0": sum(x * x for x in v), "v": v}
+                            for cid, v in cents
+                        ],
                     )
-                    for cid, v in cents
-                ]
+                ],
+                "cents array<struct<cid:int,m0:bigint,v:array<bigint>>>",
             )
-            assigned = base.select(
-                "q", F.array_min(choices).getField("cid").alias("cid")
+            assigned = base.crossJoin(F.broadcast(cdf)).select(
+                "q",
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            (
+                                c["m0"]
+                                - 2
+                                * F.aggregate(
+                                    F.zip_with("q", c["v"], lambda a, b: a * b),
+                                    F.lit(0).cast("long"),
+                                    lambda acc, x: acc + x,
+                                )
+                            ).alias("m"),
+                            c["cid"].alias("cid"),
+                        ),
+                    )
+                )
+                .getField("cid")
+                .alias("cid"),
             )
             rows = (
                 assigned.groupBy("cid")
@@ -1665,8 +1707,8 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count("*").alias("n"),
                     *[
                         F.expr(
-                            f"CAST(sum(CAST(element_at(q, {d + 1}) AS"
-                            f" DECIMAL(38,0))) div count(*) AS BIGINT)"
+                            f"CAST(sum(element_at(q, {d + 1}))"
+                            f" div count(*) AS BIGINT)"
                         ).alias(f"c{d}")
                         for d in range(DIM)
                     ],
