@@ -460,23 +460,27 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one assembled from corpus-common fragments, and a novelty collapse
     across an ingest batch means the crawler started eating mirrors.
 
-    Shape: shingles are deduped IN-ROW per doc before exploding, so
-    the doc-frequency groupBy's count is df by construction (one
-    map-side-combined shuffle on the 16-byte hash); (doc_id, h)
-    rejoins the df frame MERGE-pinned — both sides corpus-proportional
-    — and a final map-side-combined groupBy(doc_id) folds the verdict.
-    Only hashes move; text never leaves the scan. Integer ppm."""
+    Shape (round-13, guide §2.4 — remove shuffles outright): shingles
+    are deduped IN-ROW per doc (fx.shingles wraps array_distinct), so
+    (doc_id, h) is unique by construction and the old corpus-wide
+    `.distinct()` was a pure-overhead exchange; and df is a COUNT over
+    the h-partition, so the old df-groupBy + corpus×corpus merge
+    rejoin collapses to one partitioned window on the SAME exchange
+    the count needs anyway. Two exchanges total (h, then doc_id) and
+    ONE pass over the shingle stream, versus four exchanges and a
+    double read before. Only 16-byte hashes move; text never leaves
+    the scan. Integer ppm."""
+    from pyspark.sql import Window
+
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = fx.tokenize_ws()
     sh = (
         docs.filter(F.size(words) >= 3)
         .select("doc_id", F.explode(_shingles(words)).alias("s"))
         .select("doc_id", F.md5("s").alias("h"))
-        .distinct()
     )
-    df_frame = sh.groupBy("h").agg(F.count("*").alias("df"))
     return (
-        sh.join(df_frame.hint("merge"), "h")
+        sh.select("doc_id", F.count("*").over(Window.partitionBy("h")).alias("df"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),

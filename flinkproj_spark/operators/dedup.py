@@ -264,9 +264,18 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             env_dir
             or os.path.join(tempfile.gettempdir(), "flinkproj_spark_ckpt")
         )
+    # Symmetrize by ONE explode (round-13, the pagerank/LPA lesson):
+    # the self-union form referenced the LSH pair pipeline twice and
+    # ran it twice inside the eager checkpoint below when exchange
+    # reuse failed to fire across the union branches.
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = edges.checkpoint(eager=True)  # pairs pipeline runs once, durably
     labels = (
         edges.select("src").distinct().select(
@@ -1813,11 +1822,33 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports), exclude existing edges with a left-anti join, and
     re-attach the two degree counts. Neighborhood union is
     |N(a)|+|N(c)|−common (a∉N(c) by the anti-join), so no set
-    materialization — everything stays integer counts."""
-    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    materialization — everything stays integer counts.
+
+    Round-13 lineage fix (guide §2.4, the pagerank/LPA lesson): the
+    edge frame is PERSISTED — it feeds the symmetrized frame (itself
+    referenced three ways: both self-join sides and the degree
+    aggregate) plus the anti join, five consumers of the expensive
+    ngram-Jaccard pair derivation whose deduplication previously
+    relied on best-effort exchange reuse that collapses on tiled
+    corpora — and symmetrization is ONE explode emitting (a,b),(b,a)
+    per pair instead of a self-union, keeping the cached frame
+    single-referenced per consumer. Cache lives for the returned
+    frame's lifetime, the dedup_cluster precedent."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     und = edges.select(
-        F.col("doc_a").alias("m"), F.col("doc_b").alias("n")
-    ).unionAll(edges.select(F.col("doc_b").alias("m"), F.col("doc_a").alias("n")))
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("m"), F.col("doc_b").alias("n")),
+                F.struct(F.col("doc_b").alias("m"), F.col("doc_a").alias("n")),
+            )
+        ).alias("e")
+    ).select("e.m", "e.n")
     deg = und.groupBy("n").agg(F.count("*").alias("deg"))
     wedges = (
         und.alias("l")
@@ -1907,32 +1938,48 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(src.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .withColumnRenamed("source", "src_b")
     )
-    m_row = lab.agg(F.count("*").alias("m"))
-    und = lab.select(
-        F.col("src_a").alias("source"), (F.col("src_a") == F.col("src_b")).alias("intra")
-    ).unionAll(
+    # Round-13 lineage fix (guide §2.4, the pagerank/LPA lesson): `lab`
+    # — carrying the whole ngram-Jaccard pair derivation — was
+    # referenced FIVE times (two self-union branches for the endpoint
+    # tally, two more for the node census, plus the m count); ONE
+    # explode emits both endpoint rows per edge, the persisted endpoint
+    # frame feeds all three aggregates, and m is its row count div 2
+    # (each edge contributes exactly two endpoint rows). eager_report
+    # pins the cache lifetime to this call.
+    from pyspark.storagelevel import StorageLevel
+
+    epts = (
         lab.select(
-            F.col("src_b").alias("source"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("doc"), F.col("src_a").alias("source")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("doc"), F.col("src_b").alias("source")
+                    ),
+                )
+            ).alias("e"),
             (F.col("src_a") == F.col("src_b")).alias("intra"),
         )
+        .select("e.doc", "e.source", "intra")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    per = und.groupBy("source").agg(
+    m_row = epts.agg(F.expr("count(*) div 2").alias("m"))
+    per = epts.groupBy("source").agg(
         F.count("*").alias("deg_sum"),
         # each intra edge contributes BOTH endpoints to its community,
         # so in_c = intra-endpoint-count / 2 — kept doubled to stay int:
         F.sum(F.col("intra").cast("long")).alias("in2"),
     )
     nodes = (
-        lab.select(F.col("doc_a").alias("doc_id"), F.col("src_a").alias("source"))
-        .unionAll(
-            lab.select(F.col("doc_b").alias("doc_id"), F.col("src_b").alias("source"))
-        )
+        epts.select(F.col("doc").alias("doc_id"), "source")
         .distinct()
         .groupBy("source")
         .agg(F.count("*").alias("n_nodes"))
     )
     # q_num = 4*m*in_c - d_c^2 = 2*m*in2 - d_c^2   (in2 = 2*in_c)
-    return (
+    out = (
         per.join(nodes, "source")
         .crossJoin(F.broadcast(m_row))
         .select(
@@ -1952,6 +1999,7 @@ def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_ppm"),
         )
     )
+    return fx.eager_report(spark, out, [epts])
 
 
 QUERIES["graph_modularity_report"] = graph_modularity_report
@@ -2500,13 +2548,29 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends explode in-row, the degree groupBy and the two endpoint-degree
     hash joins all move only (doc_id, long) rows; one final 1-row
     aggregate. The corpus text never shuffles."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     pairs = _ngram_jaccard_pairs(
         docs.select("doc_id", "lang", _words().alias("ws"))
     ).select("doc_a", "doc_b")
-    ends = pairs.select(
-        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
-    ).unionAll(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+    # Round-13 lineage fix (guide §2.4): symmetrize by ONE explode —
+    # the self-union referenced the Jaccard pair derivation twice —
+    # and persist the directed-end frame, which three consumers read
+    # (the degree aggregate and both endpoint-degree joins);
+    # eager_report pins the cache lifetime to this call.
+    ends = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+                    F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     deg = ends.groupBy("s").agg(F.count("*").alias("deg"))
     ed = ends.join(
         deg.select(F.col("s"), F.col("deg").alias("dx")), "s"
@@ -2519,7 +2583,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dx") * F.col("dx")).alias("sum_deg2"),
         F.sum(F.col("dx") * F.col("dy")).alias("sum_dxdy"),
     )
-    return m.select(
+    out = m.select(
         F.col("n_ends").cast("long").alias("n_ends"),
         F.col("sum_deg").cast("long").alias("sum_deg"),
         F.col("sum_deg2").cast("long").alias("sum_deg2"),
@@ -2531,6 +2595,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sum_deg AS DECIMAL(38,0)) * sum_deg, 0) AS BIGINT)"
         ).alias("assort_ppm"),
     )
+    return fx.eager_report(spark, out, [ends])
 
 
 QUERIES["graph_degree_assortativity"] = graph_degree_assortativity

@@ -702,10 +702,21 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the stats frame is ~35 rows (tables x profiled columns) and
     the edge grid is a 7-row literal — every join here is a broadcast
-    of dimension-free frames; the table scans happened once, inside
-    analyze_tables_report's one-aggregate-per-table pass. Advice is
+    of dimension-free frames. Round-13 (guide §2.4): the fact and dim
+    projections are DIFFERENT subtrees, so their two BroadcastExchanges
+    are not deduplicated by reuse and the all-tables ANALYZE pass was
+    measured executing TWICE (probe: advisor exec 3.74 s ≈ 2× the
+    3.7-s stats key's own 1.9-s exec); the stats frame is now
+    persisted and the 7-row advice table materializes via
+    eager_report, so every table scan happens exactly once. Advice is
     integer arithmetic (div / ppm) end to end."""
-    stats = analyze_tables_report(spark, sf_dir)
+    from pyspark.storagelevel import StorageLevel
+
+    from flinkproj_spark import functions as fx
+
+    stats = analyze_tables_report(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     edges = spark.createDataFrame(
         list(JSA_EDGES), "fact_table string, fact_key string,"
         " dim_table string, dim_key string"
@@ -721,7 +732,7 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("column_name").alias("dim_key"),
         F.col("n_rows").alias("dim_rows"),
     )
-    return (
+    out = (
         edges.join(F.broadcast(fact), ["fact_table", "fact_key"])
         .join(F.broadcast(dim), ["dim_table", "dim_key"])
         .select(
@@ -752,6 +763,7 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket_both_hint"),
         )
     )
+    return fx.eager_report(spark, out, [stats])
 
 
 QUERIES["join_strategy_advisor"] = join_strategy_advisor

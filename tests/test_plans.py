@@ -1104,10 +1104,27 @@ def test_matryoshka_corpus_never_shuffles(spark, sf_dir):
 def test_modularity_scalar_m_is_broadcast(spark, sf_dir):
     """graph_modularity_report: the 1-row edge-count total must reach
     the per-source frame as a broadcast, and the text column must not
-    appear anywhere in the plan (only doc_id/source shuffle)."""
+    appear anywhere in the plan (only doc_id/source shuffle). The key
+    materializes through fx.eager_report since round 13 (the returned
+    frame is a local relation), so the INTERNAL report frame is
+    captured by wrapping eager_report — the assertions pin the plan
+    that actually executes."""
+    from flinkproj_spark import functions as fx
     from flinkproj_spark.operators.dedup import graph_modularity_report
 
-    plan = _plan(graph_modularity_report(spark, sf_dir))
+    captured = {}
+    orig = fx.eager_report
+
+    def capture(sp, report, caches):
+        captured["report"] = report
+        return orig(sp, report, caches)
+
+    fx.eager_report = capture
+    try:
+        graph_modularity_report(spark, sf_dir)
+    finally:
+        fx.eager_report = orig
+    plan = _plan(captured["report"])
     assert "BroadcastNestedLoopJoin" in plan
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
