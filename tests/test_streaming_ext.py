@@ -2032,3 +2032,22 @@ class TestStreamSemdedupGate:
         assert len(got) == 2  # every arrival gets exactly one verdict row
         # genuinely-new ids: the monotone-id assumption holds, flag is 0
         assert all(r.id_overlap == 0 for r in got.values())
+
+    def test_model_artifacts_are_materialized_at_build_time(
+        self, spark, sf_dir
+    ):
+        """Round-13: the frozen model must be PERSISTED at build time —
+        the lazy form re-derived the codebook + cell assignment over
+        the whole corpus on every micro-batch, and a snapshot-dir
+        rewrite mid-stream would have silently changed verdicts. All
+        three artifacts must report a storage level and already be
+        materialized (is_cached via the catalog's storage flag)."""
+        from flinkproj_spark.streaming.curate import build_semdedup_model
+
+        model = build_semdedup_model(spark, sf_dir)
+        try:
+            for name in ("codebook", "mates", "max_id"):
+                assert model[name].storageLevel.useMemory, name
+        finally:
+            for df in model.values():
+                df.unpersist()
