@@ -429,25 +429,70 @@ def build_dsir_model(spark, sf_dir: str) -> dict:
     batch scorer. Two driver collects of MODEL-sized frames (512 rows
     + 1 row) at build time — the deployed-artifact contract, same as
     stream_quality_scores freezing the classifier weights; nothing is
-    ever collected per record."""
+    ever collected per record.
+
+    Round-13 (guide §1.2 step 1 — don't compute things you throw
+    away): the original build invoked dsir_bucket_model AND
+    dsir_importance_weights, executing the tokenize+md5-per-token
+    corpus pass THREE times (once for the model frame, twice inside
+    the scorer's histogram+scoring split) plus a doc-granularity
+    shuffle — measured 216 s solo at x30 for artifacts that are 512
+    ints + 2 scalars. Every frozen value folds EXACTLY from the
+    raw 512-row bucket histogram:
+
+      qt/qr — the same Laplace expressions on (ct, cr, tt, tr),
+        evaluated in Python ints; all operands non-negative, so
+        Python `//` is identical to SQL `div` (truncation == floor).
+      s_all = Σ_docs Σ_tokens diff[bk] = Σ_bk cr_bk · diff_bk —
+        reordering a finite BIGINT sum, bit-exact.
+      n_docs = # docs with ≥ 1 token — an in-row size() count, no
+        explode, no md5.
+
+    One tokenize+hash pass + one cheap in-row count; equivalence with
+    the batch-derived model is pinned by
+    tests/test_streaming_ext.py (model-equality + gate-vs-batch
+    verdict tests)."""
     from flinkproj_spark.operators.curation import (
         DSIR_BUCKETS,
-        dsir_bucket_model,
-        dsir_importance_weights,
+        DSIR_SCALE,
+        DSIR_TARGET_LANG,
+        _dsir_tok,
     )
+    from flinkproj_spark.sources.tables import fan_out, load_table
 
-    diffs = [0] * DSIR_BUCKETS
-    for r in dsir_bucket_model(spark, sf_dir).collect():
-        diffs[int(r.bk)] = int(r.qt - r.qr)
-    tot = (
-        dsir_importance_weights(spark, sf_dir)
+    hist = (
+        _dsir_tok(spark, sf_dir)
+        .groupBy("bk")
         .agg(
-            F.sum("dsir_sum_ppb").alias("s_all"),
-            F.count("*").alias("n_docs"),
+            F.count("*").alias("cr"),
+            F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long")).alias("ct"),
         )
-        .collect()[0]
+        .collect()
     )
-    return {"diffs": diffs, "s_all": int(tot.s_all), "n_docs": int(tot.n_docs)}
+    cr = [0] * DSIR_BUCKETS
+    ct = [0] * DSIR_BUCKETS
+    seen = [False] * DSIR_BUCKETS
+    for r in hist:
+        cr[int(r.bk)] = int(r.cr)
+        ct[int(r.bk)] = int(r.ct)
+        seen[int(r.bk)] = True
+    tr, tt = sum(cr), sum(ct)
+    # A bucket with zero tokens never appears in dsir_bucket_model's
+    # output, so the frozen model scores it 0 — NOT the Laplace diff
+    # an all-buckets formula would give. Same contract as before.
+    diffs = [
+        (ct[b] + 1) * DSIR_SCALE // (tt + DSIR_BUCKETS)
+        - (cr[b] + 1) * DSIR_SCALE // (tr + DSIR_BUCKETS)
+        if seen[b]
+        else 0
+        for b in range(DSIR_BUCKETS)
+    ]
+    s_all = sum(cr[b] * diffs[b] for b in range(DSIR_BUCKETS))
+    docs = fan_out(
+        spark, sf_dir, "documents", load_table(spark, sf_dir, "documents")
+    )
+    n_docs = docs.filter(F.size(fx.tokenize_ws()) >= 1).count()
+    return {"diffs": diffs, "s_all": s_all, "n_docs": n_docs}
 
 
 def stream_dsir_gate(new_docs: DataFrame, model: dict) -> DataFrame:

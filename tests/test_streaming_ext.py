@@ -786,6 +786,39 @@ class TestStreamDsirGate:
         assert any(v[2] == 1 for v in got.values())
         assert any(v[2] == 0 for v in got.values())
 
+    def test_model_fold_equals_batch_derivation(self, spark, sf_dir):
+        """Round-13: build_dsir_model folds diffs/s_all/n_docs from ONE
+        histogram pass (Σ_docs Σ_tokens diff = Σ_bk cr·diff is an
+        exact reordering of a BIGINT sum; `//` == `div` on the
+        non-negative Laplace operands; unseen buckets score 0). Pin
+        the fold against the original three-pass batch derivation."""
+        import pyspark.sql.functions as F
+
+        from flinkproj_spark.operators.curation import (
+            DSIR_BUCKETS,
+            dsir_bucket_model,
+            dsir_importance_weights,
+        )
+        from flinkproj_spark.streaming.curate import build_dsir_model
+
+        got = build_dsir_model(spark, sf_dir)
+        diffs = [0] * DSIR_BUCKETS
+        for r in dsir_bucket_model(spark, sf_dir).collect():
+            diffs[int(r.bk)] = int(r.qt - r.qr)
+        tot = (
+            dsir_importance_weights(spark, sf_dir)
+            .agg(
+                F.sum("dsir_sum_ppb").alias("s_all"),
+                F.count("*").alias("n_docs"),
+            )
+            .collect()[0]
+        )
+        assert got == {
+            "diffs": diffs,
+            "s_all": int(tot.s_all),
+            "n_docs": int(tot.n_docs),
+        }
+
 
 class TestStreamCmsSketch:
     def test_sketch_converges_to_batch_build(self, spark, sf_dir, tmp_path):
