@@ -35,7 +35,20 @@ def eager_report(
     contract for these keys: the cache can no longer outlive the one
     plan it was built for, and a caller that never calls clearCache()
     no longer accumulates executor storage round after round
-    (round-6 ADVICE)."""
+    (round-6 ADVICE).
+
+    Each cache is materialized SEQUENTIALLY (count(), upstream tiers
+    first — callers pass them in dependency order) before the report
+    collects. A lazily-filled cache referenced k times inside the one
+    report job races its own fill: block-level getOrElseUpdate gives
+    concurrent stages no cross-task fill lock, so each of the k
+    subtrees recomputes the underlying partitions (measured r13:
+    pair_strategy_agreement's stage-sum at x10 is ~50 s but the lazy
+    one-job shape ran 135.7 s — the three pair tiers filled ~3x). The
+    count barriers cost one O(cache) job each and make every fill
+    happen exactly once."""
+    for c in caches:
+        c.count()
     rows = report.collect()
     for c in caches:
         c.unpersist()

@@ -496,26 +496,29 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hashes), from which MinHash signatures are in-row affine
     minima (minhash_sigs_from_hashes: no explode, no groupBy), winnow
     fingerprints are in-row window minima, and the Jaccard blocks read
-    the token array directly. Measured honestly: at sf0.1 this is only
-    ~12% faster than the three-scan shape (interleaved A/B, r5) —
-    Spark's exchange reuse was already deduplicating the identical
-    subtrees within the one assembled plan, and the pair stages
-    dominate at small SF. The win the refactor buys is structural: ONE
-    corpus scan+tokenize instead of three at 100 TB (where the scan
-    dominates), and persistence the optimizer is CONTRACTUALLY bound
-    to — ReusedExchange is best-effort and AQE-sensitive, a persist is
-    not. Each derived pair frame is also persisted: the comparison
-    below references each up to three times (its count + two
-    semi-joins), and a cache is the only reuse guarantee that survives
-    plan changes upstream.
+    the token array directly. The base cache is count-barriered before
+    the pair job so its fill happens exactly once (the three pair
+    stages land in ONE job, and block-level getOrElseUpdate gives
+    concurrent stages no cross-task fill lock).
 
-    Cache contract: the 3-row comparison table is materialized eagerly
-    (fx.eager_report) and every persisted tier is unpersisted before
-    returning — the cache's lifetime is exactly this call, so callers
-    that never clearCache() leak nothing (round-6 ADVICE). The _psa
-    marker keeps the cached plans unique to this operator so the
-    standalone strategy keys' scans are never hijacked into cache
-    reads behind their backs."""
+    The comparison itself is ONE pass (r13): the three pair streams
+    are tagged with a strategy ordinal and unioned, per-pair strategy
+    multiplicities come from a single (doc_a, doc_b) groupBy, and all
+    nine report numbers fold out of one global aggregate —
+    n_pairs_s = Σ c_s and n_shared(a,b) = Σ c_a·[c_b > 0], exactly
+    the row-count / left-semi-count semantics of the r5 shape (every
+    pair frame is duplicate-free upstream, but the fold is exact even
+    under multiplicity). Each pair frame is consumed EXACTLY once, so
+    nothing but base needs a persist: the r5 shape persisted all
+    three pair frames and referenced each up to 3 times inside the
+    one eager-report job, and the lazy fills raced — measured r13 at
+    x10: 135.7 s for the operator vs ~50 s stage sum; the one-pass
+    fold removes the multi-reference instead of barriering it.
+
+    The 1-row fold collects to the driver (bounded, like every
+    eager_report) and the 3-row table is assembled locally — callers
+    see the same local-relation contract as fx.eager_report, and the
+    base cache is unpersisted before returning (round-6 ADVICE)."""
     from pyspark.storagelevel import StorageLevel
 
     from flinkproj_spark.operators.text import (
@@ -532,6 +535,7 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         positional_shingle_hashes(words).alias("hs"),
         F.lit(1).alias("_psa"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
     frames = {
         "minhash_lsh": lsh_candidate_pairs(minhash_sigs_from_hashes(base))
         .select("doc_a", "doc_b"),
@@ -539,34 +543,48 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winnow": _winnow_pairs(winnow_fps_from_hashes(base))
         .select("doc_a", "doc_b"),
     }
-    frames = {
-        k: v.persist(StorageLevel.MEMORY_AND_DISK) for k, v in frames.items()
-    }
     names = list(frames)
-    rows = []
-    for i, a in enumerate(names):
-        for b in names[i + 1 :]:
-            shared = (
-                frames[a]
-                .join(frames[b], ["doc_a", "doc_b"], "left_semi")
-                .agg(F.count("*").alias("n_shared"))
-            )
-            rows.append(
-                frames[a].agg(F.count("*").alias("n_pairs_a"))
-                .crossJoin(F.broadcast(frames[b].agg(F.count("*").alias("n_pairs_b"))))
-                .crossJoin(F.broadcast(shared))
-                .select(
-                    F.lit(a).alias("strategy_a"),
-                    F.lit(b).alias("strategy_b"),
-                    "n_pairs_a",
-                    "n_pairs_b",
-                    "n_shared",
-                )
-            )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return fx.eager_report(spark, out, [base, *frames.values()])
+    tagged = None
+    for i, k in enumerate(names):
+        t = frames[k].select("doc_a", "doc_b", F.lit(i).alias("_s"))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_pair = tagged.groupBy("doc_a", "doc_b").agg(
+        *[
+            F.sum((F.col("_s") == i).cast("long")).alias(f"c{i}")
+            for i in range(len(names))
+        ]
+    )
+    fold = per_pair.agg(
+        *[F.coalesce(F.sum(f"c{i}"), F.lit(0)).alias(f"n{i}") for i in range(3)],
+        *[
+            F.coalesce(
+                F.sum(F.col(f"c{i}") * (F.col(f"c{j}") > 0).cast("long")),
+                F.lit(0),
+            ).alias(f"s{i}{j}")
+            for i in range(3)
+            for j in range(3)
+            if i < j
+        ],
+    ).collect()[0]
+    base.unpersist()
+    rows = [
+        (names[i], names[j], fold[f"n{i}"], fold[f"n{j}"], fold[f"s{i}{j}"])
+        for i in range(3)
+        for j in range(3)
+        if i < j
+    ]
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("strategy_a", StringType(), False),
+            StructField("strategy_b", StringType(), False),
+            StructField("n_pairs_a", LongType(), False),
+            StructField("n_pairs_b", LongType(), False),
+            StructField("n_shared", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
