@@ -491,15 +491,33 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     a strategy whose pairs nobody corroborates is either finding
     something unique or broken, and this table says which way to look.
 
-    Shape: ONE shared document scan feeds all three strategies — the
-    persisted base frame carries (doc_id, lang, words, positional
-    shingle hashes), from which MinHash signatures are in-row affine
-    minima (minhash_sigs_from_hashes: no explode, no groupBy), winnow
-    fingerprints are in-row window minima, and the Jaccard blocks read
-    the token array directly. The base cache is count-barriered before
-    the pair job so its fill happens exactly once (the three pair
-    stages land in ONE job, and block-level getOrElseUpdate gives
-    concurrent stages no cross-task fill lock).
+    Shape: ONE shared document scan feeds all three strategies — and
+    the persisted base frame is PRE-REDUCED (r13, second pass): the
+    fill pass runs the tokenize+shingle-md5 chain once per doc and
+    keeps only each strategy's per-doc reduction — the 9 MinHash
+    signature minima (in-row affine minima over the hash array), the
+    winnow fingerprint set (in-row window minima), and the Jaccard
+    block key + word set. Nothing positional (ws, hs — the fat
+    token/hash arrays) is cached: r13 measured the fat-base shape at
+    x30 paying ~80 s beyond its stage sums (fill 21 s + branches
+    ~15 s but operator 115 s) — three concurrent branches re-reading
+    corpus-shaped cached arrays, partly from the disk tier, swamp the
+    saved recompute. With the pre-reduced base each branch's
+    InMemoryTableScan prunes to its own columns (minhash reads 9
+    longs/doc): measured x30 115.5 → 27.4 s, a no-cache variant
+    (every branch re-deriving from parquet) sat between at 63.5 s.
+    The base cache is count-barriered before the pair job so its fill
+    happens exactly once (the three pair stages land in ONE job, and
+    block-level getOrElseUpdate gives concurrent stages no cross-task
+    fill lock). Per-strategy eligibility mirrors the standalone
+    filters exactly: the Jaccard branch keeps its own _n2 marker
+    (size(ws) >= 2 — bkey can be legitimately NULL for a null lang
+    and still form a block, exactly like _blocked_pair_expand), the
+    sig/fps columns are null-sentineled by the same size guards the
+    standalone paths apply as filters (sigs: size(hs) >= 1; fps:
+    size(hs) >= _WINNOW_W), and the when() guards keep the reductions
+    ANSI-safe on short docs (sequence(1, n-w+1) is never evaluated
+    descending).
 
     The comparison itself is ONE pass (r13): the three pair streams
     are tagged with a strategy ordinal and unioned, per-pair strategy
@@ -521,27 +539,70 @@ def pair_strategy_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     base cache is unpersisted before returning (round-6 ADVICE)."""
     from pyspark.storagelevel import StorageLevel
 
-    from flinkproj_spark.operators.text import (
-        positional_shingle_hashes,
-        winnow_fps_from_hashes,
-    )
+    from flinkproj_spark.operators.text import _WINNOW_W, positional_shingle_hashes
 
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = _words()
-    base = docs.select(
+    # Materialize ws/hs once per row behind a nondeterministic barrier
+    # (the doc_winnow_fingerprints trick) so the per-strategy reductions
+    # below don't each re-evaluate the tokenize/md5 chain — the barrier
+    # column is never read.
+    staged = docs.select(
         "doc_id",
         "lang",
         words.alias("ws"),
         positional_shingle_hashes(words).alias("hs"),
+        F.monotonically_increasing_id().alias("_nc"),
+    )
+    n_ws = F.size("ws")
+    n_sh = F.size("hs")
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh - F.lit(_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        )
+    )
+    base = staged.select(
+        "doc_id",
+        (n_ws >= 2).alias("_n2"),
+        F.when(n_ws >= 2, _block_key(F.col("ws"))).alias("bkey"),
+        F.when(n_ws >= 2, F.array_distinct("ws")).alias("wset"),
+        *[
+            F.when(
+                n_sh >= 1,
+                F.array_min(
+                    F.transform(
+                        "hs", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+                    )
+                ),
+            ).alias(f"s{i}")
+            for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ],
+        F.when(n_sh >= _WINNOW_W, fps).alias("fps"),
         F.lit(1).alias("_psa"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     base.count()
     frames = {
-        "minhash_lsh": lsh_candidate_pairs(minhash_sigs_from_hashes(base))
+        "minhash_lsh": lsh_candidate_pairs(
+            base.filter(F.col("s0").isNotNull()).select(
+                "doc_id", *[f"s{i}" for i in range(N_HASHES)]
+            )
+        ).select("doc_a", "doc_b"),
+        "ngram_jaccard": _blocked_pairs_from_keyed(
+            base.filter("_n2").select("doc_id", "bkey", "wset"),
+            lambda x, y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                _pair_jaccard(x, y).alias("jaccard"),
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b"),
-        "ngram_jaccard": _ngram_jaccard_pairs(base).select("doc_a", "doc_b"),
-        "winnow": _winnow_pairs(winnow_fps_from_hashes(base))
-        .select("doc_a", "doc_b"),
+        "winnow": _winnow_pairs(
+            base.filter(F.col("fps").isNotNull()).select(
+                "doc_id", F.explode("fps").alias("fp")
+            )
+        ).select("doc_a", "doc_b"),
     }
     names = list(frames)
     tagged = None
@@ -797,9 +858,25 @@ def _blocked_pair_expand(tok: DataFrame, pair_struct) -> DataFrame:
     words = F.col("ws")
     keyed = tok.filter(F.size(words) >= 2).select(
         "doc_id",
-        F.concat("lang", F.lit("|"), F.element_at(words, 1), F.lit(" "), F.element_at(words, 2)).alias("bkey"),
+        _block_key(words).alias("bkey"),
         F.array_distinct(words).alias("wset"),
     )
+    return _blocked_pairs_from_keyed(keyed, pair_struct)
+
+
+def _block_key(words: F.Column) -> F.Column:
+    """lang + first-two-words blocking key. Callers must have
+    established size(words) >= 2 (filter or a when() guard)."""
+    return F.concat(
+        "lang", F.lit("|"), F.element_at(words, 1), F.lit(" "), F.element_at(words, 2)
+    )
+
+
+def _blocked_pairs_from_keyed(keyed: DataFrame, pair_struct) -> DataFrame:
+    """Cap + in-row i<j expansion over a pre-built (doc_id, bkey, wset)
+    frame — split out so pair_strategy_agreement can feed it from its
+    persisted pre-reduced base while standalone keys come through
+    _blocked_pair_expand; the cap/expansion recipe stays singular."""
     # array_sort on struct(doc_id, wset) orders by doc_id (first field),
     # so in-row expansion of i<j positions yields doc_a < doc_b.
     blocks = (

@@ -60,8 +60,8 @@ def test_sign_row_replica0_identity_preserves_geometry():
     [
         ("hi", 3, "hi~3"),
         ("a b", 2, "a b~2"),
-        ("a b c", 1, "a b c~1"),
-        ("a b c d e f", 2, "a b c~2 d e f~2"),
+        ("a b c", 1, "a b~1 c"),
+        ("a b c d e f", 2, "a b~2 c d~2 e f~2"),
         ("", 5, ""),
         ("anything at all here", 0, "anything at all here"),
     ],
@@ -74,3 +74,34 @@ def test_perturb_text_replicas_pairwise_distinct_even_short_docs():
     for text in ("x", "two words", "three token doc", "a much longer doc here"):
         seen = {_perturb_text(text, r) for r in range(6)}
         assert len(seen) == 6, text
+
+
+def test_perturb_text_cross_replica_wordset_jaccard_below_half():
+    """The v3 contract the v2 generator broke: cross-replica copies of
+    one doc must FAIL the word-set near-dup threshold (Jaccard >= 0.5),
+    else the tiled corpus grows word-set pairs quadratically in the
+    factor (measured r13 at x30: 87% of dedup_ngram_jaccard's pairs
+    were cross-replica, mean J 0.533 — v2's every-3rd-token tagging
+    left J at exactly (2n/3)/(4n/3) = 0.5)."""
+    for text in (
+        "the quick brown fox jumps over the lazy dog today",
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four",
+    ):
+        a = set(_perturb_text(text, 0).split(" "))
+        for r in (1, 2, 5):
+            b = set(_perturb_text(text, r).split(" "))
+            j = len(a & b) / len(a | b)
+            assert j < 0.5, (text, r, j)
+
+
+def test_perturb_text_tags_the_jaccard_block_key():
+    """dedup_ngram_jaccard blocks on lang + the FIRST TWO words, so the
+    2nd word (index 1) must differ across replicas or every block's
+    membership grows with the tile factor (quadratic in-row pair
+    expansion, blocks past BUCKET_CAP silently dropped)."""
+    text = "common prefix follows with more words"
+    keys = {
+        " ".join(_perturb_text(text, r).split(" ")[:2]) for r in range(6)
+    }
+    assert len(keys) == 6

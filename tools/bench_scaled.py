@@ -50,9 +50,13 @@ DEFAULT_KEYS = [
 
 
 #: bumped when gen_scaled.py's replication contract changes (v2: fixed
-#: the sign-hash parity collapse + short-doc perturbation) so stale
-#: tiled corpora regenerate instead of being silently reused.
-GEN_VERSION = "v2"
+#: the sign-hash parity collapse + short-doc perturbation; v3: tag
+#: every 2nd token instead of every 3rd — v2 left cross-replica
+#: word-set Jaccard at exactly the 0.5 threshold and never tagged the
+#: Jaccard block key, so word-set pair counts grew super-linearly in
+#: the factor) so stale tiled corpora regenerate instead of being
+#: silently reused.
+GEN_VERSION = "v3"
 
 
 def sf_dir(factor: int) -> str:

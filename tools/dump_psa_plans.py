@@ -36,13 +36,21 @@ def main() -> None:
     from pyspark.storagelevel import StorageLevel
 
     from flinkproj_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_HASHES,
+        _block_key,
+        _blocked_pairs_from_keyed,
         _ngram_jaccard_pairs,
+        _pair_jaccard,
         _winnow_pairs,
         _words,
         lsh_candidate_pairs,
         minhash_sigs_from_hashes,
     )
     from flinkproj_spark.operators.text import (
+        _WINNOW_W,
         positional_shingle_hashes,
         winnow_fps_from_hashes,
     )
@@ -55,19 +63,66 @@ def main() -> None:
     docs = fan_out(spark, SF_DIR, "documents",
                    load_table(spark, SF_DIR, "documents"))
     words = _words()
-    base = docs.select(
-        "doc_id", "lang", words.alias("ws"),
-        positional_shingle_hashes(words).alias("hs"),
-        F.lit(1).alias("_psa"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()
-    frames = {
-        "minhash_lsh": lsh_candidate_pairs(minhash_sigs_from_hashes(base))
-        .select("doc_a", "doc_b"),
-        "ngram_jaccard": _ngram_jaccard_pairs(base).select("doc_a", "doc_b"),
-        "winnow": _winnow_pairs(winnow_fps_from_hashes(base))
-        .select("doc_a", "doc_b"),
-    }
+    if SUFFIX == "before":
+        base = docs.select(
+            "doc_id", "lang", words.alias("ws"),
+            positional_shingle_hashes(words).alias("hs"),
+            F.lit(1).alias("_psa"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()
+        frames = {
+            "minhash_lsh": lsh_candidate_pairs(minhash_sigs_from_hashes(base))
+            .select("doc_a", "doc_b"),
+            "ngram_jaccard": _ngram_jaccard_pairs(base)
+            .select("doc_a", "doc_b"),
+            "winnow": _winnow_pairs(winnow_fps_from_hashes(base))
+            .select("doc_a", "doc_b"),
+        }
+    else:
+        # mirror the r13 pre-reduced base (operators/dedup.py
+        # pair_strategy_agreement)
+        staged = docs.select(
+            "doc_id", "lang", words.alias("ws"),
+            positional_shingle_hashes(words).alias("hs"),
+            F.monotonically_increasing_id().alias("_nc"),
+        )
+        n_ws = F.size("ws")
+        n_sh = F.size("hs")
+        fps = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_sh - F.lit(_WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, _WINNOW_W)),
+        ))
+        base = staged.select(
+            "doc_id",
+            (n_ws >= 2).alias("_n2"),
+            F.when(n_ws >= 2, _block_key(F.col("ws"))).alias("bkey"),
+            F.when(n_ws >= 2, F.array_distinct("ws")).alias("wset"),
+            *[F.when(n_sh >= 1, F.array_min(F.transform(
+                "hs", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+              ))).alias(f"s{i}")
+              for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))],
+            F.when(n_sh >= _WINNOW_W, fps).alias("fps"),
+            F.lit(1).alias("_psa"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base.count()
+        frames = {
+            "minhash_lsh": lsh_candidate_pairs(
+                base.filter(F.col("s0").isNotNull()).select(
+                    "doc_id", *[f"s{i}" for i in range(N_HASHES)])
+            ).select("doc_a", "doc_b"),
+            "ngram_jaccard": _blocked_pairs_from_keyed(
+                base.filter("_n2").select("doc_id", "bkey", "wset"),
+                lambda x, y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    _pair_jaccard(x, y).alias("jaccard"),
+                ),
+            ).filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b"),
+            "winnow": _winnow_pairs(
+                base.filter(F.col("fps").isNotNull()).select(
+                    "doc_id", F.explode("fps").alias("fp"))
+            ).select("doc_a", "doc_b"),
+        }
     names = list(frames)
     if SUFFIX == "before":
         frames = {k: v.persist(StorageLevel.MEMORY_AND_DISK)

@@ -5,11 +5,11 @@ calendar-bounded state); this tool manufactures the DATA to check the
 claims' consequence — near-linear runtime growth — on the only host we
 have.
 
-Replication contract (round-11 verdict task 4):
+Replication contract (round-11 verdict task 4; tag density fixed v3):
   * `documents` — doc_id offset by a per-replica stride; for replica
-    r > 0 every 3rd whitespace token gets a `~r` suffix (docs shorter
-    than 3 tokens tag their last token, so even they differ pairwise
-    across replicas). Two docs that
+    r > 0 every 2nd whitespace token (indices 1, 3, 5, …) gets a `~r`
+    suffix (single-token docs tag their only token, so even they
+    differ pairwise across replicas). Two docs that
     were (near-)duplicates inside a replica STAY duplicates (the
     perturbation is the same function of position for every doc), but
     cross-replica pairs lose almost every shingle in common, so the
@@ -18,6 +18,23 @@ Replication contract (round-11 verdict task 4):
     candidate-pair count would grow quadratically in the tile factor by
     construction, measuring the data generator instead of the operator.
     n_chars is recomputed from the perturbed text.
+
+    v2 tagged every 3RD token (indices 2, 5, …), which violated this
+    contract for the exact WORD-SET strategies (round 13, measured at
+    x30): (a) cross-replica copies of one doc kept 2/3 of their
+    distinct words, so their word-set Jaccard was (2n/3)/(4n/3) = 0.5
+    — exactly AT dedup_ngram_jaccard's >= 0.5 threshold — and (b) the
+    first two words were never tagged, so the lang|w1-w2 Jaccard
+    block key was identical across replicas and every block's member
+    count grew with the factor (quadratic in-row pair expansion up to
+    BUCKET_CAP, whole blocks silently dropped past it). Measured at
+    x30: 533,619 Jaccard pairs of which 466,001 were cross-replica
+    same-doc (mean J 0.533) and 38,802 cross-replica cross-doc —
+    87% generator artifact, pair count super-linear by construction.
+    Tagging every 2nd token makes cross-replica word-set Jaccard
+    (n/2)/(3n/2) = 1/3 < 0.5 and puts a tagged token (index 1) into
+    the block key, so blocks stay within-replica and the pair count
+    tiles linearly, which is what a genuinely larger corpus does.
   * `embeddings` — vec_id offset; for r > 0 each dimension j is
     multiplied by a deterministic ±1 drawn from (r, j) (a diagonal
     orthogonal transform): within-replica distances, norms, and
@@ -63,13 +80,13 @@ def _perturb_text(text: str, r: int) -> str:
         return text
     toks = text.split(" ")
     tag = f"~{r}"
-    if len(toks) < 3:
-        # short docs have no position i % 3 == 2 — tag the last token so
-        # they too differ across replicas (else exact cross-replica dup
-        # pairs for short docs grow quadratically in the factor).
+    if len(toks) < 2:
+        # single-token docs have no position i % 2 == 1 — tag the one
+        # token so they too differ across replicas (else exact
+        # cross-replica dup pairs for them grow quadratically).
         toks[-1] = toks[-1] + tag
         return " ".join(toks)
-    return " ".join(t + tag if i % 3 == 2 else t for i, t in enumerate(toks))
+    return " ".join(t + tag if i % 2 == 1 else t for i, t in enumerate(toks))
 
 
 def _sign_row(r: int, dim: int) -> np.ndarray:
