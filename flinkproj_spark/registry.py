@@ -49,56 +49,56 @@ _EXTENSION_MODULES = (
 # tests/test_contract.py::test_priority_window_is_mechanical pins the
 # equality so a stale hand copy fails loudly.
 _PRIORITY_KEYS = (
-    "event_transition_matrix",  # last green r7
-    "conversion_lag_curve",  # last green r7
-    "rfm_segmentation",  # last green r7
-    "customer_ltv_cohort",  # last green r7
-    "ols_trend_monthly",  # last green r7
-    "corr_pairs_report",  # last green r7
-    "benford_deviation",  # last green r7
-    "ewma_daily_anomaly",  # last green r7
-    "twap_user_value",  # last green r7
-    "seasonality_profile",  # last green r7
-    "label_propagation",  # last green r7
-    "k_anonymity_report",  # last green r7
-    "l_diversity_report",  # last green r7
-    "analyze_tables_report",  # last green r7
-    "cms_heavy_hitters",  # last green r7
-    "json_extract",  # last green r8
-    "explode_data",  # last green r8
-    "dim_join",  # last green r8
-    "enrich_serialize",  # last green r8
-    "ts_parse",  # last green r8
-    "filter_valid",  # last green r8
-    "format_tsv",  # last green r8
-    "window_count",  # last green r8
-    "late_split",  # last green r8
-    "paragraph_dedup",  # last green r8
-    "unigram_lm_score",  # last green r8
-    "bigram_lm_score",  # last green r8
-    "cross_snapshot_dedup",  # last green r8
-    "embedding_quantize",  # last green r8
-    "minhash_jaccard_estimate",  # last green r8
-    "freshness_decay_weights",  # last green r8
-    "pii_scan_report",  # last green r8
-    "join_explosion_audit",  # last green r8
-    "hll_distinct_report",  # last green r8
-    "dedup_survivorship",  # last green r8
-    "embedding_pca2_deflated",  # last green r8
-    "range_partition_plan",  # last green r8
-    "stratified_split_assign",  # last green r8
-    "token_budget_allocator",  # last green r8
-    "pipeline_report",  # last green r8
-    "pipeline_curate",  # last green r8
-    "pipeline_curate_v2",  # last green r8
-    "funnel_steps",  # last green r8
-    "retention_cohorts",  # last green r8
-    "event_path_topk",  # last green r8
-    "stickiness_dau_wau",  # last green r8
-    "outlier_zscore",  # last green r8
-    "chi2_lang_source",  # last green r8
-    "gini_revenue_lorenz",  # last green r8
-    "moment_stats_by_source",  # last green r8
+    "hhi_by_nation",  # last green r8
+    "mad_outlier_report",  # last green r8
+    "theil_sen_trend_monthly",  # last green r8
+    "winsorized_mean_by_source",  # last green r8
+    "anomaly_rolling_z",  # last green r8
+    "autocorr_daily_revenue",  # last green r8
+    "cusum_changepoint",  # last green r8
+    "runs_test_daily",  # last green r8
+    "seasonal_naive_backtest",  # last green r8
+    "pagerank_fixed",  # last green r8
+    "t_closeness_report",  # last green r8
+    "k_anonymity_repair",  # last green r8
+    "anonymized_release",  # last green r8
+    "zorder_layout",  # last green r8
+    "neardup_semantic_verify",  # last green r9
+    "data_card_report",  # last green r9
+    "minhash_containment_estimate",  # last green r9
+    "lsh_parameter_planner",  # last green r9
+    "sessionize",  # last green r9
+    "tpch_q1",  # last green r9
+    "tpch_q3",  # last green r9
+    "tpch_q5",  # last green r9
+    "tpch_q6",  # last green r9
+    "top_k_per_group",  # last green r9
+    "window_functions",  # last green r9
+    "session_window_agg",  # last green r9
+    "set_except",  # last green r9
+    "set_intersect",  # last green r9
+    "global_topk",  # last green r9
+    "rollup_counts",  # last green r9
+    "asof_join",  # last green r9
+    "asof_join_tolerance",  # last green r9
+    "order_total_audit",  # last green r9
+    "backfill_planner",  # last green r9
+    "supplier_scorecard",  # last green r9
+    "table_digest_report",  # last green r9
+    "trade_flow_matrix",  # last green r9
+    "dedup_substring",  # last green r9
+    "winnow_overlap_pairs",  # last green r9
+    "dedup_cluster_sizes",  # last green r9
+    "pair_strategy_agreement",  # last green r9
+    "substring_dedup_clean",  # last green r9
+    "dedup_graph_kcore",  # last green r9
+    "dedup_containment",  # last green r9
+    "graph_degree_assortativity",  # last green r9
+    "ann_topk_pq",  # last green r9
+    "ann_pq_recall_eval",  # last green r9
+    "ivf_pq_topk",  # last green r9
+    "embedding_outliers",  # last green r9
+    "char_gini_concentration",  # last green r9
 )
 
 
