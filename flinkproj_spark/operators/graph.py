@@ -90,16 +90,23 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = edges.withColumn(
         "deg", F.count("*").over(Window.partitionBy("src"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    ranks = (
-        ed.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.lit(_PR_SCALE).alias("rank"))
-    )
     base = _PR_SCALE * (_PR_DAMP_DEN - _PR_DAMP_NUM) // _PR_DAMP_DEN
+    # Round 1 collapsed algebraically (r14): the initial rank frame is
+    # the CONSTANT _PR_SCALE on exactly the distinct-src node set, and
+    # every edge's src is in that set by construction, so the first
+    # ed⋈ranks join is a no-op enrichment — contrib₁ ≡ SCALE div deg
+    # in-row. Removes one SortMergeJoin + the ranks-init distinct
+    # exchange from every run; rounds 2+ are unchanged, so the result
+    # is bit-identical (same integer expression tree).
+    contrib = ed.select(
+        "dst", F.expr(f"{_PR_SCALE} div deg").alias("contrib")
+    )
+    ranks = None
     for _ in range(_PR_ITERS):
-        contrib = ed.join(
-            ranks, ed.src == ranks.node
-        ).select("dst", F.expr("rank div deg").alias("contrib"))
+        if ranks is not None:
+            contrib = ed.join(
+                ranks, ed.src == ranks.node
+            ).select("dst", F.expr("rank div deg").alias("contrib"))
         ranks = contrib.groupBy("dst").agg(
             (
                 # sum(contrib) is cast to DECIMAL(38,0) BEFORE the damping
@@ -175,6 +182,12 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explode-symmetrize (see pagerank_fixed): one Generate instead of a
     # self-union that executes the orders⋈lineitem-distinct subtree
     # twice during the cache fill.
+    # The cache is laid out FOR the per-round join (r14): hash-partition
+    # and sort by src before persisting, so every round's SortMergeJoin
+    # reads the cached frame with zero exchange and zero re-sort — the
+    # r14 plan audit caught the unpartitioned cache being exchanged AND
+    # sorted per round (3 corpus-shaped shuffles per run; pagerank never
+    # paid this because its window already partitioned on src).
     edges = pairs.select(
         F.explode(
             F.array(
@@ -182,12 +195,20 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
             )
         ).alias("e")
-    ).select("e.src", "e.dst").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("e.src", "e.dst").repartition(F.col("src")) \
+        .sortWithinPartitions("src").persist(StorageLevel.MEMORY_AND_DISK)
+    # Round 1 collapsed algebraically (r14): initial labels are
+    # label(node) = node on exactly the distinct-src set, so round-1
+    # votes are (dst, src) pairs with count 1 each (edges are distinct)
+    # and the argmax-by-count tie-break picks the SMALLEST label —
+    # labels₁ ≡ min(src) per dst, one map-side-combined aggregate, no
+    # join and no init-distinct. Rounds 2+ unchanged → bit-identical.
     labels = (
-        edges.select("src").distinct().select(F.col("src").alias("node"))
-        .withColumn("label", F.col("node"))
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("label"))
+        .select(F.col("dst").alias("node"), "label")
     )
-    for _ in range(_LPA_ITERS):
+    for _ in range(_LPA_ITERS - 1):
         votes = (
             edges.join(labels, edges.src == labels.node)
             .groupBy("dst", "label")
