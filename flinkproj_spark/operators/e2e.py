@@ -245,54 +245,88 @@ def filter_funnel_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-equals-recompute pin: the report can never drift from the
     pipeline it reports on.
 
-    Shape: stage survivors are 1-row aggregates assembled with
-    broadcast cross joins (the filter_funnel_report idiom). The
-    gated+deduped frame feeds four counters, so it is persisted for
-    the run of this call — eager_report materializes the 1-row funnel
-    and unpersists before returning (the _ffv marker keeps the cached
-    plan unique to this key). Drop sets stay un-broadcast anti joins — each is
-    corpus-proportional in the worst case — and are deliberately NOT
-    persisted: all six counters assemble into ONE plan where the
-    shared subtrees are exchange-reused, and an r5 A/B measured the
-    persisted variant ~25% SLOWER at sf0.1 (persist barriers break
-    the cross-branch reuse)."""
+    Shape (r14): ONE persisted frame and ONE fold. The cache is the
+    gate WITH its dedup rank (window over _fp) — n_gated and n_exact
+    both fold from it, where the r13 shape persisted only the deduped
+    subset and re-derived the whole gate chain (scan + tokenize +
+    filters) a second time for the n_gated counter. The three
+    drop-stage counters are LEFT-JOIN FLAGS folded in one aggregate:
+    the survivors frame left-joins each drop set once (younger /
+    confirmed / contaminated are each doc-unique by construction, so
+    the joins cannot fan out and Σ[flag IS NULL] is exactly the
+    anti-join count) — the r13 shape computed three separate anti-join
+    counters, with s2's expensive confirmed subtree referenced TWICE
+    (once for its own counter, once inside s3) and only fragile
+    exchange reuse between them. Drop sets stay un-broadcast joins —
+    each is corpus-proportional in the worst case. eager_report
+    materializes the cache then the 1-row funnel, and unpersists
+    before returning (the _ffv marker keeps the cached plan unique to
+    this key). Interleaved A/B and the per-stage contract pins live in
+    tests/test_contract.py."""
+    from pyspark.sql import Window
     from pyspark.storagelevel import StorageLevel
 
     from flinkproj_spark.operators.curation import neardup_semantic_verify
     from flinkproj_spark.operators.dedup import decontaminate, dedup_minhash_lsh
 
     docs = load_table(spark, sf_dir, "documents")
-    gate = _curate_gate(spark, sf_dir)
-    deduped = (
-        _exact_dedup(gate)
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    gated = (
+        _curate_gate(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn("_ffv", F.lit(1))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    younger = dedup_minhash_lsh(spark, sf_dir).select("doc_b").distinct()
+    younger = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"), F.lit(1).alias("_y"))
+        .distinct()
+    )
     confirmed = (
         neardup_semantic_verify(spark, sf_dir)
         .filter(F.col("confirmed") == 1)
-        .select("doc_b")
+        .select(F.col("doc_b").alias("doc_id"), F.lit(1).alias("_c"))
         .distinct()
     )
     contaminated = (
         decontaminate(spark, sf_dir)
         .filter(F.col("contaminated"))
-        .select("doc_id")
+        .select("doc_id", F.lit(1).alias("_k"))
     )
-    s1 = deduped.join(younger, deduped.doc_id == younger.doc_b, "left_anti")
-    s2 = deduped.join(confirmed, deduped.doc_id == confirmed.doc_b, "left_anti")
-    s3 = s2.join(contaminated, "doc_id", "left_anti")
-    out = docs.agg(F.count("*").alias("n_total"))
-    for name, frame in (
-        ("n_gated", gate),
-        ("n_exact", deduped),
-        ("n_after_neardup", s1),
-        ("n_after_semantic", s2),
-        ("n_after_decontam", s3),
-    ):
-        out = out.crossJoin(F.broadcast(frame.agg(F.count("*").alias(name))))
-    return fx.eager_report(spark, out, [deduped])
+    flags = (
+        gated.filter(F.col("_rn") == 1)
+        .select("doc_id")
+        .join(younger, "doc_id", "left")
+        .join(confirmed, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    fold = flags.agg(
+        F.count("*").alias("n_exact"),
+        F.coalesce(
+            F.sum(F.col("_y").isNull().cast("long")), F.lit(0)
+        ).alias("n_after_neardup"),
+        F.coalesce(
+            F.sum(F.col("_c").isNull().cast("long")), F.lit(0)
+        ).alias("n_after_semantic"),
+        F.coalesce(
+            F.sum((F.col("_c").isNull() & F.col("_k").isNull()).cast("long")),
+            F.lit(0),
+        ).alias("n_after_decontam"),
+    )
+    out = (
+        docs.agg(F.count("*").alias("n_total"))
+        .crossJoin(F.broadcast(gated.agg(F.count("*").alias("n_gated"))))
+        .crossJoin(F.broadcast(fold))
+        .select(
+            "n_total",
+            "n_gated",
+            "n_exact",
+            "n_after_neardup",
+            "n_after_semantic",
+            "n_after_decontam",
+        )
+    )
+    return fx.eager_report(spark, out, [gated])
 
 
 def pipeline_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
