@@ -635,9 +635,21 @@ def semdedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-proportional, broadcast would cap scale; pinned by
     tests/test_plans.py). The verdict aggregation is a
     map-side-combined groupBy on the larger id. Only (id, cell,
-    quantized vec, norm) rows ever move."""
+    quantized vec, norm) rows ever move.
+
+    The assigned corpus is PERSISTED for the run of this plan (r14):
+    the frame is referenced three times (both pair sides + the verdict
+    spine), and each reference re-derived the codebook aggregates and
+    re-ran the two-level argmax over the scan — the argmax is a nested
+    higher-order-function chain that evaluates interpreted, so paying
+    it once instead of three times dominates the cache cost at every
+    scale (interleaved A/B at sf0.1: 2.42 -> 1.78 s; x10 17.3 -> 10.4).
+    Callers own the cache lifetime via clearCache, the dedup_cluster
+    contract."""
+    from pyspark.storagelevel import StorageLevel
+
     base = _quantized(spark, sf_dir)
-    corpus = _with_cells(base)
+    corpus = _with_cells(base).persist(StorageLevel.MEMORY_AND_DISK)
     left = corpus.select(
         F.col("cell"),
         F.col("vec_id").alias("va"),
@@ -776,7 +788,11 @@ def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     base = _quantized(spark, sf_dir)
-    corpus = _with_cells(base)
+    # Persisted for the same reason as semdedup_cells (r14): three
+    # references (pair sides + vertex spine) each re-ran the
+    # interpreted two-level argmax and the codebook aggregates; the
+    # cache replaces the old vertex-only persist and covers all three.
+    corpus = _with_cells(base).persist(StorageLevel.MEMORY_AND_DISK)
     left = corpus.select(
         "cell",
         F.col("vec_id").alias("va"),
@@ -805,9 +821,7 @@ def semdedup_greedy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "va", "vb")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    verts = corpus.select("vec_id", "cell").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    verts = corpus.select("vec_id", "cell")
 
     def _cell_greedy(pdf):
         import pandas as pd
