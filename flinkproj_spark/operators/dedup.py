@@ -430,13 +430,17 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: L-grams are fingerprinted in-row (md5 over the joined
     slice) and the text never leaves the scan — only (doc_id, pos,
-    16-byte hash) rows move. Three semantic shuffles: the gram
-    frequency count (map-side combined), the gram⋈frequency join
-    (merge-pinned — both sides corpus-proportional, broadcast would
-    cap scale), and the per-doc interval-union window. The
-    interval-union length is computed with one LEAD over positions:
-    a duplicated gram at p covers min(L, next_p − p) tokens, the last
-    covers L — integer end to end, bit-identical in DuckDB."""
+    16-byte hash) rows move. Two semantic shuffles (r14): the gram
+    frequency test is a COUNT OVER the h-partition window on the same
+    exchange the old gram⋈frequency merge join needed anyway — the
+    grams subtree fed both the groupBy side and the join side with no
+    exchange reuse possible (different operators above the two
+    exchanges), so the whole scan+tokenize+md5 chain executed TWICE
+    (the ngram_novelty_score r13 lesson rolled through); then the
+    per-doc interval-union window. The interval-union length is
+    computed with one LEAD over positions: a duplicated gram at p
+    covers min(L, next_p − p) tokens, the last covers L — integer end
+    to end, bit-identical in DuckDB."""
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
     words = _words()
     # Nondeterministic barrier (paragraph_dedup's trick): without it
@@ -457,10 +461,13 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.md5(F.array_join(F.slice("ws", F.col("p"), SUB_L), " ")).alias("h"),
     )
-    freq = grams.groupBy("h").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
-    dup = grams.join(freq.hint("merge"), "h").select("doc_id", "n_tokens", "p")
     from pyspark.sql import Window
 
+    dup = (
+        grams.withColumn("_cnt", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("_cnt") >= 2)
+        .select("doc_id", "n_tokens", "p")
+    )
     w = Window.partitionBy("doc_id").orderBy("p")
     iv = dup.withColumn("np", F.lead("p").over(w))
     covered = F.when(F.col("np").isNull(), F.lit(SUB_L)).otherwise(
@@ -661,11 +668,13 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gram starts sort before the token at the same position), and a
     running max of cover-end (p + SUB_L − 1) over that stream decides
     each token in O(1) — the classic interval-stabbing sweep as a
-    single window. Shuffles: the gram frequency count, the gram⋈freq
-    merge join, and the per-doc sweep/rollup; the cleaned text is
-    reassembled only at the final per-doc aggregate (buffer bounded
-    by the doc itself). md5 of the retained tokens makes the result
-    hash-verifiable."""
+    single window. Shuffles: the gram frequency test (a count over
+    the h-partition window since r14 — one exchange and one pass over
+    the gram stream where the old groupBy+merge-join shape executed
+    the scan+tokenize+md5 chain twice, see dedup_substring) and the
+    per-doc sweep/rollup; the cleaned text is reassembled only at the
+    final per-doc aggregate (buffer bounded by the doc itself). md5 of
+    the retained tokens makes the result hash-verifiable."""
     from pyspark.sql import Window
 
     docs = fan_out(spark, sf_dir, "documents", load_table(spark, sf_dir, "documents"))
@@ -683,13 +692,16 @@ def substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.md5(F.array_join(F.slice("ws", F.col("p"), SUB_L), " ")).alias("h"),
     )
-    freq = grams.groupBy("h").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2)
-    dup = grams.join(freq.hint("merge"), "h").select(
-        "doc_id",
-        F.col("p").alias("pos"),
-        F.lit(0).alias("kind"),
-        (F.col("p") + SUB_L - 1).alias("cover_end"),
-        F.lit(None).cast("string").alias("w"),
+    dup = (
+        grams.withColumn("_cnt", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("_cnt") >= 2)
+        .select(
+            "doc_id",
+            F.col("p").alias("pos"),
+            F.lit(0).alias("kind"),
+            (F.col("p") + SUB_L - 1).alias("cover_end"),
+            F.lit(None).cast("string").alias("w"),
+        )
     )
     tokens = staged.select(
         "doc_id", F.posexplode("ws").alias("pos0", "w")

@@ -690,12 +690,17 @@ def test_bloom_bitmap_has_no_false_negatives(spark):
 
 def test_dedup_substring_never_shuffles_text(spark, sf_dir):
     # Grams travel as md5s + positions; no exchange may carry the text
-    # or tokenized-words columns, and the gram join must stay a shuffle
-    # join (both sides corpus-proportional — broadcast caps scale).
+    # or tokenized-words columns. Since r14 the gram frequency test is
+    # a count over the h-partition window (one pass over the gram
+    # stream) instead of a groupBy + merge join that executed the gram
+    # chain twice — so the plan must carry the h-window and NO join at
+    # all (a broadcast sneaking in would cap scale; a shuffle join
+    # would mean the double-derivation came back).
     from flinkproj_spark.operators.dedup import dedup_substring
 
     plan = _plan(dedup_substring(spark, sf_dir))
-    assert "SortMergeJoin" in plan
+    assert "Join" not in plan
+    assert "Window" in plan
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line and "ws" not in line, line.strip()[:140]
