@@ -192,31 +192,42 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism. The only doubles are the two final correctly-rounded
     ops: decimal→double and the divide.
 
-    Shape: tf and df come from one tokenized scan; idf attaches to the
-    df table with a broadcast 1-row corpus count; the tf⋈idf term join
-    is merge-pinned (Zipf-skewed key — AQE handles the hot terms, and
-    a corpus-sized side must never broadcast); doc-norm and query-dot
-    are both map-side-combined groupBy(doc_id); final top-k is
-    TakeOrderedAndProject."""
+    Shape (r14): tf, df, and the term weights come from ONE pass over
+    the tokenized scan — df is a COUNT OVER the w-partition window on
+    the tf frame, on the same w-exchange the old tf⋈idf merge join
+    needed anyway. The old shape referenced the tf subtree three ways
+    (the df groupBy, the join's tf side, and the query-norm's idf) and
+    re-executed the scan+explode+groupBy chain for each that exchange
+    reuse missed; the window leaves a single derivation. idf attaches
+    with a broadcast 1-row corpus count, in-row. Zipf-skew exposure is
+    unchanged — the join side already shuffled every tf row on w. The
+    query-norm folds from the SAME windowed frame (per-term max of the
+    constant idf over the matched rows — identical to the old idf-table
+    lookup since QUERY_TERMS ∩ vocabulary is the same set either way);
+    doc-norm and query-dot are both map-side-combined groupBy(doc_id);
+    final top-k is TakeOrderedAndProject."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(fx.tokenize_ws()).alias("w")).select(
         "doc_id", F.lower("w").alias("w")
     )
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     words = fx.tokenize_ws()
     n_docs = docs.filter(F.size(words) >= 1).agg(F.count("*").alias("n_docs"))
-    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
-        "w",
-        F.expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)").alias("idf_e3"),
+    wdt = (
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("w")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf_e3",
+            F.expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)"),
+        )
+        .select(
+            "doc_id", "w", (F.col("tf") * F.col("idf_e3")).alias("w_dt"),
+            "idf_e3",
+        )
     )
     # One pass computes BOTH the doc norm² and the query dot: a matched
     # query term's weight in the query vector IS its idf (query tf = 1),
-    # so the dot folds into the same groupBy as a conditional sum — no
-    # second traversal of the tf⋈idf subtree (measured ~2× here).
-    wdt = tf.join(idf.hint("merge"), "w").select(
-        "doc_id", "w", (F.col("tf") * F.col("idf_e3")).alias("w_dt"), "idf_e3"
-    )
+    # so the dot folds into the same groupBy as a conditional sum.
     per_doc = wdt.groupBy("doc_id").agg(
         F.sum(F.col("w_dt").cast("decimal(38,0)") * F.col("w_dt")).alias("norm2"),
         F.sum(
@@ -227,7 +238,9 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("num"),
     )
     qnorm2 = (
-        idf.filter(F.col("w").isin(QUERY_TERMS))
+        wdt.filter(F.col("w").isin(QUERY_TERMS))
+        .groupBy("w")
+        .agg(F.max("idf_e3").alias("idf_e3"))
         .agg(
             F.sum(F.col("idf_e3").cast("decimal(38,0)") * F.col("idf_e3")).alias(
                 "qnorm2"
