@@ -639,13 +639,20 @@ def test_pagerank_has_no_cartesian_and_bounded_lineage(spark, sf_dir):
 
 
 def test_tfidf_term_join_not_broadcast(spark, sf_dir):
-    """The tf⋈idf join key is the corpus vocabulary — Zipf-skewed and
-    corpus-proportional. It must shuffle, never broadcast."""
+    """Document frequency attaches on the corpus vocabulary — a
+    Zipf-skewed, corpus-proportional key. Since r14 it is a count over
+    the w-partition window on the tf frame's one w-exchange (no join at
+    all); a join sneaking back in would mean the tf chain derives
+    twice, and a broadcast of the vocabulary would cap scale."""
     from flinkproj_spark.operators.retrieval import tfidf_topk
     from flinkproj_spark.plans.checks import executed_plan
 
     plan = executed_plan(tfidf_topk(spark, sf_dir))
-    assert "SortMergeJoin" in plan
+    # no equi-join left (the 1-row corpus-count broadcast cross join
+    # remains, and is fine at any scale)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "Window" in plan
 
 
 def test_cross_snapshot_bloom_prunes_before_exchange(spark, sf_dir):
